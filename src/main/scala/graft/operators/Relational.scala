@@ -1,0 +1,336 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** L2 relational operator surface (SURVEY.md §2.5) plus the standard
+  * relational operators a user of the reference's host engine (DataFusion)
+  * gets for free — expressed Spark-first so Catalyst/Tungsten pick the
+  * physical strategy (broadcast joins for dims, partial aggregation, AQE).
+  *
+  * Oracle-parity notes (the driver hash-compares against DuckDB):
+  *  - double aggregates are cast element-wise to DECIMAL(18,4) before SUM so
+  *    both engines sum exactly (order-independent) — raw double SUM is
+  *    order-dependent and would flake the hash compare;
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - top-k / window orderings always carry a unique-key tiebreaker.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- aggregation ----------------------------------------------------
+    QueryDef(
+      "q1_agg",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(dec(col("l_quantity"))).as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+            sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+             |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ----- projection + filter (flagship point-predicate shape) ----------
+    QueryDef(
+      "q2_filter",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity") === 30.0 && col("l_returnflag") === "R")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity = 30.0 AND l_returnflag = 'R'""".stripMargin)),
+
+    // ----- range + OR predicate (reference demo query 3 shape) -----------
+    QueryDef(
+      "q3_range_or",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .filter(col("o_totalprice") < 5000.0 || col("o_totalprice") > 400000.0)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+             |FROM orders
+             |WHERE o_totalprice < 5000.0 OR o_totalprice > 400000.0
+             |GROUP BY o_orderstatus""".stripMargin)),
+
+    // ----- broadcast join + aggregation ----------------------------------
+    QueryDef(
+      "q4_join_agg",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT c_mktsegment,
+             |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    // ----- 5-way join through the dimension chain (TPC-H Q5 shape) -------
+    QueryDef(
+      "q5_multijoin",
+      (s, dir) => {
+        val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+        val n = Tables.load(s, dir, "nation")
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("n_name")
+          .agg(
+            sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT n_name,
+             |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name""".stripMargin)),
+
+    // ----- top-k sort (deterministic: unique-key tiebreaker) --------------
+    QueryDef(
+      "q6_topk",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .select("o_orderkey", "o_totalprice")
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // ----- window function -------------------------------------------------
+    QueryDef(
+      "q7_window",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables.load(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3""".stripMargin)),
+
+    // ----- distinct aggregates ---------------------------------------------
+    QueryDef(
+      "q8_distinct",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .agg(
+            countDistinct(col("l_partkey")).as("distinct_parts"),
+            countDistinct(col("l_suppkey")).as("distinct_supps"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT count(DISTINCT l_partkey) AS distinct_parts,
+             |  count(DISTINCT l_suppkey) AS distinct_supps,
+             |  count(*) AS n
+             |FROM lineitem""".stripMargin)),
+
+    // ----- semi join (EXISTS) ----------------------------------------------
+    QueryDef(
+      "q9_semijoin",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_mktsegment")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)),
+
+    // ----- anti join (NOT EXISTS) -------------------------------------------
+    QueryDef(
+      "q10_antijoin",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)),
+
+    // ----- set operations ---------------------------------------------------
+    QueryDef(
+      "q11_setops",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders").select(col("o_orderkey").as("k"))
+        val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+        o.except(li) // orders with no lineitems (EXCEPT is distinct-set semantics)
+      },
+      Some("""SELECT o_orderkey AS k FROM orders
+             |EXCEPT
+             |SELECT l_orderkey AS k FROM lineitem""".stripMargin)),
+
+    QueryDef(
+      "q12_intersect",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        val sup = Tables.load(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+        c.intersect(sup)
+      },
+      Some("""SELECT c_nationkey AS nk FROM customer
+             |INTERSECT
+             |SELECT s_nationkey AS nk FROM supplier""".stripMargin)),
+
+    // ----- CASE WHEN bucketing (expression surface of conversions.rs P4) ---
+    QueryDef(
+      "q13_case",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .withColumn("bucket",
+            when(col("l_quantity") < 10.0, "low")
+              .when(col("l_quantity") < 30.0, "mid")
+              .otherwise("high"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("qty"))
+      },
+      Some("""SELECT CASE WHEN l_quantity < 10.0 THEN 'low'
+             |            WHEN l_quantity < 30.0 THEN 'mid'
+             |            ELSE 'high' END AS bucket,
+             |  count(*) AS n,
+             |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // ----- HAVING ------------------------------------------------------------
+    QueryDef(
+      "q14_having",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > 40)
+      },
+      Some("""SELECT l_partkey, count(*) AS n FROM lineitem
+             |GROUP BY l_partkey HAVING count(*) > 40""".stripMargin)),
+
+    // ----- scalar math / modulo ----------------------------------------------
+    QueryDef(
+      "q15_math",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .withColumn("m", col("l_orderkey") % 7)
+          .groupBy("m")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_linenumber").cast("long")).as("sum_ln"),
+            max(col("l_orderkey") * 2 + 1).as("mx"))
+      },
+      Some("""SELECT l_orderkey % 7 AS m, count(*) AS n,
+             |  sum(CAST(l_linenumber AS BIGINT)) AS sum_ln,
+             |  max(l_orderkey * 2 + 1) AS mx
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // ----- string functions + LIKE -------------------------------------------
+    QueryDef(
+      "q16_strings",
+      (s, dir) => {
+        Tables.load(s, dir, "part")
+          .filter(col("p_type").like("%ECO%") || col("p_brand") === "Brand#7")
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("uname"),
+            length(col("p_name")).as("name_len"),
+            substring(col("p_brand"), 7, 10).as("brand_num"))
+      },
+      Some("""SELECT p_partkey, upper(p_name) AS uname, length(p_name) AS name_len,
+             |  substr(p_brand, 7, 10) AS brand_num
+             |FROM part
+             |WHERE p_type LIKE '%ECO%' OR p_brand = 'Brand#7'""".stripMargin)),
+
+    // ----- ROLLUP grouping sets ------------------------------------------------
+    QueryDef(
+      "q17_rollup",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ----- tumbling time-window aggregate (events) ------------------------------
+    QueryDef(
+      "q18_event_hourly",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .groupBy(
+            date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sv
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ----- date/timestamp functions ----------------------------------------------
+    QueryDef(
+      "q19_dates",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .groupBy(
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("mo"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS y,
+             |  CAST(month(o_orderdate) AS INT) AS mo,
+             |  count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+             |FROM orders GROUP BY 1, 2""".stripMargin)),
+
+    // ----- LIMIT pushdown shape (reference demo query 1: no predicate, LIMIT) ---
+    QueryDef(
+      "q20_limit",
+      (s, dir) => {
+        Tables.load(s, dir, "nation")
+          .orderBy(col("n_nationkey").asc)
+          .select("n_nationkey", "n_name")
+          .limit(10)
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation
+             |ORDER BY n_nationkey ASC LIMIT 10""".stripMargin))
+  )
+}
