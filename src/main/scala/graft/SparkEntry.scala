@@ -7,7 +7,7 @@ object SparkEntry {
 
   /** Full operator registry (SURVEY.md §2 inventory + north-star L3 ops). */
   def registry: Seq[QueryDef] =
-    operators.Relational.defs
+    operators.Relational.defs ++ operators.Indexed.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's flagship scenario (point predicate through the
@@ -15,7 +15,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    operators.Indexed.lineitemIndexed(spark, "/root/testdata/sf0.001")
       .filter(col("l_quantity") === 30.0)
       .select("l_orderkey", "l_linenumber", "l_quantity")
   }

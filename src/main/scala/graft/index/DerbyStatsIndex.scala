@@ -1,0 +1,247 @@
+package graft.index
+
+import graft.prune.{ExprToDerbySql, StatsPredicateRewriter}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types._
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+import scala.collection.immutable.SortedSet
+import scala.collection.mutable
+
+/** Embedded-Derby implementation of [[StatsIndex]] — the stand-in for the
+  * reference's "remote" SQLite catalog (/root/reference/sqlx-sqlite/README.md:5;
+  * the reference itself notes SQLite is a stand-in for a network-attached
+  * relational catalog). Everything crosses a JDBC seam exactly like the
+  * reference crosses SQLx, so swapping in a real remote catalog DB is a URL
+  * change.
+  *
+  * Schema mirrors `index.rs:332-393`:
+  *   file_statistics(file_id identity PK, file_name UNIQUE, file_size_bytes,
+  *                   row_group_count, row_count)
+  *   row_group_statistics(file_id FK ON DELETE CASCADE, row_group, row_count,
+  *                        {col}_null_count, {col}_min, {col}_max,
+  *                        PRIMARY KEY(file_id, row_group))
+  *
+  * Scale note (100 TB): this store holds one row per row group, not per data
+  * row — a 100 TB table at 128 MB row groups is ~800k rows, trivially handled
+  * by any RDBMS; the pruning query stays O(index), never O(data).
+  */
+final class DerbyStatsIndex(dbPath: String, val indexedSchema: StructType)
+    extends StatsIndex {
+
+  DerbyStatsIndex.ensureDriver()
+
+  private val conn: Connection =
+    DriverManager.getConnection(s"jdbc:derby:$dbPath;create=true")
+  conn.setAutoCommit(true)
+
+  private val indexedCols: Seq[StructField] =
+    indexedSchema.fields.toSeq.filter(f => FooterStats.supported(f.dataType))
+
+  // ---- DDL (I1, index.rs:331-393) -----------------------------------------
+
+  /** Spark type → Derby column type for min/max storage. Timestamps are
+    * BIGINT microseconds, dates INTEGER days (matching Catalyst internals
+    * so pushed-down literals compare directly). */
+  private def derbyType(dt: DataType): String = dt match {
+    case ByteType | ShortType => "SMALLINT"
+    case IntegerType          => "INTEGER"
+    case LongType             => "BIGINT"
+    case FloatType            => "REAL"
+    case DoubleType           => "DOUBLE"
+    case StringType           => s"VARCHAR(${DerbyStatsIndex.MaxStringLen})"
+    case BinaryType           => s"VARCHAR(${DerbyStatsIndex.MaxStringLen}) FOR BIT DATA"
+    case TimestampType | TimestampNTZType => "BIGINT"
+    case DateType             => "INTEGER"
+    case other => throw new IllegalArgumentException(s"unindexable type $other")
+  }
+
+  override def initialize(schema: StructType): Unit = {
+    require(schema == indexedSchema, "index was constructed for a different schema")
+    val st = conn.createStatement()
+    def createIfMissing(ddl: String): Unit =
+      try st.execute(ddl)
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () } // exists
+    createIfMissing(
+      """CREATE TABLE file_statistics (
+        |  file_id INTEGER NOT NULL GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+        |  file_name VARCHAR(1024) NOT NULL UNIQUE,
+        |  file_size_bytes BIGINT NOT NULL,
+        |  row_group_count INTEGER NOT NULL,
+        |  row_count BIGINT NOT NULL)""".stripMargin)
+    val statCols = indexedCols.flatMap { f =>
+      val t = derbyType(f.dataType)
+      Seq(s"${f.name}_null_count BIGINT", s"${f.name}_min $t", s"${f.name}_max $t")
+    }
+    createIfMissing(
+      s"""CREATE TABLE row_group_statistics (
+         |  file_id INTEGER NOT NULL REFERENCES file_statistics(file_id) ON DELETE CASCADE,
+         |  row_group INTEGER NOT NULL,
+         |  row_count BIGINT NOT NULL${if (statCols.isEmpty) "" else statCols.mkString(",\n  ", ",\n  ", "")},
+         |  PRIMARY KEY (file_id, row_group))""".stripMargin)
+    st.close()
+  }
+
+  // ---- ingest (I3, index.rs:242-329) ---------------------------------------
+
+  override def addFile(stats: FileStats): Unit = {
+    conn.setAutoCommit(false)
+    try {
+      // upsert the file row (Derby lacks ON CONFLICT/RETURNING: select-then-
+      // update-or-insert inside the transaction has the same semantics)
+      val sel = conn.prepareStatement(
+        "SELECT file_id FROM file_statistics WHERE file_name = ?")
+      sel.setString(1, stats.fileName)
+      val rs = sel.executeQuery()
+      val fileId: Int =
+        if (rs.next()) {
+          val id = rs.getInt(1)
+          val up = conn.prepareStatement(
+            """UPDATE file_statistics SET file_size_bytes = ?, row_group_count = ?,
+              |row_count = ? WHERE file_id = ?""".stripMargin)
+          up.setLong(1, stats.fileSizeBytes)
+          up.setInt(2, stats.rowGroups.size)
+          up.setLong(3, stats.rowCount)
+          up.setInt(4, id)
+          up.executeUpdate(); up.close()
+          // drop stale row-group stats for idempotent re-index
+          val del = conn.prepareStatement(
+            "DELETE FROM row_group_statistics WHERE file_id = ?")
+          del.setInt(1, id); del.executeUpdate(); del.close()
+          id
+        } else {
+          val ins = conn.prepareStatement(
+            """INSERT INTO file_statistics
+              |(file_name, file_size_bytes, row_group_count, row_count)
+              |VALUES (?, ?, ?, ?)""".stripMargin,
+            java.sql.Statement.RETURN_GENERATED_KEYS)
+          ins.setString(1, stats.fileName)
+          ins.setLong(2, stats.fileSizeBytes)
+          ins.setInt(3, stats.rowGroups.size)
+          ins.setLong(4, stats.rowCount)
+          ins.executeUpdate()
+          val keys = ins.getGeneratedKeys
+          keys.next()
+          val id = keys.getInt(1)
+          ins.close()
+          id
+        }
+      rs.close(); sel.close()
+
+      val cols = Seq("file_id", "row_group", "row_count") ++
+        indexedCols.flatMap(f => Seq(s"${f.name}_null_count", s"${f.name}_min", s"${f.name}_max"))
+      val ins = conn.prepareStatement(
+        s"""INSERT INTO row_group_statistics (${cols.mkString(", ")})
+           |VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin)
+      stats.rowGroups.foreach { rg =>
+        ins.setInt(1, fileId)
+        ins.setInt(2, rg.rowGroup)
+        ins.setLong(3, rg.rowCount)
+        var i = 4
+        indexedCols.foreach { f =>
+          val cs = rg.columns.get(f.name)
+          setNullable(ins, i, cs.flatMap(_.nullCount).map(java.lang.Long.valueOf), java.sql.Types.BIGINT)
+          setValue(ins, i + 1, cs.flatMap(_.min), f.dataType)
+          setValue(ins, i + 2, cs.flatMap(_.max), f.dataType, isMax = true)
+          i += 3
+        }
+        ins.addBatch()
+      }
+      ins.executeBatch(); ins.close()
+      conn.commit()
+    } catch {
+      case t: Throwable => conn.rollback(); throw t
+    } finally conn.setAutoCommit(true)
+  }
+
+  private def setNullable(ps: PreparedStatement, i: Int, v: Option[AnyRef], sqlType: Int): Unit =
+    v match {
+      case Some(x) => ps.setObject(i, x)
+      case None    => ps.setNull(i, sqlType)
+    }
+
+  /** Long strings: store min truncated (still a lower bound ⇒ sound) and
+    * max as NULL (unknown ⇒ "might match" ⇒ sound). */
+  private def setValue(ps: PreparedStatement, i: Int, v: Option[Any], dt: DataType,
+      isMax: Boolean = false): Unit = (v, dt) match {
+    case (None, _) => ps.setNull(i, java.sql.Types.OTHER)
+    case (Some(s: String), StringType) =>
+      if (s.length <= DerbyStatsIndex.MaxStringLen) ps.setString(i, s)
+      else if (isMax) ps.setNull(i, java.sql.Types.VARCHAR)
+      else ps.setString(i, s.take(DerbyStatsIndex.MaxStringLen))
+    case (Some(b: Array[Byte]), BinaryType) =>
+      if (b.length <= DerbyStatsIndex.MaxStringLen) ps.setBytes(i, b)
+      else if (isMax) ps.setNull(i, java.sql.Types.VARBINARY)
+      else ps.setBytes(i, b.take(DerbyStatsIndex.MaxStringLen))
+    case (Some(x), _) => ps.setObject(i, x)
+  }
+
+  override def retainOnly(fileNames: Set[String]): Unit = {
+    val st = conn.createStatement()
+    val rs = st.executeQuery("SELECT file_id, file_name FROM file_statistics")
+    val stale = mutable.ArrayBuffer.empty[Int]
+    while (rs.next()) if (!fileNames.contains(rs.getString(2))) stale += rs.getInt(1)
+    rs.close(); st.close()
+    if (stale.nonEmpty) {
+      val del = conn.prepareStatement(
+        "DELETE FROM file_statistics WHERE file_id = ?") // FK cascades to rg stats
+      stale.foreach { id => del.setInt(1, id); del.addBatch() }
+      del.executeBatch(); del.close()
+    }
+  }
+
+  // ---- pruning query (P1/P5, index.rs:102-176) ------------------------------
+
+  override def getFiles(predicate: Expression): Seq[FileScanPlan] = {
+    val statsPred = StatsPredicateRewriter.rewrite(
+      predicate, indexedCols.map(_.name).toSet)
+    val whereSql = ExprToDerbySql.print(statsPred)
+    val sql =
+      s"""SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group
+         |FROM row_group_statistics rg
+         |JOIN file_statistics f ON rg.file_id = f.file_id
+         |WHERE $whereSql
+         |ORDER BY f.file_name, rg.row_group""".stripMargin
+    runPlanQuery(sql)
+  }
+
+  override def allFiles(): Seq[FileScanPlan] = runPlanQuery(
+    """SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group
+      |FROM row_group_statistics rg
+      |JOIN file_statistics f ON rg.file_id = f.file_id
+      |ORDER BY f.file_name, rg.row_group""".stripMargin)
+
+  private def runPlanQuery(sql: String): Seq[FileScanPlan] = {
+    val st = conn.createStatement()
+    val rs = st.executeQuery(sql)
+    val acc = mutable.LinkedHashMap.empty[String, (Long, Int, mutable.SortedSet[Int])]
+    while (rs.next()) {
+      val (_, _, set) = acc.getOrElseUpdate(
+        rs.getString(1), (rs.getLong(2), rs.getInt(3), mutable.SortedSet.empty[Int]))
+      set += rs.getInt(4)
+    }
+    rs.close(); st.close()
+    acc.iterator.map { case (name, (size, rgCount, rgs)) =>
+      FileScanPlan(name, size, rgCount, SortedSet.from(rgs))
+    }.toSeq
+  }
+
+  override def close(): Unit = conn.close()
+}
+
+object DerbyStatsIndex {
+  /** Stats strings longer than this are truncated (min) or dropped (max). */
+  val MaxStringLen = 1024
+
+  @volatile private var driverLoaded = false
+  private def ensureDriver(): Unit = if (!driverLoaded) synchronized {
+    if (!driverLoaded) {
+      // keep Derby's scribbles (derby.log, databases) inside the repo
+      if (System.getProperty("derby.system.home") == null)
+        System.setProperty("derby.system.home", "target/tmp/derby")
+      new java.io.File(System.getProperty("derby.system.home")).mkdirs()
+      Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+      driverLoaded = true
+    }
+  }
+}

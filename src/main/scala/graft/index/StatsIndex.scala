@@ -1,0 +1,51 @@
+package graft.index
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types._
+
+import scala.collection.immutable.SortedSet
+
+/** Which row groups of which file must be scanned for a predicate —
+  * the Spark analog of the reference's `(file_name, ParquetAccessPlan)`
+  * (/root/reference/sqlx-sqlite/src/index.rs:100-106, 417-421).
+  */
+final case class FileScanPlan(
+    fileName: String,
+    fileSizeBytes: Long,
+    rowGroupCount: Int,
+    scanRowGroups: SortedSet[Int]) {
+
+  /** Render like the reference's access-plan output: `[Skip, Scan, …]`. */
+  def render: String =
+    (0 until rowGroupCount)
+      .map(i => if (scanRowGroups.contains(i)) "Scan" else "Skip")
+      .mkString("[", ", ", "]")
+}
+
+/** External secondary index over a directory of parquet files: per-file and
+  * per-row-group min/max/null-count statistics held in an out-of-band
+  * catalog store, consulted at planning time to prune files and row groups
+  * before the scan runs (/root/reference/sqlx-sqlite/src/index.rs:37-53).
+  */
+trait StatsIndex extends AutoCloseable {
+  /** Idempotent DDL for the given indexed-column subset. */
+  def initialize(indexedSchema: StructType): Unit
+
+  /** Transactional upsert of one file's footer statistics (idempotent
+    * re-index of a changed file, `index.rs:242-329`). */
+  def addFile(stats: FileStats): Unit
+
+  /** Drop index rows for files no longer present in the table directory —
+    * completes the idempotent re-index story (the reference's upsert handles
+    * changed files; deleted files need explicit retention). */
+  def retainOnly(fileNames: Set[String]): Unit
+
+  /** Core pruning call: data-space predicate → surviving files with their
+    * row-group scan sets (`index.rs:102-176`). TRUE ⇒ everything. */
+  def getFiles(predicate: Expression): Seq[FileScanPlan]
+
+  /** All indexed files (for sizeInBytes / inputFiles / no-predicate scans). */
+  def allFiles(): Seq[FileScanPlan]
+
+  def indexedSchema: StructType
+}

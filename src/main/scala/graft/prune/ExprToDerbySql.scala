@@ -1,0 +1,75 @@
+package graft.prune
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Prints a *stats-space* predicate (the output shapes of
+  * [[StatsPredicateRewriter]]) as a Derby SQL boolean expression.
+  *
+  * Re-expresses the reference's PhysicalExpr→sea-query translation
+  * (/root/reference/sqlx-sqlite/src/conversions.rs:10-85) against Derby's
+  * dialect. Same conservative contract: anything unprintable becomes the
+  * constant TRUE (never under-scan, `conversions.rs:32`).
+  *
+  * Derby quirk: comparison predicates are not value expressions, so
+  * `COALESCE(pred, TRUE)` is illegal. The `keep()` wrapper from the
+  * rewriter is printed as `(attr IS NULL OR … OR pred)` over every stats
+  * attribute referenced — a sound over-approximation of "NULL stats must
+  * not prune".
+  */
+object ExprToDerbySql {
+
+  def print(e: Expression): String = e match {
+    // keep(pred): NULL stats ⇒ scan
+    case Coalesce(Seq(inner, Literal(true, BooleanType))) =>
+      val attrs = inner.collect { case a: UnresolvedAttribute => a.name }.distinct
+      val nulls = attrs.map(a => s"rg.$a IS NULL")
+      "(" + (nulls :+ print(inner)).mkString(" OR ") + ")"
+
+    case And(l, r) => s"(${print(l)} AND ${print(r)})"
+    case Or(l, r)  => s"(${print(l)} OR ${print(r)})"
+    case Not(c)    => s"(NOT ${print(c)})"
+
+    case EqualTo(l, r)            => s"(${print(l)} = ${print(r)})"
+    case LessThan(l, r)           => s"(${print(l)} < ${print(r)})"
+    case LessThanOrEqual(l, r)    => s"(${print(l)} <= ${print(r)})"
+    case GreaterThan(l, r)        => s"(${print(l)} > ${print(r)})"
+    case GreaterThanOrEqual(l, r) => s"(${print(l)} >= ${print(r)})"
+
+    case Substring(s, p, l) => s"SUBSTR(${print(s)}, ${print(p)}, ${print(l)})"
+    // value-level coalesce (e.g. COALESCE(null_count, 1)) is legal in Derby
+    case Coalesce(children) => children.map(print).mkString("COALESCE(", ", ", ")")
+
+    // every stats-space attribute lives in row_group_statistics; qualify so
+    // the join with file_statistics (which also has row_count) is unambiguous
+    case a: UnresolvedAttribute => "rg." + a.name
+
+    case Literal(null, _)             => "NULL"
+    case Literal(true, BooleanType)   => "TRUE"
+    case Literal(false, BooleanType)  => "FALSE"
+    case Literal(v, ByteType | ShortType | IntegerType | LongType) => v.toString
+    case Literal(v: Float, FloatType) => floatLit(v.toDouble)
+    case Literal(v: Double, DoubleType) => floatLit(v)
+    case Literal(v: Decimal, _: DecimalType) => v.toString
+    case Literal(s: UTF8String, StringType) => sqlString(s.toString)
+    // timestamps/dates are stored as BIGINT micros / INTEGER days
+    case Literal(v: Long, TimestampType | TimestampNTZType) => v.toString
+    case Literal(v: Integer, DateType) => v.toString
+    case Literal(b: Array[Byte], BinaryType) =>
+      "X'" + b.map(x => f"$x%02x").mkString + "'"
+
+    case _ => "TRUE" // unprintable ⇒ conservative
+  }
+
+  private def floatLit(d: Double): String =
+    if (d.isNaN || d.isInfinite) "TRUE" // callers guard; belt-and-braces
+    else {
+      val s = d.toString
+      if (s.contains("E") || s.contains("e") || s.contains(".")) s else s + ".0"
+    }
+
+  private def sqlString(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+}

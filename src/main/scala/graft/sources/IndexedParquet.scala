@@ -1,0 +1,79 @@
+package graft.sources
+
+import graft.index.{DerbyStatsIndex, FooterStats, StatsIndex}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** End-to-end wiring: build the external index over a directory of parquet
+  * files, then read the directory through a relation whose file listing is
+  * the index (the reference's `IndexTableProvider`,
+  * /root/reference/sqlx-sqlite/src/main.rs:190-317, at Spark's
+  * FileIndex/HadoopFsRelation seam).
+  */
+object IndexedParquet {
+
+  private def classic(spark: SparkSession) =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+
+  /** Distributed index build (reference entry point B, main.rs:215-240 —
+    * but scaled out: footer reads run as a Spark job, one task per batch of
+    * files, which is the 100 TB path per SURVEY.md §3.2; stats then flow to
+    * the catalog store through one transactional JDBC writer per file).
+    */
+  def buildIndex(
+      spark: SparkSession,
+      dir: String,
+      indexedCols: Seq[String],
+      dbPath: String): (StatsIndex, StructType) = {
+    val dirPath = new Path(dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = dirPath.getFileSystem(hconf)
+    val files = fs.listStatus(dirPath).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName) // sorted listing, main.rs:410-423
+      .map(_.getPath.toString)
+
+    // schema of the table = parquet footer schema (main.rs:228-236)
+    val dataSchema = spark.read.parquet(dir).schema
+    val indexedSchema = StructType(
+      dataSchema.fields.filter(f =>
+        indexedCols.contains(f.name) && FooterStats.supported(f.dataType)))
+
+    val serConf = new SerializableConfiguration(hconf)
+    val colNames = indexedSchema.fieldNames.toSeq
+    val stats = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism)))
+      .map(f => FooterStats.read(new Path(f), serConf.value, colNames))
+      .collect()
+      .sortBy(_.fileName)
+
+    val index = new DerbyStatsIndex(dbPath, indexedSchema)
+    index.initialize(indexedSchema)
+    stats.foreach(index.addFile)
+    index.retainOnly(stats.map(_.fileName).toSet)
+    (index, dataSchema)
+  }
+
+  /** Read a directory through the index-backed FileIndex. Returns the
+    * DataFrame plus the FileIndex for `lastExecution` observability. */
+  def read(
+      spark: SparkSession,
+      dir: String,
+      index: StatsIndex,
+      dataSchema: StructType): (DataFrame, IndexedParquetFileIndex) = {
+    val cs = classic(spark)
+    val fileIndex = new IndexedParquetFileIndex(new Path(dir), index)
+    val relation = HadoopFsRelation(
+      location = fileIndex,
+      partitionSchema = new StructType(),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(cs)
+    (cs.baseRelationToDataFrame(relation), fileIndex)
+  }
+}
