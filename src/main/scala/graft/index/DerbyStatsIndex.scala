@@ -162,9 +162,20 @@ final class DerbyStatsIndex(dbPath: String, val indexedSchema: StructType)
 
   /** Long strings: store min truncated (still a lower bound ⇒ sound) and
     * max as NULL (unknown ⇒ "might match" ⇒ sound). */
+  private def sqlTypeOf(dt: DataType): Int = dt match {
+    case ByteType | ShortType => java.sql.Types.SMALLINT
+    case IntegerType | DateType => java.sql.Types.INTEGER
+    case LongType | TimestampType | TimestampNTZType => java.sql.Types.BIGINT
+    case FloatType  => java.sql.Types.REAL
+    case DoubleType => java.sql.Types.DOUBLE
+    case StringType => java.sql.Types.VARCHAR
+    case BinaryType => java.sql.Types.VARBINARY
+    case _          => java.sql.Types.OTHER
+  }
+
   private def setValue(ps: PreparedStatement, i: Int, v: Option[Any], dt: DataType,
       isMax: Boolean = false): Unit = (v, dt) match {
-    case (None, _) => ps.setNull(i, java.sql.Types.OTHER)
+    case (None, _) => ps.setNull(i, sqlTypeOf(dt))
     case (Some(s: String), StringType) =>
       if (s.length <= DerbyStatsIndex.MaxStringLen) ps.setString(i, s)
       else if (isMax) ps.setNull(i, java.sql.Types.VARCHAR)

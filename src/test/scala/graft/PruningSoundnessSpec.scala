@@ -1,0 +1,104 @@
+package graft
+
+import graft.sources.IndexedParquet
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+import scala.util.Random
+
+/** Property test for the pruning soundness invariant (the reference's
+  * conversions.rs:32 contract, SURVEY.md §5): for ANY predicate, every file
+  * containing at least one matching row must survive index pruning —
+  * pruning may over-scan, never under-scan. Exercised end-to-end through
+  * the real stack (footer stats → Derby → stats-space rewrite → Derby SQL),
+  * including nullable columns with all-null row groups.
+  */
+class PruningSoundnessSpec extends SparkSpec {
+
+  private val rng = new Random(4242)
+
+  private lazy val env: (String, DataFrame, graft.sources.IndexedParquetFileIndex) = {
+    val base = Files.createTempDirectory("graft-sound").toString
+    val dir = s"$base/data"
+    Files.createDirectories(Paths.get(dir))
+    import spark.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    (1 to 6).foreach { fi =>
+      val rows = (1 to 100).map { _ =>
+        // file 3 gets an all-null leading block for k (an all-null row group)
+        val k: Option[Int] =
+          if (fi == 3 && rng.nextInt(4) == 0) None
+          else Some(rng.nextInt(200) + fi * 17)
+        val s = words(rng.nextInt(words.size)) + rng.nextInt(10)
+        (k, s)
+      }
+      // sort nulls-first so file 3's first 50-row group is null-heavy
+      val sorted = if (fi == 3) rows.sortBy(_._1.isEmpty)(Ordering.Boolean.reverse) else rows
+      val tmp = s"$base/tmp-$fi"
+      sorted.toDF("k", "s").coalesce(1)
+        .write.option("parquet.block.row.count.limit", "50")
+        .mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dir, s"f$fi.parquet"))
+    }
+    val (index, schema) = IndexedParquet.buildIndex(spark, dir, Seq("k", "s"), s"$base/statsdb")
+    val (df, fileIndex) = IndexedParquet.read(spark, dir, index, schema)
+    (dir, df, fileIndex)
+  }
+
+  private def predicates: Seq[(String, Column)] = {
+    def klit = rng.nextInt(300)
+    Seq(
+      ("k = lit", col("k") === klit),
+      ("k < lit", col("k") < klit),
+      ("k >= lit", col("k") >= klit),
+      ("k != lit", col("k") =!= klit),
+      ("k is null", col("k").isNull),
+      ("k is not null", col("k").isNotNull),
+      ("k in (...)", col("k").isin(klit, klit, klit)),
+      ("s = lit", col("s") === ("gamma" + rng.nextInt(10))),
+      ("s startsWith", col("s").startsWith("de")),
+      ("and mix", col("k") > klit && col("s") >= "beta"),
+      ("or mix", col("k") < klit || col("s") === ("zeta" + rng.nextInt(10))),
+      ("arith (unknown shape -> scan all)", col("k") % 7 === 3)
+    )
+  }
+
+  test("every file containing a matching row survives pruning (12 shapes x 3 rounds)") {
+    val (dir, df, fileIndex) = env
+    val plain = spark.read.parquet(dir).withColumn("f", element_at(split(input_file_name(), "/"), -1))
+    (1 to 3).foreach { _ =>
+      predicates.foreach { case (name, pred) =>
+        val expected = plain.filter(pred).select("f").distinct()
+          .collect().map(_.getString(0)).toSet
+        val got = df.filter(pred).count()
+        val want = plain.filter(pred).count()
+        assert(got == want, s"[$name] result count through index differs")
+        val scanned = fileIndex.lastExecution.get.scannedFiles.toSet
+        assert(expected.subsetOf(scanned),
+          s"[$name] UNDER-SCAN: expected ${expected -- scanned} to be scanned")
+      }
+    }
+  }
+
+  test("point predicate actually prunes (not everything survives)") {
+    val (_, df, fileIndex) = env
+    df.filter(col("k") === -999).count()
+    assert(fileIndex.lastExecution.get.scannedFiles.isEmpty)
+  }
+
+  test("unsupported-type column is silently skipped; predicates on it scan all") {
+    val base = Files.createTempDirectory("graft-unsup").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    Seq((1, Seq(1.0f, 2.0f)), (2, Seq(3.0f, 4.0f)))
+      .toDF("id", "vec").write.mode("overwrite").parquet(dir)
+    val (index, schema) = IndexedParquet.buildIndex(spark, dir, Seq("id", "vec"), s"$base/statsdb")
+    assert(index.indexedSchema.fieldNames.toSeq == Seq("id")) // vec skipped
+    val (df, fileIndex) = IndexedParquet.read(spark, dir, index, schema)
+    assert(df.filter(size(col("vec")) === 2).count() == 2)
+    assert(fileIndex.lastExecution.get.scannedFiles.nonEmpty)
+  }
+}
