@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table (north star per BASELINE.json; SURVEY.md §7.6):
+  * token statistics, quality scoring, language-ID heuristic, document
+  * fingerprinting. All are pure Catalyst expression pipelines (codegen'd,
+  * no UDFs) and therefore shuffle only at the final aggregate, scan only
+  * the columns they read, and scale linearly with document count.
+  *
+  * Oracle-parity: outputs avoid floating point entirely — ratios are
+  * expressed as integer cross-multiplications, fingerprints as md5 hex
+  * (identical lowercase hex in Spark and DuckDB).
+  */
+object TextAnalysis {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  private def sqlCountIn(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Tiny per-language function-word lexicons (public-knowledge stopword
+    * lists); the language with the highest hit count wins, ties broken by
+    * a fixed priority order. A real deployment would swap in char-n-gram
+    * profiles — the pipeline shape (token filter + argmax) is identical.
+    */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "la", "y", "los", "es"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  val stopwords: Seq[String] = Seq("a", "the", "of", "and", "to", "in", "is")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- token counting --------------------------------------------------
+    QueryDef(
+      "tx1_tokens",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          length(regexp_replace(col("text"), " ", "")).as("n_word_chars"))
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             |  length(replace(text, ' ', '')) AS n_word_chars
+             |FROM documents""".stripMargin)),
+
+    // ----- quality scoring (integer-exact ratio flags) ---------------------
+    QueryDef(
+      "tx2_quality",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val nTok = size(toks)
+        val nStop = countIn(toks, stopwords)
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          nStop.as("n_stopwords"),
+          // quality gates: enough text, stopword ratio in [2%, 40%],
+          // mean token length < 12 chars — all as integer cross-products
+          (col("n_chars") >= 100).as("long_enough"),
+          (nStop * 100 >= nTok * 2 && nStop * 100 <= nTok * 40).as("stop_ratio_ok"),
+          (length(regexp_replace(col("text"), " ", "")) < nTok * 12).as("tok_len_ok"))
+      },
+      Some {
+        val nTok = "len(string_split(text, ' '))"
+        val nStop = sqlCountIn(stopwords)
+        s"""SELECT doc_id, $nTok AS n_tokens, $nStop AS n_stopwords,
+           |  n_chars >= 100 AS long_enough,
+           |  $nStop * 100 >= $nTok * 2 AND $nStop * 100 <= $nTok * 40 AS stop_ratio_ok,
+           |  length(replace(text, ' ', '')) < $nTok * 12 AS tok_len_ok
+           |FROM documents""".stripMargin
+      }),
+
+    // ----- language identification (lexicon-hit argmax) ---------------------
+    QueryDef(
+      "tx3_langid",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val scored = Tables.load(s, dir, "documents")
+          .select(Seq(col("doc_id"), col("lang")) ++
+            lexicons.map { case (l, ws) => countIn(toks, ws).as(s"c_$l") }: _*)
+        // argmax with fixed priority order en > de > fr > es > zh on ties
+        val pred = lexicons.map(_._1).foldRight(lit("und")) { case (l, rest) =>
+          val c = col(s"c_$l")
+          val beatsAll = lexicons.map(_._1).filter(_ != l)
+            .map(o => c >= col(s"c_$o")).reduce(_ && _)
+          when(c > 0 && beatsAll, lit(l)).otherwise(rest)
+        }
+        scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      },
+      Some {
+        val cs = lexicons.map { case (l, ws) => s"${sqlCountIn(ws)} AS c_$l" }
+        val pred = lexicons.map(_._1).foldRight("'und'") { case (l, rest) =>
+          val beatsAll = lexicons.map(_._1).filter(_ != l)
+            .map(o => s"c_$l >= c_$o").mkString(" AND ")
+          s"CASE WHEN c_$l > 0 AND $beatsAll THEN '$l' ELSE $rest END"
+        }
+        s"""SELECT doc_id, lang, $pred AS pred_lang FROM (
+           |  SELECT doc_id, lang, ${cs.mkString(", ")} FROM documents) t""".stripMargin
+      }),
+
+    // ----- document fingerprinting -----------------------------------------
+    QueryDef(
+      "tx4_fingerprint",
+      (s, dir) => {
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).as("fp"))
+      },
+      Some("""SELECT doc_id,
+             |  md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS fp
+             |FROM documents""".stripMargin))
+  )
+}
