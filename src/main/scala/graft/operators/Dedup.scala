@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (north star per
+  * BASELINE.json): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup — all as declarative Catalyst pipelines.
+  *
+  * Every operator is engine-exact so the DuckDB oracle hash-matches:
+  * hashes are md5 (identical lowercase hex in both engines), similarity
+  * thresholds are integer cross-multiplications, and embeddings are
+  * quantized to integers (floor(x*1000)) before any arithmetic — no
+  * floating-point accumulation anywhere.
+  *
+  * Scale notes (100 TB):
+  *  - shingle inverted-index joins shuffle by shingle; hot shingles are the
+  *    skew risk — the MinHash/LSH path (dd3) replaces the all-pairs join
+  *    with a band-bucket join whose key cardinality is controlled by the
+  *    band count, which is the standard scale-out design;
+  *  - exact dedup shuffles md5(text) (16 bytes/row), never the full text;
+  *  - blocked brute-force cosine (dd5) is the exactness baseline; at scale
+  *    the LSH candidate retrieval in ann2 bounds pair growth.
+  */
+object Dedup {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Distinct word 3-shingles per document (requires >= 3 tokens). */
+  private def shingleDf(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.load(s, dir, "documents")
+      .filter(size(t) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(t) - 3), i =>
+          concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
+            element_at(t, i + 3))))).as("s"))
+  }
+
+  private val shingleSql =
+    """words AS (SELECT doc_id, string_split(text, ' ') w FROM documents
+      |          WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') s
+      |       FROM words, UNNEST(range(1, len(w)-1)) t(i))""".stripMargin
+
+  /** Integer dot product of two quantized vectors. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** floor(x*1000) quantization — floor of an exact double product is
+    * bit-identical across engines, unlike round() (half-up vs half-even)
+    * or float casts. */
+  private def quant(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 1000).cast("long"))
+
+  val MinhashCount = 12
+  val Bands = 4 // 3 rows per band
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- exact dedup ------------------------------------------------------
+    // Shuffles only the 16-byte digest, not the document text.
+    QueryDef(
+      "dd1_exact",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // ----- n-gram Jaccard near-dup (inverted-index join) --------------------
+    QueryDef(
+      "dd2_ngram_jaccard",
+      (s, dir) => {
+        val sh = shingleDf(s, dir)
+        val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+        val common = sh.as("x").join(sh.as("y"), "s")
+          .where(col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("c"))
+        common
+          .join(n.withColumnRenamed("doc_id", "a").withColumnRenamed("ns", "na"), "a")
+          .join(n.withColumnRenamed("doc_id", "b").withColumnRenamed("ns", "nb"), "b")
+          // jaccard = c/(na+nb-c) >= 0.6, exactly, in integers
+          .where(col("c") * 10 >= (col("na") + col("nb") - col("c")) * 6)
+          .select("a", "b")
+      },
+      Some(s"""WITH $shingleSql,
+              |n AS (SELECT doc_id, count(*) ns FROM sh GROUP BY doc_id),
+              |p AS (SELECT x.doc_id a, y.doc_id b, count(*) c FROM sh x JOIN sh y USING (s)
+              |      WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+              |SELECT a, b FROM p
+              |JOIN n na ON na.doc_id = p.a JOIN n nb ON nb.doc_id = p.b
+              |WHERE c * 10 >= (na.ns + nb.ns - c) * 6""".stripMargin)),
+
+    // ----- MinHash + LSH banding --------------------------------------------
+    // 12 salted-md5 minhashes, 4 bands x 3 rows; candidate pairs = docs
+    // sharing any band bucket. Deterministic: same md5 stream both engines.
+    QueryDef(
+      "dd3_minhash_lsh",
+      (s, dir) => {
+        val sh = shingleDf(s, dir)
+        val mhCols = (0 until MinhashCount).map(h =>
+          min(md5(concat(lit(s"$h:"), col("s")))).as(s"mh$h"))
+        val sig = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+        val bands = (0 until Bands).map { b =>
+          sig.select(col("doc_id"), lit(b).as("band"),
+            md5(concat_ws("|", (0 until 3).map(r => col(s"mh${b * 3 + r}")): _*)).as("bkey"))
+        }.reduce(_ unionAll _)
+        bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
+          .where(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+      },
+      Some(s"""WITH $shingleSql,
+              |mh AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || s)) m
+              |       FROM sh CROSS JOIN range($MinhashCount) t(h) GROUP BY doc_id, h),
+              |bands AS (SELECT doc_id, h // 3 AS band,
+              |                 md5(string_agg(m, '|' ORDER BY h)) bkey
+              |          FROM mh GROUP BY doc_id, h // 3)
+              |SELECT DISTINCT x.doc_id a, y.doc_id b
+              |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+              |WHERE x.doc_id < y.doc_id""".stripMargin)),
+
+    // ----- SimHash fingerprints ---------------------------------------------
+    // 16-bit simhash over token counts; bit j set iff the weighted sum of
+    // md5-hex-digit-j high bits is positive.
+    QueryDef(
+      "dd4_simhash",
+      (s, dir) => {
+        val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+        val tc = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+        val bitCols = (0 until 16).map(j =>
+          sum(when(substring(md5(col("w")), j + 1, 1).isin(highHex: _*), col("n"))
+            .otherwise(-col("n"))).as(s"s$j"))
+        val sums = tc.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+        val fp = (0 until 16)
+          .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        sums.select(col("doc_id"), fp.as("simhash"))
+      },
+      Some {
+        val highHex = "('8','9','a','b','c','d','e','f')"
+        val sums = (0 until 16).map(j =>
+          s"sum(CASE WHEN substr(md5(w), ${j + 1}, 1) IN $highHex THEN n ELSE -n END) AS s$j")
+        val fp = (0 until 16)
+          .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH tc AS (SELECT doc_id, w, count(*) n FROM
+           |  (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)
+           |  GROUP BY doc_id, w),
+           |b AS (SELECT doc_id, ${sums.mkString(", ")} FROM tc GROUP BY doc_id)
+           |SELECT doc_id, $fp AS simhash FROM b""".stripMargin
+      }),
+
+    // ----- embedding-cosine near-dup (label-blocked exact) ------------------
+    QueryDef(
+      "dd5_embed_neardup",
+      (s, dir) => {
+        val q = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), quant(col("embedding")).as("v"))
+        val n = q.withColumn("nn", dot(col("v"), col("v")))
+        val a = n.select(col("vec_id").as("a"), col("label"), col("v").as("va"), col("nn").as("na"))
+        val b = n.select(col("vec_id").as("b"), col("label"), col("v").as("vb"), col("nn").as("nb"))
+        a.join(b, Seq("label")).where(col("a") < col("b"))
+          .withColumn("d", dot(col("va"), col("vb")))
+          // cosine >= 0.4  ⇔  d > 0 && 25 d² >= 4 na nb   (integer-exact)
+          .where(col("d") > 0 && col("d") * col("d") * 25 >= col("na") * col("nb") * 4)
+          .select("a", "b")
+      },
+      Some("""WITH q AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, label, v,
+             |    list_sum(list_transform(list_zip(v, v), s -> s[1] * s[2])) nn FROM q),
+             |p AS (SELECT x.vec_id a, y.vec_id b, x.nn na, y.nn nb,
+             |    list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2])) d
+             |  FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id)
+             |SELECT a, b FROM p
+             |WHERE d > 0 AND d * d * 25 >= na * nb * 4""".stripMargin))
+  )
+}
