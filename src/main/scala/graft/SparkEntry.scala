@@ -8,7 +8,8 @@ object SparkEntry {
   /** Full operator registry (SURVEY.md §2 inventory + north-star L3 ops). */
   def registry: Seq[QueryDef] =
     operators.Relational.defs ++ operators.Indexed.defs ++
-      operators.TextAnalysis.defs ++ operators.Dedup.defs
+      operators.TextAnalysis.defs ++ operators.Dedup.defs ++
+      operators.AnnSearch.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's flagship scenario (point predicate through the

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (north star per BASELINE.json): brute-force cosine top-k as the
+  * exactness baseline, and random-hyperplane LSH bucketing as the scale
+  * path (candidate retrieval cost is O(bucket) instead of O(N) per query).
+  *
+  * Engine-exactness: embeddings are floor-quantized to integers; ranking
+  * uses score = (d·|d|)/(n_q·n_v) computed as one IEEE double division of
+  * two exactly-representable integers (< 2^53), which is bit-identical in
+  * any IEEE-754 engine — no float accumulation, no ordering ambiguity
+  * (neighbor id is the tiebreaker).
+  *
+  * Scale notes (100 TB / billions of vectors):
+  *  - ann1 broadcast-joins the (tiny) query set against the vector corpus:
+  *    one pass over the data, no shuffle of the corpus itself; top-k via
+  *    per-query window on the (small) scored pairs;
+  *  - ann2's bucket join shuffles by (table, bucket-key) — bounded-size
+  *    buckets replace the all-pairs product; more tables/bits trade recall
+  *    for cost, the standard LSH knob. An IVF variant would swap the
+  *    hash-bucket for a learned-centroid assignment; the join shape (buckets
+  *    then rerank) is identical.
+  */
+object AnnSearch {
+
+  val NumQueries = 8 // query set: vec_id < 8
+  val TopK = 5
+  val LshTables = 4
+  val LshBits = 6
+  val LshTopK = 3
+
+  private def quant(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 1000).cast("long"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Deterministic ±1 hyperplane component for (table, plane, dim):
+    * high bit of md5("t:p:d"). Computed once at plan time and inlined as a
+    * literal array into both the Spark plan and the oracle SQL. */
+  def planeSign(t: Int, p: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$t:$p:$d".getBytes("UTF-8"))
+    if ((h(0) & 0xFF) >= 128) 1L else -1L
+  }
+
+  val EmbeddingDim = 64
+
+  private def signs(t: Int, p: Int): Seq[Long] =
+    (0 until EmbeddingDim).map(d => planeSign(t, p, d))
+
+  /** LSH bucket key for table `t` over a quantized vector column. */
+  private def bucketKey(t: Int, v: Column): Column =
+    (0 until LshBits).map { p =>
+      val proj = dot(v, typedlit(signs(t, p)))
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def sqlBucketKey(t: Int, v: String): String =
+    (0 until LshBits).map { p =>
+      val arr = signs(t, p).mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip($v, $arr::BIGINT[]), s -> s[1]*s[2])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Exactly-representable ranking score: (d·|d|)/(n_q·n_v) as a single
+    * IEEE double division. */
+  private def score(d: Column, nq: Column, nn: Column): Column =
+    (d * abs(d)).cast("double") / (nq * nn).cast("double")
+
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), quant(col("embedding")).as("v"))
+      .withColumn("nn", dot(col("v"), col("v")))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- brute-force cosine top-k (exactness baseline) --------------------
+    QueryDef(
+      "ann1_topk_brute",
+      (s, dir) => {
+        val q = quantized(s, dir)
+        val queries = q.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("nq"))
+        val scored = q.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("d", dot(col("qv"), col("v")))
+          .withColumn("sc", score(col("d"), col("nq"), col("nn")))
+        val w = Window.partitionBy("q_id").orderBy(col("sc").desc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= TopK)
+          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) v
+              |  FROM embeddings),
+              |n AS (SELECT vec_id, v,
+              |    list_sum(list_transform(list_zip(v, v), s -> s[1] * s[2])) nn FROM q),
+              |c AS (SELECT a.vec_id q_id, b.vec_id neighbor_id,
+              |    list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])) d,
+              |    a.nn nq, b.nn nv
+              |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+              |  WHERE a.vec_id < $NumQueries)
+              |SELECT q_id, rank, neighbor_id FROM (
+              |  SELECT q_id, neighbor_id, row_number() OVER (
+              |      PARTITION BY q_id
+              |      ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(nq * nv AS DOUBLE) DESC,
+              |               neighbor_id ASC) rank
+              |  FROM c) t
+              |WHERE rank <= $TopK""".stripMargin)),
+
+    // ----- LSH-bucketed candidate retrieval + rerank (scale path) -----------
+    QueryDef(
+      "ann2_topk_lsh",
+      (s, dir) => {
+        val q = quantized(s, dir)
+        val keyed = (0 until LshTables).map { t =>
+          q.select(col("vec_id"), lit(t).as("tbl"), bucketKey(t, col("v")).as("bkey"))
+        }.reduce(_ unionAll _)
+        val qKeys = keyed.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("tbl"), col("bkey"))
+        val cands = keyed.join(broadcast(qKeys), Seq("tbl", "bkey"))
+          .where(col("vec_id") =!= col("q_id"))
+          .select("q_id", "vec_id").distinct()
+        val queries = q.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("nq"))
+        val scored = cands
+          .join(broadcast(queries), "q_id")
+          .join(q, "vec_id")
+          .withColumn("d", dot(col("qv"), col("v")))
+          .withColumn("sc", score(col("d"), col("nq"), col("nn")))
+        val w = Window.partitionBy("q_id").orderBy(col("sc").desc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= LshTopK)
+          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      },
+      Some {
+        val keyedUnion = (0 until LshTables).map { t =>
+          s"SELECT vec_id, $t AS tbl, ${sqlBucketKey(t, "v")} AS bkey FROM n"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH q AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) v
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, v,
+           |    list_sum(list_transform(list_zip(v, v), s -> s[1] * s[2])) nn FROM q),
+           |keyed AS (
+           |$keyedUnion),
+           |cand AS (SELECT DISTINCT y.q_id, k.vec_id
+           |  FROM keyed k JOIN (SELECT vec_id q_id, tbl, bkey FROM keyed
+           |                     WHERE vec_id < $NumQueries) y
+           |    ON k.tbl = y.tbl AND k.bkey = y.bkey
+           |  WHERE k.vec_id <> y.q_id),
+           |scored AS (SELECT c.q_id, c.vec_id neighbor_id,
+           |    list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])) d,
+           |    a.nn nq, b.nn nv
+           |  FROM cand c JOIN n a ON a.vec_id = c.q_id JOIN n b ON b.vec_id = c.vec_id)
+           |SELECT q_id, rank, neighbor_id FROM (
+           |  SELECT q_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY q_id
+           |      ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(nq * nv AS DOUBLE) DESC,
+           |               neighbor_id ASC) rank
+           |  FROM scored) t
+           |WHERE rank <= $LshTopK""".stripMargin
+      })
+  )
+}
