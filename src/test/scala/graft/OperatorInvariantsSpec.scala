@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Cross-operator semantic invariants on the sf0.001 tables — properties
+  * the DuckDB hash-compare can't express (relationships BETWEEN operators).
+  */
+class OperatorInvariantsSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    run(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash-LSH candidates achieve full recall of true Jaccard>=0.6 pairs here") {
+    val truth = pairs("dd2_ngram_jaccard")
+    val lsh = pairs("dd3_minhash_lsh")
+    assert(truth.nonEmpty, "fixture should contain near-duplicate documents")
+    assert(truth.subsetOf(lsh),
+      s"LSH missed true near-dup pairs: ${truth -- lsh}")
+  }
+
+  test("exact dedup keeps every distinct document") {
+    val docs = Tables.load(spark, dir, "documents").count()
+    val kept = run("dd1_exact").count()
+    assert(kept <= docs)
+    // each group's copy count sums back to the corpus size
+    val total = run("dd1_exact").agg(org.apache.spark.sql.functions.sum("n_copies"))
+      .collect().head.getLong(0)
+    assert(total == docs)
+  }
+
+  test("LSH top-k neighbors are a subset-ranked view of brute-force scores") {
+    // every (q, neighbor) the LSH path returns must appear in the
+    // brute-force top-5 OR be ranked below it (LSH can only miss, never
+    // invent a better-than-true neighbor). Check rank-1 agreement rate.
+    val brute = run("ann1_topk_brute").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val lsh = run("ann2_topk_lsh").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(lsh.nonEmpty)
+    val bruteTop = brute.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    val lshTop = lsh.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    // at least one query's best LSH neighbor equals the true nearest
+    val agree = lshTop.count { case (q, n) => bruteTop.get(q).contains(n) }
+    assert(agree >= 1, s"LSH rank-1 never matched brute force: $lshTop vs $bruteTop")
+  }
+
+  test("language-ID prediction is total (never null) and from the lexicon set") {
+    val langs = run("tx3_langid").select("pred_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh", "und")))
+  }
+
+  test("simhash of identical texts is identical") {
+    import org.apache.spark.sql.functions._
+    val fp = run("dd4_simhash")
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val joined = fp.join(docs, "doc_id")
+      .groupBy("text").agg(countDistinct("simhash").as("k"))
+      .agg(max("k")).collect().head.getLong(0)
+    assert(joined == 1L)
+  }
+}
