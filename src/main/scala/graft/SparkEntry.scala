@@ -9,7 +9,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     operators.Relational.defs ++ operators.Indexed.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
-      operators.AnnSearch.defs
+      operators.AnnSearch.defs ++ operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's flagship scenario (point predicate through the
