@@ -7,7 +7,8 @@ object SparkEntry {
 
   /** Full operator registry (SURVEY.md §2 inventory + north-star L3 ops). */
   def registry: Seq[QueryDef] =
-    operators.Relational.defs ++ operators.Indexed.defs ++
+    operators.Relational.defs ++ operators.Relational2.defs ++
+      operators.Indexed.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.AnnSearch.defs ++ operators.Multimodal.defs
 

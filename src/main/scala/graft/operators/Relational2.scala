@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second batch of relational surface: SQL entry point, outer joins, set
+  * ops, cube/pivot, moment statistics, subqueries, sessionization, rolling
+  * windows. Same oracle-parity discipline as [[Relational]]: double SUMs go
+  * through element-wise DECIMAL casts (order-independent), orderings carry
+  * unique tiebreakers, moment statistics are emitted as exact decimal sums
+  * rather than engine-rounded stddev/corr floats.
+  */
+object Relational2 {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- the SQL entry point (reference Q1 surface, ctx.sql parity) -------
+    QueryDef(
+      "q21_sql_entry",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag, count(*) AS n,
+                |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+                |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                |WHERE o_orderstatus = 'F'
+                |GROUP BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderstatus = 'F'
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // ----- left outer join with null-group semantics ------------------------
+    QueryDef(
+      "q22_outerjoin",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            coalesce(sum(dec(col("o_totalprice"))), lit(0).cast(DecimalType(18, 4)))
+              .as("spend"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             |  coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))),
+             |           CAST(0 AS DECIMAL(18,4))) AS spend
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey""".stripMargin)),
+
+    // ----- UNION ALL (bag semantics) ----------------------------------------
+    QueryDef(
+      "q23_union_all",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), lit("o").as("src"))
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("k"), lit("l").as("src"))
+        o.unionAll(li).groupBy("src").agg(count(lit(1)).as("n"),
+          countDistinct(col("k")).as("nk"))
+      },
+      Some("""SELECT src, count(*) AS n, count(DISTINCT k) AS nk FROM (
+             |  SELECT o_orderkey AS k, 'o' AS src FROM orders
+             |  UNION ALL
+             |  SELECT l_orderkey AS k, 'l' AS src FROM lineitem) t
+             |GROUP BY src""".stripMargin)),
+
+    // ----- CUBE grouping sets ----------------------------------------------
+    QueryDef(
+      "q24_cube",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("qty"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ----- pivot (explicit value list => deterministic columns) -------------
+    QueryDef(
+      "q25_pivot",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+      },
+      Some("""SELECT c_mktsegment,
+             |  coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS F,
+             |  coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS O,
+             |  coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS P
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    // ----- moment statistics as exact decimal sums --------------------------
+    // stddev/var/corr are derivable from (n, Σx, Σx², Σxy); emitting the
+    // exact sums keeps the check engine-exact while exercising the same
+    // one-pass partial-aggregation plan a stddev would use.
+    QueryDef(
+      "q26_moments",
+      (s, dir) => {
+        val x = dec(col("l_quantity"))
+        val y = dec(col("l_extendedprice"))
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(x * x).as("sxx"),
+            sum(y).as("sy"), sum(x * y).as("sxy"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+             |  sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS sxx,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+             |  sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS sxy
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ----- scalar + IN subqueries -------------------------------------------
+    QueryDef(
+      "q27_subqueries",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+                |WHERE o_custkey IN (
+                |    SELECT c_custkey FROM customer
+                |    WHERE c_acctbal > (SELECT max(c_acctbal) * 0.5 FROM customer))
+                |  AND o_totalprice > 100000.0""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_custkey IN (
+             |    SELECT c_custkey FROM customer
+             |    WHERE c_acctbal > (SELECT max(c_acctbal) * 0.5 FROM customer))
+             |  AND o_totalprice > 100000.0""".stripMargin)),
+
+    // ----- sessionization (gaps-and-islands) --------------------------------
+    // 10-minute inactivity gap; all time math in exact integer microseconds.
+    QueryDef(
+      "q28_sessions",
+      (s, dir) => {
+        val gapUs = 600L * 1000 * 1000
+        val byUser = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("prev", lag(col("us"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L).otherwise(0L))
+          .withColumn("sess", sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id")
+          .agg(max(col("sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+             |m AS (SELECT user_id, event_id, us,
+             |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+             |  FROM e),
+             |sess AS (SELECT user_id,
+             |    sum(CASE WHEN prev IS NULL OR us - prev > 600000000 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY us, event_id
+             |            ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM m)
+             |SELECT user_id, max(sess) AS n_sessions, count(*) AS n_events
+             |FROM sess GROUP BY user_id""".stripMargin)),
+
+    // ----- rolling window aggregate (ROWS frame) ----------------------------
+    QueryDef(
+      "q29_rolling",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-3, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .withColumn("rsum", sum(dec(col("value"))).over(w))
+          .select("event_id", "user_id", "rsum")
+      },
+      Some("""SELECT event_id, user_id,
+             |  sum(CAST(value AS DECIMAL(18,4))) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rsum
+             |FROM events""".stripMargin)),
+
+    // ----- first/last per group (deterministic via struct-min/max) ----------
+    QueryDef(
+      "q30_firstlast",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            min(struct(col("o_orderdate"), col("o_orderkey"))).getField("o_orderkey")
+              .as("first_order"),
+            max(struct(col("o_orderdate"), col("o_orderkey"))).getField("o_orderkey")
+              .as("last_order"))
+      },
+      Some("""WITH r AS (SELECT o_custkey, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_orderdate, o_orderkey) rn_a,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_orderdate DESC, o_orderkey DESC) rn_d
+             |  FROM orders)
+             |SELECT o_custkey,
+             |  max(CASE WHEN rn_a = 1 THEN o_orderkey END) AS first_order,
+             |  max(CASE WHEN rn_d = 1 THEN o_orderkey END) AS last_order
+             |FROM r GROUP BY o_custkey""".stripMargin))
+  )
+}
