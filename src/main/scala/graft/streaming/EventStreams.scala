@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` stream (SURVEY.md §7.6 —
+  * the reference is batch-only; this is the north-star streaming
+  * extension): watermarked tumbling-window aggregation and custom
+  * session state via `flatMapGroupsWithState`.
+  *
+  * Scale notes: both operators shuffle once by their grouping key
+  * (window+type / user) and keep per-key state O(1); watermarks bound
+  * state retention so an unbounded stream cannot grow executor state
+  * without bound.
+  */
+object EventStreams {
+
+  final case class Ev(user_id: Long, us: Long)
+  final case class SessState(lastUs: Long, nSessions: Long, nEvents: Long)
+  final case class SessCount(user_id: Long, n_sessions: Long, n_events: Long)
+
+  val SessionGapUs: Long = 600L * 1000 * 1000 // 10 minutes
+
+  /** Watermarked hourly counts per event type (streaming analog of the
+    * batch q18_event_hourly). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+
+  /** Incremental sessionization: counts 10-minute-gap sessions per user,
+    * carrying (last event time, session count) as keyed state across
+    * micro-batches. Emits the updated per-user totals each batch.
+    * Batch-equivalent: the gaps-and-islands query q28_sessions. */
+  def sessionize(events: Dataset[Ev]): Dataset[SessCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessCount](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(_.us)
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val isNew = st.lastUs == Long.MinValue || e.us - st.lastUs > SessionGapUs
+            st = SessState(math.max(st.lastUs, e.us),
+              st.nSessions + (if (isNew) 1 else 0), st.nEvents + 1)
+          }
+          state.update(st)
+          if (sorted.nonEmpty) Iterator(SessCount(user, st.nSessions, st.nEvents))
+          else Iterator.empty
+      }
+  }
+
+  /** File-based stream over a directory of event parquet (one file = one
+    * micro-batch when used with maxFilesPerTrigger=1). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Ev, SessCount}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Drives the streaming operators through MemoryStream micro-batches and
+  * asserts (a) incremental results per batch and (b) parity between
+  * incremental streaming sessionization and the batch gaps-and-islands
+  * query (q28_sessions) on the same events.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def us(minutes: Long): Long = minutes * 60L * 1000 * 1000
+
+  test("flatMapGroupsWithState sessionization accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("update").start()
+    try {
+      // batch 1: user 1 -> two events 1 min apart (one session);
+      //          user 2 -> two events 20 min apart (two sessions)
+      in.addData(Ev(1, us(0)), Ev(1, us(1)), Ev(2, us(0)), Ev(2, us(20)))
+      q.processAllAvailable()
+      val r1 = spark.table("sess").as[SessCount].collect().map(s => s.user_id -> s).toMap
+      assert(r1(1L).n_sessions == 1 && r1(1L).n_events == 2)
+      assert(r1(2L).n_sessions == 2 && r1(2L).n_events == 2)
+
+      // batch 2: user 1 returns after a 30-min gap -> second session;
+      //          user 2 continues within the gap -> still two sessions
+      in.addData(Ev(1, us(31)), Ev(2, us(25)))
+      q.processAllAvailable()
+      val r2 = spark.table("sess").as[SessCount].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      assert(r2(1L).n_sessions == 2 && r2(1L).n_events == 3)
+      assert(r2(2L).n_sessions == 2 && r2(2L).n_events == 3)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization matches the batch gaps-and-islands query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val events = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).as[Ev]
+      .collect().toSeq
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess_parity").outputMode("update").start()
+    try {
+      // feed in two event-time-ordered micro-batches to exercise state carry
+      val sorted = events.sortBy(_.us)
+      val (b1, b2) = sorted.splitAt(sorted.size / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("sess_parity").as[SessCount].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      val batch = SparkEntry.queries("q28_sessions")(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (u, s) =>
+        assert((s.n_sessions, s.n_events) == batch(u),
+          s"user $u: streaming ${(s.n_sessions, s.n_events)} != batch ${batch(u)}")
+      }
+    } finally q.stop()
+  }
+
+  test("watermarked hourly window aggregation emits per-window counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val df = in.toDF().toDF("ts", "event_type")
+    val q = EventStreams.hourlyCounts(df)
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      in.addData((t(1, 5), "click"), (t(1, 40), "click"), (t(2, 10), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select(hour(col("hour")).as("h"), col("event_type"), col("n"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((1, "click", 2L), (2, "view", 1L)))
+    } finally q.stop()
+  }
+}
