@@ -72,10 +72,13 @@ object AnnSearch {
   private def score(d: Column, nq: Column, nn: Column): Column =
     (d * abs(d)).cast("double") / (nq * nn).cast("double")
 
+  // persisted: the quantized corpus feeds several plan branches (bucket
+  // keys per table, query side, rerank side) — materialize once
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), quant(col("embedding")).as("v"))
       .withColumn("nn", dot(col("v"), col("v")))
+      .persist()
 
   val defs: Seq[QueryDef] = Seq(
 
