@@ -10,7 +10,8 @@ object SparkEntry {
     operators.Relational.defs ++ operators.Relational2.defs ++
       operators.Indexed.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
-      operators.AnnSearch.defs ++ operators.Multimodal.defs
+      operators.AnnSearch.defs ++ operators.Multimodal.defs ++
+      operators.Sketches.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's flagship scenario (point predicate through the

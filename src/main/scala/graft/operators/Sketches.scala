@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Sketch/accelerator operators — the reference names bloom filters and
+  * inverted indexes as its designed-but-unimplemented extensions
+  * (/root/reference/sqlx-sqlite/src/index.rs:30-35, main.rs:34-37); these
+  * are their Spark-native realizations, plus cardinality/quantile sketches.
+  *
+  * Scale notes:
+  *  - the bloom pre-filter ships a few MB of bits to every task instead of
+  *    shuffling the big side for the join — the classic "small side as a
+  *    filter, not a join" pattern; the exact join afterwards removes the
+  *    false positives, so results stay exact;
+  *  - the inverted text index turns content search into an index lookup +
+  *    semi-join — O(posting lists), never a full-corpus regex scan;
+  *  - HLL / quantile sketches are one-pass, mergeable partial aggregates
+  *    (constant memory per partition) — the only way distinct counts and
+  *    quantiles work at 100 TB.
+  */
+object Sketches {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- bloom-filter-accelerated semi-join (exact result) ----------------
+    QueryDef(
+      "bf1_bloom_semijoin",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+        val li = Tables.load(s, dir, "lineitem")
+        // build a ~1% FP bloom over the small side's keys, broadcast it,
+        // pre-filter the big side before the exact semi-join
+        val keys = o.select("o_orderkey")
+        val bloom = keys.stat.bloomFilter("o_orderkey", 10000L, 0.01)
+        val bloomB = s.sparkContext.broadcast(bloom)
+        val might = udf((k: Long) => bloomB.value.mightContain(k))
+        li.filter(might(col("l_orderkey")))
+          .join(keys, li("l_orderkey") === keys("o_orderkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
+             |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+             |                     WHERE o_totalprice > 300000.0)
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // ----- inverted text index: AND-of-terms search -------------------------
+    QueryDef(
+      "ts1_search",
+      (s, dir) => {
+        val terms = Seq("spark", "join", "window")
+        val inverted = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+        inverted.filter(col("w").isin(terms: _*))
+          .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+          .filter(col("hits") === terms.size)
+          .select("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE list_contains(string_split(text, ' '), 'spark')
+             |  AND list_contains(string_split(text, ' '), 'join')
+             |  AND list_contains(string_split(text, ' '), 'window')""".stripMargin)),
+
+    // ----- mergeable sketches: HLL distinct + approximate quantiles ---------
+    // No SQL oracle (sketch estimates are engine-specific); accuracy vs the
+    // exact answers is asserted in SketchAccuracySpec.
+    QueryDef(
+      "sk1_sketches",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+              .as("approx_median_price"))
+      },
+      None)
+  )
+}
