@@ -77,7 +77,9 @@ final class DerbyStatsIndex(dbPath: String, val indexedSchema: StructType)
       s"""CREATE TABLE row_group_statistics (
          |  file_id INTEGER NOT NULL REFERENCES file_statistics(file_id) ON DELETE CASCADE,
          |  row_group INTEGER NOT NULL,
-         |  row_count BIGINT NOT NULL${if (statCols.isEmpty) "" else statCols.mkString(",\n  ", ",\n  ", "")},
+         |  row_count BIGINT NOT NULL,
+         |  rg_start_bytes BIGINT NOT NULL,
+         |  rg_compressed_bytes BIGINT NOT NULL${if (statCols.isEmpty) "" else statCols.mkString(",\n  ", ",\n  ", "")},
          |  PRIMARY KEY (file_id, row_group))""".stripMargin)
     st.close()
   }
@@ -128,7 +130,8 @@ final class DerbyStatsIndex(dbPath: String, val indexedSchema: StructType)
         }
       rs.close(); sel.close()
 
-      val cols = Seq("file_id", "row_group", "row_count") ++
+      val cols = Seq("file_id", "row_group", "row_count",
+        "rg_start_bytes", "rg_compressed_bytes") ++
         indexedCols.flatMap(f => Seq(s"${f.name}_null_count", s"${f.name}_min", s"${f.name}_max"))
       val ins = conn.prepareStatement(
         s"""INSERT INTO row_group_statistics (${cols.mkString(", ")})
@@ -137,7 +140,9 @@ final class DerbyStatsIndex(dbPath: String, val indexedSchema: StructType)
         ins.setInt(1, fileId)
         ins.setInt(2, rg.rowGroup)
         ins.setLong(3, rg.rowCount)
-        var i = 4
+        ins.setLong(4, rg.startBytes)
+        ins.setLong(5, rg.compressedBytes)
+        var i = 6
         indexedCols.foreach { f =>
           val cs = rg.columns.get(f.name)
           setNullable(ins, i, cs.flatMap(_.nullCount).map(java.lang.Long.valueOf), java.sql.Types.BIGINT)
@@ -208,7 +213,8 @@ final class DerbyStatsIndex(dbPath: String, val indexedSchema: StructType)
       predicate, indexedCols.map(_.name).toSet)
     val whereSql = ExprToDerbySql.print(statsPred)
     val sql =
-      s"""SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group
+      s"""SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
+         |  rg.rg_start_bytes, rg.rg_compressed_bytes
          |FROM row_group_statistics rg
          |JOIN file_statistics f ON rg.file_id = f.file_id
          |WHERE $whereSql
@@ -217,7 +223,8 @@ final class DerbyStatsIndex(dbPath: String, val indexedSchema: StructType)
   }
 
   override def allFiles(): Seq[FileScanPlan] = runPlanQuery(
-    """SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group
+    """SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
+      |  rg.rg_start_bytes, rg.rg_compressed_bytes
       |FROM row_group_statistics rg
       |JOIN file_statistics f ON rg.file_id = f.file_id
       |ORDER BY f.file_name, rg.row_group""".stripMargin)
@@ -225,15 +232,20 @@ final class DerbyStatsIndex(dbPath: String, val indexedSchema: StructType)
   private def runPlanQuery(sql: String): Seq[FileScanPlan] = {
     val st = conn.createStatement()
     val rs = st.executeQuery(sql)
-    val acc = mutable.LinkedHashMap.empty[String, (Long, Int, mutable.SortedSet[Int])]
+    val acc = mutable.LinkedHashMap
+      .empty[String, (Long, Int, mutable.SortedSet[Int], mutable.Map[Int, (Long, Long)])]
     while (rs.next()) {
-      val (_, _, set) = acc.getOrElseUpdate(
-        rs.getString(1), (rs.getLong(2), rs.getInt(3), mutable.SortedSet.empty[Int]))
-      set += rs.getInt(4)
+      val (_, _, set, ranges) = acc.getOrElseUpdate(
+        rs.getString(1),
+        (rs.getLong(2), rs.getInt(3), mutable.SortedSet.empty[Int],
+          mutable.Map.empty[Int, (Long, Long)]))
+      val rg = rs.getInt(4)
+      set += rg
+      ranges(rg) = (rs.getLong(5), rs.getLong(6))
     }
     rs.close(); st.close()
-    acc.iterator.map { case (name, (size, rgCount, rgs)) =>
-      FileScanPlan(name, size, rgCount, SortedSet.from(rgs))
+    acc.iterator.map { case (name, (size, rgCount, rgs, ranges)) =>
+      FileScanPlan(name, size, rgCount, SortedSet.from(rgs), ranges.toMap)
     }.toSeq
   }
 

@@ -26,7 +26,14 @@ import scala.jdk.CollectionConverters._
   */
 final case class ColumnStats(nullCount: Option[Long], min: Option[Any], max: Option[Any])
 
-final case class RowGroupStats(rowGroup: Int, rowCount: Long, columns: Map[String, ColumnStats])
+/** @param startBytes      byte offset of the row group in the file
+  * @param compressedBytes compressed size — together these let a scan
+  *                        address the row group physically (split ranges)
+  *                        without re-reading the footer */
+final case class RowGroupStats(
+    rowGroup: Int, rowCount: Long,
+    startBytes: Long, compressedBytes: Long,
+    columns: Map[String, ColumnStats])
 
 final case class FileStats(
     fileName: String,
@@ -70,7 +77,8 @@ object FooterStats {
             Option(field.getLogicalTypeAnnotation)).map(colPath -> _)
         }
       }.toMap
-      RowGroupStats(i, block.getRowCount, cols)
+      RowGroupStats(i, block.getRowCount,
+        block.getStartingPos, block.getCompressedSize, cols)
     }
     FileStats(path.getName, status.getLen, rgs.map(_.rowCount).sum, rgs)
   }

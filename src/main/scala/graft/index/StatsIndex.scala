@@ -13,7 +13,8 @@ final case class FileScanPlan(
     fileName: String,
     fileSizeBytes: Long,
     rowGroupCount: Int,
-    scanRowGroups: SortedSet[Int]) {
+    scanRowGroups: SortedSet[Int],
+    rowGroupRanges: Map[Int, (Long, Long)] = Map.empty) {
 
   /** Render like the reference's access-plan output: `[Skip, Scan, …]`. */
   def render: String =

@@ -24,7 +24,12 @@ import scala.collection.concurrent.TrieMap
   */
 object Indexed {
 
-  private case class Entry(df: DataFrame, fileIndex: IndexedParquetFileIndex)
+  private case class Entry(
+      df: DataFrame,
+      fileIndex: IndexedParquetFileIndex,
+      dataDir: String,
+      index: graft.index.StatsIndex,
+      dataSchema: org.apache.spark.sql.types.StructType)
   private val cache = TrieMap.empty[String, Entry]
 
   /** Indexed, range-clustered copy of lineitem for `sfDir`. */
@@ -62,7 +67,7 @@ object Indexed {
         spark, dataDir, Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"),
         dbPath)
       val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
-      Entry(df, fileIndex)
+      Entry(df, fileIndex, dataDir, index, dataSchema)
     })
 
   val defs: Seq[QueryDef] = Seq(
@@ -122,6 +127,25 @@ object Indexed {
         .agg(count(lit(1)).as("n")),
       Some("""SELECT l_linestatus, count(*) AS n FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
-             |GROUP BY l_linestatus""".stripMargin))
+             |GROUP BY l_linestatus""".stripMargin)),
+
+    // explicit EXTERNAL row-group skip (SURVEY §7.4 stretch): the scan is
+    // built from the catalog's per-row-group byte ranges — skipped row
+    // groups are physically never read (RowGroupSkipSpec proves it);
+    // predicate re-applied on top (Inexact contract) so results are exact
+    QueryDef(
+      "idx7_rgskip",
+      (s, dir) => {
+        val e = cached(s, dir)
+        graft.sources.RowGroupSkipScan.scanWithPredicate(
+          s, e.dataDir, e.index, e.dataSchema,
+          col("l_orderkey") >= 500 && col("l_orderkey") < 800)._1
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("l_linenumber").cast("long")).as("sln"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  sum(CAST(l_linenumber AS BIGINT)) AS sln
+             |FROM lineitem WHERE l_orderkey >= 500 AND l_orderkey < 800
+             |GROUP BY l_returnflag""".stripMargin))
   )
 }

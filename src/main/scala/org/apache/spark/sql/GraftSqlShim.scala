@@ -1,0 +1,19 @@
+package org.apache.spark.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** Minimal bridge to the one `private[sql]` seam that Spark does not
+  * expose publicly but a file-source extension needs (the standard
+  * pattern used by external Spark connectors): wrapping an
+  * `RDD[InternalRow]` produced by a custom file scan into a DataFrame.
+  * Nothing else in the codebase touches Spark internals directly.
+  */
+object GraftSqlShim {
+
+  def internalCreateDataFrame(
+      spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+}
