@@ -219,7 +219,11 @@ final class DerbyStatsIndex(dbPath: String, val indexedSchema: StructType)
          |JOIN file_statistics f ON rg.file_id = f.file_id
          |WHERE $whereSql
          |ORDER BY f.file_name, rg.row_group""".stripMargin
-    runPlanQuery(sql)
+    // a failing pruning query (e.g. arithmetic overflow on extreme stats)
+    // must degrade to a full scan, never to a query error — same
+    // conservative contract as the TRUE fallback (conversions.rs:32)
+    try runPlanQuery(sql)
+    catch { case _: java.sql.SQLException => allFiles() }
   }
 
   override def allFiles(): Seq[FileScanPlan] = runPlanQuery(

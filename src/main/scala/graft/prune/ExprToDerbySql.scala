@@ -38,6 +38,24 @@ object ExprToDerbySql {
     case GreaterThan(l, r)        => s"(${print(l)} > ${print(r)})"
     case GreaterThanOrEqual(l, r) => s"(${print(l)} >= ${print(r)})"
 
+    // affine stats-space arithmetic (from the rewriter's interval images)
+    case Add(l, r, _)      => s"(${print(l)} + ${print(r)})"
+    case Subtract(l, r, _) => s"(${print(l)} - ${print(r)})"
+    case Multiply(l, r, _) => s"(${print(l)} * ${print(r)})"
+    case Divide(l, r, _)   => s"(${print(l)} / ${print(r)})"
+    case UnaryMinus(c, _)  => s"(- ${print(c)})"
+
+    case Cast(c, dt, _, _) =>
+      val t = dt match {
+        case ShortType   => "SMALLINT"
+        case IntegerType => "INTEGER"
+        case LongType    => "BIGINT"
+        case FloatType   => "REAL"
+        case DoubleType  => "DOUBLE"
+        case _           => return "TRUE" // unprintable target: conservative
+      }
+      s"CAST(${print(c)} AS $t)"
+
     case Substring(s, p, l) => s"SUBSTR(${print(s)}, ${print(p)}, ${print(l)})"
     // value-level coalesce (e.g. COALESCE(null_count, 1)) is legal in Derby
     case Coalesce(children) => children.map(print).mkString("COALESCE(", ", ", ")")

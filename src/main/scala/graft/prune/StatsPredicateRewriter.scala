@@ -38,6 +38,24 @@ object StatsPredicateRewriter {
   /** `keep(e)`: unknown statistics must not prune. */
   private def keep(e: Expression): Expression = Coalesce(Seq(e, True))
 
+  /** Numeric widenings that are monotone non-decreasing (x <= y implies
+    * cast(x) <= cast(y)), so min/max stats survive the cast soundly. */
+  private def wideningCast(from: DataType, to: DataType): Boolean = {
+    def rank(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(1)
+      case ShortType => Some(2)
+      case IntegerType => Some(3)
+      case LongType => Some(4)
+      case FloatType => Some(5)
+      case DoubleType => Some(6)
+      case _ => None
+    }
+    (rank(from), rank(to)) match {
+      case (Some(f), Some(t)) => t >= f
+      case _ => false
+    }
+  }
+
   /** NaN ordering is writer-dependent in parquet stats and Derby cannot
     * represent non-finite DOUBLE literals — both rewrite to TRUE. */
   private def isNaN(l: Literal): Boolean = l.value match {
@@ -51,9 +69,68 @@ object StatsPredicateRewriter {
     * @param indexedCols columns the index holds statistics for; predicates
     *                    over any other column rewrite to TRUE
     */
+  /** How a monotone affine image of one indexed attribute maps into stats
+    * space: `lo`/`hi` are the expression's lower/upper bounds over a row
+    * group, built from the attribute's `_min`/`_max` stats columns.
+    * Mirrors the arithmetic rows of the reference's operator matrix
+    * (conversions.rs:14-32) — Plus/Minus/Multiply/Divide of an attribute
+    * and literals stay prunable; non-monotone shapes (modulo, shifts,
+    * attr-attr arithmetic) fall through to TRUE. */
+  private final case class Affine(col: String, lo: Expression, hi: Expression)
+
   def rewrite(predicate: Expression, indexedCols: Set[String]): Expression = {
     def attr(e: Expression): Option[String] = e match {
       case a: Attribute if indexedCols.contains(a.name) => Some(a.name)
+      case _ => None
+    }
+
+    def litSign(l: Literal): Option[Int] = (l.value match {
+      case null => None
+      case b: java.lang.Byte    => Some(b.doubleValue)
+      case s: java.lang.Short   => Some(s.doubleValue)
+      case i: java.lang.Integer => Some(i.doubleValue)
+      case j: java.lang.Long    => Some(j.doubleValue)
+      case f: java.lang.Float   => Some(f.doubleValue)
+      case d: java.lang.Double  => Some(d.doubleValue)
+      case d: Decimal           => Some(d.toDouble)
+      case _ => None
+    }).filterNot(d => d.isNaN || d.isInfinite).map(math.signum(_).toInt)
+
+    /** Decompose `e` as a monotone affine image of one indexed attribute. */
+    def affine(e: Expression): Option[Affine] = e match {
+      case a: Attribute if attr(a).isDefined =>
+        Some(Affine(a.name, minCol(a.name), maxCol(a.name)))
+      case Add(x, l: Literal, _) if !isNaN(l) && l.value != null =>
+        affine(x).map(f => Affine(f.col, Add(f.lo, l), Add(f.hi, l)))
+      case Add(l: Literal, x, _) if !isNaN(l) && l.value != null =>
+        affine(x).map(f => Affine(f.col, Add(f.lo, l), Add(f.hi, l)))
+      case Subtract(x, l: Literal, _) if !isNaN(l) && l.value != null =>
+        affine(x).map(f => Affine(f.col, Subtract(f.lo, l), Subtract(f.hi, l)))
+      case Subtract(l: Literal, x, _) if !isNaN(l) && l.value != null =>
+        affine(x).map(f => Affine(f.col, Subtract(l, f.hi), Subtract(l, f.lo)))
+      case Multiply(x, l: Literal, _) =>
+        litSign(l) match {
+          case Some(s) if s > 0 =>
+            affine(x).map(f => Affine(f.col, Multiply(f.lo, l), Multiply(f.hi, l)))
+          case Some(s) if s < 0 =>
+            affine(x).map(f => Affine(f.col, Multiply(f.hi, l), Multiply(f.lo, l)))
+          case _ => None
+        }
+      case Multiply(l: Literal, x, _) => affine(Multiply(x, l))
+      case Divide(x, l: Literal, _) =>
+        litSign(l) match {
+          case Some(s) if s > 0 =>
+            affine(x).map(f => Affine(f.col, Divide(f.lo, l), Divide(f.hi, l)))
+          case Some(s) if s < 0 =>
+            affine(x).map(f => Affine(f.col, Divide(f.hi, l), Divide(f.lo, l)))
+          case _ => None
+        }
+      case UnaryMinus(x, _) =>
+        affine(x).map(f => Affine(f.col, UnaryMinus(f.hi), UnaryMinus(f.lo)))
+      // widening numeric casts are monotone: the analyzer wraps attributes
+      // in casts for mixed-type comparisons (e.g. int column vs double lit)
+      case Cast(x, dt, _, _) if wideningCast(x.dataType, dt) =>
+        affine(x).map(f => Affine(f.col, Cast(f.lo, dt), Cast(f.hi, dt)))
       case _ => None
     }
 
@@ -61,12 +138,12 @@ object StatsPredicateRewriter {
       case And(l, r) => And(rw(l), rw(r))
       case Or(l, r)  => Or(rw(l), rw(r))
 
-      // a = lit  ⇒  min <= lit && max >= lit
-      case EqualTo(a, l: Literal) if attr(a).isDefined && !isNaN(l) =>
-        val c = attr(a).get
-        And(keep(LessThanOrEqual(minCol(c), l)), keep(GreaterThanOrEqual(maxCol(c), l)))
-      case EqualTo(l: Literal, a) if attr(a).isDefined && !isNaN(l) =>
-        rw(EqualTo(a, l))
+      // f(a) = lit  ⇒  lo(f) <= lit && hi(f) >= lit
+      case EqualTo(x, l: Literal) if affine(x).isDefined && !isNaN(l) =>
+        val f = affine(x).get
+        And(keep(LessThanOrEqual(f.lo, l)), keep(GreaterThanOrEqual(f.hi, l)))
+      case EqualTo(l: Literal, x) if affine(x).isDefined && !isNaN(l) =>
+        rw(EqualTo(x, l))
 
       // a <=> lit : null-safe equality
       case EqualNullSafe(a, l: Literal) if attr(a).isDefined =>
@@ -74,22 +151,22 @@ object StatsPredicateRewriter {
         else rw(EqualTo(a, l))
       case EqualNullSafe(l: Literal, a) if attr(a).isDefined => rw(EqualNullSafe(a, l))
 
-      case LessThan(a, l: Literal) if attr(a).isDefined && !isNaN(l) =>
-        keep(LessThan(minCol(attr(a).get), l))
-      case LessThan(l: Literal, a) if attr(a).isDefined && !isNaN(l) =>
-        keep(GreaterThan(maxCol(attr(a).get), l))
-      case LessThanOrEqual(a, l: Literal) if attr(a).isDefined && !isNaN(l) =>
-        keep(LessThanOrEqual(minCol(attr(a).get), l))
-      case LessThanOrEqual(l: Literal, a) if attr(a).isDefined && !isNaN(l) =>
-        keep(GreaterThanOrEqual(maxCol(attr(a).get), l))
-      case GreaterThan(a, l: Literal) if attr(a).isDefined && !isNaN(l) =>
-        keep(GreaterThan(maxCol(attr(a).get), l))
-      case GreaterThan(l: Literal, a) if attr(a).isDefined && !isNaN(l) =>
-        keep(LessThan(minCol(attr(a).get), l))
-      case GreaterThanOrEqual(a, l: Literal) if attr(a).isDefined && !isNaN(l) =>
-        keep(GreaterThanOrEqual(maxCol(attr(a).get), l))
-      case GreaterThanOrEqual(l: Literal, a) if attr(a).isDefined && !isNaN(l) =>
-        keep(LessThanOrEqual(minCol(attr(a).get), l))
+      case LessThan(x, l: Literal) if affine(x).isDefined && !isNaN(l) =>
+        keep(LessThan(affine(x).get.lo, l))
+      case LessThan(l: Literal, x) if affine(x).isDefined && !isNaN(l) =>
+        keep(GreaterThan(affine(x).get.hi, l))
+      case LessThanOrEqual(x, l: Literal) if affine(x).isDefined && !isNaN(l) =>
+        keep(LessThanOrEqual(affine(x).get.lo, l))
+      case LessThanOrEqual(l: Literal, x) if affine(x).isDefined && !isNaN(l) =>
+        keep(GreaterThanOrEqual(affine(x).get.hi, l))
+      case GreaterThan(x, l: Literal) if affine(x).isDefined && !isNaN(l) =>
+        keep(GreaterThan(affine(x).get.hi, l))
+      case GreaterThan(l: Literal, x) if affine(x).isDefined && !isNaN(l) =>
+        keep(LessThan(affine(x).get.lo, l))
+      case GreaterThanOrEqual(x, l: Literal) if affine(x).isDefined && !isNaN(l) =>
+        keep(GreaterThanOrEqual(affine(x).get.hi, l))
+      case GreaterThanOrEqual(l: Literal, x) if affine(x).isDefined && !isNaN(l) =>
+        keep(LessThanOrEqual(affine(x).get.lo, l))
 
       case IsNull(a) if attr(a).isDefined =>
         keep(GreaterThan(nullCountCol(attr(a).get), Literal(0L)))

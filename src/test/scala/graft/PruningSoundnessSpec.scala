@@ -62,11 +62,18 @@ class PruningSoundnessSpec extends SparkSpec {
       ("s startsWith", col("s").startsWith("de")),
       ("and mix", col("k") > klit && col("s") >= "beta"),
       ("or mix", col("k") < klit || col("s") === ("zeta" + rng.nextInt(10))),
-      ("arith (unknown shape -> scan all)", col("k") % 7 === 3)
+      ("arith (unknown shape -> scan all)", col("k") % 7 === 3),
+      // affine interval arithmetic (reference conversions.rs:14-32 rows)
+      ("k + c < lit", col("k") + 13 < klit),
+      ("c - k >= lit", lit(100) - col("k") >= klit),
+      ("k * -2 <= lit", col("k") * -2 <= klit),
+      ("k / 2.0 > lit (cast through double)", col("k") / 2.0 > klit.toDouble / 2),
+      ("-k = lit", -col("k") === -klit),
+      ("nested affine", (col("k") + 10) * 3 < klit * 3)
     )
   }
 
-  test("every file containing a matching row survives pruning (12 shapes x 3 rounds)") {
+  test("every file containing a matching row survives pruning (18 shapes x 3 rounds)") {
     val (dir, df, fileIndex) = env
     val plain = spark.read.parquet(dir).withColumn("f", element_at(split(input_file_name(), "/"), -1))
     (1 to 3).foreach { _ =>
@@ -86,6 +93,17 @@ class PruningSoundnessSpec extends SparkSpec {
   test("point predicate actually prunes (not everything survives)") {
     val (_, df, fileIndex) = env
     df.filter(col("k") === -999).count()
+    assert(fileIndex.lastExecution.get.scannedFiles.isEmpty)
+  }
+
+  test("affine predicate prunes as precisely as its plain equivalent") {
+    val (_, df, fileIndex) = env
+    df.filter(col("k") === 60).count()
+    val plain = fileIndex.lastExecution.get.plans.map(p => p.fileName -> p.scanRowGroups).toMap
+    df.filter(col("k") + 1000 === 1060).count()
+    val affine = fileIndex.lastExecution.get.plans.map(p => p.fileName -> p.scanRowGroups).toMap
+    assert(affine == plain, "shifted point predicate should prune identically")
+    df.filter(-col("k") === 999).count() // k = -999: nothing
     assert(fileIndex.lastExecution.get.scannedFiles.isEmpty)
   }
 
