@@ -34,11 +34,11 @@ object AnnSearch {
   val LshBits = 6
   val LshTopK = 3
 
-  private def quant(c: Column): Column =
-    transform(c, x => floor(x.cast("double") * 1000).cast("long"))
+  import graft.functions.VectorMath.quant
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Session-aware dot (native codegen DotLong when extensions are on). */
+  private def dot(s: SparkSession)(a: Column, b: Column): Column =
+    graft.functions.VectorMath.dot(s, a, b)
 
   /** Deterministic ±1 hyperplane component for (table, plane, dim):
     * high bit of md5("t:p:d"). Computed once at plan time and inlined as a
@@ -55,9 +55,9 @@ object AnnSearch {
     (0 until EmbeddingDim).map(d => planeSign(t, p, d))
 
   /** LSH bucket key for table `t` over a quantized vector column. */
-  private def bucketKey(t: Int, v: Column): Column =
+  private def bucketKey(s: SparkSession, t: Int, v: Column): Column =
     (0 until LshBits).map { p =>
-      val proj = dot(v, typedlit(signs(t, p)))
+      val proj = dot(s)(v, typedlit(signs(t, p)))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -77,7 +77,7 @@ object AnnSearch {
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), quant(col("embedding")).as("v"))
-      .withColumn("nn", dot(col("v"), col("v")))
+      .withColumn("nn", dot(s)(col("v"), col("v")))
       .persist()
 
   val defs: Seq[QueryDef] = Seq(
@@ -90,7 +90,7 @@ object AnnSearch {
         val queries = q.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("nq"))
         val scored = q.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-          .withColumn("d", dot(col("qv"), col("v")))
+          .withColumn("d", dot(s)(col("qv"), col("v")))
           .withColumn("sc", score(col("d"), col("nq"), col("nn")))
         val w = Window.partitionBy("q_id").orderBy(col("sc").desc, col("vec_id").asc)
         scored.withColumn("rank", row_number().over(w))
@@ -121,7 +121,7 @@ object AnnSearch {
       (s, dir) => {
         val q = quantized(s, dir)
         val keyed = (0 until LshTables).map { t =>
-          q.select(col("vec_id"), lit(t).as("tbl"), bucketKey(t, col("v")).as("bkey"))
+          q.select(col("vec_id"), lit(t).as("tbl"), bucketKey(s, t, col("v")).as("bkey"))
         }.reduce(_ unionAll _)
         val qKeys = keyed.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("tbl"), col("bkey"))
@@ -133,7 +133,7 @@ object AnnSearch {
         val scored = cands
           .join(broadcast(queries), "q_id")
           .join(q, "vec_id")
-          .withColumn("d", dot(col("qv"), col("v")))
+          .withColumn("d", dot(s)(col("qv"), col("v")))
           .withColumn("sc", score(col("d"), col("nq"), col("nn")))
         val w = Window.partitionBy("q_id").orderBy(col("sc").desc, col("vec_id").asc)
         scored.withColumn("rank", row_number().over(w))

@@ -48,15 +48,7 @@ object Dedup {
       |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') s
       |       FROM words, UNNEST(range(1, len(w)-1)) t(i))""".stripMargin
 
-  /** Integer dot product of two quantized vectors. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-
-  /** floor(x*1000) quantization — floor of an exact double product is
-    * bit-identical across engines, unlike round() (half-up vs half-even)
-    * or float casts. */
-  private def quant(c: Column): Column =
-    transform(c, x => floor(x.cast("double") * 1000).cast("long"))
+  import graft.functions.VectorMath.quant
 
   val MinhashCount = 12
   val Bands = 4 // 3 rows per band
@@ -186,6 +178,7 @@ object Dedup {
     QueryDef(
       "dd5_embed_neardup",
       (s, dir) => {
+        def dot(a: Column, b: Column) = graft.functions.VectorMath.dot(s, a, b)
         val q = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), quant(col("embedding")).as("v"))
         val n = q.withColumn("nn", dot(col("v"), col("v")))
