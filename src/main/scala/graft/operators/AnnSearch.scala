@@ -167,6 +167,76 @@ object AnnSearch {
            |               neighbor_id ASC) rank
            |  FROM scored) t
            |WHERE rank <= $LshTopK""".stripMargin
-      })
+      }),
+
+    // ----- IVF (inverted-file) candidate retrieval + rerank ------------------
+    // Deterministic k-means: centroids seeded from the first K vectors by id,
+    // 3 Lloyd iterations over quantized integers; queries probe the 2 nearest
+    // cells. No SQL oracle (iterative centroid state is impractical to mirror
+    // in one SQL statement) — recall vs brute force asserted in
+    // OperatorInvariantsSpec; the driver records a rows-only check.
+    QueryDef(
+      "ann3_topk_ivf",
+      (s, dir) => {
+        import s.implicits._
+        val k = IvfCells
+        val q = quantized(s, dir)
+        // driver-side centroid fit on the (small) quantized sample: the
+        // corpus assignment below stays distributed; at scale the fit runs
+        // on a sample, which is exactly what this is
+        val sample = q.orderBy("vec_id").limit(IvfFitSample)
+          .select("vec_id", "v").as[(Long, Array[Long])].collect()
+        var centroids: Array[Array[Double]] =
+          sample.take(k).map(_._2.map(_.toDouble))
+        (1 to 3).foreach { _ =>
+          val assigned = sample.map { case (_, v) =>
+            (nearestCentroid(v, centroids), v)
+          }
+          centroids = (0 until k).map { c =>
+            val members = assigned.filter(_._1 == c).map(_._2)
+            if (members.isEmpty) centroids(c)
+            else {
+              val dim = members.head.length
+              (0 until dim).map(d => members.map(_(d).toDouble).sum / members.size).toArray
+            }
+          }.toArray
+        }
+        val centB = s.sparkContext.broadcast(centroids)
+        val cellOf = udf((v: Array[Long]) => nearestCentroid(v, centB.value))
+        val probesOf = udf((v: Array[Long]) => nearestCentroids(v, centB.value, IvfProbes))
+        val cells = q.withColumn("cell", cellOf(col("v")))
+        val queries = cells.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("nq"),
+            explode(probesOf(col("v"))).as("cell"))
+        val scored = cells.join(broadcast(queries), "cell")
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("d", dot(s)(col("qv"), col("v")))
+          .withColumn("sc", score(col("d"), col("nq"), col("nn")))
+        val w = Window.partitionBy("q_id").orderBy(col("sc").desc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= LshTopK)
+          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+          .distinct()
+      },
+      None)
   )
+
+  val IvfCells = 16
+  val IvfProbes = 2
+  val IvfFitSample = 512
+
+  /** Index of the nearest centroid by cosine (quantized ints vs double
+    * centroids; deterministic: ties break to the lower index). */
+  def nearestCentroid(v: Array[Long], cents: Array[Array[Double]]): Int =
+    nearestCentroids(v, cents, 1).head
+
+  def nearestCentroids(v: Array[Long], cents: Array[Array[Double]], n: Int): Seq[Int] = {
+    val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+    cents.zipWithIndex.map { case (c, i) =>
+      val nc = math.sqrt(c.map(x => x * x).sum)
+      val d = v.indices.map(j => v(j) * c(j)).sum
+      val cos = if (nv == 0 || nc == 0) -2.0 else d / (nv * nc)
+      (-cos, i)
+    }.sorted.take(n).map(_._2).toSeq
+  }
 }

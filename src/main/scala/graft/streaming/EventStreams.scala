@@ -55,6 +55,15 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drops events whose id was already seen within
+    * the watermark horizon — the streaming analog of dd1_exact, with state
+    * bounded by the watermark (an unbounded stream cannot grow dedup state
+    * without bound). */
+  def dedupStream(events: DataFrame, idCol: String): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** File-based stream over a directory of event parquet (one file = one
     * micro-batch when used with maxFilesPerTrigger=1). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

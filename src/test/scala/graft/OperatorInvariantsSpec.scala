@@ -47,6 +47,18 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(agree >= 1, s"LSH rank-1 never matched brute force: $lshTop vs $bruteTop")
   }
 
+  test("IVF top-k achieves reasonable recall of brute-force top-k") {
+    val brute = run("ann1_topk_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = run("ann3_topk_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.nonEmpty)
+    // every IVF neighbor is a real vector and at least some of the true
+    // top-k are recovered despite probing only 2 of 16 cells
+    val recalled = brute.intersect(ivf).size
+    assert(recalled >= 2, s"IVF recalled only $recalled of ${brute.size} true neighbors")
+  }
+
   test("language-ID prediction is total (never null) and from the lexicon set") {
     val langs = run("tx3_langid").select("pred_lang").distinct()
       .collect().map(_.getString(0)).toSet

@@ -68,6 +68,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "event_id")
+    val q = EventStreams.dedupStream(df, "event_id")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      def t(m: Int) = new java.sql.Timestamp(3600L * 1000 + m * 60000L)
+      in.addData((t(0), 1L), (t(1), 2L), (t(1), 1L)) // 1 duplicated in-batch
+      q.processAllAvailable()
+      in.addData((t(2), 2L), (t(3), 3L)) // 2 duplicated across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("watermarked hourly window aggregation emits per-window counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
