@@ -8,14 +8,10 @@ object Scratch {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = sys.env.getOrElse("SCRATCH_DIR", "/root/testdata/sf0.1")
+    val dir = "/root/testdata/sf0.001"
     args.foreach { name =>
-      (1 to 2).foreach { i =>
-        val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, dir).count()
-        println(f"$name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
-        spark.catalog.clearCache()
-      }
+      println(s"===== $name =====")
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
     spark.stop()
   }
