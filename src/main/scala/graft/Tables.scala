@@ -29,7 +29,11 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Register every table as a temp view so `spark.sql` queries work. */
+  /** Register the given tables as temp views so `spark.sql` queries work. */
+  def register(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register every table as a temp view. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    register(spark, dir, all: _*)
 }

@@ -8,10 +8,14 @@ object Scratch {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.001"
+    val dir = sys.env.getOrElse("SCRATCH_DIR", "/root/testdata/sf0.1")
     args.foreach { name =>
-      println(s"===== $name =====")
-      SparkEntry.queries(name)(spark, dir).explain("formatted")
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        println(f"$name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

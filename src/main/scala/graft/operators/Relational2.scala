@@ -23,7 +23,7 @@ object Relational2 {
     QueryDef(
       "q21_sql_entry",
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        Tables.register(s, dir, "lineitem", "orders")
         s.sql("""SELECT l_returnflag, count(*) AS n,
                 |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
                 |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -128,7 +128,7 @@ object Relational2 {
     QueryDef(
       "q27_subqueries",
       (s, dir) => {
-        Tables.registerAll(s, dir)
+        Tables.register(s, dir, "orders", "customer")
         s.sql("""SELECT o_orderkey, o_totalprice FROM orders
                 |WHERE o_custkey IN (
                 |    SELECT c_custkey FROM customer

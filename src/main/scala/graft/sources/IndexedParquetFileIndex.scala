@@ -44,6 +44,9 @@ final class IndexedParquetFileIndex(
     fileSystemBlockSize: Long = 128L * 1024 * 1024)
     extends FileIndex {
 
+  /** The backing stats index (for scans that consult it directly). */
+  def statsIndex: StatsIndex = index
+
   @volatile var lastExecution: Option[PruneExecution] = None
 
   override def rootPaths: Seq[Path] = Seq(dir)

@@ -96,6 +96,23 @@ class PruningSoundnessSpec extends SparkSpec {
     assert(fileIndex.lastExecution.get.scannedFiles.isEmpty)
   }
 
+  test("row-group-skip scan + residual filter matches plain scan for every shape") {
+    val (dir, _, fileIndex) = env
+    val plain = spark.read.parquet(dir)
+    val schema = plain.schema
+    val index = fileIndexStats(fileIndex)
+    predicates.foreach { case (name, pred) =>
+      val (df, _) = graft.sources.RowGroupSkipScan.scanWithPredicate(
+        spark, dir, index, schema, pred)
+      val got = df.count()
+      val want = plain.filter(pred).count()
+      assert(got == want, s"[$name] RG-skip scan result differs: $got vs $want")
+    }
+  }
+
+  // the spec's env exposes only the FileIndex; reach its StatsIndex
+  private def fileIndexStats(fi: graft.sources.IndexedParquetFileIndex) = fi.statsIndex
+
   test("affine predicate prunes as precisely as its plain equivalent") {
     val (_, df, fileIndex) = env
     df.filter(col("k") === 60).count()
