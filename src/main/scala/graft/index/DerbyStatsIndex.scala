@@ -86,7 +86,7 @@ final class DerbyStatsIndex(dbPath: String, val indexedSchema: StructType)
 
   // ---- ingest (I3, index.rs:242-329) ---------------------------------------
 
-  override def addFile(stats: FileStats): Unit = {
+  override def addFile(stats: FileStats): Unit = conn.synchronized {
     conn.setAutoCommit(false)
     try {
       // upsert the file row (Derby lacks ON CONFLICT/RETURNING: select-then-
@@ -233,7 +233,8 @@ final class DerbyStatsIndex(dbPath: String, val indexedSchema: StructType)
       |JOIN file_statistics f ON rg.file_id = f.file_id
       |ORDER BY f.file_name, rg.row_group""".stripMargin)
 
-  private def runPlanQuery(sql: String): Seq[FileScanPlan] = {
+  // concurrent planning threads share one embedded connection; serialize
+  private def runPlanQuery(sql: String): Seq[FileScanPlan] = conn.synchronized {
     val st = conn.createStatement()
     val rs = st.executeQuery(sql)
     val acc = mutable.LinkedHashMap
