@@ -54,6 +54,43 @@ object AsOf {
              |        WHERE event_type = 'view' GROUP BY user_id, us)
              |SELECT p.event_id, p.user_id, r.ref_id AS asof_ref
              |FROM probe p ASOF LEFT JOIN ref r
-             |  ON p.user_id = r.user_id AND p.us >= r.us""".stripMargin))
+             |  ON p.user_id = r.user_id AND p.us >= r.us""".stripMargin)),
+
+    // ----- bucketed range join ----------------------------------------------
+    // For each purchase, the number of clicks by the same user in the
+    // preceding 10 minutes. A naive range join is a per-key cross product;
+    // bucketing time into window-sized buckets turns it into an equi-join
+    // on (user, bucket) with each probe exploded to 2 adjacent buckets —
+    // the standard scalable range-join shape (pairs bounded by bucket
+    // population, not key population).
+    QueryDef(
+      "rj1_range_join",
+      (s, dir) => {
+        val winUs = 600L * 1000 * 1000
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"))
+        val bucket = expr(s"us div ${winUs}L")
+        val probe = ev.filter(col("event_type") === "purchase")
+          .withColumn("bkt", explode(array(bucket - 1, bucket)))
+          .select(col("event_id"), col("user_id"), col("us").as("pus"), col("bkt"))
+        val ref = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us").as("cus"), bucket.as("bkt"))
+        probe.join(ref, Seq("user_id", "bkt"), "left_outer")
+          .withColumn("hit",
+            when(col("cus").isNotNull &&
+              col("pus") - col("cus") > 0 && col("pus") - col("cus") <= winUs, 1L)
+              .otherwise(0L))
+          .groupBy("event_id", "user_id")
+          .agg(sum(col("hit")).as("clicks_before"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+             |    event_type FROM events),
+             |p AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, us FROM ev WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id,
+             |  (SELECT count(*) FROM c WHERE c.user_id = p.user_id
+             |     AND p.us - c.us > 0 AND p.us - c.us <= 600000000) AS clicks_before
+             |FROM p""".stripMargin))
   )
 }

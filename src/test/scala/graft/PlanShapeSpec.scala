@@ -1,0 +1,59 @@
+package graft
+
+/** Regression guard on PHYSICAL plan shape — the properties that matter at
+  * scale must survive refactors: filters and column pruning reach the
+  * parquet scan, dimension joins broadcast, no cartesian products sneak in,
+  * hot paths stay inside whole-stage codegen.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2_filter: predicates and projection pushed to the parquet scan") {
+    val p = plan("q2_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int"))
+  }
+
+  test("q4_join_agg: both dimension joins broadcast, no sort-merge") {
+    val p = plan("q4_join_agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q5_multijoin: the full dimension chain broadcasts") {
+    val p = plan("q5_multijoin")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("idx1_point: data filters pushed through the indexed relation's scan") {
+    val p = plan("idx1_point")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThanOrEqual(l_orderkey,100)]"),
+      p.take(2000))
+  }
+
+  test("ann1: query side broadcasts; scoring stays in whole-stage codegen") {
+    val p = plan("ann1_topk_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("*("), "expected WholeStageCodegen spans (the *(n) markers)")
+    assert(p.contains("graft_dot"), "native dot expression should be in the plan")
+  }
+
+  test("dd1_exact: aggregation is partial before the exchange (map-side combine)") {
+    val p = plan("dd1_exact")
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0)
+    // plan prints top-down: final agg, exchange, partial agg — a partial
+    // HashAggregate must appear BELOW (after) the exchange in the text
+    assert(p.indexOf("HashAggregate", firstExchange) > firstExchange,
+      "expected a partial aggregate under the exchange")
+  }
+}
