@@ -123,6 +123,44 @@ object TextAnalysis {
       },
       Some("""SELECT doc_id,
              |  md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS fp
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ----- winnowing: rolling k-gram fingerprints ---------------------------
+    // Classic winnowing (local-min selection over rolling k-gram hashes,
+    // public algorithm: Schleimer/Wilkerson/Aiken '03): char 8-grams,
+    // hash = md5 (identical hex stream both engines), window of 4, keep
+    // each window's minimum -> the distinct fingerprint set per document.
+    // Near-dup docs share most fingerprints; the set is robust to local
+    // edits, unlike tx4's whole-document digest.
+    QueryDef(
+      "tx5_winnow",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val K = 8; val W = 4
+        val grams = Tables.load(s, dir, "documents")
+          .where(length(col("text")) >= K)
+          .select(col("doc_id"), posexplode(transform(
+            sequence(lit(0), length(col("text")) - K),
+            i => md5(col("text").substr(i + 1, lit(K))))))
+          .toDF("doc_id", "pos", "h")
+        val byDoc = Window.partitionBy("doc_id")
+        val win = byDoc.orderBy(col("pos").asc).rowsBetween(0, W - 1)
+        grams
+          .withColumn("m", min(col("h")).over(win))
+          .withColumn("ng", count(lit(1)).over(byDoc))
+          .where(col("pos") <= col("ng") - W)
+          .select(col("doc_id"), col("m").as("fp"))
+          .distinct()
+      },
+      Some("""WITH g AS (SELECT doc_id, i AS pos,
+             |    md5(substr(text, CAST(i + 1 AS INT), 8)) AS h
+             |  FROM documents, UNNEST(range(0, length(text) - 7)) t(i)
+             |  WHERE length(text) >= 8),
+             |w AS (SELECT doc_id, pos,
+             |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+             |    count(*) OVER (PARTITION BY doc_id) AS ng
+             |  FROM g)
+             |SELECT DISTINCT doc_id, m AS fp FROM w WHERE pos <= ng - 4""".stripMargin))
   )
 }

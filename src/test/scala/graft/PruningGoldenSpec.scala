@@ -107,4 +107,16 @@ class PruningGoldenSpec extends SparkSpec {
     df.filter(col("value") === 150).count()
     assert(exec.render == "Files scanned: [file2.parquet [Skip, Scan]]")
   }
+
+  test("the ctx.sql flagship path: SQL over the indexed provider prunes identically") {
+    // the reference's entry point is ctx.sql("SELECT ... WHERE value = 150")
+    // (main.rs:146); same here via a temp view over the indexed relation
+    df.createOrReplaceTempView("index_table")
+    val rows = spark.sql(
+      "SELECT file_name, value FROM index_table WHERE value = 150").collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("file2.parquet", 150)))
+    assert(exec.scannedFiles == Seq("file2.parquet"))
+    assert(plansByFile("file2.parquet") == "[Skip, Scan]")
+  }
 }
