@@ -209,6 +209,22 @@ object Relational2 {
              |SELECT o_custkey,
              |  max(CASE WHEN rn_a = 1 THEN o_orderkey END) AS first_order,
              |  max(CASE WHEN rn_d = 1 THEN o_orderkey END) AS last_order
-             |FROM r GROUP BY o_custkey""".stripMargin))
+             |FROM r GROUP BY o_custkey""".stripMargin)),
+
+    // ----- semi-structured extraction (JSON props column) -------------------
+    QueryDef(
+      "q31_json",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .withColumn("kv", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(count(col("kv")).as("n"), sum(col("kv")).as("sk"),
+            min(col("kv")).as("mn"), max(col("kv")).as("mx"))
+      },
+      Some("""SELECT event_type, count(CAST(props ->> '$.k' AS BIGINT)) AS n,
+             |  sum(CAST(props ->> '$.k' AS BIGINT)) AS sk,
+             |  min(CAST(props ->> '$.k' AS BIGINT)) AS mn,
+             |  max(CAST(props ->> '$.k' AS BIGINT)) AS mx
+             |FROM events GROUP BY event_type""".stripMargin))
   )
 }
