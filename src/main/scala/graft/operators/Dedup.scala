@@ -70,10 +70,10 @@ object Dedup {
     QueryDef(
       "dd2_ngram_jaccard",
       (s, dir) => {
-        // materialized once: both the pair-generation branch and the
-        // per-doc counts read it. At scale this is a materialize-to-
-        // storage step, not a recompute.
-        val sh = shingleDf(s, dir).persist()
+        // shingling is cheap enough (one projection) that recomputing it
+        // for the counts branch beats caching; at 100 TB this would be a
+        // materialize-to-storage step instead
+        val sh = shingleDf(s, dir)
         val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
         // inverted index: one shuffle by shingle, pairs from each
         // posting list's combinations (no self-join second scan)

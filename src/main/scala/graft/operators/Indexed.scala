@@ -146,6 +146,17 @@ object Indexed {
       Some("""SELECT l_returnflag, count(*) AS n,
              |  sum(CAST(l_linenumber AS BIGINT)) AS sln
              |FROM lineitem WHERE l_orderkey >= 500 AND l_orderkey < 800
-             |GROUP BY l_returnflag""".stripMargin))
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // IN-list predicate through the index (rewritten to an OR of point
+    // lookups in stats space — only row groups covering any listed key
+    // survive)
+    QueryDef(
+      "idx8_in",
+      (s, dir) => lineitemIndexed(s, dir)
+        .filter(col("l_orderkey").isin(1L, 1000L, 100000L))
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_orderkey IN (1, 1000, 100000)""".stripMargin))
   )
 }
