@@ -1,0 +1,102 @@
+package graft
+
+import graft.prune.StatsPredicateRewriter
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck property for the stats-space rewrite (SURVEY.md §5): for
+  * randomly generated row-group statistics and predicate shapes, ANY value
+  * the row group can contain that satisfies the data predicate forces the
+  * rewritten stats predicate to keep the group — soundness, checked at the
+  * raw Catalyst expression level (substitute + eval, no Spark jobs).
+  */
+class RewriterPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop, minSuccessful: Int): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(minSuccessful), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val attr = AttributeReference("k", IntegerType, nullable = true)()
+
+  /** Substitute stats columns / the data attribute with literals, eval. */
+  private def evalWith(e: Expression, bind: Map[String, Any]): Any = {
+    val bound = e.transformUp {
+      case u: UnresolvedAttribute =>
+        Literal.create(bind(u.name), if (u.name == "row_count" || u.name.endsWith("_null_count")) LongType else IntegerType)
+      case a: AttributeReference if a.name == "k" =>
+        Literal.create(bind("k"), IntegerType)
+    }
+    bound.eval(InternalRow.empty)
+  }
+  private val InternalRow = org.apache.spark.sql.catalyst.InternalRow
+
+  private val genLit: Gen[Int] = Gen.chooseNum(-50, 150)
+
+  private val genPred: Gen[Expression] = {
+    def cmp: Gen[Expression] = for {
+      l <- genLit
+      shape <- Gen.oneOf(0 to 7)
+    } yield shape match {
+      case 0 => EqualTo(attr, Literal(l))
+      case 1 => LessThan(attr, Literal(l))
+      case 2 => GreaterThan(attr, Literal(l))
+      case 3 => LessThanOrEqual(attr, Literal(l))
+      case 4 => GreaterThanOrEqual(attr, Literal(l))
+      case 5 => EqualTo(Add(attr, Literal(7)), Literal(l))
+      case 6 => LessThan(Multiply(attr, Literal(-3)), Literal(l))
+      case 7 => In(attr, Seq(Literal(l), Literal(l + 3), Literal(l - 11)))
+    }
+    for {
+      a <- cmp; b <- cmp
+      combined <- Gen.oneOf(a, And(a, b), Or(a, b))
+    } yield combined
+  }
+
+  private case class Group(min: Int, max: Int, nullCount: Long, rowCount: Long)
+
+  private val genGroup: Gen[Group] = for {
+    a <- Gen.chooseNum(-40, 120)
+    b <- Gen.chooseNum(-40, 120)
+    rows <- Gen.chooseNum(1L, 100L)
+    nulls <- Gen.chooseNum(0L, rows)
+  } yield Group(math.min(a, b), math.max(a, b), nulls, rows)
+
+  test("soundness: any in-range matching value implies the group is kept") {
+    check(Prop.forAll(genPred, genGroup) { (pred, g) =>
+      val stats = Map[String, Any](
+        "k_min" -> g.min, "k_max" -> g.max,
+        "k_null_count" -> g.nullCount, "row_count" -> g.rowCount)
+      val rewritten = StatsPredicateRewriter.rewrite(pred, Set("k"))
+      val kept = evalWith(rewritten, stats + ("k" -> 0)) == true
+      // candidate values the group could contain
+      val candidates: Seq[Any] =
+        Seq(g.min, g.max, (g.min + g.max) / 2,
+          g.min + 1, g.max - 1).filter(v =>
+            v.asInstanceOf[Int] >= g.min && v.asInstanceOf[Int] <= g.max) ++
+          (if (g.nullCount > 0) Seq(null) else Nil)
+      val anyMatch = candidates.exists { v =>
+        evalWith(pred, stats + ("k" -> v)) == true
+      }
+      // soundness: anyMatch -> kept (equivalently !anyMatch || kept)
+      Prop(!anyMatch || kept) :| s"pred=$pred group=$g kept=$kept"
+    }, minSuccessful = 500)
+  }
+
+  test("precision: disjoint point predicate prunes the group") {
+    val stats = Map[String, Any](
+      "k_min" -> 10, "k_max" -> 20, "k_null_count" -> 0L, "row_count" -> 50L)
+    val r1 = StatsPredicateRewriter.rewrite(EqualTo(attr, Literal(999)), Set("k"))
+    assert(evalWith(r1, stats + ("k" -> 0)) != true)
+    val r2 = StatsPredicateRewriter.rewrite(
+      EqualTo(Add(attr, Literal(100)), Literal(115)), Set("k"))
+    assert(evalWith(r2, stats + ("k" -> 0)) == true) // 15+100=115 in range
+    val r3 = StatsPredicateRewriter.rewrite(
+      EqualTo(Add(attr, Literal(100)), Literal(999)), Set("k"))
+    assert(evalWith(r3, stats + ("k" -> 0)) != true)
+  }
+}
