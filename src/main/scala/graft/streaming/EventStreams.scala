@@ -64,6 +64,24 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks from the preceding 10 minutes. Both sides carry watermarks so
+    * the join state is bounded — Spark drops buffered rows once they can
+    * no longer match (the streaming analog of the batch rj1_range_join). */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "20 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "20 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
+
   /** File-based stream over a directory of event parquet (one file = one
     * micro-batch when used with maxFilesPerTrigger=1). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

@@ -68,6 +68,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the equivalent batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = new java.sql.Timestamp(7200L * 1000 + m * 60000L)
+    case class E(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+    val clicks = Seq(E(1, 7, t(0)), E(2, 7, t(5)), E(3, 7, t(30)), E(4, 8, t(1)))
+    val purchases = Seq(E(10, 7, t(6)), E(11, 7, t(31)), E(12, 9, t(6)))
+
+    val inC = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val inP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = EventStreams.clickToPurchaseJoin(
+      inC.toDF().toDF("event_id", "user_id", "ts"),
+      inP.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      inC.addData(clicks.map(e => (e.event_id, e.user_id, e.ts)))
+      inP.addData(purchases.map(e => (e.event_id, e.user_id, e.ts)))
+      q.processAllAvailable()
+      val got = spark.table("ssj").select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // purchase 10 (t6): clicks 1 (t0) and 2 (t5) within 10 min before;
+      // purchase 11 (t31): click 3 (t30); purchase 12: other user, none
+      assert(got == Set((10L, 1L), (10L, 2L), (11L, 3L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated ids across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
