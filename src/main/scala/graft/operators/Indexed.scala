@@ -157,6 +157,32 @@ object Indexed {
         .filter(col("l_orderkey").isin(1L, 1000L, 100000L))
         .select("l_orderkey", "l_linenumber", "l_quantity"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-             |WHERE l_orderkey IN (1, 1000, 100000)""".stripMargin))
+             |WHERE l_orderkey IN (1, 1000, 100000)""".stripMargin)),
+
+    // row-level key index (the reference's named "precise index" extension,
+    // index.rs:30-35): exact key -> (file, row_group) postings; scans only
+    // row groups where the key OCCURS, not merely where its range overlaps
+    QueryDef(
+      "idx9_rowlevel",
+      (s, dir) => {
+        val e = cached(s, dir)
+        val idxDir = rowLevelDir(s, dir, e)
+        graft.index.RowLevelIndex.pointQuery(
+          s, e.dataDir, idxDir, e.index.allFiles(), e.dataSchema,
+          "l_orderkey", 1000L)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_orderkey = 1000""".stripMargin))
   )
+
+  private val rowLevelCache = TrieMap.empty[String, String]
+  private def rowLevelDir(spark: SparkSession, sfDir: String, e: Entry): String =
+    rowLevelCache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      val dir = e.dataDir + "-rowidx"
+      if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+        graft.index.RowLevelIndex.build(
+          spark, e.dataDir, e.index.allFiles(), e.dataSchema, "l_orderkey", dir)
+      dir
+    })
 }

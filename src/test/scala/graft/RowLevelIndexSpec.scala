@@ -1,0 +1,76 @@
+package graft
+
+import graft.index.RowLevelIndex
+import graft.sources.IndexedParquet
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Row-level index: exact postings beat min/max pruning on sparse keys,
+  * and point queries through the index match plain scans.
+  */
+class RowLevelIndexSpec extends SparkSpec {
+
+  // keys deliberately interleaved so every file's min/max range covers
+  // every key, defeating min/max pruning — only exact postings help:
+  // file i holds keys { i, 100+i, 200+i } spread over 2 row groups,
+  // plus range-spanning filler keys
+  private lazy val env = {
+    val base = Files.createTempDirectory("graft-rowlevel").toString
+    val dir = s"$base/data"
+    Files.createDirectories(Paths.get(dir))
+    import spark.implicits._
+    (0 until 4).foreach { fi =>
+      val rows = (0 until 100).map { j =>
+        val k = if (j % 50 == 0) fi + (j / 50) * 100 // sparse target keys
+                else 1000 + (j % 7) // common filler keys in every group
+        (k, s"f$fi-r$j")
+      }
+      val tmp = s"$base/tmp-$fi"
+      rows.toDF("k", "payload").coalesce(1)
+        .write.option("parquet.block.row.count.limit", "50")
+        .mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dir, s"f$fi.parquet"))
+    }
+    val (stats, schema) = IndexedParquet.buildIndex(spark, dir, Seq("k"), s"$base/statsdb")
+    val plans = stats.allFiles()
+    RowLevelIndex.build(spark, dir, plans, schema, "k", s"$base/rowidx")
+    (dir, s"$base/rowidx", plans, schema, stats)
+  }
+
+  test("postings are exact: a sparse key maps to exactly its row group") {
+    val (_, idxDir, plans, _, _) = env
+    // key 102 lives only in file 2, row group 1 (j=50)
+    val hit = RowLevelIndex.lookup(spark, idxDir, 102, plans)
+    assert(hit.map(p => (p.fileName, p.scanRowGroups.toSeq)) ==
+      Seq(("f2.parquet", Seq(1))))
+  }
+
+  test("row-level beats min/max pruning on range-spanning keys") {
+    val (_, idxDir, plans, schema, stats) = env
+    // min/max pruning: every file's range [fi, 1006] covers key 3 -> keeps
+    // multiple row groups; exact postings keep exactly one
+    val pred = graft.sources.RowGroupSkipScan.resolvePredicate(
+      spark, schema, col("k") === 3)
+    val minMaxKept = stats.getFiles(pred).map(_.scanRowGroups.size).sum
+    val exactKept = RowLevelIndex.lookup(spark, idxDir, 3, plans)
+      .map(_.scanRowGroups.size).sum
+    assert(exactKept == 1)
+    assert(minMaxKept > exactKept,
+      s"min/max kept $minMaxKept, row-level kept $exactKept")
+  }
+
+  test("point query through the row-level index matches a plain scan") {
+    val (dir, idxDir, plans, schema, _) = env
+    val plain = spark.read.parquet(dir)
+    Seq(3, 102, 201, 1003, -5).foreach { k =>
+      val got = RowLevelIndex.pointQuery(spark, dir, idxDir, plans, schema, "k", k)
+        .select("payload").collect().map(_.getString(0)).sorted.toSeq
+      val want = plain.filter(col("k") === k)
+        .select("payload").collect().map(_.getString(0)).sorted.toSeq
+      assert(got == want, s"key $k")
+    }
+  }
+}
