@@ -7,19 +7,16 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    val names = Seq("q2_filter", "idx1_point", "q4_join_agg", "dd1_exact", "ann1_topk_brute", "dd3_minhash_lsh")
-    val sb = new StringBuilder
-    sb.append("# PLANS — captured physical plans (sf0.001, local[8])\n\n")
-    sb.append("Generated by `graft.dev.Scratch`; the properties asserted in\n`PlanShapeSpec` are visible here: pushdown, pruned read schemas,\nbroadcast joins, partial aggregation, whole-stage codegen spans (`*(n)`).\n")
-    names.foreach { n =>
-      sb.append(s"\n## $n\n\n```\n")
-      sb.append(SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString.take(4000))
-      sb.append("\n```\n")
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SCRATCH_DIR", "/root/testdata/sf0.1")
+    args.foreach { name =>
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        println(f"$name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+        spark.catalog.clearCache()
+      }
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
-    println("WROTE PLANS.md")
     spark.stop()
   }
 }

@@ -139,27 +139,28 @@ object TextAnalysis {
         val K = 8; val W = 4
         val grams = Tables.load(s, dir, "documents")
           .where(length(col("text")) >= K)
-          .select(col("doc_id"), posexplode(transform(
-            sequence(lit(0), length(col("text")) - K),
-            i => md5(col("text").substr(i + 1, lit(K))))))
-          .toDF("doc_id", "pos", "h")
-        val byDoc = Window.partitionBy("doc_id")
-        val win = byDoc.orderBy(col("pos").asc).rowsBetween(0, W - 1)
+          // gram count is derivable from the text length — computing it
+          // with a count() window would cost a second full-partition pass
+          .select(col("doc_id"), (length(col("text")) - (K - 1)).as("ng"),
+            posexplode(transform(
+              sequence(lit(0), length(col("text")) - K),
+              i => md5(col("text").substr(i + 1, lit(K))))))
+          .toDF("doc_id", "ng", "pos", "h")
+        val win = Window.partitionBy("doc_id")
+          .orderBy(col("pos").asc).rowsBetween(0, W - 1)
         grams
           .withColumn("m", min(col("h")).over(win))
-          .withColumn("ng", count(lit(1)).over(byDoc))
           .where(col("pos") <= col("ng") - W)
           .select(col("doc_id"), col("m").as("fp"))
           .distinct()
       },
-      Some("""WITH g AS (SELECT doc_id, i AS pos,
+      Some("""WITH g AS (SELECT doc_id, length(text) - 7 AS ng, i AS pos,
              |    md5(substr(text, CAST(i + 1 AS INT), 8)) AS h
              |  FROM documents, UNNEST(range(0, length(text) - 7)) t(i)
              |  WHERE length(text) >= 8),
-             |w AS (SELECT doc_id, pos,
+             |w AS (SELECT doc_id, ng, pos,
              |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
-             |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
-             |    count(*) OVER (PARTITION BY doc_id) AS ng
+             |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
              |  FROM g)
              |SELECT DISTINCT doc_id, m AS fp FROM w WHERE pos <= ng - 4""".stripMargin))
   )
