@@ -211,6 +211,42 @@ object Relational2 {
              |  max(CASE WHEN rn_d = 1 THEN o_orderkey END) AS last_order
              |FROM r GROUP BY o_custkey""".stripMargin)),
 
+    // ----- explicit GROUPING SETS + grouping_id ------------------------------
+    QueryDef(
+      "q32_grouping_sets",
+      (s, dir) => {
+        Tables.register(s, dir, "lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                |  count(*) AS n
+                |FROM lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                |                        (l_returnflag, l_linestatus))""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             |  count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+             |                        (l_returnflag, l_linestatus))""".stripMargin)),
+
+    // ----- deterministic array aggregation (flattened for engine-exact
+    // compare: array string renderings differ between engines) -------------
+    QueryDef(
+      "q33_array_agg",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            concat_ws(",", sort_array(collect_list(col("o_orderkey"))))
+              .as("order_keys"),
+            size(collect_set(col("o_orderpriority"))).as("n_priorities"))
+      },
+      Some("""SELECT o_custkey,
+             |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+             |  len(list_distinct(list(o_orderpriority))) AS n_priorities
+             |FROM orders GROUP BY o_custkey""".stripMargin)),
+
     // ----- semi-structured extraction (JSON props column) -------------------
     QueryDef(
       "q31_json",
