@@ -30,6 +30,7 @@ object Multimodal {
   final case class Media(media_id: Long, mime: String, n_bytes: Long, payload: Array[Byte])
 
   final case class Decoded(media_id: Long, width: Int, height: Int, n_bytes: Long)
+  final case class Resized(media_id: Long, w: Int, h: Int, rw: Int, rh: Int)
   final case class Features(media_id: Long, f_vowel: Long, f_space: Long, f_alpha: Long, f_other: Long)
   final case class Frame(media_id: Long, frame_no: Int, frame_md5: String)
 
@@ -56,6 +57,12 @@ object Multimodal {
       }
       (v, sp, al, ot)
     }
+
+    /** "Resize": aspect-preserving fit into a square box, integer math
+      * (a real implementation would also transform pixels; the dimension
+      * contract is what downstream schemas depend on). */
+    def resizeFit(w: Int, h: Int, box: Int): (Int, Int) =
+      if (w >= h) (box, h * box / w) else (w * box / h, box)
 
     /** "Frame sampling": every `stride`-th 16-byte chunk, fingerprinted. */
     def sampleFrames(payload: Array[Byte], stride: Int): Seq[(Int, String)] = {
@@ -125,6 +132,28 @@ object Multimodal {
              |    - (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) AS f_alpha,
              |  length(regexp_replace(text, '[a-z ]', '', 'g')) AS f_other
              |FROM documents""".stripMargin)),
+
+    QueryDef(
+      "mm2b_resize",
+      (s, dir) => {
+        import s.implicits._
+        media(s, dir).mapPartitions { it =>
+          inBatches[Media, Resized](it, batch => batch.map { m =>
+            val (w, h) = FakeCodec.decodeDims(m.payload)
+            val (rw, rh) = FakeCodec.resizeFit(w, h, 256)
+            Resized(m.media_id, w, h, rw, rh)
+          })
+        }.toDF()
+      },
+      // aspect-preserving fit into 256x256 in pure integer math
+      Some("""WITH d AS (SELECT doc_id AS media_id,
+             |    1 + ascii(substr(text, 1, 1)) % 640 AS w,
+             |    1 + ascii(substr(text, 2, 1)) % 480 AS h
+             |  FROM documents)
+             |SELECT media_id, w, h,
+             |  CASE WHEN w >= h THEN 256 ELSE (w * 256) // h END AS rw,
+             |  CASE WHEN w >= h THEN (h * 256) // w ELSE 256 END AS rh
+             |FROM d""".stripMargin)),
 
     QueryDef(
       "mm3_framesample",
