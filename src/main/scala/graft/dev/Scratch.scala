@@ -3,20 +3,12 @@ import graft._
 import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+    // deliberately vanilla: no graft extensions, driver-like defaults
+    val spark = SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = sys.env.getOrElse("SCRATCH_DIR", "/root/testdata/sf0.1")
-    args.foreach { name =>
-      (1 to 3).foreach { i =>
-        val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, dir).count()
-        println(f"$name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
-        spark.catalog.clearCache()
-      }
-    }
+    val n = SparkEntry.entry(spark).count()
+    println(s"ENTRY_ROWS=$n")
     spark.stop()
   }
 }
