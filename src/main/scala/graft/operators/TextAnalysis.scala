@@ -162,6 +162,37 @@ object TextAnalysis {
              |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
              |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
              |  FROM g)
-             |SELECT DISTINCT doc_id, m AS fp FROM w WHERE pos <= ng - 4""".stripMargin))
+             |SELECT DISTINCT doc_id, m AS fp FROM w WHERE pos <= ng - 4""".stripMargin)),
+
+    // ----- the composed curation pipeline -----------------------------------
+    // What the engine is FOR at 100 TB: quality-gate -> exact-dedup ->
+    // deterministic sample, in one declarative plan (filters fold into the
+    // scan, dedup shuffles digests, sampling is a pure expression — the
+    // only wide op is the dedup group-by). Sampling uses an md5-prefix
+    // threshold instead of rand()/hash() so it is reproducible AND
+    // engine-exact ('0'-'7' first hex digit = 50% of the keyspace).
+    QueryDef(
+      "tx6_curate",
+      (s, dir) => {
+        val toks2 = split(col("text"), " ")
+        val nTok = size(toks2)
+        val nStop = countIn(toks2, stopwords)
+        Tables.load(s, dir, "documents")
+          .where(col("n_chars") >= 100 &&
+            nStop * 100 >= nTok * 2 && nStop * 100 <= nTok * 40)
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .where(substring(col("fp"), 1, 1) < "8")
+          .select("doc_id")
+      },
+      Some {
+        val nTok = "len(string_split(text, ' '))"
+        val nStop = sqlCountIn(stopwords)
+        s"""SELECT min(doc_id) AS doc_id FROM documents
+           |WHERE n_chars >= 100
+           |  AND $nStop * 100 >= $nTok * 2 AND $nStop * 100 <= $nTok * 40
+           |GROUP BY md5(text)
+           |HAVING substr(md5(text), 1, 1) < '8'""".stripMargin
+      })
   )
 }
