@@ -3,12 +3,20 @@ import graft._
 import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
-    // deliberately vanilla: no graft extensions, driver-like defaults
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val n = SparkEntry.entry(spark).count()
-    println(s"ENTRY_ROWS=$n")
+    val dir = sys.env.getOrElse("SCRATCH_DIR", "/root/testdata/sf0.1")
+    args.foreach { name =>
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        println(f"$name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+        spark.catalog.clearCache()
+      }
+    }
     spark.stop()
   }
 }
