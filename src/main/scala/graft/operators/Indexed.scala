@@ -144,7 +144,7 @@ object Indexed {
           .agg(count(lit(1)).as("n"), sum(col("l_linenumber").cast("long")).as("sln"))
       },
       Some("""SELECT l_returnflag, count(*) AS n,
-             |  sum(CAST(l_linenumber AS BIGINT)) AS sln
+             |  CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sln
              |FROM lineitem WHERE l_orderkey >= 500 AND l_orderkey < 800
              |GROUP BY l_returnflag""".stripMargin)),
 

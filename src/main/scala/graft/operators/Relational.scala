@@ -22,6 +22,14 @@ object Relational {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** Canonical decimal SUM: element-wise DECIMAL(18,4) for order-independent
+    * exactness, then an explicit DECIMAL(38,4) result type. Spark's native
+    * `sum(DECIMAL(18,4))` is DECIMAL(28,4) while DuckDB's is DECIMAL(38,4) —
+    * the driver hashes the declared output type, so both sides cast to the
+    * same agreed type (`CAST(sum(…) AS DECIMAL(38,4))` in every oracle).
+    */
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DecimalType(38, 4))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- aggregation ----------------------------------------------------
@@ -31,16 +39,16 @@ object Relational {
         val li = Tables.load(s, dir, "lineitem")
         li.groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(dec(col("l_quantity"))).as("sum_qty"),
-            sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-            sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
               .as("sum_disc_price"),
             count(lit(1)).as("count_order"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-             |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-             |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
              |  count(*) AS count_order
              |FROM lineitem
              |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
@@ -63,10 +71,10 @@ object Relational {
         Tables.load(s, dir, "orders")
           .filter(col("o_totalprice") < 5000.0 || col("o_totalprice") > 400000.0)
           .groupBy("o_orderstatus")
-          .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
       },
       Some("""SELECT o_orderstatus, count(*) AS n,
-             |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
              |FROM orders
              |WHERE o_totalprice < 5000.0 OR o_totalprice > 400000.0
              |GROUP BY o_orderstatus""".stripMargin)),
@@ -82,12 +90,12 @@ object Relational {
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(
-            sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
               .as("revenue"),
             count(lit(1)).as("n"))
       },
       Some("""SELECT c_mktsegment,
-             |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
              |  count(*) AS n
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -109,12 +117,12 @@ object Relational {
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy("n_name")
           .agg(
-            sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
               .as("revenue"),
             count(lit(1)).as("n"))
       },
       Some("""SELECT n_name,
-             |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
              |  count(*) AS n
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -226,13 +234,13 @@ object Relational {
               .when(col("l_quantity") < 30.0, "mid")
               .otherwise("high"))
           .groupBy("bucket")
-          .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("qty"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
       },
       Some("""SELECT CASE WHEN l_quantity < 10.0 THEN 'low'
              |            WHEN l_quantity < 30.0 THEN 'mid'
              |            ELSE 'high' END AS bucket,
              |  count(*) AS n,
-             |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
              |FROM lineitem GROUP BY 1""".stripMargin)),
 
     // ----- HAVING ------------------------------------------------------------
@@ -260,7 +268,7 @@ object Relational {
             max(col("l_orderkey") * 2 + 1).as("mx"))
       },
       Some("""SELECT l_orderkey % 7 AS m, count(*) AS n,
-             |  sum(CAST(l_linenumber AS BIGINT)) AS sum_ln,
+             |  CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_ln,
              |  max(l_orderkey * 2 + 1) AS mx
              |FROM lineitem GROUP BY 1""".stripMargin)),
 
@@ -300,10 +308,10 @@ object Relational {
           .groupBy(
             date_trunc("hour", col("ts")).as("hour"),
             col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
       },
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
-             |  count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sv
+             |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sv
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // ----- date/timestamp functions ----------------------------------------------
@@ -314,11 +322,11 @@ object Relational {
           .groupBy(
             year(col("o_orderdate")).as("y"),
             month(col("o_orderdate")).as("mo"))
-          .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
       },
       Some("""SELECT CAST(year(o_orderdate) AS INT) AS y,
              |  CAST(month(o_orderdate) AS INT) AS mo,
-             |  count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+             |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
              |FROM orders GROUP BY 1, 2""".stripMargin)),
 
     // ----- LIMIT pushdown shape (reference demo query 1: no predicate, LIMIT) ---

@@ -25,13 +25,13 @@ object Relational2 {
       (s, dir) => {
         Tables.register(s, dir, "lineitem", "orders")
         s.sql("""SELECT l_returnflag, count(*) AS n,
-                |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+                |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
                 |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                 |WHERE o_orderstatus = 'F'
                 |GROUP BY l_returnflag""".stripMargin)
       },
       Some("""SELECT l_returnflag, count(*) AS n,
-             |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_orderstatus = 'F'
              |GROUP BY l_returnflag""".stripMargin)),
@@ -46,11 +46,11 @@ object Relational2 {
           .groupBy("c_custkey")
           .agg(count(col("o_orderkey")).as("n_orders"),
             coalesce(sum(dec(col("o_totalprice"))), lit(0).cast(DecimalType(18, 4)))
-              .as("spend"))
+              .cast(DecimalType(38, 4)).as("spend"))
       },
       Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
-             |  coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))),
-             |           CAST(0 AS DECIMAL(18,4))) AS spend
+             |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))),
+             |           CAST(0 AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS spend
              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
              |GROUP BY c_custkey""".stripMargin)),
 
@@ -77,10 +77,11 @@ object Relational2 {
       (s, dir) => {
         Tables.load(s, dir, "lineitem")
           .cube("l_returnflag", "l_linestatus")
-          .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("qty"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).cast(DecimalType(38, 4)).as("qty"))
       },
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-             |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
 
     // ----- pivot (explicit value list => deterministic columns) -------------
@@ -96,9 +97,9 @@ object Relational2 {
           .na.fill(0L)
       },
       Some("""SELECT c_mktsegment,
-             |  coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS F,
-             |  coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS O,
-             |  coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS P
+             |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS F,
+             |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS O,
+             |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS P
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment""".stripMargin)),
 
@@ -114,14 +115,16 @@ object Relational2 {
         Tables.load(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
-            sum(x).as("sx"), sum(x * x).as("sxx"),
-            sum(y).as("sy"), sum(x * y).as("sxy"))
+            sum(x).cast(DecimalType(38, 4)).as("sx"),
+            sum(x * x).cast(DecimalType(38, 8)).as("sxx"),
+            sum(y).cast(DecimalType(38, 4)).as("sy"),
+            sum(x * y).cast(DecimalType(38, 8)).as("sxy"))
       },
       Some("""SELECT l_returnflag, count(*) AS n,
-             |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
-             |  sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS sxx,
-             |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
-             |  sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS sxy
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sx,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS sxx,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sy,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS sxy
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ----- scalar + IN subqueries -------------------------------------------
@@ -168,7 +171,7 @@ object Relational2 {
              |      OVER (PARTITION BY user_id ORDER BY us, event_id
              |            ROWS UNBOUNDED PRECEDING) AS sess
              |  FROM m)
-             |SELECT user_id, max(sess) AS n_sessions, count(*) AS n_events
+             |SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions, count(*) AS n_events
              |FROM sess GROUP BY user_id""".stripMargin)),
 
     // ----- rolling window aggregate (ROWS frame) ----------------------------
@@ -179,13 +182,13 @@ object Relational2 {
           .orderBy(col("ts").asc, col("event_id").asc)
           .rowsBetween(-3, Window.currentRow)
         Tables.load(s, dir, "events")
-          .withColumn("rsum", sum(dec(col("value"))).over(w))
+          .withColumn("rsum", sum(dec(col("value"))).over(w).cast(DecimalType(38, 4)))
           .select("event_id", "user_id", "rsum")
       },
       Some("""SELECT event_id, user_id,
-             |  sum(CAST(value AS DECIMAL(18,4))) OVER (
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
              |    PARTITION BY user_id ORDER BY ts, event_id
-             |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rsum
+             |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS rsum
              |FROM events""".stripMargin)),
 
     // ----- first/last per group (deterministic via struct-min/max) ----------
@@ -240,11 +243,11 @@ object Relational2 {
           .agg(
             concat_ws(",", sort_array(collect_list(col("o_orderkey"))))
               .as("order_keys"),
-            size(collect_set(col("o_orderpriority"))).as("n_priorities"))
+            size(collect_set(col("o_orderpriority"))).cast("long").as("n_priorities"))
       },
       Some("""SELECT o_custkey,
              |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
-             |  len(list_distinct(list(o_orderpriority))) AS n_priorities
+             |  CAST(len(list_distinct(list(o_orderpriority))) AS BIGINT) AS n_priorities
              |FROM orders GROUP BY o_custkey""".stripMargin)),
 
     // ----- semi-structured extraction (JSON props column) -------------------
@@ -258,7 +261,7 @@ object Relational2 {
             min(col("kv")).as("mn"), max(col("kv")).as("mx"))
       },
       Some("""SELECT event_type, count(CAST(props ->> '$.k' AS BIGINT)) AS n,
-             |  sum(CAST(props ->> '$.k' AS BIGINT)) AS sk,
+             |  CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sk,
              |  min(CAST(props ->> '$.k' AS BIGINT)) AS mn,
              |  max(CAST(props ->> '$.k' AS BIGINT)) AS mx
              |FROM events GROUP BY event_type""".stripMargin))
