@@ -29,7 +29,12 @@ object SparkEntry {
     registry.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops. Dynamic
+    * oracles (fitted-parameter literals) are resolved here — i.e. after
+    * the queries ran — and degrade to omission if unavailable. */
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+    registry.flatMap { q =>
+      q.oracleDyn.flatMap(f => scala.util.Try(f()).toOption)
+        .orElse(q.oracle).map(q.name -> _)
+    }.toMap
 }

@@ -171,72 +171,140 @@ object AnnSearch {
 
     // ----- IVF (inverted-file) candidate retrieval + rerank ------------------
     // Deterministic k-means: centroids seeded from the first K vectors by id,
-    // 3 Lloyd iterations over quantized integers; queries probe the 2 nearest
-    // cells. No SQL oracle (iterative centroid state is impractical to mirror
-    // in one SQL statement) — recall vs brute force asserted in
-    // OperatorInvariantsSpec; the driver records a rows-only check.
+    // 3 Lloyd iterations (driver-side doubles on a 512-vector sample — at
+    // scale the fit runs on a sample, which is exactly what this is), then
+    // QUANTIZED to integer literals inlined into both the Spark plan and the
+    // oracle SQL. Assignment + probing use the exact-integer cross-multiplied
+    // cosine score (one IEEE division of <2^53 integers) so the oracle is
+    // bit-identical; the oracle itself is dynamic — generated after the fit.
     QueryDef(
       "ann3_topk_ivf",
       (s, dir) => {
-        import s.implicits._
-        val k = IvfCells
         val q = quantized(s, dir)
-        // driver-side centroid fit on the (small) quantized sample: the
-        // corpus assignment below stays distributed; at scale the fit runs
-        // on a sample, which is exactly what this is
-        val sample = q.orderBy("vec_id").limit(IvfFitSample)
-          .select("vec_id", "v").as[(Long, Array[Long])].collect()
-        var centroids: Array[Array[Double]] =
-          sample.take(k).map(_._2.map(_.toDouble))
-        (1 to 3).foreach { _ =>
-          val assigned = sample.map { case (_, v) =>
-            (nearestCentroid(v, centroids), v)
-          }
-          centroids = (0 until k).map { c =>
-            val members = assigned.filter(_._1 == c).map(_._2)
-            if (members.isEmpty) centroids(c)
-            else {
-              val dim = members.head.length
-              (0 until dim).map(d => members.map(_(d).toDouble).sum / members.size).toArray
-            }
-          }.toArray
+        val cents = fitQuantizedCentroids(s, dir)
+        ann3Oracle = Some(ann3Sql(cents))
+        // per-cell score of quantized vector `v` (norm² column `nn`):
+        // sign-preserving cos² as a single exact-integer double division
+        def cellScore(cv: Array[Long]): Column = {
+          val d = dot(s)(col("v"), typedlit(cv.toSeq))
+          val ncSq = cv.map(x => x * x).sum
+          (d * abs(d)).cast("double") / (col("nn") * lit(ncSq)).cast("double")
         }
-        val centB = s.sparkContext.broadcast(centroids)
-        val cellOf = udf((v: Array[Long]) => nearestCentroid(v, centB.value))
-        val probesOf = udf((v: Array[Long]) => nearestCentroids(v, centB.value, IvfProbes))
-        val cells = q.withColumn("cell", cellOf(col("v")))
-        val queries = cells.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("nq"),
-            explode(probesOf(col("v"))).as("cell"))
-        val scored = cells.join(broadcast(queries), "cell")
+        // array of (score, -cell) structs: lexicographic struct ordering
+        // gives argmax with ties to the LOWER cell index — pure codegen,
+        // no UDF, O(k) per row, no shuffle for the assignment
+        val scoreArr = array(cents.zipWithIndex.map { case (cv, c) =>
+          struct(cellScore(cv).as("s"), lit(-c).as("i"))
+        }.toIndexedSeq: _*)
+        val corpus = q.withColumn("cell", -array_max(scoreArr).getField("i"))
+        // queries probe the IvfProbes nearest cells
+        val probes = slice(reverse(array_sort(scoreArr)), 1, IvfProbes)
+        val probed = q.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"),
+            explode(transform(probes, p => p.getField("i") * -1)).as("cell"))
+        val cands = corpus.join(broadcast(probed), "cell")
           .where(col("vec_id") =!= col("q_id"))
+          .select("q_id", "vec_id").distinct()
+        val queries = q.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("nq"))
+        val scored = cands
+          .join(broadcast(queries), "q_id")
+          .join(q, "vec_id")
           .withColumn("d", dot(s)(col("qv"), col("v")))
           .withColumn("sc", score(col("d"), col("nq"), col("nn")))
         val w = Window.partitionBy("q_id").orderBy(col("sc").desc, col("vec_id").asc)
         scored.withColumn("rank", row_number().over(w))
           .where(col("rank") <= LshTopK)
           .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
-          .distinct()
       },
-      None)
+      None,
+      oracleDyn = Some(() => ann3Oracle.get))
   )
 
   val IvfCells = 16
   val IvfProbes = 2
   val IvfFitSample = 512
 
-  /** Index of the nearest centroid by cosine (quantized ints vs double
-    * centroids; deterministic: ties break to the lower index). */
-  def nearestCentroid(v: Array[Long], cents: Array[Array[Double]]): Int =
-    nearestCentroids(v, cents, 1).head
+  private val ivfFitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
+  @volatile private var ann3Oracle: Option[String] = None
 
-  def nearestCentroids(v: Array[Long], cents: Array[Array[Double]], n: Int): Seq[Int] = {
+  /** Driver-side Lloyd fit on the first [[IvfFitSample]] vectors by id,
+    * floor-quantized to integer centroids (so downstream assignment is
+    * exact-integer and oracle-reproducible). */
+  private def fitQuantizedCentroids(s: SparkSession, dir: String): Array[Array[Long]] =
+    ivfFitCache.getOrElseUpdate(dir, {
+      import s.implicits._
+      val k = IvfCells
+      val sample = quantized(s, dir).orderBy("vec_id").limit(IvfFitSample)
+        .select("vec_id", "v").as[(Long, Array[Long])].collect()
+      var centroids: Array[Array[Double]] =
+        sample.take(k).map(_._2.map(_.toDouble))
+      (1 to 3).foreach { _ =>
+        val assigned = sample.map { case (_, v) => (nearestCentroid(v, centroids), v) }
+        centroids = (0 until k).map { c =>
+          val members = assigned.filter(_._1 == c).map(_._2)
+          if (members.isEmpty) centroids(c)
+          else {
+            val dim = members.head.length
+            (0 until dim).map(d => members.map(_(d).toDouble).sum / members.size).toArray
+          }
+        }.toArray
+      }
+      centroids.map(_.map(x => math.floor(x).toLong))
+    })
+
+  /** DuckDB oracle for ann3 with the fitted integer centroids inlined:
+    * same exact-integer score, same rank/tie discipline as the Spark plan. */
+  private def ann3Sql(cents: Array[Array[Long]]): String = {
+    val values = cents.zipWithIndex.map { case (cv, c) =>
+      val ncSq = cv.map(x => x * x).sum
+      s"($c, ${cv.mkString("[", ",", "]")}::BIGINT[], ${ncSq})"
+    }.mkString(",\n    ")
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |    list_sum(list_transform(list_zip(v, v), s -> s[1] * s[2])) nn FROM q),
+       |cents(cell, cv, nc) AS (VALUES
+       |    $values),
+       |sc AS (SELECT a.vec_id, c.cell,
+       |    list_sum(list_transform(list_zip(a.v, c.cv), s -> s[1] * s[2])) d,
+       |    a.nn, c.nc
+       |  FROM n a CROSS JOIN cents c),
+       |rk AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(nn * nc AS DOUBLE) DESC,
+       |             cell ASC) r
+       |  FROM sc),
+       |corpus AS (SELECT vec_id, cell FROM rk WHERE r = 1),
+       |probe AS (SELECT vec_id q_id, cell FROM rk
+       |  WHERE vec_id < $NumQueries AND r <= $IvfProbes),
+       |cand AS (SELECT DISTINCT p.q_id, k.vec_id
+       |  FROM corpus k JOIN probe p ON k.cell = p.cell
+       |  WHERE k.vec_id <> p.q_id),
+       |scored AS (SELECT c.q_id, c.vec_id neighbor_id,
+       |    list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])) d,
+       |    a.nn nq, b.nn nv
+       |  FROM cand c JOIN n a ON a.vec_id = c.q_id JOIN n b ON b.vec_id = c.vec_id)
+       |SELECT q_id, rank, neighbor_id FROM (
+       |  SELECT q_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY q_id
+       |      ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(nq * nv AS DOUBLE) DESC,
+       |               neighbor_id ASC) rank
+       |  FROM scored) t
+       |WHERE rank <= $LshTopK""".stripMargin
+  }
+
+  /** Index of the nearest centroid by cosine (quantized ints vs double
+    * centroids; deterministic: ties break to the lower index). Used only in
+    * the driver-side Lloyd fit. */
+  def nearestCentroid(v: Array[Long], cents: Array[Array[Double]]): Int = {
     val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
     cents.zipWithIndex.map { case (c, i) =>
       val nc = math.sqrt(c.map(x => x * x).sum)
       val d = v.indices.map(j => v(j) * c(j)).sum
       val cos = if (nv == 0 || nc == 0) -2.0 else d / (nv * nc)
       (-cos, i)
-    }.sorted.take(n).map(_._2).toSeq
+    }.min._2
   }
 }

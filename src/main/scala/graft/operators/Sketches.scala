@@ -29,13 +29,21 @@ object Sketches {
       (s, dir) => {
         val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
         val li = Tables.load(s, dir, "lineitem")
-        // build a ~1% FP bloom over the small side's keys, broadcast it,
-        // pre-filter the big side before the exact semi-join
+        // build a ~1% FP bloom over the small side's keys, embed it as a
+        // binary literal probed by Spark's own codegen BloomFilterMightContain
+        // (the expression runtime row-level filtering uses — stays inside
+        // whole-stage codegen, unlike a UDF), pre-filtering the big side
+        // before the exact semi-join
         val keys = o.select("o_orderkey")
         val bloom = keys.stat.bloomFilter("o_orderkey", 10000L, 0.01)
-        val bloomB = s.sparkContext.broadcast(bloom)
-        val might = udf((k: Long) => bloomB.value.mightContain(k))
-        li.filter(might(col("l_orderkey")))
+        val baos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(baos)
+        import org.apache.spark.sql.GraftSqlShim
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        val might = GraftSqlShim.column(BloomFilterMightContain(
+          Literal(baos.toByteArray),
+          GraftSqlShim.expression(col("l_orderkey"))))
+        li.filter(might)
           .join(keys, li("l_orderkey") === keys("o_orderkey"), "left_semi")
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"))
@@ -63,8 +71,14 @@ object Sketches {
              |  AND list_contains(string_split(text, ' '), 'window')""".stripMargin)),
 
     // ----- mergeable sketches: HLL distinct + approximate quantiles ---------
-    // No SQL oracle (sketch estimates are engine-specific); accuracy vs the
-    // exact answers is asserted in SketchAccuracySpec.
+    // ROWS-ONLY BY DESIGN: a sketch's output is the estimate, and estimates
+    // are engine-specific by construction (Spark HLL++ vs DuckDB's HLL use
+    // different hash functions and register layouts; GK quantile summaries
+    // differ likewise), so no cross-engine SQL oracle can hash-match without
+    // replacing the sketch with the exact computation it exists to avoid.
+    // The correctness obligation is discharged by SketchAccuracySpec, which
+    // pins both estimates against the EXACT answers (count distinct /
+    // percentile) within the configured error bounds at two scale factors.
     QueryDef(
       "sk1_sketches",
       (s, dir) => {

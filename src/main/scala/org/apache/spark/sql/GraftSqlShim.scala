@@ -4,11 +4,14 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.StructType
 
-/** Minimal bridge to the one `private[sql]` seam that Spark does not
+/** Minimal bridge to the `private[sql]` seams that Spark does not
   * expose publicly but a file-source extension needs (the standard
   * pattern used by external Spark connectors): wrapping an
-  * `RDD[InternalRow]` produced by a custom file scan into a DataFrame.
-  * Nothing else in the codebase touches Spark internals directly.
+  * `RDD[InternalRow]` produced by a custom file scan into a DataFrame,
+  * and Column↔Expression conversion for composing built-in Catalyst
+  * expressions (e.g. BloomFilterMightContain) that have no public
+  * `functions._` wrapper. Nothing else in the codebase touches Spark
+  * internals directly.
   */
 object GraftSqlShim {
 
@@ -16,4 +19,10 @@ object GraftSqlShim {
       spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

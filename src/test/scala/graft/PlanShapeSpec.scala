@@ -46,6 +46,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("graft_dot"), "native dot expression should be in the plan")
   }
 
+  test("bf1: bloom probe is a codegen expression, not a UDF") {
+    val p = plan("bf1_bloom_semijoin")
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(!p.contains("BatchEvalPython"))
+    // a Scala UDF would surface as a non-codegen ScalaUDF invocation
+    assert(!p.toLowerCase.contains("scalaudf"), p.take(2000))
+  }
+
   test("dd1_exact: aggregation is partial before the exchange (map-side combine)") {
     val p = plan("dd1_exact")
     val firstAgg = p.indexOf("HashAggregate")
