@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Session-extension entry point (enable with
   * `spark.sql.extensions=graft.GraftExtensions`): registers the engine's
-  * native functions so they are callable from SQL and `call_function`.
+  * native functions (callable from SQL and `call_function`) and the
+  * planner strategy for the external row-group skip scan's columnar
+  * physical node.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -16,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotLong].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotLong(children(0), children(1))))
+    ext.injectPlannerStrategy(session => graft.plans.RowGroupScanStrategy(session))
   }
 }

@@ -26,27 +26,48 @@ import scala.collection.immutable.SortedSet
 object RowLevelIndex {
 
   /** Build the index for `keyCol` over the files in `plans` (one entry per
-    * row group, from the stats index), writing to `indexDir`. */
+    * row group, from the stats index), writing to `indexDir`.
+    *
+    * ONE distributed job whose plan is O(1) in row-group count: a single
+    * scan with one partition per row group (`mergeRuns=false`, pruned to
+    * the key column), per-partition-distinct (key, partition-id) pairs, a
+    * broadcast join against the tiny partition-id → (file, row_group)
+    * mapping, and a range-partitioned sorted write (so point lookups
+    * pushdown-prune index files by key min/max). A 100 TB table's ~10⁶ row
+    * groups are just 10⁶ partitions of the one scan — no per-row-group
+    * plan nodes, no single-task write.
+    */
   def build(
       spark: SparkSession,
       dir: String,
       plans: Seq[FileScanPlan],
       dataSchema: StructType,
       keyCol: String,
-      indexDir: String): Unit = {
-    val perRg = plans.flatMap { p =>
-      p.scanRowGroups.toSeq.map { rg =>
-        val single = p.copy(scanRowGroups = SortedSet(rg))
-        RowGroupSkipScan.scan(spark, dir, Seq(single), dataSchema)
-          .select(col(keyCol).as("key"))
-          .distinct()
-          .withColumn("file_name", lit(p.fileName))
-          .withColumn("row_group", lit(rg))
-      }
-    }
-    perRg.reduce(_ unionAll _)
-      .repartition(1).sortWithinPartitions("key")
+      indexDir: String): Unit =
+    buildPlan(spark, dir, plans, dataSchema, keyCol)
       .write.mode("overwrite").parquet(indexDir)
+
+  /** The build dataflow, exposed for plan-shape assertions. */
+  def buildPlan(
+      spark: SparkSession,
+      dir: String,
+      plans: Seq[FileScanPlan],
+      dataSchema: StructType,
+      keyCol: String): DataFrame = {
+    import spark.implicits._
+    val rgMeta = graft.plans.RowGroupScan.perRowGroupMeta(plans)
+    val meta = rgMeta.zipWithIndex
+      .map { case ((f, rg), pid) => (pid, f, rg) }
+      .toDF("pid", "file_name", "row_group")
+    val indexFiles = math.max(1, rgMeta.size / 64)
+    RowGroupSkipScan.scan(spark, dir, plans, dataSchema,
+        mergeRuns = false, requiredCols = Seq(keyCol))
+      .select(col(keyCol).as("key"), spark_partition_id().as("pid"))
+      .distinct() // partial agg first: only distinct (key, rg) pairs shuffle
+      .join(broadcast(meta), "pid")
+      .select("key", "file_name", "row_group")
+      .repartitionByRange(indexFiles, col("key"))
+      .sortWithinPartitions("key")
   }
 
   /** Posting lookup: which row groups contain `key`. Pushdown-filtered

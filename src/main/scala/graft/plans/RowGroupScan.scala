@@ -1,0 +1,160 @@
+package graft.plans
+
+import graft.index.FileScanPlan
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Statistics}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.{FileFormat, FilePartition, FileScanRDD, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** Whole-operator plan nodes for the external row-group skip scan
+  * (reference: per-file `ParquetAccessPlan` Scan/Skip lists,
+  * /root/reference/sqlx-sqlite/src/index.rs:163-175): a custom logical
+  * leaf + strategy + columnar physical node, registered through
+  * [[graft.GraftExtensions]] — the (c)-tier extension form from the build
+  * guidelines, used because no built-in operator can scan an externally
+  * chosen subset of row groups.
+  *
+  * The physical node exposes the vectorized parquet reader's
+  * `ColumnarBatch` output (`supportsColumnar`), so Spark inserts its
+  * codegen `ColumnarToRow` transition — the same execution shape as a
+  * native `FileSourceScanExec`, ~an order of magnitude faster than the
+  * row-based parquet-mr path the previous implementation forced.
+  */
+case class RowGroupScan(
+    output: Seq[Attribute],
+    dir: String,
+    plans: Seq[FileScanPlan],
+    dataSchema: StructType,
+    requiredSchema: StructType,
+    mergeRuns: Boolean) extends LeafNode {
+
+  /** Planner statistics from the EXTERNAL index: bytes of selected row
+    * groups only, so a heavily pruned scan is broadcast-eligible. */
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = BigInt(RowGroupScan.selectedBytes(plans)).max(1))
+}
+
+object RowGroupScan {
+
+  /** DataFrame over exactly the row groups selected in `plans`. Requires
+    * graft extensions in the session (strategy injection). `requiredCols`
+    * prunes the scan to the named columns (parquet reads only those column
+    * chunks); empty = all columns. */
+  def dataFrame(
+      spark: SparkSession,
+      dir: String,
+      plans: Seq[FileScanPlan],
+      dataSchema: StructType,
+      mergeRuns: Boolean,
+      requiredCols: Seq[String] = Nil): DataFrame = {
+    val required =
+      if (requiredCols.isEmpty) dataSchema
+      else StructType(dataSchema.filter(f => requiredCols.contains(f.name)))
+    GraftSqlShim.ofRows(spark,
+      RowGroupScan(DataTypeUtils.toAttributes(required), dir, plans,
+        dataSchema, required, mergeRuns))
+  }
+
+  /** (file, row group) for each partition of a `mergeRuns=false` scan, in
+    * partition-index order — the contract `spark_partition_id()` joins on. */
+  def perRowGroupMeta(plans: Seq[FileScanPlan]): Seq[(String, Int)] =
+    plans.flatMap(p => p.scanRowGroups.toSeq.map(rg => (p.fileName, rg)))
+
+  def selectedBytes(plans: Seq[FileScanPlan]): Long =
+    plans.map { p =>
+      p.scanRowGroups.toSeq
+        .map(rg => p.rowGroupRanges.get(rg).map(_._2).getOrElse(0L)).sum
+    }.sum
+
+  /** One split per run of adjacent selected row groups (or one split per
+    * row group when `mergeRuns` is false — the index builder needs the
+    * partition-index → row-group identity). Spark's parquet reader honors
+    * byte-range splits at row-group midpoints, so skipped groups are
+    * physically never read. */
+  def filePartitions(
+      dir: String,
+      plans: Seq[FileScanPlan],
+      mergeRuns: Boolean): Seq[FilePartition] = {
+    val splits = plans.flatMap { p =>
+      val path = SparkPath.fromPathString(new Path(dir, p.fileName).toString)
+      val runs =
+        if (mergeRuns)
+          p.scanRowGroups.toSeq.foldLeft(List.empty[List[Int]]) {
+            case ((run @ (last :: _)) :: rest, rg) if rg == last + 1 =>
+              (rg :: run) :: rest
+            case (acc, rg) => List(rg) :: acc
+          }.map(_.reverse).reverse
+        else p.scanRowGroups.toSeq.map(List(_))
+      runs.map { run =>
+        val (start, _) = p.rowGroupRanges(run.head)
+        val (lastStart, lastLen) = p.rowGroupRanges(run.last)
+        PartitionedFile(InternalRow.empty, path,
+          start, lastStart + lastLen - start,
+          Array.empty, 0L, p.fileSizeBytes, Map.empty)
+      }
+    }
+    splits.zipWithIndex.map { case (pf, i) => FilePartition(i, Array(pf)) }
+  }
+}
+
+/** Injected via `SparkSessionExtensions.injectPlannerStrategy`. */
+case class RowGroupScanStrategy(sparkSession: SparkSession) extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case RowGroupScan(out, dir, plans, schema, required, mergeRuns) =>
+      RowGroupScanExec(out, dir, plans, schema, required, mergeRuns) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Columnar scan over the selected row groups; `session` comes from
+  * [[SparkPlan]] (captured active session at planning time). */
+case class RowGroupScanExec(
+    output: Seq[Attribute],
+    dir: String,
+    plans: Seq[FileScanPlan],
+    dataSchema: StructType,
+    requiredSchema: StructType,
+    mergeRuns: Boolean)
+    extends LeafExecNode {
+
+  private def parquet = new ParquetFileFormat()
+
+  override val supportsColumnar: Boolean =
+    parquet.supportBatch(session, requiredSchema)
+
+  private def scanRDD(vectorized: Boolean): FileScanRDD = {
+    val cs = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val confKey = "spark.sql.parquet.enableVectorizedReader"
+    val prev = session.conf.get(confKey, "true")
+    val reader =
+      try {
+        session.conf.set(confKey, vectorized.toString)
+        parquet.buildReaderWithPartitionValues(
+          sparkSession = cs,
+          dataSchema = dataSchema,
+          partitionSchema = new StructType(),
+          requiredSchema = requiredSchema,
+          filters = Nil,
+          options = Map(FileFormat.OPTION_RETURNING_BATCH -> vectorized.toString),
+          hadoopConf = new org.apache.hadoop.conf.Configuration(
+            session.sparkContext.hadoopConfiguration))
+      } finally session.conf.set(confKey, prev)
+    new FileScanRDD(cs, reader,
+      RowGroupScan.filePartitions(dir, plans, mergeRuns), requiredSchema)
+  }
+
+  override def doExecuteColumnar(): RDD[ColumnarBatch] =
+    scanRDD(vectorized = true).asInstanceOf[RDD[ColumnarBatch]]
+
+  override protected def doExecute(): RDD[InternalRow] =
+    scanRDD(vectorized = false)
+}

@@ -1,11 +1,8 @@
 package graft.sources
 
 import graft.index.{FileScanPlan, StatsIndex}
-import org.apache.hadoop.fs.Path
-import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim, SparkSession}
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.execution.datasources.{FilePartition, FileScanRDD, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.FileScanRDD
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 
@@ -29,51 +26,55 @@ import org.apache.spark.sql.types.StructType
   */
 object RowGroupSkipScan {
 
-  /** DataFrame over EXACTLY the row groups selected in `plans`. */
+  /** DataFrame over EXACTLY the row groups selected in `plans`.
+    *
+    * With graft extensions registered (the supported configuration) this
+    * plans a [[graft.plans.RowGroupScan]] — a columnar physical node over
+    * the vectorized parquet reader (Spark adds its codegen ColumnarToRow).
+    * Without extensions it falls back to a row-based FileScanRDD wrap,
+    * correct but ~8× slower per scanned byte.
+    *
+    * `mergeRuns=false` emits one partition per selected row group (the
+    * row-level index build relies on partition-id ↔ row-group identity).
+    */
   def scan(
       spark: SparkSession,
       dir: String,
       plans: Seq[FileScanPlan],
-      dataSchema: StructType): DataFrame = {
-    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    // row-based reader: the captured-at-build-time vectorized path yields
-    // ColumnarBatch, which internalCreateDataFrame cannot consume
-    val prevVec = spark.conf.get("spark.sql.parquet.enableVectorizedReader", "true")
-    val reader =
-      try {
-        spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
-        new ParquetFileFormat().buildReaderWithPartitionValues(
-          sparkSession = cs,
-          dataSchema = dataSchema,
-          partitionSchema = new StructType(),
-          requiredSchema = dataSchema,
-          filters = Nil,
-          options = Map.empty,
-          hadoopConf = new org.apache.hadoop.conf.Configuration(
-            spark.sparkContext.hadoopConfiguration))
-      } finally spark.conf.set("spark.sql.parquet.enableVectorizedReader", prevVec)
-
-    val splits = plans.flatMap { p =>
-      val path = SparkPath.fromPathString(new Path(dir, p.fileName).toString)
-      // merge adjacent selected row groups into one byte range
-      val runs = p.scanRowGroups.toSeq.foldLeft(List.empty[List[Int]]) {
-        case (acc @ (run @ (last :: _)) :: rest, rg) if rg == last + 1 =>
-          (rg :: run) :: rest
-        case (acc, rg) => List(rg) :: acc
-      }.map(_.reverse).reverse
-      runs.map { run =>
-        val (start, _) = p.rowGroupRanges(run.head)
-        val (lastStart, lastLen) = p.rowGroupRanges(run.last)
-        PartitionedFile(InternalRow.empty, path,
-          start, lastStart + lastLen - start,
-          Array.empty, 0L, p.fileSizeBytes, Map.empty)
-      }
+      dataSchema: StructType,
+      mergeRuns: Boolean = true,
+      requiredCols: Seq[String] = Nil): DataFrame = {
+    // functionExists proxies "GraftExtensions ran for this session" — the
+    // function and the planner strategy are injected together
+    if (spark.catalog.functionExists("graft_dot"))
+      graft.plans.RowGroupScan.dataFrame(
+        spark, dir, plans, dataSchema, mergeRuns, requiredCols)
+    else {
+      val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val required =
+        if (requiredCols.isEmpty) dataSchema
+        else StructType(dataSchema.filter(f => requiredCols.contains(f.name)))
+      // row-based reader: this path's vectorized output (ColumnarBatch)
+      // cannot pass through internalCreateDataFrame
+      val prevVec = spark.conf.get("spark.sql.parquet.enableVectorizedReader", "true")
+      val reader =
+        try {
+          spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+          new ParquetFileFormat().buildReaderWithPartitionValues(
+            sparkSession = cs,
+            dataSchema = dataSchema,
+            partitionSchema = new StructType(),
+            requiredSchema = required,
+            filters = Nil,
+            options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+              .OPTION_RETURNING_BATCH -> "false"),
+            hadoopConf = new org.apache.hadoop.conf.Configuration(
+              spark.sparkContext.hadoopConfiguration))
+        } finally spark.conf.set("spark.sql.parquet.enableVectorizedReader", prevVec)
+      val partitions = graft.plans.RowGroupScan.filePartitions(dir, plans, mergeRuns)
+      val rdd = new FileScanRDD(cs, reader, partitions, required)
+      GraftSqlShim.internalCreateDataFrame(spark, rdd, required)
     }
-    val partitions = splits.zipWithIndex.map { case (pf, i) =>
-      FilePartition(i, Array(pf))
-    }
-    val rdd = new FileScanRDD(cs, reader, partitions, dataSchema)
-    GraftSqlShim.internalCreateDataFrame(spark, rdd, dataSchema)
   }
 
   /** Resolve a public `Column` predicate against `dataSchema` into a

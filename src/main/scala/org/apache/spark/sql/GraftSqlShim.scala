@@ -20,6 +20,11 @@ object GraftSqlShim {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
 
+  def ofRows(
+      spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   def column(e: catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 

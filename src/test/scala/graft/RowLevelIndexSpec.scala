@@ -62,6 +62,17 @@ class RowLevelIndexSpec extends SparkSpec {
       s"min/max kept $minMaxKept, row-level kept $exactKept")
   }
 
+  test("build plan is O(1) in row-group count (one scan, no per-RG unions)") {
+    val (dir, _, plans, schema, _) = env
+    val plan = RowLevelIndex.buildPlan(spark, dir, plans, schema, "k")
+      .queryExecution.optimizedPlan
+    val nodes = plan.collect { case n => n }.size
+    // 8 row groups in the fixture; the old per-row-group unionAll plan had
+    // >5 nodes per row group — the single-job plan stays under a constant
+    assert(nodes <= 12, s"expected a constant-size plan, got $nodes nodes:\n$plan")
+    assert(!plan.toString.contains("Union"), "per-row-group unions crept back in")
+  }
+
   test("point query through the row-level index matches a plain scan") {
     val (dir, idxDir, plans, schema, _) = env
     val plain = spark.read.parquet(dir)
