@@ -87,111 +87,23 @@ final class DerbyStatsIndex(dbPath: String, val indexedSchema: StructType)
   // ---- ingest (I3, index.rs:242-329) ---------------------------------------
 
   override def addFile(stats: FileStats): Unit = conn.synchronized {
-    conn.setAutoCommit(false)
-    try {
-      // upsert the file row (Derby lacks ON CONFLICT/RETURNING: select-then-
-      // update-or-insert inside the transaction has the same semantics)
-      val sel = conn.prepareStatement(
-        "SELECT file_id FROM file_statistics WHERE file_name = ?")
-      sel.setString(1, stats.fileName)
-      val rs = sel.executeQuery()
-      val fileId: Int =
-        if (rs.next()) {
-          val id = rs.getInt(1)
-          val up = conn.prepareStatement(
-            """UPDATE file_statistics SET file_size_bytes = ?, row_group_count = ?,
-              |row_count = ? WHERE file_id = ?""".stripMargin)
-          up.setLong(1, stats.fileSizeBytes)
-          up.setInt(2, stats.rowGroups.size)
-          up.setLong(3, stats.rowCount)
-          up.setInt(4, id)
-          up.executeUpdate(); up.close()
-          // drop stale row-group stats for idempotent re-index
-          val del = conn.prepareStatement(
-            "DELETE FROM row_group_statistics WHERE file_id = ?")
-          del.setInt(1, id); del.executeUpdate(); del.close()
-          id
-        } else {
-          val ins = conn.prepareStatement(
-            """INSERT INTO file_statistics
-              |(file_name, file_size_bytes, row_group_count, row_count)
-              |VALUES (?, ?, ?, ?)""".stripMargin,
-            java.sql.Statement.RETURN_GENERATED_KEYS)
-          ins.setString(1, stats.fileName)
-          ins.setLong(2, stats.fileSizeBytes)
-          ins.setInt(3, stats.rowGroups.size)
-          ins.setLong(4, stats.rowCount)
-          ins.executeUpdate()
-          val keys = ins.getGeneratedKeys
-          keys.next()
-          val id = keys.getInt(1)
-          ins.close()
-          id
-        }
-      rs.close(); sel.close()
-
-      val cols = Seq("file_id", "row_group", "row_count",
-        "rg_start_bytes", "rg_compressed_bytes") ++
-        indexedCols.flatMap(f => Seq(s"${f.name}_null_count", s"${f.name}_min", s"${f.name}_max"))
-      val ins = conn.prepareStatement(
-        s"""INSERT INTO row_group_statistics (${cols.mkString(", ")})
-           |VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin)
-      stats.rowGroups.foreach { rg =>
-        ins.setInt(1, fileId)
-        ins.setInt(2, rg.rowGroup)
-        ins.setLong(3, rg.rowCount)
-        ins.setLong(4, rg.startBytes)
-        ins.setLong(5, rg.compressedBytes)
-        var i = 6
-        indexedCols.foreach { f =>
-          val cs = rg.columns.get(f.name)
-          setNullable(ins, i, cs.flatMap(_.nullCount).map(java.lang.Long.valueOf), java.sql.Types.BIGINT)
-          setValue(ins, i + 1, cs.flatMap(_.min), f.dataType)
-          setValue(ins, i + 2, cs.flatMap(_.max), f.dataType, isMax = true)
-          i += 3
-        }
-        ins.addBatch()
-      }
-      ins.executeBatch(); ins.close()
-      conn.commit()
-    } catch {
-      case t: Throwable => conn.rollback(); throw t
-    } finally conn.setAutoCommit(true)
+    DerbyStatsIndex.ingestFile(conn, indexedCols, stats)
   }
 
-  private def setNullable(ps: PreparedStatement, i: Int, v: Option[AnyRef], sqlType: Int): Unit =
-    v match {
-      case Some(x) => ps.setObject(i, x)
-      case None    => ps.setNull(i, sqlType)
+  /** Executor-side ingest: each partition opens its own JDBC connection to
+    * the catalog (embedded Derby supports concurrent same-JVM connections;
+    * a network catalog is a URL change) and runs the same per-file
+    * transactional upsert — the driver never materializes the stats. */
+  override def ingestAll(stats: org.apache.spark.rdd.RDD[FileStats]): Unit = {
+    val url = s"jdbc:derby:$dbPath"
+    val cols = indexedCols
+    stats.foreachPartition { (it: Iterator[FileStats]) =>
+      DerbyStatsIndex.ensureDriver()
+      val c = DriverManager.getConnection(url)
+      try it.foreach(s => DerbyStatsIndex.ingestFile(c, cols, s))
+      finally c.close()
     }
-
-  /** Long strings: store min truncated (still a lower bound ⇒ sound) and
-    * max as NULL (unknown ⇒ "might match" ⇒ sound). */
-  private def sqlTypeOf(dt: DataType): Int = dt match {
-    case ByteType | ShortType => java.sql.Types.SMALLINT
-    case IntegerType | DateType => java.sql.Types.INTEGER
-    case LongType | TimestampType | TimestampNTZType => java.sql.Types.BIGINT
-    case FloatType  => java.sql.Types.REAL
-    case DoubleType => java.sql.Types.DOUBLE
-    case StringType => java.sql.Types.VARCHAR
-    case BinaryType => java.sql.Types.VARBINARY
-    case _          => java.sql.Types.OTHER
   }
-
-  private def setValue(ps: PreparedStatement, i: Int, v: Option[Any], dt: DataType,
-      isMax: Boolean = false): Unit = (v, dt) match {
-    case (None, _) => ps.setNull(i, sqlTypeOf(dt))
-    case (Some(s: String), StringType) =>
-      if (s.length <= DerbyStatsIndex.MaxStringLen) ps.setString(i, s)
-      else if (isMax) ps.setNull(i, java.sql.Types.VARCHAR)
-      else ps.setString(i, s.take(DerbyStatsIndex.MaxStringLen))
-    case (Some(b: Array[Byte]), BinaryType) =>
-      if (b.length <= DerbyStatsIndex.MaxStringLen) ps.setBytes(i, b)
-      else if (isMax) ps.setNull(i, java.sql.Types.VARBINARY)
-      else ps.setBytes(i, b.take(DerbyStatsIndex.MaxStringLen))
-    case (Some(x), _) => ps.setObject(i, x)
-  }
-
   override def retainOnly(fileNames: Set[String]): Unit = {
     val st = conn.createStatement()
     val rs = st.executeQuery("SELECT file_id, file_name FROM file_statistics")
@@ -271,5 +183,115 @@ object DerbyStatsIndex {
       Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
       driverLoaded = true
     }
+  }
+
+  /** Per-file transactional upsert against an arbitrary catalog
+    * connection — shared by the driver-side `addFile` and executor-side
+    * `ingestAll` partitions. Derby lacks ON CONFLICT/RETURNING:
+    * select-then-update-or-insert inside one transaction has the same
+    * semantics (`index.rs:242-329`). */
+  private[index] def ingestFile(
+      conn: Connection, indexedCols: Seq[StructField], stats: FileStats): Unit = {
+    conn.setAutoCommit(false)
+    try {
+      val sel = conn.prepareStatement(
+        "SELECT file_id FROM file_statistics WHERE file_name = ?")
+      sel.setString(1, stats.fileName)
+      val rs = sel.executeQuery()
+      val fileId: Int =
+        if (rs.next()) {
+          val id = rs.getInt(1)
+          val up = conn.prepareStatement(
+            """UPDATE file_statistics SET file_size_bytes = ?, row_group_count = ?,
+              |row_count = ? WHERE file_id = ?""".stripMargin)
+          up.setLong(1, stats.fileSizeBytes)
+          up.setInt(2, stats.rowGroups.size)
+          up.setLong(3, stats.rowCount)
+          up.setInt(4, id)
+          up.executeUpdate(); up.close()
+          // drop stale row-group stats for idempotent re-index
+          val del = conn.prepareStatement(
+            "DELETE FROM row_group_statistics WHERE file_id = ?")
+          del.setInt(1, id); del.executeUpdate(); del.close()
+          id
+        } else {
+          val ins = conn.prepareStatement(
+            """INSERT INTO file_statistics
+              |(file_name, file_size_bytes, row_group_count, row_count)
+              |VALUES (?, ?, ?, ?)""".stripMargin,
+            java.sql.Statement.RETURN_GENERATED_KEYS)
+          ins.setString(1, stats.fileName)
+          ins.setLong(2, stats.fileSizeBytes)
+          ins.setInt(3, stats.rowGroups.size)
+          ins.setLong(4, stats.rowCount)
+          ins.executeUpdate()
+          val keys = ins.getGeneratedKeys
+          keys.next()
+          val id = keys.getInt(1)
+          ins.close()
+          id
+        }
+      rs.close(); sel.close()
+
+      val cols = Seq("file_id", "row_group", "row_count",
+        "rg_start_bytes", "rg_compressed_bytes") ++
+        indexedCols.flatMap(f => Seq(s"${f.name}_null_count", s"${f.name}_min", s"${f.name}_max"))
+      val ins = conn.prepareStatement(
+        s"""INSERT INTO row_group_statistics (${cols.mkString(", ")})
+           |VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin)
+      stats.rowGroups.foreach { rg =>
+        ins.setInt(1, fileId)
+        ins.setInt(2, rg.rowGroup)
+        ins.setLong(3, rg.rowCount)
+        ins.setLong(4, rg.startBytes)
+        ins.setLong(5, rg.compressedBytes)
+        var i = 6
+        indexedCols.foreach { f =>
+          val cs = rg.columns.get(f.name)
+          setNullable(ins, i, cs.flatMap(_.nullCount).map(java.lang.Long.valueOf), java.sql.Types.BIGINT)
+          setValue(ins, i + 1, cs.flatMap(_.min), f.dataType)
+          setValue(ins, i + 2, cs.flatMap(_.max), f.dataType, isMax = true)
+          i += 3
+        }
+        ins.addBatch()
+      }
+      ins.executeBatch(); ins.close()
+      conn.commit()
+    } catch {
+      case t: Throwable => conn.rollback(); throw t
+    } finally conn.setAutoCommit(true)
+  }
+
+  private def setNullable(ps: PreparedStatement, i: Int, v: Option[AnyRef], sqlType: Int): Unit =
+    v match {
+      case Some(x) => ps.setObject(i, x)
+      case None    => ps.setNull(i, sqlType)
+    }
+
+  private def sqlTypeOf(dt: DataType): Int = dt match {
+    case ByteType | ShortType => java.sql.Types.SMALLINT
+    case IntegerType | DateType => java.sql.Types.INTEGER
+    case LongType | TimestampType | TimestampNTZType => java.sql.Types.BIGINT
+    case FloatType  => java.sql.Types.REAL
+    case DoubleType => java.sql.Types.DOUBLE
+    case StringType => java.sql.Types.VARCHAR
+    case BinaryType => java.sql.Types.VARBINARY
+    case _          => java.sql.Types.OTHER
+  }
+
+  /** Long strings: store min truncated (still a lower bound => sound) and
+    * max as NULL (unknown => "might match" => sound). */
+  private def setValue(ps: PreparedStatement, i: Int, v: Option[Any], dt: DataType,
+      isMax: Boolean = false): Unit = (v, dt) match {
+    case (None, _) => ps.setNull(i, sqlTypeOf(dt))
+    case (Some(s: String), StringType) =>
+      if (s.length <= MaxStringLen) ps.setString(i, s)
+      else if (isMax) ps.setNull(i, java.sql.Types.VARCHAR)
+      else ps.setString(i, s.take(MaxStringLen))
+    case (Some(b: Array[Byte]), BinaryType) =>
+      if (b.length <= MaxStringLen) ps.setBytes(i, b)
+      else if (isMax) ps.setNull(i, java.sql.Types.VARBINARY)
+      else ps.setBytes(i, b.take(MaxStringLen))
+    case (Some(x), _) => ps.setObject(i, x)
   }
 }

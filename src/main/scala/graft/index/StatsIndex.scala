@@ -36,6 +36,15 @@ trait StatsIndex extends AutoCloseable {
     * re-index of a changed file, `index.rs:242-329`). */
   def addFile(stats: FileStats): Unit
 
+  /** Distributed ingest: upsert every file's stats WITHOUT materializing
+    * them all on the driver (the 100 TB path — millions of footers must
+    * not funnel through one collect + one serial connection). The default
+    * streams partition-at-a-time through the driver; implementations
+    * should override with executor-side writes. Per-file transactional
+    * upsert semantics are preserved either way. */
+  def ingestAll(stats: org.apache.spark.rdd.RDD[FileStats]): Unit =
+    stats.toLocalIterator.foreach(addFile)
+
   /** Drop index rows for files no longer present in the table directory —
     * completes the idempotent re-index story (the reference's upsert handles
     * changed files; deleted files need explicit retention). */

@@ -45,16 +45,18 @@ object IndexedParquet {
 
     val serConf = new SerializableConfiguration(hconf)
     val colNames = indexedSchema.fieldNames.toSeq
-    val stats = spark.sparkContext
-      .parallelize(files, math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism)))
-      .map(f => FooterStats.read(new Path(f), serConf.value, colNames))
-      .collect()
-      .sortBy(_.fileName)
-
     val index = new DerbyStatsIndex(dbPath, indexedSchema)
     index.initialize(indexedSchema)
-    stats.foreach(index.addFile)
-    index.retainOnly(stats.map(_.fileName).toSet)
+    // footer reads AND catalog writes both run inside the job: stats flow
+    // from each task straight to the catalog over that task's own JDBC
+    // connection (per-file transactional upsert preserved) — the driver
+    // never materializes a FileStats, so a million-file table is bounded
+    // by the catalog's write throughput, not a driver collect
+    val statsRdd = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism)))
+      .map(f => FooterStats.read(new Path(f), serConf.value, colNames))
+    index.ingestAll(statsRdd)
+    index.retainOnly(files.map(f => new Path(f).getName).toSet)
     (index, dataSchema)
   }
 
