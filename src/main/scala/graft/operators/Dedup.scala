@@ -53,6 +53,32 @@ object Dedup {
   val MinhashCount = 12
   val Bands = 4 // 3 rows per band
 
+  /** Posting-list cap for the inverted-index Jaccard path: shingle buckets
+    * with more than this many distinct documents are DROPPED before pair
+    * expansion. A hot shingle (stop-phrase) with 10⁴ docs would otherwise
+    * expand 10⁸ pairs inside one task; capped buckets bound every task at
+    * O(cap²). Recall impact: a pair is missed only if ALL its shared
+    * shingles are hotter than the cap — such shingles carry almost no
+    * Jaccard signal (they're shared with everything), so this is the
+    * standard production trade (equivalently: stop-shingle removal). The
+    * oracle applies the identical cap, keeping the check engine-exact. */
+  val MaxPosting = 64
+
+  /** Shingle → sorted posting list, buckets bounded to (1, cap]. */
+  private[graft] def postings(sh: DataFrame, cap: Int): DataFrame =
+    sh.groupBy("s")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) > 1 && size(col("ds")) <= cap)
+
+  /** Pair combinations from each posting list with shared-shingle counts.
+    * Runs inside one task per bucket; bounded by the cap above. */
+  private[graft] def pairCounts(post: DataFrame): DataFrame =
+    post.select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- exact dedup ------------------------------------------------------
@@ -75,16 +101,10 @@ object Dedup {
         // materialize-to-storage step instead
         val sh = shingleDf(s, dir)
         val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-        // inverted index: one shuffle by shingle, pairs from each
-        // posting list's combinations (no self-join second scan)
-        val common = sh.groupBy("s")
-          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-          .where(size(col("ds")) > 1)
-          .select(explode(flatten(transform(col("ds"), (x, i) =>
-            transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-              struct(x.as("a"), y.as("b")))))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(count(lit(1)).as("c"))
+        // inverted index: one shuffle by shingle, pairs from each posting
+        // list's combinations (no self-join second scan); hot buckets are
+        // dropped by the MaxPosting cap so no task is ever O(corpus²)
+        val common = pairCounts(postings(sh, MaxPosting))
         common
           .join(n.withColumnRenamed("doc_id", "a").withColumnRenamed("ns", "na"), "a")
           .join(n.withColumnRenamed("doc_id", "b").withColumnRenamed("ns", "nb"), "b")
@@ -94,7 +114,11 @@ object Dedup {
       },
       Some(s"""WITH $shingleSql,
               |n AS (SELECT doc_id, count(*) ns FROM sh GROUP BY doc_id),
-              |p AS (SELECT x.doc_id a, y.doc_id b, count(*) c FROM sh x JOIN sh y USING (s)
+              |post AS (SELECT s FROM sh GROUP BY s
+              |         HAVING count(DISTINCT doc_id) > 1
+              |            AND count(DISTINCT doc_id) <= $MaxPosting),
+              |p AS (SELECT x.doc_id a, y.doc_id b, count(*) c
+              |      FROM sh x JOIN sh y USING (s) JOIN post USING (s)
               |      WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
               |SELECT a, b FROM p
               |JOIN n na ON na.doc_id = p.a JOIN n nb ON nb.doc_id = p.b

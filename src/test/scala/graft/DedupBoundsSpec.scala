@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** dd2's posting-list cap: a synthetic hot shingle (present in every
+  * document) must never reach pair expansion, bounding every bucket task
+  * at O(cap²), while rare-shingle near-dups are still found end-to-end.
+  */
+class DedupBoundsSpec extends SparkSpec {
+
+  test("hot posting lists are dropped before pair expansion") {
+    import spark.implicits._
+    // 200 docs all share shingle "hot"; docs 1 and 2 also share "rare"
+    val sh = ((0L until 200L).map(d => (d, "hot")) ++
+      Seq((1L, "rare"), (2L, "rare"))).toDF("doc_id", "s")
+    val post = Dedup.postings(sh, Dedup.MaxPosting)
+    val sizes = post.select(max(size(col("ds")))).collect().head
+    assert(!sizes.isNullAt(0) && sizes.getInt(0) <= Dedup.MaxPosting)
+    // the only surviving bucket is the rare one → exactly one pair
+    val pairs = Dedup.pairCounts(post).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("dd2 end-to-end on a hot-shingle corpus still finds rare near-dups") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-dd2cap").toString
+    val hot = "the quick brown fox jumps over the lazy dog again and again"
+    // 100 docs share the hot sentence; docs 1 and 2 are near-identical
+    // beyond it (long shared tail, one differing word — the tail must be
+    // long because capped hot shingles still count in the Jaccard
+    // DENOMINATOR, only the shared-count numerator drops them); the rest
+    // get unique filler
+    val tail = (1 to 49).map(i => s"shared$i").mkString(" ")
+    val docs = (0L until 100L).map { d =>
+      val unique =
+        if (d == 1L) s"$tail kappa"
+        else if (d == 2L) s"$tail lambda"
+        else s"filler${d}a filler${d}b filler${d}c filler${d}d filler${d}e"
+      (d, s"$hot $unique")
+    }
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val got = SparkEntry.queries("dd2_ngram_jaccard")(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"rare near-dup pair lost: $got")
+    // hot-shingle-only co-occurrence must not create pairs
+    assert(got.forall { case (a, b) => Set(a, b) == Set(1L, 2L) },
+      s"hot shingle leaked pairs: $got")
+  }
+}
