@@ -134,9 +134,107 @@ object StatsPredicateRewriter {
       case _ => None
     }
 
+    /** Negation pushed to the leaves, in shapes `rw` knows. Three-valued
+      * caveat does not bite here: callers use this only for "branch i was
+      * NOT taken", and a null condition also falls through (handled by the
+      * separate null-possibility disjunct). */
+    def pushNot(p: Expression): Expression = p match {
+      case LessThan(a, b)           => GreaterThanOrEqual(a, b)
+      case LessThanOrEqual(a, b)    => GreaterThan(a, b)
+      case GreaterThan(a, b)        => LessThanOrEqual(a, b)
+      case GreaterThanOrEqual(a, b) => LessThan(a, b)
+      case And(a, b)                => Or(pushNot(a), pushNot(b))
+      case Or(a, b)                 => And(pushNot(a), pushNot(b))
+      case Not(x)                   => x
+      case other                    => Not(other) // rw folds unknowns to TRUE
+    }
+
+    /** CASE translation — parity with the reference's CaseExpr conversion
+      * (conversions.rs:73-81), done as a sound interval union of branches:
+      * `CASE WHEN p_i THEN v_i ELSE v_e END  cmp  lit` can hold in a row
+      * group only if some branch whose value can satisfy `cmp` is
+      * reachable there. Literal branch values are tested against `lit`
+      * statically; branch i's reachability over-approximates as
+      * rw(p_i) ∧ ∀j<i "p_j not taken", where "not taken" is
+      * rw(¬p_j) ∨ "p_j could be null here" (null conditions fall through,
+      * so the null-count disjunct keeps that path sound). The ELSE branch
+      * requires every p_j not taken; a missing ELSE is the null value,
+      * which satisfies no comparison. */
+    /** Sound over-approximation of "p could evaluate to NULL for some row
+      * in this group": any referenced column has nulls (or is unindexed). */
+    def nullsPossible(p: Expression): Expression = {
+      val refs = p.references.toSeq
+      if (refs.isEmpty) True // constant condition: stay conservative
+      else if (refs.exists(a => !indexedCols.contains(a.name))) True
+      else refs.map(a => keep(GreaterThan(nullCountCol(a.name), Literal(0L))))
+        .reduce[Expression](Or)
+    }
+
+    def caseCmp(c: CaseWhen, test: Expression => Expression): Expression = {
+      def canMatch(v: Option[Expression]): Boolean = v match {
+        case Some(lv: Literal) =>
+          scala.util.Try(test(lv).eval(null)).toOption
+            .exists(_ == java.lang.Boolean.TRUE)
+        case Some(_) => true // non-literal branch value: might match
+        case None    => false // absent ELSE = NULL: never satisfies cmp
+      }
+      def notTaken(p: Expression): Expression =
+        Or(rw(pushNot(p)), nullsPossible(p))
+      val branchParts = c.branches.zipWithIndex.map { case ((p, v), i) =>
+        if (!canMatch(Some(v))) Literal.FalseLiteral
+        else (rw(p) +: c.branches.take(i).map(b => notTaken(b._1)))
+          .reduce[Expression](And)
+      }
+      val elsePart =
+        if (!canMatch(c.elseValue)) Literal.FalseLiteral
+        else c.branches.map(b => notTaken(b._1)) match {
+          case Seq() => True
+          case xs    => xs.reduce[Expression](And)
+        }
+      (branchParts :+ elsePart).reduce[Expression](Or)
+    }
+
     def rw(e: Expression): Expression = e match {
       case And(l, r) => And(rw(l), rw(r))
       case Or(l, r)  => Or(rw(l), rw(r))
+
+      // CASE compared against a literal (either side), CASE != lit, and a
+      // boolean CASE used directly as the predicate
+      case cmp @ BinaryComparison(c: CaseWhen, l: Literal) if !isNaN(l) =>
+        caseCmp(c, v => cmp.withNewChildren(Seq(v, l)))
+      case cmp @ BinaryComparison(l: Literal, c: CaseWhen) if !isNaN(l) =>
+        caseCmp(c, v => cmp.withNewChildren(Seq(l, v)))
+      case Not(EqualTo(c: CaseWhen, l: Literal)) if !isNaN(l) =>
+        caseCmp(c, v => Not(EqualTo(v, l)))
+      case Not(EqualTo(l: Literal, c: CaseWhen)) if !isNaN(l) =>
+        caseCmp(c, v => Not(EqualTo(v, l)))
+      case c: CaseWhen if c.dataType == BooleanType =>
+        caseCmp(c, identity)
+
+      // the optimizer canonicalizes CASE comparisons into `(p) <=> true`
+      // and `NOT ((p) <=> true)` (SimplifyConditionalsInPredicate):
+      //   p <=> true   holds iff p is true            ⇒ rw(p)
+      //   p <=> false  holds iff p is exactly false   ⇒ rw(¬p)
+      //   ¬(p <=> true)  holds iff p is false OR null ⇒ rw(¬p) ∨ nulls(p)
+      //   ¬(p <=> false) holds iff p is true OR null  ⇒ rw(p) ∨ nulls(p)
+      case EqualNullSafe(p, Literal(true, BooleanType))
+          if p.dataType == BooleanType && !p.isInstanceOf[Literal] =>
+        rw(p)
+      case EqualNullSafe(Literal(true, BooleanType), p)
+          if p.dataType == BooleanType && !p.isInstanceOf[Literal] =>
+        rw(p)
+      case EqualNullSafe(p, Literal(false, BooleanType))
+          if p.dataType == BooleanType && !p.isInstanceOf[Literal] =>
+        rw(pushNot(p))
+      case EqualNullSafe(Literal(false, BooleanType), p)
+          if p.dataType == BooleanType && !p.isInstanceOf[Literal] =>
+        rw(pushNot(p))
+      case Not(EqualNullSafe(p, Literal(true, BooleanType)))
+          if p.dataType == BooleanType && !p.isInstanceOf[Literal] =>
+        Or(rw(pushNot(p)), nullsPossible(p))
+      case Not(EqualNullSafe(p, Literal(false, BooleanType)))
+          if p.dataType == BooleanType && !p.isInstanceOf[Literal] =>
+        Or(rw(p), nullsPossible(p))
 
       // f(a) = lit  ⇒  lo(f) <= lit && hi(f) >= lit
       case EqualTo(x, l: Literal) if affine(x).isDefined && !isNaN(l) =>

@@ -69,7 +69,19 @@ class PruningSoundnessSpec extends SparkSpec {
       ("k * -2 <= lit", col("k") * -2 <= klit),
       ("k / 2.0 > lit (cast through double)", col("k") / 2.0 > klit.toDouble / 2),
       ("-k = lit", -col("k") === -klit),
-      ("nested affine", (col("k") + 10) * 3 < klit * 3)
+      ("nested affine", (col("k") + 10) * 3 < klit * 3),
+      // CASE translation (reference conversions.rs:73-81)
+      ("case bucket = lit",
+        when(col("k") < 50, "low").when(col("k") < 150, "mid")
+          .otherwise("high") === "mid"),
+      ("case bucket != lit",
+        when(col("k") < 50, "low").otherwise("high") =!= "low"),
+      ("lit = case bucket (flipped)",
+        lit("high") === when(col("k") < 150, "low").otherwise("high")),
+      ("boolean case as predicate",
+        when(col("k") < 100, true).otherwise(false)),
+      ("case over nullable col, else-reachable",
+        when(col("k") >= 0, "pos").otherwise("neg") === "neg")
     )
   }
 
@@ -122,6 +134,22 @@ class PruningSoundnessSpec extends SparkSpec {
     assert(affine == plain, "shifted point predicate should prune identically")
     df.filter(-col("k") === 999).count() // k = -999: nothing
     assert(fileIndex.lastExecution.get.scannedFiles.isEmpty)
+  }
+
+  test("CASE predicate prunes like its branch condition (conversions.rs:73-81)") {
+    val (_, df, fileIndex) = env
+    def plans() = fileIndex.lastExecution.get.plans
+      .map(p => p.fileName -> p.scanRowGroups).toMap
+    df.filter(col("k") < 50).count()
+    val direct = plans()
+    df.filter(when(col("k") < 50, "x").otherwise("y") === "x").count()
+    val viaCase = plans()
+    assert(viaCase == direct,
+      "CASE-wrapped comparison must prune exactly like the raw branch condition")
+    // before this translation a CASE predicate scanned everything
+    val all = fileIndexStats(fileIndex).allFiles()
+      .map(p => p.fileName -> p.scanRowGroups).toMap
+    assert(viaCase != all, "CASE predicate did not prune at all")
   }
 
   test("unsupported-type column is silently skipped; predicates on it scan all") {

@@ -51,9 +51,24 @@ class RewriterPropertySpec extends AnyFunSuite {
       case 6 => LessThan(Multiply(attr, Literal(-3)), Literal(l))
       case 7 => In(attr, Seq(Literal(l), Literal(l + 3), Literal(l - 11)))
     }
+    // CASE shapes, both as authored and as the optimizer canonicalizes
+    // them (boolean CaseWhen, `p <=> true`, `NOT (p <=> true)`)
+    def caseShape: Gen[Expression] = for {
+      p1 <- cmp; p2 <- cmp
+      kind <- Gen.oneOf(0 to 4)
+    } yield kind match {
+      case 0 => EqualTo(
+        CaseWhen(Seq((p1, Literal("a")), (p2, Literal("b"))), Some(Literal("c"))),
+        Literal("b"))
+      case 1 => Not(EqualTo(
+        CaseWhen(Seq((p1, Literal("a"))), Some(Literal("c"))), Literal("a")))
+      case 2 => EqualNullSafe(p1, Literal.TrueLiteral)
+      case 3 => Not(EqualNullSafe(p1, Literal.TrueLiteral))
+      case 4 => CaseWhen(Seq((p1, Literal.TrueLiteral)), Some(Literal.FalseLiteral))
+    }
     for {
-      a <- cmp; b <- cmp
-      combined <- Gen.oneOf(a, And(a, b), Or(a, b))
+      a <- cmp; b <- cmp; c <- caseShape
+      combined <- Gen.oneOf(a, And(a, b), Or(a, b), c, And(a, c))
     } yield combined
   }
 
