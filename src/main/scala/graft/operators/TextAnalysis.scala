@@ -135,24 +135,23 @@ object TextAnalysis {
     QueryDef(
       "tx5_winnow",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val K = 8; val W = 4
-        val grams = Tables.load(s, dir, "documents")
-          .where(length(col("text")) >= K)
-          // gram count is derivable from the text length — computing it
-          // with a count() window would cost a second full-partition pass
-          .select(col("doc_id"), (length(col("text")) - (K - 1)).as("ng"),
-            posexplode(transform(
-              sequence(lit(0), length(col("text")) - K),
-              i => md5(col("text").substr(i + 1, lit(K))))))
-          .toDF("doc_id", "ng", "pos", "h")
-        val win = Window.partitionBy("doc_id")
-          .orderBy(col("pos").asc).rowsBetween(0, W - 1)
-        grams
-          .withColumn("m", min(col("h")).over(win))
-          .where(col("pos") <= col("ng") - W)
-          .select(col("doc_id"), col("m").as("fp"))
-          .distinct()
+        // entirely narrow (no explode-then-window, no distinct exchange):
+        // the gram-hash array is materialized once per document (own
+        // projection — a lambda-internal substr/md5 would re-evaluate per
+        // element), window minima are array_min over W-slices, and
+        // array_distinct completes the per-document fingerprint set —
+        // doc_ids are disjoint so the output is globally distinct with
+        // ZERO shuffles; at 100 TB this is one map-only pass
+        val df = Tables.load(s, dir, "documents")
+          .where(length(col("text")) >= K + W - 1) // need >= 1 full window
+          .select(col("doc_id"),
+            transform(sequence(lit(0), length(col("text")) - K),
+              i => md5(col("text").substr(i + 1, lit(K)))).as("harr"),
+            (length(col("text")) - (K + W - 2)).as("nw")) // #windows
+        df.select(col("doc_id"),
+          explode(array_distinct(transform(sequence(lit(0), col("nw") - 1),
+            j => array_min(slice(col("harr"), j + 1, lit(W)))))).as("fp"))
       },
       Some("""WITH g AS (SELECT doc_id, length(text) - 7 AS ng, i AS pos,
              |    md5(substr(text, CAST(i + 1 AS INT), 8)) AS h
