@@ -57,6 +57,10 @@ object ExprToDerbySql {
       s"CAST(${print(c)} AS $t)"
 
     case Substring(s, p, l) => s"SUBSTR(${print(s)}, ${print(p)}, ${print(l)})"
+    // LIKE appears in the NOT-LIKE constant-group rewrite; only the
+    // default backslash escape is ever emitted
+    case Like(l, r @ Literal(_, StringType), '\\') =>
+      s"(${print(l)} LIKE ${print(r)} ESCAPE '\\')"
     // value-level coalesce (e.g. COALESCE(null_count, 1)) is legal in Derby
     case Coalesce(children) => children.map(print).mkString("COALESCE(", ", ", ")")
 

@@ -56,6 +56,29 @@ object StatsPredicateRewriter {
     }
   }
 
+  /** Prefix bound in stats space: value starts with `prefix` ⇒
+    * max >= prefix && prefix_k(min) <= prefix. */
+  private def prefixBound(c: String, prefix: String): Expression = {
+    val l = Literal(prefix)
+    And(
+      keep(GreaterThanOrEqual(maxCol(c), l)),
+      keep(LessThanOrEqual(
+        Substring(minCol(c), Literal(1), Literal(prefix.length)), l)))
+  }
+
+  /** Literal prefix of a LIKE pattern up to the first unescaped wildcard. */
+  private def likeLiteralPrefix(pattern: String, esc: Char): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      val ch = pattern.charAt(i)
+      if (ch == esc && i + 1 < pattern.length) { sb.append(pattern.charAt(i + 1)); i += 2 }
+      else if (ch == '%' || ch == '_') return sb.toString
+      else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+
   /** NaN ordering is writer-dependent in parquet stats and Derby cannot
     * represent non-finite DOUBLE literals — both rewrite to TRUE. */
   private def isNaN(l: Literal): Boolean = l.value match {
@@ -282,11 +305,27 @@ object StatsPredicateRewriter {
       // a LIKE 'p%'  ⇒  max >= 'p' && substr(min, 1, len(p)) <= 'p'
       // (lexicographic order: x <= y ⇒ prefix_k(x) <= prefix_k(y))
       case StartsWith(a, l @ Literal(_, StringType)) if attr(a).isDefined && l.value != null =>
+        prefixBound(attr(a).get, l.value.toString)
+
+      // general LIKE (reference LikeMatch, conversions.rs:28): any literal
+      // prefix before the first unescaped wildcard bounds the match — e.g.
+      // 'abc%def' prunes on 'abc'. (Plain 'abc%' is canonicalized to
+      // StartsWith by the optimizer before it reaches us; this covers the
+      // mixed patterns that are not.) Prefix-free patterns ('%x') carry no
+      // min/max signal ⇒ TRUE.
+      case Like(a, Literal(p, StringType), esc) if attr(a).isDefined && p != null =>
+        val prefix = likeLiteralPrefix(p.toString, esc)
+        if (prefix.isEmpty) True else prefixBound(attr(a).get, prefix)
+
+      // a NOT LIKE 'p' (reference NotLikeMatch, conversions.rs:29): prune
+      // only constant groups whose single value matches the pattern
+      case Not(like @ Like(a, l @ Literal(p, StringType), '\\'))
+          if attr(a).isDefined && p != null =>
         val c = attr(a).get
-        val len = l.value.toString.length
-        And(
-          keep(GreaterThanOrEqual(maxCol(c), l)),
-          keep(LessThanOrEqual(Substring(minCol(c), Literal(1), Literal(len)), l)))
+        keep(Not(And(And(
+          EqualTo(minCol(c), maxCol(c)),
+          Like(minCol(c), l, '\\')),
+          EqualTo(Coalesce(Seq(nullCountCol(c), Literal(1L))), Literal(0L)))))
 
       // a != lit  ⇒  prune only constant groups: !(min = lit && max = lit && nulls = 0)
       case Not(EqualTo(a, l: Literal)) if attr(a).isDefined && !isNaN(l) =>

@@ -81,7 +81,12 @@ class PruningSoundnessSpec extends SparkSpec {
       ("boolean case as predicate",
         when(col("k") < 100, true).otherwise(false)),
       ("case over nullable col, else-reachable",
-        when(col("k") >= 0, "pos").otherwise("neg") === "neg")
+        when(col("k") >= 0, "pos").otherwise("neg") === "neg"),
+      // general LIKE (reference LikeMatch/NotLikeMatch, conversions.rs:28-29)
+      ("like with infix wildcard", col("s").like("de%a2")),
+      ("like underscore", col("s").like("gamm_5")),
+      ("like no prefix (scan all)", col("s").like("%ta3")),
+      ("not like", !col("s").like("alpha%"))
     )
   }
 
@@ -150,6 +155,17 @@ class PruningSoundnessSpec extends SparkSpec {
     val all = fileIndexStats(fileIndex).allFiles()
       .map(p => p.fileName -> p.scanRowGroups).toMap
     assert(viaCase != all, "CASE predicate did not prune at all")
+  }
+
+  test("underscore LIKE prunes via its literal prefix (conversions.rs:28)") {
+    val (_, df, fileIndex) = env
+    def plans() = fileIndex.lastExecution.get.plans
+      .map(p => p.fileName -> p.scanRowGroups).toMap
+    df.filter(col("s").startsWith("gamm")).count()
+    val viaPrefix = plans()
+    df.filter(col("s").like("gamm_7")).count() // '_' survives LikeSimplification
+    assert(plans() == viaPrefix,
+      "LIKE with a wildcard tail must prune exactly like its literal prefix")
   }
 
   test("unsupported-type column is silently skipped; predicates on it scan all") {
