@@ -192,6 +192,41 @@ object TextAnalysis {
            |  AND $nStop * 100 >= $nTok * 2 AND $nStop * 100 <= $nTok * 40
            |GROUP BY md5(text)
            |HAVING substr(md5(text), 1, 1) < '8'""".stripMargin
-      })
+      }),
+
+    // ----- deterministic sequence packing -----------------------------------
+    // The step between a curated corpus and a training run: assign each
+    // document to a fixed-token-budget training sequence. Greedy packing is
+    // inherently sequential, so it is SHARDED: documents are hashed into 16
+    // md5 shards, ordered within the shard (deterministic), and a windowed
+    // running token count places each doc at sequence floor(offset/budget).
+    // One shuffle (by shard), window state O(1) — at 100 TB the shard count
+    // is the parallelism knob and no global sort ever happens.
+    QueryDef(
+      "tx7_pack",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 512L
+        val t = Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+          size(tokens(col("text"))).cast("long").as("nt"))
+        val w = Window.partitionBy("shard").orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.withColumn("cum", sum(col("nt")).over(w))
+          .select(col("doc_id"), col("shard"),
+            // start-offset division: exact for doc counts < 2^53
+            ((col("cum") - col("nt")) / lit(budget)).cast("long").as("seq"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) shard,
+             |    len(string_split(text, ' ')) nt
+             |  FROM documents),
+             |c AS (SELECT doc_id, shard, nt,
+             |    sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+             |                  ROWS UNBOUNDED PRECEDING) cum
+             |  FROM t)
+             |SELECT doc_id, shard, CAST((cum - nt) // 512 AS BIGINT) AS seq
+             |FROM c""".stripMargin))
   )
 }
