@@ -227,6 +227,31 @@ object TextAnalysis {
              |                  ROWS UNBOUNDED PRECEDING) cum
              |  FROM t)
              |SELECT doc_id, shard, CAST((cum - nt) // 512 AS BIGINT) AS seq
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // ----- per-source rate capping ------------------------------------------
+    // Corpus-curation staple (domain capping): keep at most N documents per
+    // source, chosen deterministically by md5(text) order so the sample is
+    // reproducible and not biased toward low doc_ids. The rank<=N filter is
+    // planned as WindowGroupLimit (Spark 3.5+): each partition keeps a
+    // bounded top-N heap per source — a hot source never materializes its
+    // full membership in one task's sort.
+    QueryDef(
+      "tx8_source_cap",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cap = 50
+        val w = Window.partitionBy("source")
+          .orderBy(md5(col("text")).asc, col("doc_id").asc)
+        Tables.load(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= cap)
+          .select("doc_id", "source", "rn")
+      },
+      Some("""SELECT doc_id, source, rn FROM (
+             |  SELECT doc_id, source, row_number() OVER (
+             |      PARTITION BY source ORDER BY md5(text), doc_id) rn
+             |  FROM documents) t
+             |WHERE rn <= 50""".stripMargin))
   )
 }
