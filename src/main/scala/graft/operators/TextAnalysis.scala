@@ -135,23 +135,29 @@ object TextAnalysis {
     QueryDef(
       "tx5_winnow",
       (s, dir) => {
-        val K = 8; val W = 4
-        // entirely narrow (no explode-then-window, no distinct exchange):
-        // the gram-hash array is materialized once per document (own
-        // projection — a lambda-internal substr/md5 would re-evaluate per
-        // element), window minima are array_min over W-slices, and
-        // array_distinct completes the per-document fingerprint set —
-        // doc_ids are disjoint so the output is globally distinct with
-        // ZERO shuffles; at 100 TB this is one map-only pass
+        val K = 8; val W = 4 // W must stay a power of two for the doubling
+        // entirely narrow (no explode-then-window, no distinct exchange)
+        // and strictly O(n·log W): window minima come from log2(W)
+        // zip_with passes against shifted copies — arrays only ever appear
+        // as zip_with/slice ARGUMENTS (evaluated once per row), never
+        // inside a lambda body, so CollapseProject cannot inline the
+        // md5-array construction into a per-window re-evaluation (the
+        // O(n²) trap an array_min-over-slices formulation falls into).
+        // doc_ids are disjoint so per-doc array_distinct makes the output
+        // globally distinct with ZERO shuffles: one map-only pass at 100 TB.
+        def pairMin(a: Column, shift: Int): Column =
+          zip_with(a, slice(a, lit(shift + 1), size(a)),
+            (x, y) => when(y.isNull, x).otherwise(least(x, y)))
         val df = Tables.load(s, dir, "documents")
           .where(length(col("text")) >= K + W - 1) // need >= 1 full window
           .select(col("doc_id"),
             transform(sequence(lit(0), length(col("text")) - K),
-              i => md5(col("text").substr(i + 1, lit(K)))).as("harr"),
+              i => md5(col("text").substr(i + 1, lit(K)))).as("h1"),
             (length(col("text")) - (K + W - 2)).as("nw")) // #windows
+          .select(col("doc_id"), col("nw"), pairMin(col("h1"), 1).as("h2"))
+          .select(col("doc_id"), col("nw"), pairMin(col("h2"), 2).as("h4"))
         df.select(col("doc_id"),
-          explode(array_distinct(transform(sequence(lit(0), col("nw") - 1),
-            j => array_min(slice(col("harr"), j + 1, lit(W)))))).as("fp"))
+          explode(array_distinct(slice(col("h4"), lit(1), col("nw")))).as("fp"))
       },
       Some("""WITH g AS (SELECT doc_id, length(text) - 7 AS ng, i AS pos,
              |    md5(substr(text, CAST(i + 1 AS INT), 8)) AS h
