@@ -53,6 +53,19 @@ object Dedup {
   val MinhashCount = 12
   val Bands = 4 // 3 rows per band
 
+  /** 40-bit multiply-shift minhash family: deterministic constants derived
+    * from md5 at plan time (ann2's plane-sign pattern) and inlined into
+    * both the Spark plan and the oracle SQL. */
+  val MhMask: Long = (1L << 40) - 1
+  private def mdLong(seed: String, bits: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes("UTF-8"))
+    val v = (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (h(i) & 0xFFL))
+    v & ((1L << bits) - 1)
+  }
+  def mhA(i: Int): Long = mdLong(s"mh-a:$i", 20) | 1L // odd, < 2^20
+  def mhB(i: Int): Long = mdLong(s"mh-b:$i", 40)      // < 2^40
+
   /** Posting-list cap for the inverted-index Jaccard path: shingle buckets
     * with more than this many distinct documents are DROPPED before pair
     * expansion. A hot shingle (stop-phrase) with 10⁴ docs would otherwise
@@ -125,14 +138,21 @@ object Dedup {
               |WHERE c * 10 >= (na.ns + nb.ns - c) * 6""".stripMargin)),
 
     // ----- MinHash + LSH banding --------------------------------------------
-    // 12 salted-md5 minhashes, 4 bands x 3 rows; candidate pairs = docs
-    // sharing any band bucket. Deterministic: same md5 stream both engines.
+    // 12 minhashes derived from ONE md5 per shingle (the salted-12-md5
+    // variant cost 12 digests per shingle — the dominant dd3 cost): the
+    // first 10 hex chars give a 40-bit base hash, and each minhash is a
+    // multiply-shift image (A_i·h + B_i) & (2^40−1) with A_i odd < 2^20,
+    // B_i < 2^40 — products stay < 2^61, overflow-free BIGINT arithmetic
+    // that is bit-identical in DuckDB. 4 bands x 3 rows as before.
     QueryDef(
       "dd3_minhash_lsh",
       (s, dir) => {
         val sh = shingleDf(s, dir)
-        val mhCols = (0 until MinhashCount).map(h =>
-          min(md5(concat(lit(s"$h:"), col("s")))).as(s"mh$h"))
+        val base = conv(substring(md5(col("s")), 1, 10), 16, 10).cast("long")
+        val mhCols = (0 until MinhashCount).map { h =>
+          min((lit(mhA(h)) * base + lit(mhB(h))).bitwiseAND(lit(MhMask)))
+            .as(s"mh$h")
+        }
         val sig = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
         // single pass: melt the 4 band keys per doc (no union, no self-join
         // — the signature subtree is computed exactly once), bucket by
@@ -155,15 +175,26 @@ object Dedup {
           .select(col("p.a").as("a"), col("p.b").as("b"))
           .distinct()
       },
-      Some(s"""WITH $shingleSql,
-              |mh AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || s)) m
-              |       FROM sh CROSS JOIN range($MinhashCount) t(h) GROUP BY doc_id, h),
-              |bands AS (SELECT doc_id, h // 3 AS band,
-              |                 md5(string_agg(m, '|' ORDER BY h)) bkey
-              |          FROM mh GROUP BY doc_id, h // 3)
-              |SELECT DISTINCT x.doc_id a, y.doc_id b
-              |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
-              |WHERE x.doc_id < y.doc_id""".stripMargin)),
+      Some {
+        val mhSelects = (0 until MinhashCount).map(h =>
+          s"min((${mhA(h)} * b + ${mhB(h)}) & $MhMask) mh$h").mkString(",\n  ")
+        val bandRows = (0 until Bands).map { bnd =>
+          val key = (0 until 3).map(r => s"CAST(mh${bnd * 3 + r} AS VARCHAR)")
+            .mkString(" || '|' || ")
+          s"SELECT doc_id, $bnd AS band, md5($key) bkey FROM sig"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $shingleSql,
+           |base AS (SELECT doc_id,
+           |    CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) b FROM sh),
+           |sig AS (SELECT doc_id,
+           |  $mhSelects
+           |  FROM base GROUP BY doc_id),
+           |bands AS (
+           |$bandRows)
+           |SELECT DISTINCT x.doc_id a, y.doc_id b
+           |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+           |WHERE x.doc_id < y.doc_id""".stripMargin
+      }),
 
     // ----- SimHash fingerprints ---------------------------------------------
     // 16-bit simhash over token counts; bit j set iff the weighted sum of
