@@ -46,6 +46,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("graft_dot"), "native dot expression should be in the plan")
   }
 
+  test("idx7: row-group skip scan is the columnar plan node") {
+    val df = SparkEntry.queries("idx7_rgskip")(spark, dir)
+    df.collect() // materialize THIS plan's AQE final form, with transitions
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RowGroupScan"), p.take(2000))
+    // supportsColumnar leaf => Spark wraps it in its codegen ColumnarToRow
+    assert(p.contains("ColumnarToRow"), p.take(2000))
+  }
+
   test("bf1: bloom probe is a codegen expression, not a UDF") {
     val p = plan("bf1_bloom_semijoin")
     assert(p.contains("might_contain"), p.take(2000))
