@@ -63,6 +63,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"), p.take(2000))
   }
 
+  test("no ScalaUDF anywhere in the 67-query operator surface") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.fn(spark, dir).queryExecution.analyzed
+      val hasUdf = plan.collectWithSubqueries { case p =>
+        p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF]))
+      }.exists(identity)
+      if (hasUdf) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"UDFs found in: $offenders")
+  }
+
   test("dd1_exact: aggregation is partial before the exchange (map-side combine)") {
     val p = plan("dd1_exact")
     val firstAgg = p.indexOf("HashAggregate")
