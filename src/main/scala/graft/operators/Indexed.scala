@@ -159,6 +159,19 @@ object Indexed {
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
              |WHERE l_orderkey IN (1, 1000, 100000)""".stripMargin)),
 
+    // CASE predicate through the index (conversions.rs:73-81 parity,
+    // end-to-end): the branch-interval union prunes files whose l_orderkey
+    // range cannot reach the 'small' branch
+    QueryDef(
+      "idx10_case",
+      (s, dir) => lineitemIndexed(s, dir)
+        .filter(when(col("l_orderkey") < 300, "small").otherwise("big") === "small")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
+             |WHERE (CASE WHEN l_orderkey < 300 THEN 'small' ELSE 'big' END) = 'small'
+             |GROUP BY l_returnflag""".stripMargin)),
+
     // row-level key index (the reference's named "precise index" extension,
     // index.rs:30-35): exact key -> (file, row_group) postings; scans only
     // row groups where the key OCCURS, not merely where its range overlaps
