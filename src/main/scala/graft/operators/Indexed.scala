@@ -172,6 +172,26 @@ object Indexed {
              |WHERE (CASE WHEN l_orderkey < 300 THEN 'small' ELSE 'big' END) = 'small'
              |GROUP BY l_returnflag""".stripMargin)),
 
+    // SQL over the REGISTERED indexed table — the reference's flagship
+    // wiring (ctx.register_table("indexed", provider) + ctx.sql, main.rs:
+    // 120-186): the view resolves to the index-backed relation, so SQL
+    // text gets file/row-group pruning transparently
+    QueryDef(
+      "idx11_sql_indexed",
+      (s, dir) => {
+        lineitemIndexed(s, dir).createOrReplaceTempView("lineitem_indexed")
+        s.sql("""SELECT l_returnflag, count(*) AS n,
+                |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+                |FROM lineitem_indexed
+                |WHERE l_orderkey < 1000
+                |GROUP BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+             |FROM lineitem
+             |WHERE l_orderkey < 1000
+             |GROUP BY l_returnflag""".stripMargin)),
+
     // row-level key index (the reference's named "precise index" extension,
     // index.rs:30-35): exact key -> (file, row_group) postings; scans only
     // row groups where the key OCCURS, not merely where its range overlaps

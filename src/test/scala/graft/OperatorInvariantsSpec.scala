@@ -21,6 +21,15 @@ class OperatorInvariantsSpec extends SparkSpec {
       s"LSH missed true near-dup pairs: ${truth -- lsh}")
   }
 
+  test("SQL over the registered indexed table prunes files at plan time") {
+    run("idx11_sql_indexed").collect()
+    val exec = graft.operators.Indexed.lastExecution(spark, dir)
+    assert(exec.isDefined)
+    val scanned = exec.get.scannedFiles.size
+    assert(scanned > 0 && scanned < 8,
+      s"expected the l_orderkey<1000 SQL query to prune the 8-file fixture, scanned=$scanned")
+  }
+
   test("exact dedup keeps every distinct document") {
     val docs = Tables.load(spark, dir, "documents").count()
     val kept = run("dd1_exact").count()
