@@ -203,11 +203,12 @@ object TextAnalysis {
     // ----- deterministic sequence packing -----------------------------------
     // The step between a curated corpus and a training run: assign each
     // document to a fixed-token-budget training sequence. Greedy packing is
-    // inherently sequential, so it is SHARDED: documents are hashed into 16
-    // md5 shards, ordered within the shard (deterministic), and a windowed
-    // running token count places each doc at sequence floor(offset/budget).
-    // One shuffle (by shard), window state O(1) — at 100 TB the shard count
-    // is the parallelism knob and no global sort ever happens.
+    // inherently sequential, so it is SHARDED: documents are hashed into 256
+    // md5 shards (the md5-prefix length is the parallelism knob — widen it
+    // as the corpus grows), ordered within the shard (deterministic), and a
+    // windowed running token count places each doc at sequence
+    // floor(offset/budget). One shuffle (by shard), O(1) window state, no
+    // global sort ever happens.
     QueryDef(
       "tx7_pack",
       (s, dir) => {
@@ -215,7 +216,7 @@ object TextAnalysis {
         val budget = 512L
         val t = Tables.load(s, dir, "documents").select(
           col("doc_id"),
-          substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+          substring(md5(col("doc_id").cast("string")), 1, 2).as("shard"),
           size(tokens(col("text"))).cast("long").as("nt"))
         val w = Window.partitionBy("shard").orderBy(col("doc_id").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -225,7 +226,7 @@ object TextAnalysis {
             ((col("cum") - col("nt")) / lit(budget)).cast("long").as("seq"))
       },
       Some("""WITH t AS (SELECT doc_id,
-             |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) shard,
+             |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) shard,
              |    len(string_split(text, ' ')) nt
              |  FROM documents),
              |c AS (SELECT doc_id, shard, nt,
