@@ -43,6 +43,9 @@ object ExprToDerbySql {
     case Subtract(l, r, _) => s"(${print(l)} - ${print(r)})"
     case Multiply(l, r, _) => s"(${print(l)} * ${print(r)})"
     case Divide(l, r, _)   => s"(${print(l)} / ${print(r)})"
+    // BIGINT '/' in Derby truncates toward zero, matching IntegralDivide;
+    // the rewriter only emits it with non-negative numerators
+    case d: IntegralDivide => s"(${print(d.left)} / ${print(d.right)})"
     case UnaryMinus(c, _)  => s"(- ${print(c)})"
 
     case Cast(c, dt, _, _) =>

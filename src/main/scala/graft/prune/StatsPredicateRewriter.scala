@@ -79,6 +79,44 @@ object StatsPredicateRewriter {
     sb.toString
   }
 
+  private def integralLong(l: Literal): Option[Long] = l.value match {
+    case b: java.lang.Byte    => Some(b.longValue)
+    case s: java.lang.Short   => Some(s.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case j: java.lang.Long    => Some(j.longValue)
+    case _ => None
+  }
+
+  /** Modulo point predicate `a % k = c` / `pmod(a, k) = c` (k > 0
+    * literal) — the reference's Modulo operator (conversions.rs:20-31),
+    * made SOUND in stats space: on a non-negative domain,
+    * ∃x∈[min,max]: x ≡ c (mod k)  ⟺  ⌊(max−c)/k⌋ ≥ ⌈(min−c)/k⌉, computed
+    * with truncating integer division (= floor, since every numerator is
+    * non-negative there). Row groups touching negatives are conservatively
+    * kept (truncation ≠ floor below zero); c outside the operator's
+    * reachable range prunes outright. Prunes when the group's value range
+    * is narrower than k — clustered/sorted keys. */
+  private def moduloEq(c0: String, k: Long, c: Long, pmod: Boolean): Expression = {
+    val minL = Cast(minCol(c0), LongType)
+    val maxL = Cast(maxCol(c0), LongType)
+    val negDomain = LessThan(minL, Literal(0L))
+    val res: Expression =
+      if (c >= k) Literal.FalseLiteral // |result| < k for both operators
+      else if (c < 0) {
+        // pmod is never negative; remainder is negative only for x < 0
+        if (pmod) Literal.FalseLiteral else negDomain
+      } else {
+        val exists = And(
+          GreaterThanOrEqual(maxL, Literal(c)),
+          Or(LessThanOrEqual(minL, Literal(c)),
+            GreaterThanOrEqual(
+              IntegralDivide(Subtract(maxL, Literal(c)), Literal(k)),
+              IntegralDivide(Subtract(minL, Literal(c - k + 1)), Literal(k)))))
+        Or(negDomain, exists)
+      }
+    keep(res)
+  }
+
   /** NaN ordering is writer-dependent in parquet stats and Derby cannot
     * represent non-finite DOUBLE literals — both rewrite to TRUE. */
   private def isNaN(l: Literal): Boolean = l.value match {
@@ -288,6 +326,18 @@ object StatsPredicateRewriter {
         keep(GreaterThanOrEqual(affine(x).get.hi, l))
       case GreaterThanOrEqual(l: Literal, x) if affine(x).isDefined && !isNaN(l) =>
         keep(LessThanOrEqual(affine(x).get.lo, l))
+
+      // a % k = c / pmod(a, k) = c, k > 0 literal (conversions.rs:20-31)
+      case EqualTo(Remainder(a: Attribute, kl: Literal, _), c: Literal)
+          if attr(a).isDefined && integralLong(kl).exists(_ > 0) &&
+            integralLong(c).isDefined =>
+        moduloEq(attr(a).get, integralLong(kl).get, integralLong(c).get, pmod = false)
+      case EqualTo(c: Literal, r @ Remainder(_, _, _)) => rw(EqualTo(r, c))
+      case EqualTo(Pmod(a: Attribute, kl: Literal, _), c: Literal)
+          if attr(a).isDefined && integralLong(kl).exists(_ > 0) &&
+            integralLong(c).isDefined =>
+        moduloEq(attr(a).get, integralLong(kl).get, integralLong(c).get, pmod = true)
+      case EqualTo(c: Literal, p @ Pmod(_, _, _)) => rw(EqualTo(p, c))
 
       case IsNull(a) if attr(a).isDefined =>
         keep(GreaterThan(nullCountCol(attr(a).get), Literal(0L)))

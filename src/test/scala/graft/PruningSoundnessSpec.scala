@@ -62,7 +62,9 @@ class PruningSoundnessSpec extends SparkSpec {
       ("s startsWith", col("s").startsWith("de")),
       ("and mix", col("k") > klit && col("s") >= "beta"),
       ("or mix", col("k") < klit || col("s") === ("zeta" + rng.nextInt(10))),
-      ("arith (unknown shape -> scan all)", col("k") % 7 === 3),
+      ("modulo point (prunes narrow groups)", col("k") % 7 === 3),
+      ("pmod point", pmod(col("k"), lit(9)) === 2),
+      ("modulo unreachable target", col("k") % 5 === 7),
       // affine interval arithmetic (reference conversions.rs:14-32 rows)
       ("k + c < lit", col("k") + 13 < klit),
       ("c - k >= lit", lit(100) - col("k") >= klit),

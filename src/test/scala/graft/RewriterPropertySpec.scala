@@ -40,7 +40,8 @@ class RewriterPropertySpec extends AnyFunSuite {
   private val genPred: Gen[Expression] = {
     def cmp: Gen[Expression] = for {
       l <- genLit
-      shape <- Gen.oneOf(0 to 7)
+      k <- Gen.chooseNum(2, 9)
+      shape <- Gen.oneOf(0 to 9)
     } yield shape match {
       case 0 => EqualTo(attr, Literal(l))
       case 1 => LessThan(attr, Literal(l))
@@ -50,6 +51,8 @@ class RewriterPropertySpec extends AnyFunSuite {
       case 5 => EqualTo(Add(attr, Literal(7)), Literal(l))
       case 6 => LessThan(Multiply(attr, Literal(-3)), Literal(l))
       case 7 => In(attr, Seq(Literal(l), Literal(l + 3), Literal(l - 11)))
+      case 8 => EqualTo(Remainder(attr, Literal(k)), Literal(l % 13 - 3))
+      case 9 => EqualTo(Pmod(attr, Literal(k)), Literal(l % 13 - 3))
     }
     // CASE shapes, both as authored and as the optimizer canonicalizes
     // them (boolean CaseWhen, `p <=> true`, `NOT (p <=> true)`)
@@ -113,5 +116,26 @@ class RewriterPropertySpec extends AnyFunSuite {
     val r3 = StatsPredicateRewriter.rewrite(
       EqualTo(Add(attr, Literal(100)), Literal(999)), Set("k"))
     assert(evalWith(r3, stats + ("k" -> 0)) != true)
+  }
+
+  test("precision: modulo prunes groups narrower than the modulus") {
+    val stats = Map[String, Any](
+      "k_min" -> 10, "k_max" -> 12, "k_null_count" -> 0L, "row_count" -> 50L)
+    def modEq(k: Int, c: Int) = StatsPredicateRewriter.rewrite(
+      EqualTo(Remainder(attr, Literal(k)), Literal(c)), Set("k"))
+    // [10,12] contains nothing ≡ 6 (mod 7): 6 < 10 < 13
+    assert(evalWith(modEq(7, 6), stats + ("k" -> 0)) != true)
+    // 11 ≡ 4 (mod 7) → keep
+    assert(evalWith(modEq(7, 4), stats + ("k" -> 0)) == true)
+    // c >= k is unreachable → prune even wide groups
+    assert(evalWith(modEq(7, 9), stats + ("k" -> 0)) != true)
+    // groups touching negatives are conservatively kept
+    val negStats = Map[String, Any](
+      "k_min" -> -5, "k_max" -> -2, "k_null_count" -> 0L, "row_count" -> 50L)
+    assert(evalWith(modEq(7, 6), negStats + ("k" -> 0)) == true)
+    // pmod with negative target is globally unreachable
+    val p = StatsPredicateRewriter.rewrite(
+      EqualTo(Pmod(attr, Literal(7)), Literal(-2)), Set("k"))
+    assert(evalWith(p, negStats + ("k" -> 0)) != true)
   }
 }
