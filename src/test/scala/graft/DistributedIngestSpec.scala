@@ -58,4 +58,26 @@ class DistributedIngestSpec extends SparkSpec {
     assert(dist.allFiles() == serial.allFiles())
     dist.close(); serial.close()
   }
+
+  test("concurrent ingest from many partitions does not deadlock or drop files") {
+    val (base, _, idxSchema) = env
+    import spark.implicits._
+    // 48 synthetic FileStats ingested from 12 concurrent partitions —
+    // exercises Derby's lock handling under parallel per-file transactions
+    val stats = (0 until 48).map { i =>
+      graft.index.FileStats(f"syn-$i%03d.parquet", 1000L + i, 100L,
+        Vector(graft.index.RowGroupStats(0, 100L, 4L, 900L,
+          Map("k" -> graft.index.ColumnStats(Some(0L), Some(i.toLong), Some(i + 100L))))))
+    }
+    val idx = new graft.index.DerbyStatsIndex(s"$base/db-conc", idxSchema)
+    idx.initialize(idxSchema)
+    idx.ingestAll(spark.sparkContext.parallelize(stats, 12))
+    val files = idx.allFiles()
+    assert(files.size == 48)
+    assert(files.map(_.fileName).toSet == stats.map(_.fileName).toSet)
+    // concurrent RE-ingest (every partition upserting existing files)
+    idx.ingestAll(spark.sparkContext.parallelize(stats, 12))
+    assert(idx.allFiles().size == 48)
+    idx.close()
+  }
 }
