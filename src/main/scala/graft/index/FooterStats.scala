@@ -63,7 +63,11 @@ object FooterStats {
   def read(path: Path, conf: Configuration, indexedCols: Seq[String]): FileStats = {
     val fs = path.getFileSystem(conf)
     val status = fs.getFileStatus(path)
-    val footer = ParquetFileReader.readFooter(conf, path, ParquetMetadataConverter.NO_FILTER)
+    val reader = ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf),
+      org.apache.parquet.ParquetReadOptions.builder()
+        .withMetadataFilter(ParquetMetadataConverter.NO_FILTER).build())
+    val footer = try reader.getFooter finally reader.close()
     val schema = footer.getFileMetaData.getSchema
     val wanted = indexedCols.toSet
 
