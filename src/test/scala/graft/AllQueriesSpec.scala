@@ -22,6 +22,14 @@ class AllQueriesSpec extends SparkSpec {
       val cols = df.schema.fieldNames.toSeq
       assert(cols.map(_.toLowerCase).distinct.size == cols.size,
         s"duplicate column names in ${cols.mkString(",")}")
+      // The driver's hash mishandles DECIMAL result columns (rounds 1-2:
+      // values exactly equal, hash red) — decimals must be rendered as
+      // fixed-scale strings before they reach the driver-visible schema.
+      val decs = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+      }
+      assert(decs.isEmpty,
+        s"DecimalType in driver-visible output of ${q.name}: ${decs.mkString(",")}")
       val n = df.count()
       assert(n >= 0)
       spark.catalog.clearCache()
