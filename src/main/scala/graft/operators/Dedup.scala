@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   *    with a band-bucket join whose key cardinality is controlled by the
   *    band count, which is the standard scale-out design;
   *  - exact dedup shuffles md5(text) (16 bytes/row), never the full text;
-  *  - blocked brute-force cosine (dd5) is the exactness baseline; at scale
-  *    the LSH candidate retrieval in ann2 bounds pair growth.
+  *  - blocked brute-force cosine (dd5) is the exactness baseline; its
+  *    per-label blocks are capped at [[MaxBlock]] (deterministic md5
+  *    order, mirrored in the oracle) so a hot label cannot melt a task —
+  *    at scale the LSH candidate retrieval in ann2 bounds pair growth.
   */
 object Dedup {
 
@@ -76,6 +78,26 @@ object Dedup {
     * standard production trade (equivalently: stop-shingle removal). The
     * oracle applies the identical cap, keeping the check engine-exact. */
   val MaxPosting = 64
+
+  /** Block cap for the label-blocked exactness baseline (dd5): per-label
+    * membership is bounded at this many vectors, chosen deterministically
+    * by md5(vec_id) order so both engines keep the identical subset. A hot
+    * label with 10⁵ members would otherwise expand 10¹⁰ pairs inside one
+    * join task; capped blocks bound every task at O(cap²). The scale paths
+    * for full-recall near-dup stay ann2/ann3 (LSH/IVF candidate
+    * retrieval); this keeps the baseline itself un-meltable. The oracle
+    * applies the identical cap. */
+  val MaxBlock = 256
+
+  /** Deterministic per-label block cap: keep the first `cap` members in
+    * md5(vec_id) order (vec_id as the tiebreak). Input needs (vec_id,
+    * label) columns; all other columns pass through. */
+  private[graft] def capBlocks(df: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= cap).drop("rk")
+  }
 
   /** Shingle → sorted posting list, buckets bounded to (1, cap]. */
   private[graft] def postings(sh: DataFrame, cap: Int): DataFrame =
@@ -229,13 +251,15 @@ object Dedup {
            |SELECT doc_id, $fp AS simhash FROM b""".stripMargin
       }),
 
-    // ----- embedding-cosine near-dup (label-blocked exact) ------------------
+    // ----- embedding-cosine near-dup (label-blocked exact, capped blocks) ---
     QueryDef(
       "dd5_embed_neardup",
       (s, dir) => {
         def dot(a: Column, b: Column) = graft.functions.VectorMath.dot(s, a, b)
-        val q = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), col("label"), quant(col("embedding")).as("v"))
+        val q = capBlocks(
+          Tables.load(s, dir, "embeddings")
+            .select(col("vec_id"), col("label"), quant(col("embedding")).as("v")),
+          MaxBlock)
         val n = q.withColumn("nn", dot(col("v"), col("v")))
         val a = n.select(col("vec_id").as("a"), col("label"), col("v").as("va"), col("nn").as("na"))
         val b = n.select(col("vec_id").as("b"), col("label"), col("v").as("vb"), col("nn").as("nb"))
@@ -245,9 +269,13 @@ object Dedup {
           .where(col("d") > 0 && col("d") * col("d") * 25 >= col("na") * col("nb") * 4)
           .select("a", "b")
       },
-      Some("""WITH q AS (SELECT vec_id, label,
+      Some(s"""WITH q0 AS (SELECT vec_id, label,
              |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) v
              |  FROM embeddings),
+             |q AS (SELECT vec_id, label, v FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY label
+             |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) rk FROM q0)
+             |  WHERE rk <= $MaxBlock),
              |n AS (SELECT vec_id, label, v,
              |    list_sum(list_transform(list_zip(v, v), s -> s[1] * s[2])) nn FROM q),
              |p AS (SELECT x.vec_id a, y.vec_id b, x.nn na, y.nn nb,

@@ -71,24 +71,37 @@ object Sketches {
              |  AND list_contains(string_split(text, ' '), 'window')""".stripMargin)),
 
     // ----- mergeable sketches: HLL distinct + approximate quantiles ---------
-    // ROWS-ONLY BY DESIGN: a sketch's output is the estimate, and estimates
-    // are engine-specific by construction (Spark HLL++ vs DuckDB's HLL use
-    // different hash functions and register layouts; GK quantile summaries
-    // differ likewise), so no cross-engine SQL oracle can hash-match without
-    // replacing the sketch with the exact computation it exists to avoid.
-    // The correctness obligation is discharged by SketchAccuracySpec, which
-    // pins both estimates against the EXACT answers (count distinct /
-    // percentile) within the configured error bounds at two scale factors.
+    // A sketch's raw estimate is engine-specific by construction (Spark
+    // HLL++ vs DuckDB's HLL use different hash functions and register
+    // layouts; GK quantile summaries differ likewise), so the raw estimates
+    // can never hash-match a cross-engine oracle. The estimates ARE
+    // deterministic on fixed data, though — so the driver-visible output is
+    // per-group accuracy booleans: Spark computes both the sketch and the
+    // exact answer in one aggregate and emits `|approx − exact| ≤ bound`;
+    // the oracle emits the same booleans from exact computation alone
+    // (TRUE — the bounds are pre-verified constants, pinned by
+    // SketchAccuracySpec at two scale factors: HLL rsd=0.02 holds within
+    // 6% = 3σ, GK median with accuracy=1000 sits inside the exact IQR).
     QueryDef(
       "sk1_sketches",
       (s, dir) => {
         Tables.load(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-              .as("approx_median_price"))
+            approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+            countDistinct(col("l_partkey")).as("ex"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+            expr("percentile(l_extendedprice, 0.25)").as("lo"),
+            expr("percentile(l_extendedprice, 0.75)").as("hi"))
+          .select(col("l_returnflag"),
+            (abs(col("ap") - col("ex")).cast("double") <= col("ex") * 0.06)
+              .as("parts_within_6pct"),
+            (col("am") >= col("lo") && col("am") <= col("hi"))
+              .as("median_within_iqr"))
       },
-      None)
+      Some("""SELECT l_returnflag,
+             |  TRUE AS parts_within_6pct,
+             |  TRUE AS median_within_iqr
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
   )
 }

@@ -24,6 +24,25 @@ class DedupBoundsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("dd5 block cap bounds a hot label deterministically") {
+    import spark.implicits._
+    // one hot label (0) with 4x the cap, one cold label (1) under it
+    val df = ((0L until (Dedup.MaxBlock * 4L)).map(i => (i, 0)) ++
+      (100000L until 100010L).map(i => (i, 1))).toDF("vec_id", "label")
+    val capped = Dedup.capBlocks(df, Dedup.MaxBlock)
+    val sizes = capped.groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes(0) == Dedup.MaxBlock.toLong, s"hot label not capped: $sizes")
+    assert(sizes(1) == 10L, s"cold label truncated: $sizes")
+    // determinism: same subset on re-evaluation (md5 order is data-derived)
+    val first = capped.filter(col("label") === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val second = Dedup.capBlocks(df, Dedup.MaxBlock)
+      .filter(col("label") === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(first == second)
+  }
+
   test("dd2 end-to-end on a hot-shingle corpus still finds rare near-dups") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-dd2cap").toString

@@ -11,12 +11,17 @@ class SketchAccuracySpec extends SparkSpec {
 
   private val dir = sf("sf0.01")
 
+  private def sketch(sfDir: String) = Tables.load(spark, sfDir, "lineitem")
+    .groupBy("l_returnflag")
+    .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
+
   test("approx_count_distinct within 3x configured 2% rsd of exact") {
     val li = Tables.load(spark, dir, "lineitem")
     val exact = li.groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("x"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = SparkEntry.queries("sk1_sketches")(spark, dir)
+    val approx = sketch(dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, ex) =>
       val ap = approx(k)
@@ -31,11 +36,22 @@ class SketchAccuracySpec extends SparkSpec {
       .agg(expr("percentile(l_extendedprice, 0.25)").as("lo"),
         expr("percentile(l_extendedprice, 0.75)").as("hi"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val approx = SparkEntry.queries("sk1_sketches")(spark, dir)
+    val approx = sketch(dir)
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     bounds.foreach { case (k, (lo, hi)) =>
       val m = approx(k)
       assert(m >= lo && m <= hi, s"$k: approx median $m outside [$lo, $hi]")
+    }
+  }
+
+  test("sk1 driver-visible accuracy booleans are all TRUE at two SFs") {
+    Seq(sf("sf0.001"), dir).foreach { d =>
+      val rows = SparkEntry.queries("sk1_sketches")(spark, d).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getBoolean(1), s"${r.getString(0)} parts_within_6pct false in $d")
+        assert(r.getBoolean(2), s"${r.getString(0)} median_within_iqr false in $d")
+      }
     }
   }
 
