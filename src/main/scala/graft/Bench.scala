@@ -16,22 +16,32 @@ object Bench {
     try operators.Indexed.lineitemIndexed(spark, sfDir).count()
     catch { case _: Throwable => () }
     // steady-state timing: one untimed warmup run per query (JIT + codegen
-    // compilation of each query's generated classes), then the measured run
-    // — run-to-run variance drops ~5x and the number reflects throughput,
-    // not JVM warmup order
+    // compilation of each query's generated classes), then the MEDIAN of 3
+    // measured runs — a single GC/contention burst in this shared sandbox
+    // can otherwise inflate one run 10x and fabricate a phantom regression.
+    // A query that throws reports -1 and is listed in "failures" instead of
+    // silently contributing a near-zero timing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // per-query caches must not leak across timings
-      name -> dt
-    }.toMap
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // per-query caches must not leak across timings
+        (dt, ok)
+      }
+      val med = runs.map(_._1).sorted.apply(runs.size / 2)
+      name -> (if (runs.forall(_._2)) med else -1.0)
+    }
+    val failures = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
