@@ -48,6 +48,18 @@ object ExprToDerbySql {
     case d: IntegralDivide => s"(${print(d.left)} / ${print(d.right)})"
     case UnaryMinus(c, _)  => s"(- ${print(c)})"
 
+    // 4-corner interval products from the rewriter: Derby has no
+    // LEAST/GREATEST, so fold as nested CASE. NULL corners take the ELSE
+    // branch (wrong value), which is safe only because `keep()` above ORs
+    // an IS NULL disjunct for every referenced stats column — the CASE
+    // chain's value is never consulted when any input is NULL.
+    case Least(children) =>
+      children.map(print).reduce((a, b) =>
+        s"CASE WHEN $a <= $b THEN $a ELSE $b END")
+    case Greatest(children) =>
+      children.map(print).reduce((a, b) =>
+        s"CASE WHEN $a >= $b THEN $a ELSE $b END")
+
     case Cast(c, dt, _, _) =>
       val t = dt match {
         case ShortType   => "SMALLINT"

@@ -130,14 +130,26 @@ object StatsPredicateRewriter {
     * @param indexedCols columns the index holds statistics for; predicates
     *                    over any other column rewrite to TRUE
     */
-  /** How a monotone affine image of one indexed attribute maps into stats
-    * space: `lo`/`hi` are the expression's lower/upper bounds over a row
-    * group, built from the attribute's `_min`/`_max` stats columns.
+  /** Interval image of a data-space expression in stats space: `lo`/`hi`
+    * bound the expression's value over a row group, built from `_min`/`_max`
+    * stats columns and literals; `refs` are the indexed columns referenced.
     * Mirrors the arithmetic rows of the reference's operator matrix
-    * (conversions.rs:14-32) — Plus/Minus/Multiply/Divide of an attribute
-    * and literals stay prunable; non-monotone shapes (modulo, shifts,
-    * attr-attr arithmetic) fall through to TRUE. */
-  private final case class Affine(col: String, lo: Expression, hi: Expression)
+    * (conversions.rs:10-32, whose BinaryExpr translation recurses BOTH
+    * operands) — Plus/Minus/Multiply/Divide over attributes AND other
+    * interval-shaped subtrees stay prunable via interval arithmetic
+    * (`lo(a+b) = lo(a)+lo(b)`, multiplication via 4-corner min/max);
+    * non-monotone shapes (modulo, shifts, attr/attr division) fall through
+    * to TRUE.
+    *
+    * Soundness of the 4-corner min/max under NULL statistics: a corner
+    * with any NULL operand is NULL, and Catalyst Least/Greatest skip NULL
+    * children — which is only sound because a column's `_min`/`_max` are
+    * written atomically from the same footer struct (both present or both
+    * NULL, DerbyStatsIndex I4), so either every corner is NULL (Least
+    * yields NULL ⇒ `keep` scans) or none is. On the Derby side `keep()`
+    * prints an `IS NULL` disjunct for every referenced stats column, which
+    * guards the CASE-chain min/max unconditionally. */
+  private final case class Ival(lo: Expression, hi: Expression, refs: Set[String])
 
   def rewrite(predicate: Expression, indexedCols: Set[String]): Expression = {
     def attr(e: Expression): Option[String] = e match {
@@ -157,43 +169,63 @@ object StatsPredicateRewriter {
       case _ => None
     }).filterNot(d => d.isNaN || d.isInfinite).map(math.signum(_).toInt)
 
-    /** Decompose `e` as a monotone affine image of one indexed attribute. */
-    def affine(e: Expression): Option[Affine] = e match {
+    /** Decompose `e` as an interval over indexed-attribute statistics.
+      * Literals are point intervals, so every attr-op-literal shape is the
+      * degenerate case of the general attr-op-attr interval arithmetic. */
+    def interval(e: Expression): Option[Ival] = e match {
       case a: Attribute if attr(a).isDefined =>
-        Some(Affine(a.name, minCol(a.name), maxCol(a.name)))
-      case Add(x, l: Literal, _) if !isNaN(l) && l.value != null =>
-        affine(x).map(f => Affine(f.col, Add(f.lo, l), Add(f.hi, l)))
-      case Add(l: Literal, x, _) if !isNaN(l) && l.value != null =>
-        affine(x).map(f => Affine(f.col, Add(f.lo, l), Add(f.hi, l)))
-      case Subtract(x, l: Literal, _) if !isNaN(l) && l.value != null =>
-        affine(x).map(f => Affine(f.col, Subtract(f.lo, l), Subtract(f.hi, l)))
-      case Subtract(l: Literal, x, _) if !isNaN(l) && l.value != null =>
-        affine(x).map(f => Affine(f.col, Subtract(l, f.hi), Subtract(l, f.lo)))
-      case Multiply(x, l: Literal, _) =>
-        litSign(l) match {
-          case Some(s) if s > 0 =>
-            affine(x).map(f => Affine(f.col, Multiply(f.lo, l), Multiply(f.hi, l)))
-          case Some(s) if s < 0 =>
-            affine(x).map(f => Affine(f.col, Multiply(f.hi, l), Multiply(f.lo, l)))
-          case _ => None
+        Some(Ival(minCol(a.name), maxCol(a.name), Set(a.name)))
+      case l: Literal if l.value != null && !isNaN(l) =>
+        Some(Ival(l, l, Set.empty))
+      case Add(x, y, _) =>
+        for (a <- interval(x); b <- interval(y))
+          yield Ival(Add(a.lo, b.lo), Add(a.hi, b.hi), a.refs ++ b.refs)
+      case Subtract(x, y, _) =>
+        for (a <- interval(x); b <- interval(y))
+          yield Ival(Subtract(a.lo, b.hi), Subtract(a.hi, b.lo), a.refs ++ b.refs)
+      // literal factor of known sign: lean monotone image (2 nodes) — the
+      // common case; analyzer-typed, so reached before the 4-corner path
+      case Multiply(x, l: Literal, _) if litSign(l).isDefined =>
+        val s = litSign(l).get
+        interval(x).map { f =>
+          if (s >= 0) Ival(Multiply(f.lo, l), Multiply(f.hi, l), f.refs)
+          else Ival(Multiply(f.hi, l), Multiply(f.lo, l), f.refs)
         }
-      case Multiply(l: Literal, x, _) => affine(Multiply(x, l))
+      case Multiply(l: Literal, x, _) if litSign(l).isDefined =>
+        interval(Multiply(x, l))
+      // general interval product: 4-corner min/max (sound for any signs)
+      case Multiply(x, y, _) =>
+        for (a <- interval(x); b <- interval(y)) yield {
+          val corners = Seq(Multiply(a.lo, b.lo), Multiply(a.lo, b.hi),
+            Multiply(a.hi, b.lo), Multiply(a.hi, b.hi))
+          Ival(Least(corners), Greatest(corners), a.refs ++ b.refs)
+        }
       case Divide(x, l: Literal, _) =>
         litSign(l) match {
           case Some(s) if s > 0 =>
-            affine(x).map(f => Affine(f.col, Divide(f.lo, l), Divide(f.hi, l)))
+            interval(x).map(f => Ival(Divide(f.lo, l), Divide(f.hi, l), f.refs))
           case Some(s) if s < 0 =>
-            affine(x).map(f => Affine(f.col, Divide(f.hi, l), Divide(f.lo, l)))
-          case _ => None
+            interval(x).map(f => Ival(Divide(f.hi, l), Divide(f.lo, l), f.refs))
+          case _ => None // ±0 / non-numeric: unbounded
         }
       case UnaryMinus(x, _) =>
-        affine(x).map(f => Affine(f.col, UnaryMinus(f.hi), UnaryMinus(f.lo)))
+        interval(x).map(f => Ival(UnaryMinus(f.hi), UnaryMinus(f.lo), f.refs))
       // widening numeric casts are monotone: the analyzer wraps attributes
       // in casts for mixed-type comparisons (e.g. int column vs double lit)
       case Cast(x, dt, _, _) if wideningCast(x.dataType, dt) =>
-        affine(x).map(f => Affine(f.col, Cast(f.lo, dt), Cast(f.hi, dt)))
-      case _ => None
+        interval(x).map(f => Ival(Cast(f.lo, dt), Cast(f.hi, dt), f.refs))
+      case _ => None // modulo, shifts, attr/attr division: unbounded
     }
+
+    /** Both sides as intervals, at least one consulting statistics (two
+      * pure literals would be constant-folded upstream; rewriting them
+      * here would add nothing). NaN literals never decompose. */
+    def ivalPair(x: Expression, y: Expression): Option[(Ival, Ival)] =
+      for {
+        a <- interval(x)
+        b <- interval(y)
+        if a.refs.nonEmpty || b.refs.nonEmpty
+      } yield (a, b)
 
     /** Negation pushed to the leaves, in shapes `rw` knows. Three-valued
       * caveat does not bite here: callers use this only for "branch i was
@@ -297,35 +329,32 @@ object StatsPredicateRewriter {
           if p.dataType == BooleanType && !p.isInstanceOf[Literal] =>
         Or(rw(p), nullsPossible(p))
 
-      // f(a) = lit  ⇒  lo(f) <= lit && hi(f) >= lit
-      case EqualTo(x, l: Literal) if affine(x).isDefined && !isNaN(l) =>
-        val f = affine(x).get
-        And(keep(LessThanOrEqual(f.lo, l)), keep(GreaterThanOrEqual(f.hi, l)))
-      case EqualTo(l: Literal, x) if affine(x).isDefined && !isNaN(l) =>
-        rw(EqualTo(x, l))
-
       // a <=> lit : null-safe equality
       case EqualNullSafe(a, l: Literal) if attr(a).isDefined =>
         if (l.value == null) keep(GreaterThan(nullCountCol(attr(a).get), Literal(0L)))
         else rw(EqualTo(a, l))
       case EqualNullSafe(l: Literal, a) if attr(a).isDefined => rw(EqualNullSafe(a, l))
 
-      case LessThan(x, l: Literal) if affine(x).isDefined && !isNaN(l) =>
-        keep(LessThan(affine(x).get.lo, l))
-      case LessThan(l: Literal, x) if affine(x).isDefined && !isNaN(l) =>
-        keep(GreaterThan(affine(x).get.hi, l))
-      case LessThanOrEqual(x, l: Literal) if affine(x).isDefined && !isNaN(l) =>
-        keep(LessThanOrEqual(affine(x).get.lo, l))
-      case LessThanOrEqual(l: Literal, x) if affine(x).isDefined && !isNaN(l) =>
-        keep(GreaterThanOrEqual(affine(x).get.hi, l))
-      case GreaterThan(x, l: Literal) if affine(x).isDefined && !isNaN(l) =>
-        keep(GreaterThan(affine(x).get.hi, l))
-      case GreaterThan(l: Literal, x) if affine(x).isDefined && !isNaN(l) =>
-        keep(LessThan(affine(x).get.lo, l))
-      case GreaterThanOrEqual(x, l: Literal) if affine(x).isDefined && !isNaN(l) =>
-        keep(GreaterThanOrEqual(affine(x).get.hi, l))
-      case GreaterThanOrEqual(l: Literal, x) if affine(x).isDefined && !isNaN(l) =>
-        keep(LessThanOrEqual(affine(x).get.lo, l))
+      // interval comparisons — both sides decompose as interval images of
+      // indexed statistics (a literal is the point interval [l, l], so
+      // `f(a) cmp lit`, `lit cmp f(a)`, and `f(a) cmp g(b)` are all the
+      // same rule):  x = y over-approximates as interval overlap;
+      // x < y can hold only if lo(x) < hi(y), etc.
+      case EqualTo(x, y) if ivalPair(x, y).isDefined =>
+        val (a, b) = ivalPair(x, y).get
+        And(keep(LessThanOrEqual(a.lo, b.hi)), keep(GreaterThanOrEqual(a.hi, b.lo)))
+      case LessThan(x, y) if ivalPair(x, y).isDefined =>
+        val (a, b) = ivalPair(x, y).get
+        keep(LessThan(a.lo, b.hi))
+      case LessThanOrEqual(x, y) if ivalPair(x, y).isDefined =>
+        val (a, b) = ivalPair(x, y).get
+        keep(LessThanOrEqual(a.lo, b.hi))
+      case GreaterThan(x, y) if ivalPair(x, y).isDefined =>
+        val (a, b) = ivalPair(x, y).get
+        keep(GreaterThan(a.hi, b.lo))
+      case GreaterThanOrEqual(x, y) if ivalPair(x, y).isDefined =>
+        val (a, b) = ivalPair(x, y).get
+        keep(GreaterThanOrEqual(a.hi, b.lo))
 
       // a % k = c / pmod(a, k) = c, k > 0 literal (conversions.rs:20-31)
       case EqualTo(Remainder(a: Attribute, kl: Literal, _), c: Literal)

@@ -31,19 +31,20 @@ class PruningSoundnessSpec extends SparkSpec {
           if (fi == 3 && rng.nextInt(4) == 0) None
           else Some(rng.nextInt(200) + fi * 17)
         val s = words(rng.nextInt(words.size)) + rng.nextInt(10)
-        (k, s)
+        val j = rng.nextInt(200) + fi * 11 // second numeric for attr-attr shapes
+        (k, s, j)
       }
       // sort nulls-first so file 3's first 50-row group is null-heavy
       val sorted = if (fi == 3) rows.sortBy(_._1.isEmpty)(Ordering.Boolean.reverse) else rows
       val tmp = s"$base/tmp-$fi"
-      sorted.toDF("k", "s").coalesce(1)
+      sorted.toDF("k", "s", "j").coalesce(1)
         .write.option("parquet.block.row.count.limit", "50")
         .mode("overwrite").parquet(tmp)
       val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
         .find(_.getFileName.toString.endsWith(".parquet")).get
       Files.move(part, Paths.get(dir, s"f$fi.parquet"))
     }
-    val (index, schema) = IndexedParquet.buildIndex(spark, dir, Seq("k", "s"), s"$base/statsdb")
+    val (index, schema) = IndexedParquet.buildIndex(spark, dir, Seq("k", "s", "j"), s"$base/statsdb")
     val (df, fileIndex) = IndexedParquet.read(spark, dir, index, schema)
     (dir, df, fileIndex)
   }
@@ -88,11 +89,19 @@ class PruningSoundnessSpec extends SparkSpec {
       ("like with infix wildcard", col("s").like("de%a2")),
       ("like underscore", col("s").like("gamm_5")),
       ("like no prefix (scan all)", col("s").like("%ta3")),
-      ("not like", !col("s").like("alpha%"))
+      ("not like", !col("s").like("alpha%")),
+      // attr-attr interval arithmetic (reference conversions.rs:10-32
+      // recurses BOTH BinaryExpr operands — e.g. `a + b < 10` translates)
+      ("k + j < lit", col("k") + col("j") < klit * 2),
+      ("k - j = lit", col("k") - col("j") === klit % 40),
+      ("k < j", col("k") < col("j")),
+      ("k * j > lit", col("k") * col("j") > klit * 50),
+      ("k * (200 - j) >= lit (4-corner)",
+        col("k") * (lit(200) - col("j")) >= klit * 20)
     )
   }
 
-  test("every file containing a matching row survives pruning (18 shapes x 3 rounds)") {
+  test("every file containing a matching row survives pruning (all shapes x 3 rounds)") {
     val (dir, df, fileIndex) = env
     val plain = spark.read.parquet(dir).withColumn("f", element_at(split(input_file_name(), "/"), -1))
     (1 to 3).foreach { _ =>
@@ -141,6 +150,20 @@ class PruningSoundnessSpec extends SparkSpec {
     assert(affine == plain, "shifted point predicate should prune identically")
     df.filter(-col("k") === 999).count() // k = -999: nothing
     assert(fileIndex.lastExecution.get.scannedFiles.isEmpty)
+  }
+
+  test("attr-attr sum predicate actually prunes (conversions.rs:10-32)") {
+    val (_, df, fileIndex) = env
+    // every file has min(k) >= 17 and min(j) >= 11, so k + j < 10 can match
+    // nothing; only file 3's all-null-k row group (NULL stats must not
+    // prune) may survive
+    df.filter(col("k") + col("j") < 10).count()
+    val scanned = fileIndex.lastExecution.get.scannedFiles.toSet
+    assert(scanned.subsetOf(Set("f3.parquet")),
+      s"attr-attr sum should prune all non-null groups, scanned $scanned")
+    // 4-corner product: k, j < 450 so k * j can never reach 450 * 450
+    df.filter(col("k") * col("j") > 450 * 450).count()
+    assert(fileIndex.lastExecution.get.scannedFiles.toSet.subsetOf(Set("f3.parquet")))
   }
 
   test("CASE predicate prunes like its branch condition (conversions.rs:73-81)") {

@@ -28,8 +28,8 @@ class RewriterPropertySpec extends AnyFunSuite {
     val bound = e.transformUp {
       case u: UnresolvedAttribute =>
         Literal.create(bind(u.name), if (u.name == "row_count" || u.name.endsWith("_null_count")) LongType else IntegerType)
-      case a: AttributeReference if a.name == "k" =>
-        Literal.create(bind("k"), IntegerType)
+      case a: AttributeReference if bind.contains(a.name) =>
+        Literal.create(bind(a.name), IntegerType)
     }
     bound.eval(InternalRow.empty)
   }
@@ -103,6 +103,77 @@ class RewriterPropertySpec extends AnyFunSuite {
       // soundness: anyMatch -> kept (equivalently !anyMatch || kept)
       Prop(!anyMatch || kept) :| s"pred=$pred group=$g kept=$kept"
     }, minSuccessful = 500)
+  }
+
+  private val attrJ = AttributeReference("j", IntegerType, nullable = true)()
+
+  test("soundness over two attributes: interval arithmetic keeps matching groups") {
+    // attr-attr arithmetic parity with the reference's BinaryExpr
+    // translation (conversions.rs:10-32 recurses both operands): sums,
+    // differences, 4-corner products, and direct attr-vs-attr comparisons
+    val genPair: Gen[Expression] = for {
+      l <- genLit
+      shape <- Gen.oneOf(0 to 6)
+    } yield shape match {
+      case 0 => LessThan(Add(attr, attrJ), Literal(l))
+      case 1 => GreaterThan(Subtract(attr, attrJ), Literal(l))
+      case 2 => EqualTo(Add(attr, attrJ), Literal(l))
+      case 3 => LessThan(attr, attrJ)
+      case 4 => GreaterThanOrEqual(Multiply(attr, attrJ), Literal(l))
+      case 5 => LessThanOrEqual(
+        Multiply(attr, Subtract(Literal(100), attrJ)), Literal(l))
+      case 6 => EqualTo(Multiply(attr, attrJ), Literal(l))
+    }
+    check(Prop.forAll(genPair, genGroup, genGroup) { (pred, gk, gj) =>
+      val stats = Map[String, Any](
+        "k_min" -> gk.min, "k_max" -> gk.max, "k_null_count" -> gk.nullCount,
+        "j_min" -> gj.min, "j_max" -> gj.max, "j_null_count" -> gj.nullCount,
+        "row_count" -> math.max(gk.rowCount, gj.rowCount))
+      val rewritten = StatsPredicateRewriter.rewrite(pred, Set("k", "j"))
+      val kept = evalWith(rewritten, stats ++ Map[String, Any]("k" -> 0, "j" -> 0)) == true
+      val ks: Seq[Any] = Seq(gk.min, gk.max, (gk.min + gk.max) / 2) ++
+        (if (gk.nullCount > 0) Seq(null) else Nil)
+      val js: Seq[Any] = Seq(gj.min, gj.max, (gj.min + gj.max) / 2) ++
+        (if (gj.nullCount > 0) Seq(null) else Nil)
+      val anyMatch = ks.exists(kv => js.exists(jv =>
+        evalWith(pred, stats ++ Map[String, Any]("k" -> kv, "j" -> jv)) == true))
+      Prop(!anyMatch || kept) :| s"pred=$pred gk=$gk gj=$gj kept=$kept"
+    }, minSuccessful = 500)
+  }
+
+  test("precision: attr-attr intervals prune unreachable targets") {
+    val stats = Map[String, Any](
+      "k_min" -> 10, "k_max" -> 20, "k_null_count" -> 0L,
+      "j_min" -> 10, "j_max" -> 20, "j_null_count" -> 0L, "row_count" -> 50L)
+    def kept(p: Expression) = evalWith(
+      StatsPredicateRewriter.rewrite(p, Set("k", "j")),
+      stats ++ Map[String, Any]("k" -> 0, "j" -> 0)) == true
+    // sum range is [20, 40]
+    assert(!kept(EqualTo(Add(attr, attrJ), Literal(100))))
+    assert(kept(EqualTo(Add(attr, attrJ), Literal(30))))
+    assert(!kept(LessThan(Add(attr, attrJ), Literal(20))))
+    // product range is [100, 400]
+    assert(!kept(GreaterThan(Multiply(attr, attrJ), Literal(400))))
+    assert(kept(GreaterThan(Multiply(attr, attrJ), Literal(399))))
+    // mixed-sign 4-corner: k in [-5, 5] x j in [10, 20] -> product [-100, 100]
+    val mixed = Map[String, Any](
+      "k_min" -> -5, "k_max" -> 5, "k_null_count" -> 0L,
+      "j_min" -> 10, "j_max" -> 20, "j_null_count" -> 0L, "row_count" -> 50L)
+    def keptM(p: Expression) = evalWith(
+      StatsPredicateRewriter.rewrite(p, Set("k", "j")),
+      mixed ++ Map[String, Any]("k" -> 0, "j" -> 0)) == true
+    assert(!keptM(GreaterThan(Multiply(attr, attrJ), Literal(100))))
+    assert(keptM(LessThan(Multiply(attr, attrJ), Literal(-99))))
+    assert(!keptM(LessThan(Multiply(attr, attrJ), Literal(-100))))
+    // attr vs attr: k in [10,20] can never exceed j in [30,40]
+    val disjoint = Map[String, Any](
+      "k_min" -> 10, "k_max" -> 20, "k_null_count" -> 0L,
+      "j_min" -> 30, "j_max" -> 40, "j_null_count" -> 0L, "row_count" -> 50L)
+    def keptD(p: Expression) = evalWith(
+      StatsPredicateRewriter.rewrite(p, Set("k", "j")),
+      disjoint ++ Map[String, Any]("k" -> 0, "j" -> 0)) == true
+    assert(!keptD(GreaterThan(attr, attrJ)))
+    assert(keptD(LessThan(attr, attrJ)))
   }
 
   test("precision: disjoint point predicate prunes the group") {
