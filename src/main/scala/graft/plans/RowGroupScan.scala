@@ -35,7 +35,8 @@ case class RowGroupScan(
     plans: Seq[FileScanPlan],
     dataSchema: StructType,
     requiredSchema: StructType,
-    mergeRuns: Boolean) extends LeafNode {
+    mergeRuns: Boolean,
+    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil) extends LeafNode {
 
   /** Planner statistics from the EXTERNAL index: bytes of selected row
     * groups only, so a heavily pruned scan is broadcast-eligible. */
@@ -48,20 +49,24 @@ object RowGroupScan {
   /** DataFrame over exactly the row groups selected in `plans`. Requires
     * graft extensions in the session (strategy injection). `requiredCols`
     * prunes the scan to the named columns (parquet reads only those column
-    * chunks); empty = all columns. */
+    * chunks); empty = all columns. `pushedFilters` reach the parquet
+    * reader for page-level (column-index) skipping WITHIN selected row
+    * groups — inexact (the reader may still return non-matching rows);
+    * callers re-apply the full predicate. */
   def dataFrame(
       spark: SparkSession,
       dir: String,
       plans: Seq[FileScanPlan],
       dataSchema: StructType,
       mergeRuns: Boolean,
-      requiredCols: Seq[String] = Nil): DataFrame = {
+      requiredCols: Seq[String] = Nil,
+      pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): DataFrame = {
     val required =
       if (requiredCols.isEmpty) dataSchema
       else StructType(dataSchema.filter(f => requiredCols.contains(f.name)))
     GraftSqlShim.ofRows(spark,
       RowGroupScan(DataTypeUtils.toAttributes(required), dir, plans,
-        dataSchema, required, mergeRuns))
+        dataSchema, required, mergeRuns, pushedFilters))
   }
 
   /** (file, row group) for each partition of a `mergeRuns=false` scan, in
@@ -109,8 +114,8 @@ object RowGroupScan {
 /** Injected via `SparkSessionExtensions.injectPlannerStrategy`. */
 case class RowGroupScanStrategy(sparkSession: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RowGroupScan(out, dir, plans, schema, required, mergeRuns) =>
-      RowGroupScanExec(out, dir, plans, schema, required, mergeRuns) :: Nil
+    case RowGroupScan(out, dir, plans, schema, required, mergeRuns, pushed) =>
+      RowGroupScanExec(out, dir, plans, schema, required, mergeRuns, pushed) :: Nil
     case _ => Nil
   }
 }
@@ -123,7 +128,8 @@ case class RowGroupScanExec(
     plans: Seq[FileScanPlan],
     dataSchema: StructType,
     requiredSchema: StructType,
-    mergeRuns: Boolean)
+    mergeRuns: Boolean,
+    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends LeafExecNode {
 
   private def parquet = new ParquetFileFormat()
@@ -143,7 +149,9 @@ case class RowGroupScanExec(
           dataSchema = dataSchema,
           partitionSchema = new StructType(),
           requiredSchema = requiredSchema,
-          filters = Nil,
+          // page-level (column-index) skipping inside the selected row
+          // groups — the granularity below the catalog's row-group skip
+          filters = pushedFilters,
           options = Map(FileFormat.OPTION_RETURNING_BATCH -> vectorized.toString),
           hadoopConf = new org.apache.hadoop.conf.Configuration(
             session.sparkContext.hadoopConfiguration))

@@ -43,12 +43,13 @@ object RowGroupSkipScan {
       plans: Seq[FileScanPlan],
       dataSchema: StructType,
       mergeRuns: Boolean = true,
-      requiredCols: Seq[String] = Nil): DataFrame = {
+      requiredCols: Seq[String] = Nil,
+      pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): DataFrame = {
     // functionExists proxies "GraftExtensions ran for this session" — the
     // function and the planner strategy are injected together
     if (spark.catalog.functionExists("graft_dot"))
       graft.plans.RowGroupScan.dataFrame(
-        spark, dir, plans, dataSchema, mergeRuns, requiredCols)
+        spark, dir, plans, dataSchema, mergeRuns, requiredCols, pushedFilters)
     else {
       val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       val required =
@@ -65,7 +66,7 @@ object RowGroupSkipScan {
             dataSchema = dataSchema,
             partitionSchema = new StructType(),
             requiredSchema = required,
-            filters = Nil,
+            filters = pushedFilters,
             options = Map(org.apache.spark.sql.execution.datasources.FileFormat
               .OPTION_RETURNING_BATCH -> "false"),
             hadoopConf = new org.apache.hadoop.conf.Configuration(
@@ -98,17 +99,37 @@ object RowGroupSkipScan {
     }
   }
 
+  /** The resolved predicate's conjuncts as data-source `Filter`s — the
+    * translatable subset reaches the parquet reader for page-level
+    * (column-index) skipping; untranslatable conjuncts are simply not
+    * pushed (the residual filter still applies the full predicate). */
+  def translateDataFilters(
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    conjuncts(resolved).flatMap(GraftSqlShim.translateFilter)
+  }
+
   /** Full path: consult the index with `predicate`, scan only surviving
-    * row groups, re-apply the predicate (the reference's Inexact pushdown
-    * contract — pruning may over-scan, results never change). Returns the
-    * pruning decision for observability. */
+    * row groups — with the predicate's translatable conjuncts pushed to
+    * the reader for page-level skipping inside them — then re-apply the
+    * predicate (the reference's Inexact pushdown contract — pruning may
+    * over-scan, results never change). Returns the pruning decision for
+    * observability. */
   def scanWithPredicate(
       spark: SparkSession,
       dir: String,
       index: StatsIndex,
       dataSchema: StructType,
       predicate: Column): (DataFrame, Seq[FileScanPlan]) = {
-    val plans = index.getFiles(resolvePredicate(spark, dataSchema, predicate))
-    (scan(spark, dir, plans, dataSchema).filter(predicate), plans)
+    val resolved = resolvePredicate(spark, dataSchema, predicate)
+    val plans = index.getFiles(resolved)
+    val df = scan(spark, dir, plans, dataSchema,
+      pushedFilters = translateDataFilters(resolved))
+    (df.filter(predicate), plans)
   }
 }

@@ -30,4 +30,11 @@ object GraftSqlShim {
 
   def expression(c: Column): catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Catalyst predicate → data-source `Filter`, when translatable
+    * (`DataSourceStrategy.translateFilter` is `protected[sql]`). */
+  def translateFilter(
+      e: catalyst.expressions.Expression): Option[sources.Filter] =
+    execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
 }

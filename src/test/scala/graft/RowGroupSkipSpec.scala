@@ -65,6 +65,41 @@ class RowGroupSkipSpec extends SparkSpec {
       plain.except(df.select("value", "tag")).isEmpty)
   }
 
+  test("pushed filters skip pages INSIDE a selected row group (column index)") {
+    val base = Files.createTempDirectory("graft-pageskip").toString
+    val dir = s"$base/data"
+    Files.createDirectories(Paths.get(dir))
+    import spark.implicits._
+    // one file, ONE row group, 20 pages of 50 sorted rows each: the
+    // catalog's row-group skip cannot help here, only page-level skipping
+    // inside the group can reduce bytes read
+    val tmp = s"$base/tmp"
+    (0 until 1000).map(v => (v, s"t$v")).toDF("value", "tag").coalesce(1)
+      .write.option("parquet.page.row.count.limit", "50")
+      .mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, Paths.get(dir, "f.parquet"))
+    val (index, schema) = IndexedParquet.buildIndex(spark, dir, Seq("value"), s"$base/statsdb")
+    val resolved = RowGroupSkipScan.resolvePredicate(spark, schema, col("value") === 123)
+    val plans = index.getFiles(resolved)
+    assert(plans.map(p => (p.fileName, p.scanRowGroups.toSeq)) ==
+      Seq(("f.parquet", Seq(0)))) // the single row group survives
+    // without pushed filters, the whole selected row group is read
+    val rawAll = RowGroupSkipScan.scan(spark, dir, plans, schema).count()
+    assert(rawAll == 1000L)
+    // with the predicate pushed, the reader's column index drops every
+    // page whose [min, max] cannot contain 123 — one 50-row page remains
+    val rawPaged = RowGroupSkipScan.scan(spark, dir, plans, schema,
+      pushedFilters = RowGroupSkipScan.translateDataFilters(resolved)).count()
+    assert(rawPaged < 1000L, "pushed filter did not skip any page")
+    assert(rawPaged <= 100L, s"expected ~1 surviving 50-row page, read $rawPaged rows")
+    // end-to-end result unchanged
+    val (df, _) = RowGroupSkipScan.scanWithPredicate(
+      spark, dir, index, schema, col("value") === 123)
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(123))
+  }
+
   test("range predicate crossing files: per-file partial row-group plans") {
     val (dir, index, schema) = env
     val (df, plans) = RowGroupSkipScan.scanWithPredicate(
