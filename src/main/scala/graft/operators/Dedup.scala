@@ -99,6 +99,89 @@ object Dedup {
     df.withColumn("rk", row_number().over(w)).where(col("rk") <= cap).drop("rk")
   }
 
+  /** MinHash+LSH candidate pairs (a < b), the dd3 pipeline: 12
+    * multiply-shift minhashes from ONE md5 per shingle, 4 bands x 3 rows,
+    * pair combinations inside each band bucket. Single pass — the
+    * signature subtree is computed exactly once (no union, no self-join).
+    * Bucket sizes are bounded by design (only near-dups collide), so the
+    * array combination step is O(bucket²) with tiny buckets — the shape
+    * that survives a 1000x corpus. Shared by dd3 (emits the pairs) and
+    * dd6 (clusters them). */
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleDf(s, dir)
+    val base = conv(substring(md5(col("s")), 1, 10), 16, 10).cast("long")
+    val mhCols = (0 until MinhashCount).map { h =>
+      min((lit(mhA(h)) * base + lit(mhB(h))).bitwiseAND(lit(MhMask)))
+        .as(s"mh$h")
+    }
+    val sig = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val melted = sig.select(col("doc_id"), explode(array(
+      (0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|", (0 until 3).map(r => col(s"mh${b * 3 + r}")): _*)).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val buckets = melted.groupBy("band", "bkey")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) > 1)
+    buckets.select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
+  /** The dd3 pipeline as DuckDB CTEs ending in `pairs(a, b)` — shared by
+    * the dd3 oracle and dd6's recursive-closure oracle. */
+  private def mhPairsCtes: String = {
+    val mhSelects = (0 until MinhashCount).map(h =>
+      s"min((${mhA(h)} * b + ${mhB(h)}) & $MhMask) mh$h").mkString(",\n  ")
+    val bandRows = (0 until Bands).map { bnd =>
+      val key = (0 until 3).map(r => s"CAST(mh${bnd * 3 + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $bnd AS band, md5($key) bkey FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""$shingleSql,
+       |base AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) b FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $mhSelects
+       |  FROM base GROUP BY doc_id),
+       |bands AS (
+       |$bandRows),
+       |pairs AS (SELECT DISTINCT x.doc_id a, y.doc_id b
+       |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+       |WHERE x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  /** Connected components of an undirected pair graph `(a, b)`: each
+    * vertex's component is the MIN vertex id reachable from it. Iterative
+    * min-label propagation — every round each vertex takes the min label
+    * among itself and its neighbors; converges in O(diameter) rounds.
+    * Returns (v, l). See dd6 below for the scale rationale. */
+  private[graft] def connectedComponents(
+      pairs0: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val pairs = pairs0.localCheckpoint()
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("l", col("v")).localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val prop = sym.join(labels, sym("src") === labels("v"))
+        .select(col("dst").as("v"), col("l"))
+      val next = labels.union(prop)
+        .groupBy("v").agg(min("l").as("l")).localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("l", "l0"), "v")
+        .where(col("l") < col("l0")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
   /** Shingle → sorted posting list, buckets bounded to (1, cap]. */
   private[graft] def postings(sh: DataFrame, cap: Int): DataFrame =
     sh.groupBy("s")
@@ -168,55 +251,9 @@ object Dedup {
     // that is bit-identical in DuckDB. 4 bands x 3 rows as before.
     QueryDef(
       "dd3_minhash_lsh",
-      (s, dir) => {
-        val sh = shingleDf(s, dir)
-        val base = conv(substring(md5(col("s")), 1, 10), 16, 10).cast("long")
-        val mhCols = (0 until MinhashCount).map { h =>
-          min((lit(mhA(h)) * base + lit(mhB(h))).bitwiseAND(lit(MhMask)))
-            .as(s"mh$h")
-        }
-        val sig = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-        // single pass: melt the 4 band keys per doc (no union, no self-join
-        // — the signature subtree is computed exactly once), bucket by
-        // (band, key), and emit each bucket's pair combinations. Bucket
-        // sizes are bounded by design (only near-dups collide), so the
-        // array combination step is O(bucket²) with tiny buckets — the
-        // shape that survives a 1000x corpus.
-        val melted = sig.select(col("doc_id"), explode(array(
-          (0 until Bands).map { b =>
-            struct(lit(b).as("band"),
-              md5(concat_ws("|", (0 until 3).map(r => col(s"mh${b * 3 + r}")): _*)).as("bkey"))
-          }: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-        val buckets = melted.groupBy("band", "bkey")
-          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-          .where(size(col("ds")) > 1)
-        buckets.select(explode(flatten(transform(col("ds"), (x, i) =>
-            transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-              struct(x.as("a"), y.as("b")))))).as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
-          .distinct()
-      },
-      Some {
-        val mhSelects = (0 until MinhashCount).map(h =>
-          s"min((${mhA(h)} * b + ${mhB(h)}) & $MhMask) mh$h").mkString(",\n  ")
-        val bandRows = (0 until Bands).map { bnd =>
-          val key = (0 until 3).map(r => s"CAST(mh${bnd * 3 + r} AS VARCHAR)")
-            .mkString(" || '|' || ")
-          s"SELECT doc_id, $bnd AS band, md5($key) bkey FROM sig"
-        }.mkString("\nUNION ALL\n")
-        s"""WITH $shingleSql,
-           |base AS (SELECT doc_id,
-           |    CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) b FROM sh),
-           |sig AS (SELECT doc_id,
-           |  $mhSelects
-           |  FROM base GROUP BY doc_id),
-           |bands AS (
-           |$bandRows)
-           |SELECT DISTINCT x.doc_id a, y.doc_id b
-           |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
-           |WHERE x.doc_id < y.doc_id""".stripMargin
-      }),
+      (s, dir) => minhashPairs(s, dir),
+      Some(s"""WITH $mhPairsCtes
+              |SELECT a, b FROM pairs""".stripMargin)),
 
     // ----- SimHash fingerprints ---------------------------------------------
     // 16-bit simhash over token counts; bit j set iff the weighted sum of
@@ -282,6 +319,33 @@ object Dedup {
              |    list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2])) d
              |  FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id)
              |SELECT a, b FROM p
-             |WHERE d > 0 AND d * d * 25 >= na * nb * 4""".stripMargin))
+             |WHERE d > 0 AND d * d * 25 >= na * nb * 4""".stripMargin)),
+
+    // ----- connected components over near-dup pairs -------------------------
+    // The step after LSH pair generation in a production dedup pipeline:
+    // cluster the pair graph so each group keeps one canonical document.
+    // Iterative min-label propagation — each round every vertex takes the
+    // min label among itself and its neighbors; converges in O(diameter)
+    // rounds (near-dup clusters are shallow; a 25-round guard bounds
+    // adversarial chains). Each round is ONE shuffle by vertex id, and
+    // `localCheckpoint` truncates the lineage so round N's plan does not
+    // re-execute rounds 1..N-1 (on a real cluster this would be
+    // `checkpoint` to reliable storage). Convergence is an isEmpty probe
+    // on changed labels, not a collect. The component id is the min
+    // doc_id in the component — deterministic, so the DuckDB oracle can
+    // reproduce it via a recursive transitive closure.
+    QueryDef(
+      "dd6_components",
+      (s, dir) => connectedComponents(minhashPairs(s, dir))
+        .select(col("v").as("doc_id"), col("l").as("component")),
+      Some(s"""WITH RECURSIVE $mhPairsCtes,
+             |ed AS (SELECT a s, b d FROM pairs
+             |       UNION ALL SELECT b, a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT s, s FROM (SELECT DISTINCT s FROM ed)
+             |  UNION
+             |  SELECT r.src, e.d FROM reach r JOIN ed e ON e.s = r.dst)
+             |SELECT src AS doc_id, min(dst) AS component
+             |FROM reach GROUP BY src""".stripMargin))
   )
 }

@@ -259,6 +259,36 @@ object TextAnalysis {
              |  SELECT doc_id, source, row_number() OVER (
              |      PARTITION BY source ORDER BY md5(text), doc_id) rn
              |  FROM documents) t
-             |WHERE rn <= 50""".stripMargin))
+             |WHERE rn <= 50""".stripMargin)),
+
+    // ----- deterministic stratified sampling --------------------------------
+    // Hash-based Bernoulli sampling with a per-stratum rate: the keep
+    // decision is a pure function of (doc_id, source), so the sample is
+    // reproducible across runs, engines, and cluster sizes — the property
+    // a training-data pipeline needs for resumable / auditable sampling
+    // (Spark's df.sample is partition-order-dependent and would neither
+    // reproduce nor oracle-match). Map-only: the decision is a codegen'd
+    // filter at the scan, no shuffle, no state; at 100 TB it composes
+    // with column pruning (reads only doc_id/source when downstream
+    // allows). The per-source rate (10–89%) is itself md5-derived here;
+    // a real pipeline would broadcast-join a rate table keyed by source.
+    QueryDef(
+      "tx9_sample",
+      (s, dir) => {
+        val bucket = conv(substring(md5(concat_ws(":",
+          col("doc_id").cast("string"), col("source"))), 1, 4), 16, 10)
+          .cast("int") % 100
+        val rate = conv(substring(md5(col("source")), 1, 4), 16, 10)
+          .cast("int") % 80 + 10
+        Tables.load(s, dir, "documents")
+          .withColumn("rate", rate)
+          .where(bucket < col("rate"))
+          .select("doc_id", "source", "rate")
+      },
+      Some("""SELECT doc_id, source,
+             |  CAST('0x' || substr(md5(source), 1, 4) AS INT) % 80 + 10 AS rate
+             |FROM documents
+             |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4) AS INT) % 100
+             |    < CAST('0x' || substr(md5(source), 1, 4) AS INT) % 80 + 10""".stripMargin))
   )
 }

@@ -43,6 +43,49 @@ class DedupBoundsSpec extends SparkSpec {
     assert(first == second)
   }
 
+  test("connected components: min-label over chains, stars, singleton edges") {
+    import spark.implicits._
+    // components: {1,7}, {2,3,4,9} (chain 9-4-3-2 forces multi-round
+    // propagation), {10,11,12} (star on 10)
+    val pairs = Seq((1L, 7L), (9L, 4L), (4L, 3L), (3L, 2L),
+      (10L, 11L), (10L, 12L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 7L -> 1L,
+      2L -> 2L, 3L -> 2L, 4L -> 2L, 9L -> 2L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("connected components: a long chain needs (and survives) many rounds") {
+    import spark.implicits._
+    // path 100-99-…-80: diameter 20, so min-label needs ~20 rounds — the
+    // convergence loop must actually iterate, and the 25-round guard holds
+    val pairs = (80L until 100L).map(i => (i + 1, i)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (80L to 100L).toSet)
+    assert(got.values.forall(_ == 80L), s"chain not fully converged: $got")
+  }
+
+  test("dd6 components are consistent with dd3 pairs on real data") {
+    val dir = "/root/testdata/sf0.01"
+    val pairs = SparkEntry.queries("dd3_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = SparkEntry.queries("dd6_components")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    // every paired doc is labeled, pair endpoints share a component
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+    // each component id is the min member of its component
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"component $c not labeled by its min")
+    }
+    // vertices = exactly the docs that appear in some pair
+    assert(comp.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
   test("dd2 end-to-end on a hot-shingle corpus still finds rare near-dups") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-dd2cap").toString
