@@ -75,6 +75,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, s"UDFs found in: $offenders")
   }
 
+  test("tx9_sample: map-only — zero exchanges, scan pruned to the two used columns") {
+    val p = plan("tx9_sample")
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      p.take(2000))
+  }
+
   test("dd1_exact: aggregation is partial before the exchange (map-side combine)") {
     val p = plan("dd1_exact")
     val firstAgg = p.indexOf("HashAggregate")
