@@ -44,7 +44,9 @@ object ExprToDerbySql {
     case Multiply(l, r, _) => s"(${print(l)} * ${print(r)})"
     case Divide(l, r, _)   => s"(${print(l)} / ${print(r)})"
     // BIGINT '/' in Derby truncates toward zero, matching IntegralDivide;
-    // the rewriter only emits it with non-negative numerators
+    // the rewriter emits it either with non-negative numerators (modulo)
+    // or inside floorShr's negative-offset CASE, where truncation-toward-
+    // zero is exactly the intended floor
     case d: IntegralDivide => s"(${print(d.left)} / ${print(d.right)})"
     case UnaryMinus(c, _)  => s"(- ${print(c)})"
 
@@ -53,6 +55,15 @@ object ExprToDerbySql {
     // branch (wrong value), which is safe only because `keep()` above ORs
     // an IS NULL disjunct for every referenced stats column — the CASE
     // chain's value is never consulted when any input is NULL.
+    // value-level CASE from the shift translation (floorShr, the <<
+    // overflow certificate, the >>> sign certificate). A NULL condition
+    // falls through to the ELSE branch in both Derby and Catalyst — the
+    // ELSE is always the conservative (widest) bound there.
+    case CaseWhen(branches, elseValue) =>
+      val whens = branches
+        .map { case (c, v) => s"WHEN ${print(c)} THEN ${print(v)}" }
+      s"CASE ${whens.mkString(" ")} ELSE ${elseValue.map(print).getOrElse("NULL")} END"
+
     case Least(children) =>
       children.map(print).reduce((a, b) =>
         s"CASE WHEN $a <= $b THEN $a ELSE $b END")
@@ -86,6 +97,10 @@ object ExprToDerbySql {
     case Literal(null, _)             => "NULL"
     case Literal(true, BooleanType)   => "TRUE"
     case Literal(false, BooleanType)  => "FALSE"
+    // Long.MinValue would print as -(9223372036854775808) — one past
+    // Derby's positive BIGINT literal range — so print it as arithmetic
+    case Literal(v: Long, LongType) if v == Long.MinValue =>
+      "(-9223372036854775807 - 1)"
     case Literal(v, ByteType | ShortType | IntegerType | LongType) => v.toString
     case Literal(v: Float, FloatType) => floatLit(v.toDouble)
     case Literal(v: Double, DoubleType) => floatLit(v)

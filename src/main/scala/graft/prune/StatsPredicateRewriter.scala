@@ -117,6 +117,26 @@ object StatsPredicateRewriter {
     keep(res)
   }
 
+  /** Bit width of a shift's value operand (Spark shifts take int or
+    * long); None for anything else. */
+  private def shiftWidth(x: Expression): Option[Int] = x.dataType match {
+    case IntegerType => Some(32)
+    case LongType    => Some(64)
+    case _           => None
+  }
+
+  /** floor(e / 2^k) from truncating division (Catalyst IntegralDivide and
+    * Derby BIGINT '/' both round toward zero): non-negative numerators
+    * truncate to the floor already; negative ones are offset by 2^k − 1
+    * first. This IS `e >> k` for every sign — arithmetic right shift is
+    * floor division. */
+  private def floorShr(e: Expression, k: Int): Expression = {
+    val d = Literal(1L << k)
+    CaseWhen(
+      Seq((GreaterThanOrEqual(e, Literal(0L)), IntegralDivide(e, d))),
+      Some(IntegralDivide(Subtract(e, Literal((1L << k) - 1)), d)))
+  }
+
   /** NaN ordering is writer-dependent in parquet stats and Derby cannot
     * represent non-finite DOUBLE literals — both rewrite to TRUE. */
   private def isNaN(l: Literal): Boolean = l.value match {
@@ -137,9 +157,11 @@ object StatsPredicateRewriter {
     * (conversions.rs:10-32, whose BinaryExpr translation recurses BOTH
     * operands) — Plus/Minus/Multiply/Divide over attributes AND other
     * interval-shaped subtrees stay prunable via interval arithmetic
-    * (`lo(a+b) = lo(a)+lo(b)`, multiplication via 4-corner min/max);
-    * non-monotone shapes (modulo, shifts, attr/attr division) fall through
-    * to TRUE.
+    * (`lo(a+b) = lo(a)+lo(b)`, multiplication via 4-corner min/max), and
+    * bit shifts translate too (`>>` is floor division — monotone; `<<`
+    * conditionally, with overflow-freedom certified from the stats
+    * themselves); non-monotone leftovers (modulo inside comparisons,
+    * attr/attr division) fall through to TRUE.
     *
     * Soundness of the 4-corner min/max under NULL statistics: a corner
     * with any NULL operand is NULL, and Catalyst Least/Greatest skip NULL
@@ -214,7 +236,77 @@ object StatsPredicateRewriter {
       // in casts for mixed-type comparisons (e.g. int column vs double lit)
       case Cast(x, dt, _, _) if wideningCast(x.dataType, dt) =>
         interval(x).map(f => Ival(Cast(f.lo, dt), Cast(f.hi, dt), f.refs))
-      case _ => None // modulo, shifts, attr/attr division: unbounded
+
+      // bit shifts (reference conversions.rs:30-31). x >> k IS floor
+      // division by 2^k — monotone for every sign; floor comes from
+      // truncating division via a negative-offset CASE (floorShr). x << k
+      // wraps on overflow (not monotone in general), but the very stats
+      // being consulted certify the domain: all of the group's values lie
+      // in [lo, hi], so when [lo, hi] shifted fits the operand width the
+      // shift IS x·2^k exactly; otherwise the endpoint collapses to the
+      // widest bound and every comparison keeps the group. NULL stats make
+      // the certificate NULL → CASE takes the widest branch (sound in
+      // Catalyst eval and in Derby, where keep()'s IS NULL disjuncts also
+      // fire). x >>> k: exact floor-div image once stats certify a
+      // non-negative domain, else [0, 2^(width−k)−1].
+      case ShiftRight(x, kl: Literal) =>
+        (shiftWidth(x), integralLong(kl)) match {
+          case (Some(w), Some(k)) if k >= 0 && k <= math.min(w - 1, 62) =>
+            // |e >> k| <= |e|, so the cast back to the operand type (the
+            // shift's own result type, keeping the stats-space tree
+            // type-homogeneous with the literal on the other side) is safe
+            val t = x.dataType
+            interval(x).map(f =>
+              Ival(Cast(floorShr(Cast(f.lo, LongType), k.toInt), t),
+                Cast(floorShr(Cast(f.hi, LongType), k.toInt), t), f.refs))
+          case _ => None
+        }
+      case ShiftLeft(x, kl: Literal) =>
+        (shiftWidth(x), integralLong(kl)) match {
+          case (Some(w), Some(k0)) if k0 >= 0 && k0 <= w - 2 =>
+            interval(x).map { f =>
+              val k = k0.toInt
+              val t = x.dataType
+              def tLit(v: Long) =
+                if (t == IntegerType) Literal(v.toInt) else Literal(v)
+              val loL = Cast(f.lo, LongType)
+              val hiL = Cast(f.hi, LongType)
+              val fits = And(
+                GreaterThanOrEqual(loL, Literal(-(1L << (w - 1 - k)))),
+                LessThanOrEqual(hiL, Literal((1L << (w - 1 - k)) - 1)))
+              val d = Literal(1L << k)
+              // the certified branch's product fits the operand type by
+              // construction, so the narrowing cast cannot overflow
+              Ival(
+                CaseWhen(Seq((fits, Cast(Multiply(loL, d), t))),
+                  Some(tLit(if (t == IntegerType) Int.MinValue.toLong else Long.MinValue))),
+                CaseWhen(Seq((fits, Cast(Multiply(hiL, d), t))),
+                  Some(tLit(if (t == IntegerType) Int.MaxValue.toLong else Long.MaxValue))),
+                f.refs)
+            }
+          case _ => None
+        }
+      case ShiftRightUnsigned(x, kl: Literal) =>
+        (shiftWidth(x), integralLong(kl)) match {
+          case (Some(w), Some(k0)) if k0 >= 1 && k0 <= math.min(w - 1, 62) =>
+            interval(x).map { f =>
+              val k = k0.toInt
+              val t = x.dataType
+              def tLit(v: Long) =
+                if (t == IntegerType) Literal(v.toInt) else Literal(v)
+              val loL = Cast(f.lo, LongType)
+              val hiL = Cast(f.hi, LongType)
+              val nonNeg = GreaterThanOrEqual(loL, Literal(0L))
+              val maxV = tLit(if (w == 32) (-1 >>> k).toLong else -1L >>> k)
+              Ival(
+                CaseWhen(Seq((nonNeg, Cast(floorShr(loL, k), t))), Some(tLit(0L))),
+                CaseWhen(Seq((nonNeg, Cast(floorShr(hiL, k), t))), Some(maxV)),
+                f.refs)
+            }
+          case _ => None
+        }
+
+      case _ => None // attr/attr division: unbounded (divisor may span 0)
     }
 
     /** Both sides as intervals, at least one consulting statistics (two

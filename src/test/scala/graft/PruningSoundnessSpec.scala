@@ -97,7 +97,16 @@ class PruningSoundnessSpec extends SparkSpec {
       ("k < j", col("k") < col("j")),
       ("k * j > lit", col("k") * col("j") > klit * 50),
       ("k * (200 - j) >= lit (4-corner)",
-        col("k") * (lit(200) - col("j")) >= klit * 20)
+        col("k") * (lit(200) - col("j")) >= klit * 20),
+      // bit shifts (reference conversions.rs:30-31): >> is floor division,
+      // << is translated under the stats' own overflow certificate, >>>
+      // under a non-negative-domain certificate
+      ("k >> 2 = lit", shiftright(col("k"), 2) === klit / 4),
+      ("k >> 3 < lit", shiftright(col("k"), 3) < klit / 8),
+      ("k << 2 > lit", shiftleft(col("k"), 2) > klit * 4),
+      ("k >>> 2 <= lit", shiftrightunsigned(col("k"), 2) <= klit / 4),
+      ("(k + j) >> 1 < lit (nested)",
+        shiftright(col("k") + col("j"), 1) < klit)
     )
   }
 
@@ -163,6 +172,19 @@ class PruningSoundnessSpec extends SparkSpec {
       s"attr-attr sum should prune all non-null groups, scanned $scanned")
     // 4-corner product: k, j < 450 so k * j can never reach 450 * 450
     df.filter(col("k") * col("j") > 450 * 450).count()
+    assert(fileIndex.lastExecution.get.scannedFiles.toSet.subsetOf(Set("f3.parquet")))
+  }
+
+  test("shift predicates actually prune (conversions.rs:30-31)") {
+    val (_, df, fileIndex) = env
+    // k <= 199 + 6*17 = 301 everywhere, so k >> 2 can never reach 100;
+    // only file 3's all-null-k group (NULL stats must not prune) survives
+    df.filter(shiftright(col("k"), 2) >= 100).count()
+    val scanned = fileIndex.lastExecution.get.scannedFiles.toSet
+    assert(scanned.subsetOf(Set("f3.parquet")),
+      s"right shift should prune all non-null groups, scanned $scanned")
+    // k << 2 <= 1204 everywhere and every group certifies overflow-free
+    df.filter(shiftleft(col("k"), 2) > 2000).count()
     assert(fileIndex.lastExecution.get.scannedFiles.toSet.subsetOf(Set("f3.parquet")))
   }
 

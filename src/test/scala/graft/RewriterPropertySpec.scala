@@ -41,7 +41,7 @@ class RewriterPropertySpec extends AnyFunSuite {
     def cmp: Gen[Expression] = for {
       l <- genLit
       k <- Gen.chooseNum(2, 9)
-      shape <- Gen.oneOf(0 to 9)
+      shape <- Gen.oneOf(0 to 12)
     } yield shape match {
       case 0 => EqualTo(attr, Literal(l))
       case 1 => LessThan(attr, Literal(l))
@@ -53,6 +53,12 @@ class RewriterPropertySpec extends AnyFunSuite {
       case 7 => In(attr, Seq(Literal(l), Literal(l + 3), Literal(l - 11)))
       case 8 => EqualTo(Remainder(attr, Literal(k)), Literal(l % 13 - 3))
       case 9 => EqualTo(Pmod(attr, Literal(k)), Literal(l % 13 - 3))
+      // bit shifts: >> is floor division (every sign exercised by the
+      // -40..120 stats domain); << certifies overflow-freedom; >>>
+      // certifies a non-negative domain
+      case 10 => LessThanOrEqual(ShiftRight(attr, Literal(k % 4)), Literal(l / 4))
+      case 11 => GreaterThan(ShiftLeft(attr, Literal(k % 3)), Literal(l))
+      case 12 => EqualTo(ShiftRightUnsigned(attr, Literal(1 + k % 3)), Literal(l / 2))
     }
     // CASE shapes, both as authored and as the optimizer canonicalizes
     // them (boolean CaseWhen, `p <=> true`, `NOT (p <=> true)`)
@@ -187,6 +193,45 @@ class RewriterPropertySpec extends AnyFunSuite {
     val r3 = StatsPredicateRewriter.rewrite(
       EqualTo(Add(attr, Literal(100)), Literal(999)), Set("k"))
     assert(evalWith(r3, stats + ("k" -> 0)) != true)
+  }
+
+  test("precision: shifts prune; uncertifiable shifts keep") {
+    val stats = Map[String, Any](
+      "k_min" -> 16, "k_max" -> 31, "k_null_count" -> 0L, "row_count" -> 50L)
+    def kept(p: Expression) = evalWith(
+      StatsPredicateRewriter.rewrite(p, Set("k")),
+      stats + ("k" -> 0)) == true
+    // [16, 31] >> 3 = [2, 3]
+    assert(!kept(EqualTo(ShiftRight(attr, Literal(3)), Literal(5))))
+    assert(kept(EqualTo(ShiftRight(attr, Literal(3)), Literal(2))))
+    assert(!kept(GreaterThan(ShiftRight(attr, Literal(3)), Literal(3))))
+    // negative domain: [-40, -33] >> 3 = [-5, -5] (floor, not truncation)
+    val neg = Map[String, Any](
+      "k_min" -> -40, "k_max" -> -33, "k_null_count" -> 0L, "row_count" -> 50L)
+    def keptN(p: Expression) = evalWith(
+      StatsPredicateRewriter.rewrite(p, Set("k")),
+      neg + ("k" -> 0)) == true
+    assert(keptN(EqualTo(ShiftRight(attr, Literal(3)), Literal(-5))))
+    assert(!keptN(EqualTo(ShiftRight(attr, Literal(3)), Literal(-4))))
+    // [16, 31] << 2 = [64, 124], overflow-free by the stats certificate
+    assert(!kept(LessThan(ShiftLeft(attr, Literal(2)), Literal(64))))
+    assert(kept(LessThan(ShiftLeft(attr, Literal(2)), Literal(65))))
+    // a group touching the int-overflow region cannot certify, and its
+    // wrapped values really can go negative ((Int.MaxValue)<<4 = -16): the
+    // uncertified image must widen to the full int range and keep
+    val wide = Map[String, Any](
+      "k_min" -> (Int.MaxValue - 10), "k_max" -> Int.MaxValue,
+      "k_null_count" -> 0L, "row_count" -> 50L)
+    assert(evalWith(
+      StatsPredicateRewriter.rewrite(
+        LessThan(ShiftLeft(attr, Literal(4)), Literal(0)), Set("k")),
+      wide + ("k" -> 0)) == true)
+    // while a certified group prunes the same comparison
+    assert(!kept(LessThan(ShiftLeft(attr, Literal(4)), Literal(0))))
+    // >>> on a certified non-negative domain = >>; on a possibly-negative
+    // domain the image widens to [0, 2^(32-k)-1] and keeps
+    assert(!kept(GreaterThan(ShiftRightUnsigned(attr, Literal(3)), Literal(3))))
+    assert(keptN(EqualTo(ShiftRightUnsigned(attr, Literal(3)), Literal(1000))))
   }
 
   test("precision: modulo prunes groups narrower than the modulus") {
