@@ -26,7 +26,10 @@ import scala.collection.mutable
   * row — a 100 TB table at 128 MB row groups is ~800k rows, trivially handled
   * by any RDBMS; the pruning query stays O(index), never O(data).
   */
-final class DerbyStatsIndex(dbPath: String, val indexedSchema: StructType)
+final class DerbyStatsIndex(
+    dbPath: String,
+    val indexedSchema: StructType,
+    val bloomCols: Set[String] = Set.empty)
     extends StatsIndex {
 
   DerbyStatsIndex.ensureDriver()
@@ -71,7 +74,11 @@ final class DerbyStatsIndex(dbPath: String, val indexedSchema: StructType)
         |  row_count BIGINT NOT NULL)""".stripMargin)
     val statCols = indexedCols.flatMap { f =>
       val t = derbyType(f.dataType)
-      Seq(s"${f.name}_null_count BIGINT", s"${f.name}_min $t", s"${f.name}_max $t")
+      Seq(s"${f.name}_null_count BIGINT", s"${f.name}_min $t", s"${f.name}_max $t") ++
+        // per-row-group bloom, attached post-ingest by BloomIndex.build;
+        // NULL until then ("unknown ⇒ might match" like every other stat)
+        (if (bloomCols.contains(f.name))
+           Seq(s"${f.name}_bloom VARCHAR(32672) FOR BIT DATA") else Nil)
     }
     createIfMissing(
       s"""CREATE TABLE row_group_statistics (
@@ -81,6 +88,24 @@ final class DerbyStatsIndex(dbPath: String, val indexedSchema: StructType)
          |  rg_start_bytes BIGINT NOT NULL,
          |  rg_compressed_bytes BIGINT NOT NULL${if (statCols.isEmpty) "" else statCols.mkString(",\n  ", ",\n  ", "")},
          |  PRIMARY KEY (file_id, row_group))""".stripMargin)
+    if (bloomCols.nonEmpty) {
+      // in-catalog bloom probes: the pruning query evaluates these against
+      // the stored bloom bytes inside Derby — bytes never leave the store.
+      // X0Y68 = alias already exists (idempotent re-init).
+      def createFnIfMissing(ddl: String): Unit =
+        try st.execute(ddl)
+        catch { case e: java.sql.SQLException if e.getSQLState == "X0Y68" => () }
+      createFnIfMissing(
+        """CREATE FUNCTION GRAFT_BLOOM_LONG(BLOOM VARCHAR(32672) FOR BIT DATA, V BIGINT)
+          |RETURNS INTEGER LANGUAGE JAVA PARAMETER STYLE JAVA NO SQL DETERMINISTIC
+          |RETURNS NULL ON NULL INPUT
+          |EXTERNAL NAME 'graft.index.BloomProbe.mightContainLong'""".stripMargin)
+      createFnIfMissing(
+        """CREATE FUNCTION GRAFT_BLOOM_STR(BLOOM VARCHAR(32672) FOR BIT DATA, V VARCHAR(1024))
+          |RETURNS INTEGER LANGUAGE JAVA PARAMETER STYLE JAVA NO SQL DETERMINISTIC
+          |RETURNS NULL ON NULL INPUT
+          |EXTERNAL NAME 'graft.index.BloomProbe.mightContainString'""".stripMargin)
+    }
     st.close()
   }
 
@@ -122,7 +147,7 @@ final class DerbyStatsIndex(dbPath: String, val indexedSchema: StructType)
 
   override def getFiles(predicate: Expression): Seq[FileScanPlan] = {
     val statsPred = StatsPredicateRewriter.rewrite(
-      predicate, indexedCols.map(_.name).toSet)
+      predicate, indexedCols.map(_.name).toSet, bloomCols)
     val whereSql = ExprToDerbySql.print(statsPred)
     val sql =
       s"""SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
@@ -174,7 +199,7 @@ object DerbyStatsIndex {
   val MaxStringLen = 1024
 
   @volatile private var driverLoaded = false
-  private def ensureDriver(): Unit = if (!driverLoaded) synchronized {
+  private[index] def ensureDriver(): Unit = if (!driverLoaded) synchronized {
     if (!driverLoaded) {
       // keep Derby's scribbles (derby.log, databases) inside the repo
       if (System.getProperty("derby.system.home") == null)

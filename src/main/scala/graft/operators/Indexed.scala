@@ -45,15 +45,22 @@ object Indexed {
       // absolute: a relative Derby path would resolve under derby.system.home,
       // detaching the stats DB from the data dir it describes
       val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
-      val dataDir = s"$base/lineitem"
+      // -v4: the materialization gained the derived l_ukey column
+      val dataDir = s"$base/lineitem-v4"
       if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
         // stale stats DB describes the previous materialization — drop it
         def rmrf(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rmrf)
           f.delete(); ()
         }
-        rmrf(new java.io.File(s"$base/statsdb"))
+        rmrf(new java.io.File(s"$base/statsdb-v4"))
         spark.read.parquet(s"$sfDir/lineitem.parquet")
+          // l_ukey: a high-cardinality key (md5 of the row identity) that
+          // is UNCORRELATED with the l_orderkey range clustering — the
+          // shape min/max pruning cannot touch and the per-row-group
+          // bloom index exists for (idx12)
+          .withColumn("l_ukey",
+            md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))))
           .repartitionByRange(8, col("l_orderkey"))
           .write.mode("overwrite")
           // several row groups per file so footer-level row-group pruning
@@ -62,10 +69,13 @@ object Indexed {
           .option("parquet.block.size", (4L * 1024 * 1024).toString)
           .parquet(dataDir)
       }
-      val dbPath = s"$base/statsdb"
+      // -v4: schema grew (l_ukey stats + bloom column) — a stale pre-v4
+      // DB would reject inserts; versioning the path sidesteps migration
+      val dbPath = s"$base/statsdb-v4"
       val (index, dataSchema) = IndexedParquet.buildIndex(
-        spark, dataDir, Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"),
-        dbPath)
+        spark, dataDir,
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_ukey"),
+        dbPath, bloomCols = Seq("l_ukey"))
       val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
       Entry(df, fileIndex, dataDir, index, dataSchema)
     })
@@ -191,6 +201,30 @@ object Indexed {
              |FROM lineitem
              |WHERE l_orderkey < 1000
              |GROUP BY l_returnflag""".stripMargin)),
+
+    // bloom-filter pruning (the reference's third named index extension,
+    // main.rs:34-37): equality probe on a high-cardinality UNSORTED key.
+    // l_ukey (md5 of the row identity) is uncorrelated with the orderkey
+    // clustering, so every row group's min/max spans ~the whole hex-string
+    // domain and range stats keep everything; the per-row-group bloom
+    // keeps only groups that might contain the probed value
+    // (BloomPruningSpec pins >90% pruned). The probe key is derived
+    // deterministically on both sides: the minimum l_ukey value (hex md5
+    // strings order identically in Spark and DuckDB).
+    QueryDef(
+      "idx12_bloom",
+      (s, dir) => {
+        val target = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))).as("u"))
+          .agg(min(col("u"))).head.getString(0)
+        lineitemIndexed(s, dir)
+          .filter(col("l_ukey") === target)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) =
+             |  (SELECT min(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)))
+             |   FROM lineitem)""".stripMargin)),
 
     // row-level key index (the reference's named "precise index" extension,
     // index.rs:30-35): exact key -> (file, row_group) postings; scans only

@@ -28,6 +28,15 @@ object ExprToDerbySql {
       val nulls = attrs.map(a => s"rg.$a IS NULL")
       "(" + (nulls :+ print(inner)).mkString(" OR ") + ")"
 
+    // in-catalog bloom probe (BloomIndex): NULL bloom (not yet attached,
+    // or row group predates the bloom build) must keep the row group
+    case BloomMightContain(c, probe) =>
+      val call = probe match {
+        case scala.util.Left(v)  => s"GRAFT_BLOOM_LONG(rg.${c}_bloom, $v)"
+        case scala.util.Right(s) => s"GRAFT_BLOOM_STR(rg.${c}_bloom, ${sqlString(s)})"
+      }
+      s"(rg.${c}_bloom IS NULL OR $call = 1)"
+
     case And(l, r) => s"(${print(l)} AND ${print(r)})"
     case Or(l, r)  => s"(${print(l)} OR ${print(r)})"
     case Not(c)    => s"(NOT ${print(c)})"

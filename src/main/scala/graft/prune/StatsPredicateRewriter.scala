@@ -26,6 +26,17 @@ import org.apache.spark.sql.types._
   *    over-approximations; `Not` is NOT recursed into (only the
   *    `Not(EqualTo)` shape has a direct sound rewrite).
   */
+/** Stats-space marker for an in-catalog bloom probe on `colName`'s
+  * per-row-group bloom filter (BloomIndex). Print-only: ExprToDerbySql
+  * renders it as `({col}_bloom IS NULL OR GRAFT_BLOOM_*(…) = 1)`; it never
+  * reaches Catalyst evaluation (emitted only when the caller declares
+  * bloom columns, which the Catalyst-eval property specs do not). */
+final case class BloomMightContain(colName: String, probe: Either[Long, String])
+    extends LeafExpression with Unevaluable {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+}
+
 object StatsPredicateRewriter {
 
   def minCol(c: String): Expression = UnresolvedAttribute(c + "_min")
@@ -173,10 +184,34 @@ object StatsPredicateRewriter {
     * guards the CASE-chain min/max unconditionally. */
   private final case class Ival(lo: Expression, hi: Expression, refs: Set[String])
 
-  def rewrite(predicate: Expression, indexedCols: Set[String]): Expression = {
+  def rewrite(
+      predicate: Expression,
+      indexedCols: Set[String],
+      bloomCols: Set[String] = Set.empty): Expression = {
     def attr(e: Expression): Option[String] = e match {
       case a: Attribute if indexedCols.contains(a.name) => Some(a.name)
       case _ => None
+    }
+
+    /** Bloom-probeable side of an equality: the bloom column itself, or a
+      * widening INTEGRAL cast of it (ingest widened values to long, so the
+      * probe widens identically; float/double targets are excluded — a
+      * fractional literal cannot hash-match the widened-long ingest). */
+    def bloomAttr(e: Expression): Option[String] = e match {
+      case a: Attribute if bloomCols.contains(a.name) && indexedCols.contains(a.name) =>
+        Some(a.name)
+      case Cast(a: Attribute, ByteType | ShortType | IntegerType | LongType, _, _)
+          if bloomCols.contains(a.name) && indexedCols.contains(a.name) &&
+            wideningCast(a.dataType, LongType) => Some(a.name)
+      case _ => None
+    }
+
+    def bloomTerm(c: String, l: Literal): Option[Expression] = l.value match {
+      // 1024 = GRAFT_BLOOM_STR's VARCHAR arg width (DerbyStatsIndex DDL);
+      // longer literals skip the bloom term (range bounds still apply)
+      case s: org.apache.spark.unsafe.types.UTF8String if s.toString.length <= 1024 =>
+        Some(BloomMightContain(c, scala.util.Right(s.toString)))
+      case _ => integralLong(l).map(v => BloomMightContain(c, scala.util.Left(v)))
     }
 
     def litSign(l: Literal): Option[Int] = (l.value match {
@@ -432,6 +467,19 @@ object StatsPredicateRewriter {
       // `f(a) cmp lit`, `lit cmp f(a)`, and `f(a) cmp g(b)` are all the
       // same rule):  x = y over-approximates as interval overlap;
       // x < y can hold only if lo(x) < hi(y), etc.
+      // equality on a bloom-indexed column: the usual min/max overlap AND
+      // the per-row-group bloom might contain the key (BloomIndex; NULL
+      // bloom ⇒ might match). IN / <=> / literal-first shapes delegate here.
+      case EqualTo(x, l: Literal)
+          if bloomAttr(x).isDefined && !isNaN(l) && l.value != null &&
+            ivalPair(x, l).isDefined =>
+        val (a, b) = ivalPair(x, l).get
+        val range = And(
+          keep(LessThanOrEqual(a.lo, b.hi)), keep(GreaterThanOrEqual(a.hi, b.lo)))
+        bloomTerm(bloomAttr(x).get, l).map(t => And(range, t)).getOrElse(range)
+      case EqualTo(l: Literal, x) if bloomAttr(x).isDefined =>
+        rw(EqualTo(x, l))
+
       case EqualTo(x, y) if ivalPair(x, y).isDefined =>
         val (a, b) = ivalPair(x, y).get
         And(keep(LessThanOrEqual(a.lo, b.hi)), keep(GreaterThanOrEqual(a.hi, b.lo)))

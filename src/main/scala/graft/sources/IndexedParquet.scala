@@ -28,7 +28,8 @@ object IndexedParquet {
       spark: SparkSession,
       dir: String,
       indexedCols: Seq[String],
-      dbPath: String): (StatsIndex, StructType) = {
+      dbPath: String,
+      bloomCols: Seq[String] = Nil): (StatsIndex, StructType) = {
     val dirPath = new Path(dir)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = dirPath.getFileSystem(hconf)
@@ -45,7 +46,7 @@ object IndexedParquet {
 
     val serConf = new SerializableConfiguration(hconf)
     val colNames = indexedSchema.fieldNames.toSeq
-    val index = new DerbyStatsIndex(dbPath, indexedSchema)
+    val index = new DerbyStatsIndex(dbPath, indexedSchema, bloomCols.toSet)
     index.initialize(indexedSchema)
     // footer reads AND catalog writes both run inside the job: stats flow
     // from each task straight to the catalog over that task's own JDBC
@@ -57,6 +58,13 @@ object IndexedParquet {
       .map(f => FooterStats.read(new Path(f), serConf.value, colNames))
     index.ingestAll(statsRdd)
     index.retainOnly(files.map(f => new Path(f).getName).toSet)
+    // bloom pass AFTER footer ingest (it updates the catalog rows the
+    // ingest wrote); one distributed job per bloom column, one task per
+    // row group, executor-side JDBC — same shape as ingestAll
+    bloomCols.foreach { c =>
+      graft.index.BloomIndex.build(
+        spark, dir, index.allFiles(), dataSchema, c, dbPath)
+    }
     (index, dataSchema)
   }
 
