@@ -70,22 +70,38 @@ object RowLevelIndex {
       .sortWithinPartitions("key")
   }
 
+  /** Driver-side posting cap for [[lookup]]: past this many postings the
+    * lookup degrades to the caller's full plan set instead of
+    * materializing every posting on the driver. The index exists for
+    * SELECTIVE keys — a key occurring in 100k+ row groups gains ~nothing
+    * from precise postings (min/max pruning already bounds the scan), but
+    * an uncapped collect on such a key would melt the driver at 100 TB.
+    * 100k postings ≈ a few MB of (file, row_group) rows — safe. */
+  val MaxPostings = 100000
+
   /** Posting lookup: which row groups contain `key`. Pushdown-filtered
-    * read of the index table. */
+    * read of the index table; the driver collect is bounded by
+    * `maxPostings` with a full-plan fallback (over-scan, never wrong). */
   def lookup(
       spark: SparkSession,
       indexDir: String,
       key: Any,
-      statsPlans: Seq[FileScanPlan]): Seq[FileScanPlan] = {
+      statsPlans: Seq[FileScanPlan],
+      maxPostings: Int = MaxPostings): Seq[FileScanPlan] = {
     val byFile = statsPlans.map(p => p.fileName -> p).toMap
-    val hits = spark.read.parquet(indexDir)
+    val rows = spark.read.parquet(indexDir)
       .filter(col("key") === lit(key))
       .select("file_name", "row_group")
+      .limit(maxPostings + 1) // +1: detect overflow without counting all
       .collect()
-      .groupBy(_.getString(0))
-      .view.mapValues(_.map(_.getInt(1)).to(SortedSet)).toMap
-    hits.toSeq.sortBy(_._1).flatMap { case (f, rgs) =>
-      byFile.get(f).map(p => p.copy(scanRowGroups = rgs))
+    if (rows.length > maxPostings) statsPlans
+    else {
+      val hits = rows
+        .groupBy(_.getString(0))
+        .view.mapValues(_.map(_.getInt(1)).to(SortedSet)).toMap
+      hits.toSeq.sortBy(_._1).flatMap { case (f, rgs) =>
+        byFile.get(f).map(p => p.copy(scanRowGroups = rgs))
+      }
     }
   }
 

@@ -155,12 +155,40 @@ object Dedup {
   }
 
   /** Connected components of an undirected pair graph `(a, b)`: each
-    * vertex's component is the MIN vertex id reachable from it. Iterative
-    * min-label propagation — every round each vertex takes the min label
-    * among itself and its neighbors; converges in O(diameter) rounds.
-    * Returns (v, l). See dd6 below for the scale rationale. */
+    * vertex's component is the MIN vertex id reachable from it.
+    * Returns (v, l). See dd6 below for the scale rationale.
+    *
+    * Each round alternates two label updates (both preserve the invariant
+    * "l(v) is a vertex id of v's component with l(v) <= v"):
+    *   1. neighbor-min:  l(v) <- min over l of v's closed neighborhood —
+    *      the classic propagation step; its fixpoint is exactly "l
+    *      constant per component", and that constant must be the
+    *      component's min vertex id (the min's own label can only be a
+    *      component member <= itself);
+    *   2. pointer jump:  l(v) <- l(l(v)) — label paths halve, so a
+    *      diameter-d chain converges in O(log d) rounds instead of O(d)
+    *      (the shortcutting idea behind large-star/small-star, Kiveris et
+    *      al. "Connected Components in MapReduce and Beyond").
+    * Convergence = the neighbor-min step changed nothing (the jump is the
+    * identity at that fixpoint). The change flag is folded into the SAME
+    * aggregation (self rows carry the previous label), so each round is
+    * one join+agg, one self-join, one eager checkpoint — the convergence
+    * probe then only scans the materialized result, it re-executes
+    * nothing.
+    *
+    * Non-convergence within `maxRounds` THROWS: a truncated label graph
+    * looks exactly like a converged one, and silently-wrong clusters at
+    * 100 TB are far worse than a failed job. With pointer jumping the
+    * default guard covers diameters past 2^20 — unreachable for any real
+    * near-dup graph — so the throw is a tripwire, not a limit. */
   private[graft] def connectedComponents(
-      pairs0: DataFrame, maxRounds: Int = 25): DataFrame = {
+      pairs0: DataFrame, maxRounds: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs0, maxRounds)._1
+
+  /** As [[connectedComponents]], also returning the rounds used —
+    * DedupBoundsSpec pins the O(log diameter) bound with it. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs0: DataFrame, maxRounds: Int = 25): (DataFrame, Int) = {
     val pairs = pairs0.localCheckpoint()
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
@@ -169,17 +197,30 @@ object Dedup {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
+      // neighbor-min, ONE job: self rows carry the previous label in l0
+      // (min skips the prop rows' NULLs), so new-vs-old lands in the same
+      // hash aggregate as the min itself
+      val self = labels.select(col("v"), col("l"), col("l").as("l0"))
       val prop = sym.join(labels, sym("src") === labels("v"))
-        .select(col("dst").as("v"), col("l"))
-      val next = labels.union(prop)
-        .groupBy("v").agg(min("l").as("l")).localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("l", "l0"), "v")
-        .where(col("l") < col("l0")).isEmpty
-      labels = next
+        .select(col("dst").as("v"), col("l"),
+          lit(null).cast(pairs0.schema("a").dataType).as("l0"))
+      val stepped = self.union(prop).groupBy("v")
+        .agg(min(col("l")).as("l"), min(col("l0")).as("l0"))
+        .withColumn("chg", col("l") < col("l0"))
+        .select("v", "l", "chg")
+      // pointer jump: l <- l(l); labels is keyed by v, so the join is 1:1
+      val next = stepped.as("x")
+        .join(stepped.as("y"), col("x.l") === col("y.v"))
+        .select(col("x.v").as("v"), col("y.l").as("l"), col("x.chg").as("chg"))
+        .localCheckpoint() // eager: the round's one materialization
+      converged = next.where(col("chg")).isEmpty // scans cached blocks only
+      labels = next.select("v", "l")
       round += 1
     }
-    labels
+    require(converged,
+      s"connectedComponents did not converge within $maxRounds rounds — " +
+        "refusing to return truncated (silently wrong) component labels")
+    (labels, round)
   }
 
   /** Shingle → sorted posting list, buckets bounded to (1, cap]. */
@@ -324,16 +365,15 @@ object Dedup {
     // ----- connected components over near-dup pairs -------------------------
     // The step after LSH pair generation in a production dedup pipeline:
     // cluster the pair graph so each group keeps one canonical document.
-    // Iterative min-label propagation — each round every vertex takes the
-    // min label among itself and its neighbors; converges in O(diameter)
-    // rounds (near-dup clusters are shallow; a 25-round guard bounds
-    // adversarial chains). Each round is ONE shuffle by vertex id, and
-    // `localCheckpoint` truncates the lineage so round N's plan does not
-    // re-execute rounds 1..N-1 (on a real cluster this would be
-    // `checkpoint` to reliable storage). Convergence is an isEmpty probe
-    // on changed labels, not a collect. The component id is the min
-    // doc_id in the component — deterministic, so the DuckDB oracle can
-    // reproduce it via a recursive transitive closure.
+    // Min-label propagation + pointer jumping (see connectedComponents):
+    // O(log diameter) rounds, each round one join+agg, one 1:1 self-join,
+    // one eager `localCheckpoint` truncating lineage (on a real cluster
+    // this would be `checkpoint` to reliable storage); the convergence
+    // probe scans the checkpointed result only. Non-convergence within
+    // the guard THROWS rather than returning silently wrong clusters.
+    // The component id is the min doc_id in the component —
+    // deterministic, so the DuckDB oracle can reproduce it via a
+    // recursive transitive closure.
     QueryDef(
       "dd6_components",
       (s, dir) => connectedComponents(minhashPairs(s, dir))

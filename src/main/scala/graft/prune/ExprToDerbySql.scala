@@ -26,7 +26,17 @@ object ExprToDerbySql {
     case Coalesce(Seq(inner, Literal(true, BooleanType))) =>
       val attrs = inner.collect { case a: UnresolvedAttribute => a.name }.distinct
       val nulls = attrs.map(a => s"rg.$a IS NULL")
-      "(" + (nulls :+ print(inner)).mkString(" OR ") + ")"
+      // a NULL-else CASE endpoint (the division sign certificate) can make
+      // the comparison UNKNOWN even with non-NULL stats; Derby's WHERE
+      // drops UNKNOWN rows, so the plain rendering would under-scan. Guard
+      // with a value-level CASE that maps UNKNOWN to keep: only TRUE/FALSE
+      // verdicts of the predicate itself can prune.
+      val body =
+        if (inner.exists { case c: CaseWhen => c.elseValue.isEmpty; case _ => false }) {
+          val p = print(inner)
+          s"CASE WHEN $p THEN 1 WHEN NOT ($p) THEN 0 ELSE 1 END = 1"
+        } else print(inner)
+      "(" + (nulls :+ body).mkString(" OR ") + ")"
 
     // in-catalog bloom probe (BloomIndex): NULL bloom (not yet attached,
     // or row group predates the bloom build) must keep the row group

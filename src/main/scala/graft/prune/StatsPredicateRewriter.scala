@@ -265,6 +265,25 @@ object StatsPredicateRewriter {
             interval(x).map(f => Ival(Divide(f.hi, l), Divide(f.lo, l), f.refs))
           case _ => None // ±0 / non-numeric: unbounded
         }
+      // attr/attr division (the last row of the reference's operator
+      // matrix, conversions.rs:20): a quotient interval exists ONLY when
+      // the divisor's own statistics certify a sign (b_min > 0 or
+      // b_max < 0 — the interval cannot straddle zero); then the 4-corner
+      // quotient bounds are sound and zero-divisor-free. Uncertified
+      // groups take the NULL else-branch: every comparison on a NULL
+      // endpoint is NULL, keep() coalesces NULL to TRUE in Catalyst, and
+      // the Derby keep() rendering CASE-guards the predicate (see
+      // ExprToDerbySql) — unknown ⇒ scan, never prune.
+      case Divide(x, y, _) =>
+        for (a <- interval(x); b <- interval(y)) yield {
+          val zero = Cast(Literal(0), y.dataType)
+          val cert = Or(GreaterThan(b.lo, zero), LessThan(b.hi, zero))
+          val corners = Seq(Divide(a.lo, b.lo), Divide(a.lo, b.hi),
+            Divide(a.hi, b.lo), Divide(a.hi, b.hi))
+          Ival(CaseWhen(Seq((cert, Least(corners))), None),
+            CaseWhen(Seq((cert, Greatest(corners))), None),
+            a.refs ++ b.refs)
+        }
       case UnaryMinus(x, _) =>
         interval(x).map(f => Ival(UnaryMinus(f.hi), UnaryMinus(f.lo), f.refs))
       // widening numeric casts are monotone: the analyzer wraps attributes

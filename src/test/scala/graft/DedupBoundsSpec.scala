@@ -56,15 +56,27 @@ class DedupBoundsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
-  test("connected components: a long chain needs (and survives) many rounds") {
+  test("connected components: a long chain converges in O(log diameter) rounds") {
     import spark.implicits._
-    // path 100-99-…-80: diameter 20, so min-label needs ~20 rounds — the
-    // convergence loop must actually iterate, and the 25-round guard holds
+    // path 100-99-…-80: diameter 20. Plain min-label propagation would
+    // need ~20 rounds; pointer jumping must close it in O(log d).
     val pairs = (80L until 100L).map(i => (i + 1, i)).toDF("a", "b")
-    val got = Dedup.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.keySet == (80L to 100L).toSet)
     assert(got.values.forall(_ == 80L), s"chain not fully converged: $got")
+    // log2(21) ≈ 4.4; +2 slack for the init round and the convergence-
+    // observation round. A propagation-only implementation needs 20+.
+    assert(rounds <= 7, s"expected O(log diameter) rounds, used $rounds")
+  }
+
+  test("connected components: non-convergence throws, never returns truncated labels") {
+    import spark.implicits._
+    val pairs = (80L until 100L).map(i => (i + 1, i)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("dd6 components are consistent with dd3 pairs on real data") {

@@ -106,7 +106,15 @@ class PruningSoundnessSpec extends SparkSpec {
       ("k << 2 > lit", shiftleft(col("k"), 2) > klit * 4),
       ("k >>> 2 <= lit", shiftrightunsigned(col("k"), 2) <= klit / 4),
       ("(k + j) >> 1 < lit (nested)",
-        shiftright(col("k") + col("j"), 1) < klit)
+        shiftright(col("k") + col("j"), 1) < klit),
+      // attr/attr division (conversions.rs:20): bounded under the
+      // divisor-sign certificate (j > 0 everywhere here); the second
+      // shape's divisor interval straddles zero in stats (j - 150.5,
+      // never zero in data) so it must conservatively keep
+      ("k / j > lit (divisor sign certified)",
+        col("k") / col("j") > 1.5),
+      ("k / (j - 150.5) > lit (divisor straddles zero: keep)",
+        col("k") / (col("j") - 150.5) > 2.0)
     )
   }
 
@@ -173,6 +181,17 @@ class PruningSoundnessSpec extends SparkSpec {
     // 4-corner product: k, j < 450 so k * j can never reach 450 * 450
     df.filter(col("k") * col("j") > 450 * 450).count()
     assert(fileIndex.lastExecution.get.scannedFiles.toSet.subsetOf(Set("f3.parquet")))
+  }
+
+  test("attr/attr division prunes when the divisor sign is certified") {
+    val (_, df, fileIndex) = env
+    // j >= 11 > 0 everywhere (sign certified from the stats themselves);
+    // k <= 301, so k / j <= 301/11 < 30 — only file 3's all-null-k row
+    // group (NULL stats must not prune) may survive
+    df.filter(col("k") / col("j") > 30.0).count()
+    val scanned = fileIndex.lastExecution.get.scannedFiles.toSet
+    assert(scanned.subsetOf(Set("f3.parquet")),
+      s"certified division should prune all non-null groups, scanned $scanned")
   }
 
   test("shift predicates actually prune (conversions.rs:30-31)") {

@@ -119,7 +119,7 @@ class RewriterPropertySpec extends AnyFunSuite {
     // differences, 4-corner products, and direct attr-vs-attr comparisons
     val genPair: Gen[Expression] = for {
       l <- genLit
-      shape <- Gen.oneOf(0 to 6)
+      shape <- Gen.oneOf(0 to 9)
     } yield shape match {
       case 0 => LessThan(Add(attr, attrJ), Literal(l))
       case 1 => GreaterThan(Subtract(attr, attrJ), Literal(l))
@@ -129,6 +129,20 @@ class RewriterPropertySpec extends AnyFunSuite {
       case 5 => LessThanOrEqual(
         Multiply(attr, Subtract(Literal(100), attrJ)), Literal(l))
       case 6 => EqualTo(Multiply(attr, attrJ), Literal(l))
+      // attr/attr division: bounded only under the divisor-sign
+      // certificate; the -40..120 stats domain exercises certified
+      // (all-positive / all-negative) AND zero-straddling divisors.
+      // LEGACY eval mode: the data-side eval must yield NULL (not throw)
+      // on a zero divisor candidate.
+      case 7 => GreaterThan(
+        Divide(Cast(attr, DoubleType), Cast(attrJ, DoubleType), EvalMode.LEGACY),
+        Literal(l.toDouble))
+      case 8 => LessThan(
+        Divide(Cast(attr, DoubleType), Cast(attrJ, DoubleType), EvalMode.LEGACY),
+        Literal(l.toDouble / 2))
+      case 9 => EqualTo(
+        Divide(Cast(attrJ, DoubleType), Cast(attr, DoubleType), EvalMode.LEGACY),
+        Literal(l.toDouble))
     }
     check(Prop.forAll(genPair, genGroup, genGroup) { (pred, gk, gj) =>
       val stats = Map[String, Any](

@@ -62,6 +62,23 @@ class RowLevelIndexSpec extends SparkSpec {
       s"min/max kept $minMaxKept, row-level kept $exactKept")
   }
 
+  test("hot-key lookup is capped: degrades to the full plan set, stays correct") {
+    val (dir, idxDir, plans, schema, _) = env
+    // key 1000 occurs in every row group (8 postings) — past the cap the
+    // lookup must NOT materialize the postings on the driver; it returns
+    // the caller's full plans instead (over-scan, never wrong)
+    val capped = RowLevelIndex.lookup(spark, idxDir, 1000, plans, maxPostings = 3)
+    assert(capped == plans, "capped hot-key lookup should fall back to all plans")
+    // under the cap the postings stay exact
+    val exact = RowLevelIndex.lookup(spark, idxDir, 1000, plans)
+    assert(exact.map(_.scanRowGroups.size).sum == 8)
+    // correctness through the capped (fallback) path
+    val got = graft.sources.RowGroupSkipScan.scan(spark, dir, capped, schema)
+      .filter(col("k") === 1000).count()
+    val want = spark.read.parquet(dir).filter(col("k") === 1000).count()
+    assert(got == want)
+  }
+
   test("build plan is O(1) in row-group count (one scan, no per-RG unions)") {
     val (dir, _, plans, schema, _) = env
     val plan = RowLevelIndex.buildPlan(spark, dir, plans, schema, "k")
