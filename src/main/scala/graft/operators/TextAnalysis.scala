@@ -267,28 +267,39 @@ object TextAnalysis {
     // reproducible across runs, engines, and cluster sizes — the property
     // a training-data pipeline needs for resumable / auditable sampling
     // (Spark's df.sample is partition-order-dependent and would neither
-    // reproduce nor oracle-match). Map-only: the decision is a codegen'd
-    // filter at the scan, no shuffle, no state; at 100 TB it composes
-    // with column pruning (reads only doc_id/source when downstream
-    // allows). The per-source rate (10–89%) is itself md5-derived here;
-    // a real pipeline would broadcast-join a rate table keyed by source.
+    // reproduce nor oracle-match). The production shape: rates come from
+    // a RATE TABLE keyed by source (here one row per distinct source,
+    // md5-derived values so the oracle reproduces them; a real pipeline
+    // curates this table), broadcast-joined onto the corpus — the fact
+    // side stays shuffle-free (scan → broadcast hash join → filter, all
+    // codegen; PlanShapeSpec pins no shuffle Exchange and the pruned
+    // ReadSchema). At 100 TB the rate table is a few KB broadcast to
+    // every executor; the per-row decision never leaves the scan task.
     QueryDef(
       "tx9_sample",
       (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        // the rate table: tiny, one row per source (driver-built here the
+        // way ann3 fits its centroid table — bounded by #sources, not rows)
+        val sources = docs.select("source").distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        import s.implicits._
+        val rates = sources.toDF("source").withColumn("rate",
+          conv(substring(md5(col("source")), 1, 4), 16, 10).cast("int") % 80 + 10)
         val bucket = conv(substring(md5(concat_ws(":",
           col("doc_id").cast("string"), col("source"))), 1, 4), 16, 10)
           .cast("int") % 100
-        val rate = conv(substring(md5(col("source")), 1, 4), 16, 10)
-          .cast("int") % 80 + 10
-        Tables.load(s, dir, "documents")
-          .withColumn("rate", rate)
+        docs.join(broadcast(rates), "source")
           .where(bucket < col("rate"))
           .select("doc_id", "source", "rate")
       },
-      Some("""SELECT doc_id, source,
-             |  CAST('0x' || substr(md5(source), 1, 4) AS INT) % 80 + 10 AS rate
-             |FROM documents
-             |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4) AS INT) % 100
-             |    < CAST('0x' || substr(md5(source), 1, 4) AS INT) % 80 + 10""".stripMargin))
+      Some("""WITH rates AS (
+             |  SELECT source,
+             |    CAST('0x' || substr(md5(source), 1, 4) AS INT) % 80 + 10 AS rate
+             |  FROM (SELECT DISTINCT source FROM documents))
+             |SELECT d.doc_id, d.source, r.rate
+             |FROM documents d JOIN rates r USING (source)
+             |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source), 1, 4) AS INT) % 100
+             |    < r.rate""".stripMargin))
   )
 }

@@ -50,32 +50,47 @@ object RowGroupSkipScan {
     if (spark.catalog.functionExists("graft_dot"))
       graft.plans.RowGroupScan.dataFrame(
         spark, dir, plans, dataSchema, mergeRuns, requiredCols, pushedFilters)
-    else {
-      val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      val required =
-        if (requiredCols.isEmpty) dataSchema
-        else StructType(dataSchema.filter(f => requiredCols.contains(f.name)))
-      // row-based reader: this path's vectorized output (ColumnarBatch)
-      // cannot pass through internalCreateDataFrame
-      val prevVec = spark.conf.get("spark.sql.parquet.enableVectorizedReader", "true")
-      val reader =
-        try {
-          spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
-          new ParquetFileFormat().buildReaderWithPartitionValues(
-            sparkSession = cs,
-            dataSchema = dataSchema,
-            partitionSchema = new StructType(),
-            requiredSchema = required,
-            filters = pushedFilters,
-            options = Map(org.apache.spark.sql.execution.datasources.FileFormat
-              .OPTION_RETURNING_BATCH -> "false"),
-            hadoopConf = new org.apache.hadoop.conf.Configuration(
-              spark.sparkContext.hadoopConfiguration))
-        } finally spark.conf.set("spark.sql.parquet.enableVectorizedReader", prevVec)
-      val partitions = graft.plans.RowGroupScan.filePartitions(dir, plans, mergeRuns)
-      val rdd = new FileScanRDD(cs, reader, partitions, required)
-      GraftSqlShim.internalCreateDataFrame(spark, rdd, required)
-    }
+    else scanRowBased(spark, dir, plans, dataSchema, mergeRuns, requiredCols,
+      pushedFilters)
+  }
+
+  /** The no-extensions fallback: a row-based FileScanRDD wrap. Correct but
+    * ~8× slower per scanned byte than the columnar node — and with the
+    * SAME residual pushdown: `pushedFilters` reach the parquet reader, so
+    * page-level (column-index) skipping inside selected row groups works
+    * on both paths (RowGroupSkipSpec asserts it). */
+  private[graft] def scanRowBased(
+      spark: SparkSession,
+      dir: String,
+      plans: Seq[FileScanPlan],
+      dataSchema: StructType,
+      mergeRuns: Boolean = true,
+      requiredCols: Seq[String] = Nil,
+      pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val required =
+      if (requiredCols.isEmpty) dataSchema
+      else StructType(dataSchema.filter(f => requiredCols.contains(f.name)))
+    // row-based reader: this path's vectorized output (ColumnarBatch)
+    // cannot pass through internalCreateDataFrame
+    val prevVec = spark.conf.get("spark.sql.parquet.enableVectorizedReader", "true")
+    val reader =
+      try {
+        spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+        new ParquetFileFormat().buildReaderWithPartitionValues(
+          sparkSession = cs,
+          dataSchema = dataSchema,
+          partitionSchema = new StructType(),
+          requiredSchema = required,
+          filters = pushedFilters,
+          options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+            .OPTION_RETURNING_BATCH -> "false"),
+          hadoopConf = new org.apache.hadoop.conf.Configuration(
+            spark.sparkContext.hadoopConfiguration))
+      } finally spark.conf.set("spark.sql.parquet.enableVectorizedReader", prevVec)
+    val partitions = graft.plans.RowGroupScan.filePartitions(dir, plans, mergeRuns)
+    val rdd = new FileScanRDD(cs, reader, partitions, required)
+    GraftSqlShim.internalCreateDataFrame(spark, rdd, required)
   }
 
   /** Resolve a public `Column` predicate against `dataSchema` into a

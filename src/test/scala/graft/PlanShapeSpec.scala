@@ -75,9 +75,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, s"UDFs found in: $offenders")
   }
 
-  test("tx9_sample: map-only — zero exchanges, scan pruned to the two used columns") {
+  test("tx9_sample: fact side shuffle-free — broadcast rate join, pruned scan") {
     val p = plan("tx9_sample")
-    assert(!p.contains("Exchange"), p.take(2000))
+    // the only exchange is the broadcast of the tiny rate table; the
+    // corpus side must never shuffle
+    assert(!p.contains("ShuffleExchange"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
       p.take(2000))
   }

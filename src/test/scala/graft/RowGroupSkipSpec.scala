@@ -94,6 +94,14 @@ class RowGroupSkipSpec extends SparkSpec {
       pushedFilters = RowGroupSkipScan.translateDataFilters(resolved)).count()
     assert(rawPaged < 1000L, "pushed filter did not skip any page")
     assert(rawPaged <= 100L, s"expected ~1 surviving 50-row page, read $rawPaged rows")
+    // the no-extensions row-based fallback gets the SAME pushdown: its
+    // reader honors the column index too (both paths page-skip)
+    val fallbackAll = RowGroupSkipScan.scanRowBased(spark, dir, plans, schema).count()
+    assert(fallbackAll == 1000L)
+    val fallbackPaged = RowGroupSkipScan.scanRowBased(spark, dir, plans, schema,
+      pushedFilters = RowGroupSkipScan.translateDataFilters(resolved)).count()
+    assert(fallbackPaged <= 100L,
+      s"fallback path: expected ~1 surviving 50-row page, read $fallbackPaged rows")
     // end-to-end result unchanged
     val (df, _) = RowGroupSkipScan.scanWithPredicate(
       spark, dir, index, schema, col("value") === 123)
