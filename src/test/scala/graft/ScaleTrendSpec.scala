@@ -1,0 +1,42 @@
+package graft
+
+/** Scale-trend guard for the heaviest L3 operators (SURVEY §8.9): runtime
+  * from sf0.01 to sf0.1 (10× input) must stay ≤ ~linear. The per-round
+  * bench only measures one scale, so a quadratic regression (an uncapped
+  * pair expansion, a lost broadcast, an accidental cartesian) could hide
+  * behind a green oracle — here it trips a 3×-slack linearity bound
+  * (10× data × 3 slack = 30×; a quadratic blowup shows up as ~100×).
+  *
+  * The bound is deliberately loose: local[4] timings carry JIT/codegen
+  * and fixed job-setup noise (each query gets a warmup run at sf0.001
+  * first), and fixed overhead inflates the small-scale denominator, which
+  * only makes the test MORE permissive — it exists to catch asymptotic
+  * regressions, not percent-level ones.
+  */
+class ScaleTrendSpec extends SparkSpec {
+
+  private def timed(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private val heavy =
+    Seq("dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_components", "tx5_winnow")
+
+  heavy.foreach { name =>
+    test(s"$name: sf0.01 → sf0.1 runtime stays ~linear in input size") {
+      val fn = SparkEntry.queries(name)
+      fn(spark, sf("sf0.001")).count() // warmup: codegen + JIT
+      spark.catalog.clearCache()
+      val tSmall = timed { fn(spark, sf("sf0.01")).count() }
+      spark.catalog.clearCache()
+      val tBig = timed { fn(spark, sf("sf0.1")).count() }
+      spark.catalog.clearCache()
+      val ratio = tBig / tSmall
+      assert(ratio <= 30.0,
+        f"$name: $tSmall%.2fs → $tBig%.2fs (${ratio}%.1f×) for 10× input — " +
+          "super-linear growth, check for uncapped pair expansion / lost broadcast")
+    }
+  }
+}
