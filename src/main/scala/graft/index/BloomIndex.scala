@@ -57,8 +57,15 @@ object BloomIndex {
       maxBloomBytes: Int = 4096): Unit = {
     require(supported(dataSchema(bloomCol).dataType),
       s"bloom column $bloomCol has unsupported type ${dataSchema(bloomCol).dataType}")
+    // (file, row group, catalog row count) per scan partition: the row
+    // count pre-sizes each bloom so values STREAM into it — per-task
+    // memory is the bloom's byte cap, independent of row-group size
+    // (a distinct-set would be O(row group) heap at 1M-row groups)
+    val rowsByFile = plans.map(p => p.fileName -> p.rowGroupRows).toMap
     val rgMeta = spark.sparkContext.broadcast(
-      graft.plans.RowGroupScan.perRowGroupMeta(plans).toArray)
+      graft.plans.RowGroupScan.perRowGroupMeta(plans).toArray.map { case (f, rg) =>
+        (f, rg, rowsByFile.getOrElse(f, Map.empty).getOrElse(rg, 65536L))
+      })
     val url = s"jdbc:derby:$dbPath"
     // one partition per selected row group; pid ↔ row-group identity is the
     // same contract RowLevelIndex.buildPlan relies on
@@ -69,17 +76,13 @@ object BloomIndex {
         if (it.hasNext) {
           val first = it.next()
           val pid = first.getInt(1)
-          // dedupe before sizing: the bloom is sized from the row group's
-          // DISTINCT count (bounded by row-group row count), capped at
-          // maxBloomBytes — repeated keys cost set entries, not bits
-          val distinct = new java.util.HashSet[Any]()
+          val (fileName, rowGroup, rowCount) = rgMeta.value(pid)
+          val bloom = BloomProbe.create(rowCount, fpp, maxBloomBytes)
           def add(r: org.apache.spark.sql.Row): Unit =
-            if (!r.isNullAt(0)) { distinct.add(r.get(0)); () }
+            if (!r.isNullAt(0)) BloomProbe.put(bloom, r.get(0))
           add(first); it.foreach(add)
-          val bytes = BloomProbe.serialize(
-            BloomProbe.buildFrom(distinct, fpp, maxBloomBytes))
-          val (fileName, rowGroup) = rgMeta.value(pid)
-          BloomProbe.attachViaJdbc(url, fileName, rowGroup, bloomCol, bytes)
+          BloomProbe.attachViaJdbc(url, fileName, rowGroup, bloomCol,
+            BloomProbe.serialize(bloom))
         }
       }
   }
@@ -92,24 +95,24 @@ object BloomIndex {
   * the pruning query never ships bloom bytes out of the store. */
 object BloomProbe {
 
-  def buildFrom(
-      values: java.util.Collection[Any],
-      fpp: Double,
-      maxBloomBytes: Int): BloomFilter = {
-    val n = math.max(1L, values.size.toLong)
-    // optimal bit count for (n, fpp), capped so the catalog row stays small;
-    // at the cap the filter degrades gracefully to a higher fpp (over-scan,
-    // never under-scan)
+  /** Empty bloom sized for `expectedItems` (an upper bound — the catalog's
+    * row count stands in for the distinct count) at `fpp`, bit-capped so
+    * the catalog row stays small; at the cap the filter degrades
+    * gracefully to a higher fpp (over-scan, never under-scan). */
+  def create(expectedItems: Long, fpp: Double, maxBloomBytes: Int): BloomFilter = {
+    val n = math.max(1L, expectedItems)
     val optimalBits =
       math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     val bits = math.max(64L, math.min(optimalBits, maxBloomBytes.toLong * 8L))
-    val bloom = BloomFilter.create(n, bits)
-    values.forEach {
-      case s: String => bloom.putString(s); ()
-      case x: java.lang.Number => bloom.putLong(x.longValue); ()
-      case other => throw new IllegalArgumentException(s"unbloomable value $other")
-    }
-    bloom
+    BloomFilter.create(n, bits)
+  }
+
+  /** Ingest one value: integrals widen to long (the probe widens
+    * identically), strings hash their UTF-8 bytes. */
+  def put(bloom: BloomFilter, value: Any): Unit = value match {
+    case s: String => bloom.putString(s); ()
+    case x: java.lang.Number => bloom.putLong(x.longValue); ()
+    case other => throw new IllegalArgumentException(s"unbloomable value $other")
   }
 
   def serialize(bloom: BloomFilter): Array[Byte] = {

@@ -151,7 +151,7 @@ final class DerbyStatsIndex(
     val whereSql = ExprToDerbySql.print(statsPred)
     val sql =
       s"""SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
-         |  rg.rg_start_bytes, rg.rg_compressed_bytes
+         |  rg.rg_start_bytes, rg.rg_compressed_bytes, rg.row_count
          |FROM row_group_statistics rg
          |JOIN file_statistics f ON rg.file_id = f.file_id
          |WHERE $whereSql
@@ -165,7 +165,7 @@ final class DerbyStatsIndex(
 
   override def allFiles(): Seq[FileScanPlan] = runPlanQuery(
     """SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
-      |  rg.rg_start_bytes, rg.rg_compressed_bytes
+      |  rg.rg_start_bytes, rg.rg_compressed_bytes, rg.row_count
       |FROM row_group_statistics rg
       |JOIN file_statistics f ON rg.file_id = f.file_id
       |ORDER BY f.file_name, rg.row_group""".stripMargin)
@@ -174,20 +174,22 @@ final class DerbyStatsIndex(
   private def runPlanQuery(sql: String): Seq[FileScanPlan] = conn.synchronized {
     val st = conn.createStatement()
     val rs = st.executeQuery(sql)
-    val acc = mutable.LinkedHashMap
-      .empty[String, (Long, Int, mutable.SortedSet[Int], mutable.Map[Int, (Long, Long)])]
+    val acc = mutable.LinkedHashMap.empty[String,
+      (Long, Int, mutable.SortedSet[Int], mutable.Map[Int, (Long, Long)],
+        mutable.Map[Int, Long])]
     while (rs.next()) {
-      val (_, _, set, ranges) = acc.getOrElseUpdate(
+      val (_, _, set, ranges, rows) = acc.getOrElseUpdate(
         rs.getString(1),
         (rs.getLong(2), rs.getInt(3), mutable.SortedSet.empty[Int],
-          mutable.Map.empty[Int, (Long, Long)]))
+          mutable.Map.empty[Int, (Long, Long)], mutable.Map.empty[Int, Long]))
       val rg = rs.getInt(4)
       set += rg
       ranges(rg) = (rs.getLong(5), rs.getLong(6))
+      rows(rg) = rs.getLong(7)
     }
     rs.close(); st.close()
-    acc.iterator.map { case (name, (size, rgCount, rgs, ranges)) =>
-      FileScanPlan(name, size, rgCount, SortedSet.from(rgs), ranges.toMap)
+    acc.iterator.map { case (name, (size, rgCount, rgs, ranges, rows)) =>
+      FileScanPlan(name, size, rgCount, SortedSet.from(rgs), ranges.toMap, rows.toMap)
     }.toSeq
   }
 

@@ -14,7 +14,8 @@ final case class FileScanPlan(
     fileSizeBytes: Long,
     rowGroupCount: Int,
     scanRowGroups: SortedSet[Int],
-    rowGroupRanges: Map[Int, (Long, Long)] = Map.empty) {
+    rowGroupRanges: Map[Int, (Long, Long)] = Map.empty,
+    rowGroupRows: Map[Int, Long] = Map.empty) {
 
   /** Render like the reference's access-plan output: `[Skip, Scan, …]`. */
   def render: String =
