@@ -113,6 +113,19 @@ class BloomPruningSpec extends SparkSpec {
       s"bloom kept ${exec.scannedRowGroups} of ${exec.totalRowGroups} row groups")
   }
 
+  test("re-running the index build keeps blooms effective (idempotent re-index)") {
+    val (base, dir) = fixture
+    // second buildIndex over the same data: footer ingest wipes and
+    // re-inserts the row-group rows (bloom columns go NULL), then the
+    // bloom pass must re-attach — a probe after the rebuild still prunes
+    val (index2, _) = IndexedParquet.buildIndex(
+      spark, dir, Seq("seq", "key", "skey"), s"$base/statsdb",
+      bloomCols = Seq("key", "skey"))
+    val kept = index2.getFiles(resolved(col("key") === 4242L))
+      .map(_.scanRowGroups.size).sum
+    assert(kept >= 1 && kept <= 16, s"post-reindex bloom kept $kept of 160")
+  }
+
   test("absent key prunes everything the fpp allows and returns empty") {
     val (index, schema, dir) = indexed
     // 8009..8999 never occur (key domain is mod 8009 over 0..7999 inputs)
