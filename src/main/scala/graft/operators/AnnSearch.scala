@@ -37,7 +37,7 @@ object AnnSearch {
   import graft.functions.VectorMath.quant
 
   /** Session-aware dot (native codegen DotLong when extensions are on). */
-  private def dot(s: SparkSession)(a: Column, b: Column): Column =
+  private[operators] def dot(s: SparkSession)(a: Column, b: Column): Column =
     graft.functions.VectorMath.dot(s, a, b)
 
   /** Deterministic ±1 hyperplane component for (table, plane, dim):
@@ -72,9 +72,28 @@ object AnnSearch {
   private def score(d: Column, nq: Column, nn: Column): Column =
     (d * abs(d)).cast("double") / (nq * nn).cast("double")
 
+  /** Array of (score, -cell) structs over the quantized vector column `v`
+    * (norm² column `nn`) against integer centroids: per-cell
+    * sign-preserving cos² as a single exact-integer double division;
+    * lexicographic struct ordering gives argmax with ties to the LOWER
+    * cell index — pure codegen, no UDF, O(k) per row, no shuffle for the
+    * assignment. `-array_max(...).getField("i")` is the assigned cell.
+    * Shared by ann3 (probing) and dd7 (semantic-dedup blocking). */
+  private[operators] def cellScoreArr(
+      s: SparkSession, cents: Array[Array[Long]]): Column = {
+    def cellScore(cv: Array[Long]): Column = {
+      val d = dot(s)(col("v"), typedlit(cv.toSeq))
+      val ncSq = cv.map(x => x * x).sum
+      (d * abs(d)).cast("double") / (col("nn") * lit(ncSq)).cast("double")
+    }
+    array(cents.zipWithIndex.map { case (cv, c) =>
+      struct(cellScore(cv).as("s"), lit(-c).as("i"))
+    }.toIndexedSeq: _*)
+  }
+
   // persisted: the quantized corpus feeds several plan branches (bucket
   // keys per table, query side, rerank side) — materialize once
-  private def quantized(s: SparkSession, dir: String): DataFrame =
+  private[operators] def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), quant(col("embedding")).as("v"))
       .withColumn("nn", dot(s)(col("v"), col("v")))
@@ -183,19 +202,7 @@ object AnnSearch {
         val q = quantized(s, dir)
         val cents = fitQuantizedCentroids(s, dir)
         ann3Oracle = Some(ann3Sql(cents))
-        // per-cell score of quantized vector `v` (norm² column `nn`):
-        // sign-preserving cos² as a single exact-integer double division
-        def cellScore(cv: Array[Long]): Column = {
-          val d = dot(s)(col("v"), typedlit(cv.toSeq))
-          val ncSq = cv.map(x => x * x).sum
-          (d * abs(d)).cast("double") / (col("nn") * lit(ncSq)).cast("double")
-        }
-        // array of (score, -cell) structs: lexicographic struct ordering
-        // gives argmax with ties to the LOWER cell index — pure codegen,
-        // no UDF, O(k) per row, no shuffle for the assignment
-        val scoreArr = array(cents.zipWithIndex.map { case (cv, c) =>
-          struct(cellScore(cv).as("s"), lit(-c).as("i"))
-        }.toIndexedSeq: _*)
+        val scoreArr = cellScoreArr(s, cents)
         val corpus = q.withColumn("cell", -array_max(scoreArr).getField("i"))
         // queries probe the IvfProbes nearest cells
         val probes = slice(reverse(array_sort(scoreArr)), 1, IvfProbes)
@@ -232,7 +239,7 @@ object AnnSearch {
   /** Driver-side Lloyd fit on the first [[IvfFitSample]] vectors by id,
     * floor-quantized to integer centroids (so downstream assignment is
     * exact-integer and oracle-reproducible). */
-  private def fitQuantizedCentroids(s: SparkSession, dir: String): Array[Array[Long]] =
+  private[operators] def fitQuantizedCentroids(s: SparkSession, dir: String): Array[Array[Long]] =
     ivfFitCache.getOrElseUpdate(dir, {
       import s.implicits._
       val k = IvfCells

@@ -238,6 +238,45 @@ object Dedup {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("c"))
 
+  @volatile private var dd7Oracle: Option[String] = None
+
+  /** DuckDB oracle for dd7 with the fitted integer centroids inlined —
+    * same assignment discipline as ann3's oracle (argmax score, ties to
+    * the lower cell), same deterministic cap as dd5's, same integer-exact
+    * cosine threshold. */
+  private def dd7Sql(cents: Array[Array[Long]]): String = {
+    val values = cents.zipWithIndex.map { case (cv, c) =>
+      val ncSq = cv.map(x => x * x).sum
+      s"($c, ${cv.mkString("[", ",", "]")}::BIGINT[], ${ncSq})"
+    }.mkString(",\n    ")
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |    list_sum(list_transform(list_zip(v, v), s -> s[1] * s[2])) nn FROM q),
+       |cents(cell, cv, nc) AS (VALUES
+       |    $values),
+       |sc AS (SELECT a.vec_id, c.cell,
+       |    list_sum(list_transform(list_zip(a.v, c.cv), s -> s[1] * s[2])) d,
+       |    a.nn, c.nc
+       |  FROM n a CROSS JOIN cents c),
+       |rk AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(nn * nc AS DOUBLE) DESC,
+       |             cell ASC) r
+       |  FROM sc),
+       |corpus AS (SELECT rk.vec_id, rk.cell, n.v, n.nn
+       |  FROM rk JOIN n ON n.vec_id = rk.vec_id WHERE rk.r = 1),
+       |capped AS (SELECT vec_id, cell, v, nn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cell
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) ck FROM corpus) t
+       |  WHERE ck <= $MaxBlock),
+       |p AS (SELECT x.vec_id a, y.vec_id b, x.cell, x.nn na, y.nn nb,
+       |    list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2])) d
+       |  FROM capped x JOIN capped y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+       |SELECT a, b, cell FROM p
+       |WHERE d > 0 AND d * d * 25 >= na * nb * 4""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- exact dedup ------------------------------------------------------
@@ -361,6 +400,41 @@ object Dedup {
              |  FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id)
              |SELECT a, b FROM p
              |WHERE d > 0 AND d * d * 25 >= na * nb * 4""".stripMargin)),
+
+    // ----- semantic dedup: cluster-blocked embedding near-dup ---------------
+    // The SemDeDup shape: partition the corpus by LEARNED semantic
+    // clusters (the same deterministic k-means fit ann3 uses for IVF
+    // cells — a bounded driver-side sample, quantized-integer centroids
+    // inlined into plan AND oracle), then find cosine near-dup pairs only
+    // WITHIN each cluster. Versus dd5 (blocked by a given label column)
+    // the blocking here is learned from the data itself — the shape that
+    // works when no labels exist. Scale: assignment is narrow codegen
+    // (zero shuffle), the pair join shuffles by cell, and the per-cell
+    // [[MaxBlock]] cap (deterministic md5 order, mirrored in the oracle)
+    // bounds every join task at O(cap²) no matter how hot a cluster is.
+    QueryDef(
+      "dd7_semantic",
+      (s, dir) => {
+        val q = AnnSearch.quantized(s, dir)
+        val cents = AnnSearch.fitQuantizedCentroids(s, dir)
+        dd7Oracle = Some(dd7Sql(cents))
+        val assigned = q.withColumn("cell",
+          -array_max(AnnSearch.cellScoreArr(s, cents)).getField("i"))
+        val capped = capBlocks(
+          assigned.withColumnRenamed("cell", "label"), MaxBlock)
+          .withColumnRenamed("label", "cell")
+        val a = capped.select(col("vec_id").as("a"), col("cell"),
+          col("v").as("va"), col("nn").as("na"))
+        val b = capped.select(col("vec_id").as("b"), col("cell"),
+          col("v").as("vb"), col("nn").as("nb"))
+        a.join(b, Seq("cell")).where(col("a") < col("b"))
+          .withColumn("d", AnnSearch.dot(s)(col("va"), col("vb")))
+          // cosine >= 0.4  ⇔  d > 0 && 25 d² >= 4 na nb   (integer-exact)
+          .where(col("d") > 0 && col("d") * col("d") * 25 >= col("na") * col("nb") * 4)
+          .select("a", "b", "cell")
+      },
+      None,
+      oracleDyn = Some(() => dd7Oracle.get)),
 
     // ----- connected components over near-dup pairs -------------------------
     // The step after LSH pair generation in a production dedup pipeline:
