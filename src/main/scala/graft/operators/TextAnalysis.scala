@@ -261,6 +261,45 @@ object TextAnalysis {
              |  FROM documents) t
              |WHERE rn <= 50""".stripMargin)),
 
+    // ----- TF-IDF vocabulary statistics -------------------------------------
+    // Corpus-level document frequency + per-document top-k TF-IDF terms —
+    // the vocabulary/quality stage of a training pipeline (distinctive
+    // terms per document; df doubles as the stopword signal). Ranking is
+    // tf/df as ONE exact-integer-to-double division (bit-identical across
+    // engines — the established ann/ivf ranking pattern), ties to the
+    // lexicographically first term; only integers and terms are emitted.
+    // Scale: three hash aggregates, each map-side partial (token counts
+    // shuffle (doc, term); df shuffles term; top-k shuffles doc); no pair
+    // expansion anywhere, so it is linear in corpus token count. The
+    // tf–df join shuffles by term rather than broadcasting because a real
+    // corpus vocabulary (10⁸+ terms at 100 TB) is not broadcastable.
+    QueryDef(
+      "tx10_tfidf",
+      (s, dir) => {
+        val tf = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy((col("tf").cast("double") / col("df")).desc, col("w").asc)
+        tf.join(df, "w")
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("w").as("term"),
+            col("tf"), col("df"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) w
+             |              FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) tf FROM toks GROUP BY doc_id, w),
+             |df AS (SELECT w, count(*) df FROM tf GROUP BY w)
+             |SELECT doc_id, rank, w AS term, tf, df FROM (
+             |  SELECT tf.doc_id, tf.w, tf.tf, df.df, row_number() OVER (
+             |      PARTITION BY tf.doc_id
+             |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.w ASC) rank
+             |  FROM tf JOIN df USING (w)) t
+             |WHERE rank <= 3""".stripMargin)),
+
     // ----- deterministic stratified sampling --------------------------------
     // Hash-based Bernoulli sampling with a per-stratum rate: the keep
     // decision is a pure function of (doc_id, source), so the sample is
