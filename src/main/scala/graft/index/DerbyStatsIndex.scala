@@ -163,6 +163,18 @@ final class DerbyStatsIndex(
     catch { case _: java.sql.SQLException => allFiles() }
   }
 
+  override def minIndexedValue(colName: String): Option[Any] = conn.synchronized {
+    require(indexedCols.exists(_.name == colName), s"$colName is not indexed")
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(
+        s"SELECT MIN(${colName}_min) FROM row_group_statistics")
+      val v = if (rs.next()) Option(rs.getObject(1)) else None
+      rs.close()
+      v
+    } finally st.close()
+  }
+
   override def allFiles(): Seq[FileScanPlan] = runPlanQuery(
     """SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
       |  rg.rg_start_bytes, rg.rg_compressed_bytes, rg.row_count

@@ -58,5 +58,13 @@ trait StatsIndex extends AutoCloseable {
   /** All indexed files (for sizeInBytes / inputFiles / no-predicate scans). */
   def allFiles(): Seq[FileScanPlan]
 
+  /** Catalog-side scalar: the global minimum value of an indexed column,
+    * computed as MIN over the per-row-group minima already in the catalog —
+    * ONE O(index) round trip that never touches data. (Sound as the exact
+    * global min whenever the column's min stats are stored untruncated,
+    * e.g. strings within the catalog's VARCHAR width.) None when the
+    * catalog holds no non-NULL stats for the column. */
+  def minIndexedValue(colName: String): Option[Any] = None
+
   def indexedSchema: StructType
 }
