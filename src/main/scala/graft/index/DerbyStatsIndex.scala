@@ -165,13 +165,39 @@ final class DerbyStatsIndex(
 
   override def minIndexedValue(colName: String): Option[Any] = conn.synchronized {
     require(indexedCols.exists(_.name == colName), s"$colName is not indexed")
+    // Derby will happily MIN over VARCHAR FOR BIT DATA, but its bit-data
+    // collation is not certified to match Catalyst's unsigned lexicographic
+    // binary order — refuse rather than risk a wrong "exact" minimum
+    if (indexedCols.exists(f => f.name == colName && f.dataType == BinaryType))
+      return None
     val st = conn.createStatement()
     try {
+      // the second aggregate certifies exactness: a row group with a NULL
+      // min that may still hold non-null values (no stats, or null_count
+      // short of row_count) means SQL MIN skipped a candidate and the
+      // result could exceed the true minimum → None
       val rs = st.executeQuery(
-        s"SELECT MIN(${colName}_min) FROM row_group_statistics")
-      val v = if (rs.next()) Option(rs.getObject(1)) else None
+        s"""SELECT MIN(${colName}_min),
+           |  SUM(CASE WHEN ${colName}_min IS NULL
+           |           AND (${colName}_null_count IS NULL
+           |                OR ${colName}_null_count < row_count)
+           |      THEN 1 ELSE 0 END)
+           |FROM row_group_statistics""".stripMargin)
+      val v =
+        if (rs.next() && rs.getLong(2) == 0L) Option(rs.getObject(1))
+        else None
       rs.close()
-      v
+      v.filter {
+        // at the catalog's max width the stored min may be a truncated
+        // lower BOUND (setValue), not an actual value — uncertifiable
+        case s: String      => s.length < DerbyStatsIndex.MaxStringLen
+        case b: Array[Byte] => b.length < DerbyStatsIndex.MaxStringLen
+        case _              => true
+      }
+    } catch {
+      // e.g. MIN over VARCHAR FOR BIT DATA is not grammatical in Derby —
+      // degrade to "unknown", same conservative contract as getFiles
+      case _: java.sql.SQLException => None
     } finally st.close()
   }
 

@@ -79,31 +79,44 @@ object RowLevelIndex {
     * 100k postings ≈ a few MB of (file, row_group) rows — safe. */
   val MaxPostings = 100000
 
-  /** Posting lookup: which row groups contain `key`. Pushdown-filtered
-    * read of the index table; the driver collect is bounded by
-    * `maxPostings` with a full-plan fallback (over-scan, never wrong). */
+  /** Raw posting sets for `keys` (OR-semantics: a row group survives if it
+    * contains ANY of the keys — the IN-list shape). Pushdown-filtered read
+    * of the index table; the driver collect is bounded by `maxPostings`.
+    * None = overflow (some key is too hot for precise postings to pay off)
+    * — callers must degrade to their stats-pruned plans. */
+  def postings(
+      spark: SparkSession,
+      indexDir: String,
+      keys: Seq[Any],
+      maxPostings: Int = MaxPostings): Option[Map[String, SortedSet[Int]]] = {
+    val rows = spark.read.parquet(indexDir)
+      .filter(col("key").isin(keys: _*))
+      .select("file_name", "row_group")
+      .limit(maxPostings + 1) // +1: detect overflow without counting all
+      .collect()
+    if (rows.length > maxPostings) None
+    else Some(rows
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getInt(1)).to(SortedSet)).toMap)
+  }
+
+  /** Posting lookup: which row groups contain `key`. The driver collect is
+    * bounded by `maxPostings` with a full-plan fallback (over-scan, never
+    * wrong). */
   def lookup(
       spark: SparkSession,
       indexDir: String,
       key: Any,
       statsPlans: Seq[FileScanPlan],
-      maxPostings: Int = MaxPostings): Seq[FileScanPlan] = {
-    val byFile = statsPlans.map(p => p.fileName -> p).toMap
-    val rows = spark.read.parquet(indexDir)
-      .filter(col("key") === lit(key))
-      .select("file_name", "row_group")
-      .limit(maxPostings + 1) // +1: detect overflow without counting all
-      .collect()
-    if (rows.length > maxPostings) statsPlans
-    else {
-      val hits = rows
-        .groupBy(_.getString(0))
-        .view.mapValues(_.map(_.getInt(1)).to(SortedSet)).toMap
-      hits.toSeq.sortBy(_._1).flatMap { case (f, rgs) =>
-        byFile.get(f).map(p => p.copy(scanRowGroups = rgs))
-      }
+      maxPostings: Int = MaxPostings): Seq[FileScanPlan] =
+    postings(spark, indexDir, Seq(key), maxPostings) match {
+      case None => statsPlans
+      case Some(hits) =>
+        val byFile = statsPlans.map(p => p.fileName -> p).toMap
+        hits.toSeq.sortBy(_._1).flatMap { case (f, rgs) =>
+          byFile.get(f).map(p => p.copy(scanRowGroups = rgs))
+        }
     }
-  }
 
   /** Point query through the row-level index: scan exactly the posting
     * row groups, re-apply the predicate. */

@@ -58,12 +58,25 @@ trait StatsIndex extends AutoCloseable {
   /** All indexed files (for sizeInBytes / inputFiles / no-predicate scans). */
   def allFiles(): Seq[FileScanPlan]
 
-  /** Catalog-side scalar: the global minimum value of an indexed column,
-    * computed as MIN over the per-row-group minima already in the catalog —
-    * ONE O(index) round trip that never touches data. (Sound as the exact
-    * global min whenever the column's min stats are stored untruncated,
-    * e.g. strings within the catalog's VARCHAR width.) None when the
-    * catalog holds no non-NULL stats for the column. */
+  /** Catalog-side scalar: the EXACT global minimum value of an indexed
+    * column, computed as MIN over the per-row-group minima already in the
+    * catalog — ONE O(index) round trip that never touches data.
+    *
+    * Returns None whenever exactness cannot be certified, specifically:
+    *  - any row group stores a NULL `{col}_min` while possibly containing
+    *    non-null values (footer lacked usable stats; SQL MIN would silently
+    *    skip it and the result could exceed the true minimum) — all-null
+    *    row groups (`null_count = row_count`) are fine;
+    *  - the stored minimum may be truncated (string/binary at the
+    *    catalog's max width is only a lower BOUND, not a value);
+    *  - the catalog holds no non-NULL stats for the column; or
+    *  - the catalog query fails (conservative "unknown").
+    *
+    * Encoding seam: the value is returned in the CATALOG's storage
+    * encoding, which mirrors Catalyst internals — Long microseconds for
+    * timestamps, Int days for dates, raw bytes for binary — so callers
+    * pushing it back into data-space comparisons must decode accordingly
+    * (strings and integrals are identity). */
   def minIndexedValue(colName: String): Option[Any] = None
 
   def indexedSchema: StructType

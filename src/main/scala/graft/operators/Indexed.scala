@@ -209,18 +209,34 @@ object Indexed {
     // domain and range stats keep everything; the per-row-group bloom
     // keeps only groups that might contain the probed value
     // (BloomPruningSpec pins >90% pruned). The probe key is derived
-    // deterministically on both sides: the minimum l_ukey value (hex md5
-    // strings order identically in Spark and DuckDB).
+    // deterministically on both sides as the minimum l_ukey — on the Spark
+    // side O(INDEX): MIN over the catalog's per-row-group minima, one JDBC
+    // query, no data scan (footer string minima are exact untruncated
+    // 32-char values, so the catalog min IS the data min DuckDB computes;
+    // hex md5 strings order identically in Spark and DuckDB).
     QueryDef(
       "idx12_bloom",
-      (s, dir) => {
-        val target = s.read.parquet(s"$dir/lineitem.parquet")
-          .select(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))).as("u"))
-          .agg(min(col("u"))).head.getString(0)
-        lineitemIndexed(s, dir)
-          .filter(col("l_ukey") === target)
-          .select("l_orderkey", "l_linenumber", "l_quantity")
-      },
+      (s, dir) => lineitemIndexed(s, dir)
+        .filter(col("l_ukey") === minUkey(s, dir))
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) =
+             |  (SELECT min(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)))
+             |   FROM lineitem)""".stripMargin)),
+
+    // automatic index ROUTING (the reference's one-scan-seam design intent,
+    // main.rs:256-305: the PROVIDER consults the index — the caller just
+    // writes the filter): plain `df.filter(l_ukey = k)` syntax against the
+    // routed relation hits the row-level posting index (row groups where k
+    // actually OCCURS — exactly 1 for a unique key), with bloom then
+    // min/max as the in-catalog fallbacks (RoutingSpec pins the order and
+    // that postings keep ≤ what the bloom keeps). Same probe + oracle
+    // shape as idx12; only the index consulted differs.
+    QueryDef(
+      "idx13_routed",
+      (s, dir) => lineitemRouted(s, dir)
+        .filter(col("l_ukey") === minUkey(s, dir))
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
              |WHERE md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) =
              |  (SELECT min(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)))
@@ -251,5 +267,39 @@ object Indexed {
         graft.index.RowLevelIndex.build(
           spark, e.dataDir, e.index.allFiles(), e.dataSchema, "l_orderkey", dir)
       dir
+    })
+
+  /** The probe key idx12/idx13 share: the global minimum l_ukey, read from
+    * the stats CATALOG (one JDBC MIN over per-row-group minima — O(index),
+    * certified-exact or it throws; never a data scan). */
+  private def minUkey(spark: SparkSession, sfDir: String): String =
+    cached(spark, sfDir).index.minIndexedValue("l_ukey")
+      .getOrElse(throw new IllegalStateException(
+        "catalog cannot certify an exact min for l_ukey"))
+      .asInstanceOf[String]
+
+  private val routedCache = TrieMap.empty[String, (org.apache.spark.sql.DataFrame,
+    graft.sources.IndexedParquetFileIndex)]
+
+  /** The SAME indexed relation, with automatic index routing on: l_ukey
+    * carries a row-level posting index (built lazily, one distributed
+    * pass), so equality/IN on it resolves to posting-exact row groups;
+    * everything else falls back to the bloom/min-max catalog path. */
+  def lineitemRouted(spark: SparkSession, sfDir: String): DataFrame =
+    routedEntry(spark, sfDir)._1
+
+  def lastRoutedExecution(spark: SparkSession, sfDir: String) =
+    routedEntry(spark, sfDir)._2.lastExecution
+
+  private def routedEntry(spark: SparkSession, sfDir: String) =
+    routedCache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      val e = cached(spark, sfDir)
+      val ukeyIdx = e.dataDir + "-rowidx-ukey"
+      if (!Files.exists(Paths.get(ukeyIdx, "_SUCCESS")))
+        graft.index.RowLevelIndex.build(
+          spark, e.dataDir, e.index.allFiles(), e.dataSchema, "l_ukey", ukeyIdx)
+      graft.sources.IndexedParquet.read(
+        spark, e.dataDir, e.index, e.dataSchema,
+        rowLevelIndexes = Map("l_ukey" -> ukeyIdx))
     })
 }

@@ -69,14 +69,23 @@ object IndexedParquet {
   }
 
   /** Read a directory through the index-backed FileIndex. Returns the
-    * DataFrame plus the FileIndex for `lastExecution` observability. */
+    * DataFrame plus the FileIndex for `lastExecution` observability.
+    * `rowLevelIndexes` (column → posting-table dir) turns on automatic
+    * routing: equality/IN on those columns consult the precise row-level
+    * postings with bloom/min-max as the fallback (the reference's
+    * one-scan-seam design, main.rs:256-305). */
   def read(
       spark: SparkSession,
       dir: String,
       index: StatsIndex,
-      dataSchema: StructType): (DataFrame, IndexedParquetFileIndex) = {
+      dataSchema: StructType,
+      rowLevelIndexes: Map[String, String] = Map.empty,
+      maxPostings: Int = graft.index.RowLevelIndex.MaxPostings)
+      : (DataFrame, IndexedParquetFileIndex) = {
     val cs = classic(spark)
-    val fileIndex = new IndexedParquetFileIndex(new Path(dir), index)
+    val fileIndex = new IndexedParquetFileIndex(
+      new Path(dir), index, rowLevelIndexes = rowLevelIndexes,
+      maxPostings = maxPostings)
     val relation = HadoopFsRelation(
       location = fileIndex,
       partitionSchema = new StructType(),

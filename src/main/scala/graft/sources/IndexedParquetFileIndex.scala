@@ -1,23 +1,32 @@
 package graft.sources
 
-import graft.index.{FileScanPlan, StatsIndex}
+import graft.index.{FileScanPlan, RowLevelIndex, StatsIndex}
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Expression, Literal}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, In, InSet, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.StructType
+
+import scala.collection.immutable.SortedSet
 
 /** What the last planning pass decided to scan — the observability hook
   * mirroring the reference's `SimpleExecutionLog`/`last_execution()`
   * (/root/reference/sqlx-sqlite/src/main.rs:202-204, 319-323, 426-445).
   * Golden pruning tests assert on this, exactly like the reference's
   * "Files scanned:" console assertions (sqlx-sqlite/README.md:38-70).
+  *
+  * `route` records which index kinds the provider consulted beyond the
+  * stats catalog: `rowlevel(col)` = precise postings intersected in;
+  * `rowlevel-degraded(col)` = postings overflowed the driver cap (hot key)
+  * and the stats-pruned plans stand alone. Empty = stats(+bloom) only.
   */
 final case class PruneExecution(
     dataFilters: Seq[Expression],
     plans: Seq[FileScanPlan],
     totalFiles: Int,
-    totalRowGroups: Int) {
+    totalRowGroups: Int,
+    route: Seq[String] = Nil) {
   def scannedFiles: Seq[String] = plans.map(_.fileName)
   def scannedRowGroups: Int = plans.map(_.scanRowGroups.size).sum
   def render: String =
@@ -37,11 +46,26 @@ final case class PruneExecution(
   * in the vectorized parquet reader via footer-stats filter pushdown
   * (`spark.sql.parquet.filterPushdown`), which reproduces the reference's
   * ParquetAccessPlan outcome from the same min/max values (SURVEY.md §7.4).
+  *
+  * Automatic index routing (the reference's design seam — ONE `scan()`
+  * call consults "the index", main.rs:256-305, with the row-level index
+  * named as the precise extension, index.rs:30-35): when `rowLevelIndexes`
+  * maps a column to a posting-table directory, equality/IN conjuncts on
+  * that column are answered by the PRECISE postings (row groups where the
+  * key actually occurs) intersected with the stats-pruned plans, so plain
+  * `df.filter(col === k)` syntax gets the best index available with zero
+  * caller involvement. Fallback order per conjunct:
+  *  1. row-level postings (capped driver lookup; hot key ⇒ degrade),
+  *  2. per-row-group bloom probe (equality on a bloom column, in-catalog),
+  *  3. min/max range overlap — 2 and 3 both live inside `index.getFiles`.
+  * Every step over-approximates independently, so intersecting is sound.
   */
 final class IndexedParquetFileIndex(
     dir: Path,
     index: StatsIndex,
-    fileSystemBlockSize: Long = 128L * 1024 * 1024)
+    fileSystemBlockSize: Long = 128L * 1024 * 1024,
+    rowLevelIndexes: Map[String, String] = Map.empty,
+    maxPostings: Int = RowLevelIndex.MaxPostings)
     extends FileIndex {
 
   /** The backing stats index (for scans that consult it directly). */
@@ -55,17 +79,88 @@ final class IndexedParquetFileIndex(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val everything = index.allFiles()
-    val plans =
+    val statsPlans =
       if (dataFilters.isEmpty) everything
       else index.getFiles(dataFilters.reduce(And))
+    val (plans, route) = routeRowLevel(dataFilters, statsPlans)
     lastExecution = Some(PruneExecution(
-      dataFilters, plans, everything.size, everything.map(_.rowGroupCount).sum))
+      dataFilters, plans, everything.size, everything.map(_.rowGroupCount).sum, route))
     val statuses = plans.map { p =>
       new FileStatus(p.fileSizeBytes, false, 1, fileSystemBlockSize, 0L,
         new Path(dir, p.fileName))
     }.toArray
     Seq(PartitionDirectory(InternalRow.empty, statuses))
   }
+
+  // ---- row-level routing ----------------------------------------------------
+
+  /** Equality/IN conjuncts on row-level-indexed columns → intersect the
+    * precise posting row groups into the stats-pruned plans. */
+  private def routeRowLevel(
+      dataFilters: Seq[Expression],
+      statsPlans: Seq[FileScanPlan]): (Seq[FileScanPlan], Seq[String]) = {
+    if (rowLevelIndexes.isEmpty || dataFilters.isEmpty) return (statsPlans, Nil)
+    val conjuncts = dataFilters.flatMap(splitConjuncts)
+    val routable = conjuncts.flatMap(pointKeys)
+    if (routable.isEmpty) return (statsPlans, Nil)
+    routable.foldLeft((statsPlans, Seq.empty[String])) {
+      case ((plans, route), (colName, keys)) =>
+        lookupPostings(colName, keys) match {
+          case Some(hits) =>
+            val kept = plans.flatMap { p =>
+              hits.get(p.fileName)
+                .map(rgs => p.copy(scanRowGroups = p.scanRowGroups intersect rgs))
+                .filter(_.scanRowGroups.nonEmpty)
+            }
+            (kept, route :+ s"rowlevel($colName)")
+          case None =>
+            (plans, route :+ s"rowlevel-degraded($colName)")
+        }
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** A conjunct the row-level index can answer exactly: equality or IN
+    * between a row-level-indexed column and non-null literals. NULL keys
+    * never match (`= NULL` is never TRUE; the posting table holds no null
+    * keys), and an all-null key list keeps nothing. */
+  private def pointKeys(e: Expression): Option[(String, Seq[Any])] = {
+    def indexed(a: Attribute): Boolean = rowLevelIndexes.contains(a.name)
+    def v(l: Literal): Any = CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    e match {
+      case EqualTo(a: Attribute, l: Literal) if indexed(a) && l.value != null =>
+        Some(a.name -> Seq(v(l)))
+      case EqualTo(l: Literal, a: Attribute) if indexed(a) && l.value != null =>
+        Some(a.name -> Seq(v(l)))
+      case EqualNullSafe(a: Attribute, l: Literal) if indexed(a) && l.value != null =>
+        Some(a.name -> Seq(v(l)))
+      case EqualNullSafe(l: Literal, a: Attribute) if indexed(a) && l.value != null =>
+        Some(a.name -> Seq(v(l)))
+      case In(a: Attribute, list) if indexed(a) && list.forall(_.isInstanceOf[Literal]) =>
+        Some(a.name -> list.collect { case l: Literal if l.value != null => v(l) })
+      case InSet(a: Attribute, set) if indexed(a) =>
+        val conv = CatalystTypeConverters.createToScalaConverter(a.dataType)
+        Some(a.name -> set.toSeq.filter(_ != null).map(conv))
+      case _ => None
+    }
+  }
+
+  /** Bounded posting lookup; None on overflow (hot key), empty map when no
+    * row group contains any key. Any failure — including no usable Spark
+    * session at planning time — degrades to "no routing" (over-scan). */
+  private def lookupPostings(
+      colName: String, keys: Seq[Any]): Option[Map[String, SortedSet[Int]]] =
+    if (keys.isEmpty) Some(Map.empty)
+    else
+      try RowLevelIndex.postings(
+        SparkSession.active, rowLevelIndexes(colName), keys, maxPostings)
+      catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---------------------------------------------------------------------------
 
   override def inputFiles: Array[String] =
     index.allFiles().map(p => new Path(dir, p.fileName).toString).toArray
