@@ -29,7 +29,16 @@ import scala.collection.mutable
 final class DerbyStatsIndex(
     dbPath: String,
     val indexedSchema: StructType,
-    val bloomCols: Set[String] = Set.empty)
+    val bloomCols: Set[String] = Set.empty,
+    // portability fallback: probe blooms PLANNER-side (candidate bloom
+    // bytes ship out of the catalog) instead of registering JVM probe
+    // functions inside the store — for catalogs that can't host them
+    val plannerSideBloomProbe: Boolean = false,
+    // planner-probe transfer cap: more min/max-surviving candidates than
+    // this and the bloom step is skipped (over-scan, never wrong) rather
+    // than shipping an unbounded byte volume; 16384 × the 4 KB bloom cap
+    // = 64 MB worst case
+    val maxPlannerProbeRowGroups: Int = 16384)
     extends StatsIndex {
 
   DerbyStatsIndex.ensureDriver()
@@ -88,7 +97,7 @@ final class DerbyStatsIndex(
          |  rg_start_bytes BIGINT NOT NULL,
          |  rg_compressed_bytes BIGINT NOT NULL${if (statCols.isEmpty) "" else statCols.mkString(",\n  ", ",\n  ", "")},
          |  PRIMARY KEY (file_id, row_group))""".stripMargin)
-    if (bloomCols.nonEmpty) {
+    if (bloomCols.nonEmpty && !plannerSideBloomProbe) {
       // in-catalog bloom probes: the pruning query evaluates these against
       // the stored bloom bytes inside Derby — bytes never leave the store.
       // X0Y68 = alias already exists (idempotent re-init).
@@ -148,19 +157,63 @@ final class DerbyStatsIndex(
   override def getFiles(predicate: Expression): Seq[FileScanPlan] = {
     val statsPred = StatsPredicateRewriter.rewrite(
       predicate, indexedCols.map(_.name).toSet, bloomCols)
-    val whereSql = ExprToDerbySql.print(statsPred)
-    val sql =
-      s"""SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
-         |  rg.rg_start_bytes, rg.rg_compressed_bytes, rg.row_count
-         |FROM row_group_statistics rg
-         |JOIN file_statistics f ON rg.file_id = f.file_id
-         |WHERE $whereSql
-         |ORDER BY f.file_name, rg.row_group""".stripMargin
     // a failing pruning query (e.g. arithmetic overflow on extreme stats)
     // must degrade to a full scan, never to a query error — same
     // conservative contract as the TRUE fallback (conversions.rs:32)
-    try runPlanQuery(sql)
-    catch { case _: java.sql.SQLException => allFiles() }
+    try {
+      if (plannerSideBloomProbe &&
+          statsPred.exists(_.isInstanceOf[graft.prune.BloomMightContain]))
+        plannerProbedPlans(statsPred)
+      else runPlanQuery(planSql(ExprToDerbySql.print(statsPred)))
+    } catch { case _: java.sql.SQLException => allFiles() }
+  }
+
+  private def planSql(whereSql: String, extraSelect: Seq[String] = Nil): String =
+    s"""SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
+       |  rg.rg_start_bytes, rg.rg_compressed_bytes, rg.row_count${
+        if (extraSelect.isEmpty) "" else extraSelect.mkString(",\n  ", ",\n  ", "")}
+       |FROM row_group_statistics rg
+       |JOIN file_statistics f ON rg.file_id = f.file_id
+       |WHERE $whereSql
+       |ORDER BY f.file_name, rg.row_group""".stripMargin
+
+  /** Portability path: the same pruning decision via PORTABLE SQL only.
+    * Phase 1 (in-catalog, bloom terms as TRUE) narrows candidates to the
+    * min/max survivors; their bloom bytes and the 0/1 verdicts of every
+    * bloom-free subtree ship with the plan rows, and the And/Or spine is
+    * re-evaluated planner-side as rows stream (PlannerBloom's Kleene
+    * argument: identical kept set to the in-catalog rendering). Bounded:
+    * if more than `maxPlannerProbeRowGroups` candidates survive min/max,
+    * skip the bloom step entirely (over-scan) instead of shipping an
+    * unbounded byte volume. */
+  private def plannerProbedPlans(statsPred: Expression): Seq[FileScanPlan] = {
+    val phase1 = ExprToDerbySql.print(statsPred.transform {
+      case _: graft.prune.BloomMightContain =>
+        org.apache.spark.sql.catalyst.expressions.Literal(true)
+    })
+    val candidates = conn.synchronized {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"""SELECT COUNT(*) FROM row_group_statistics rg
+             |JOIN file_statistics f ON rg.file_id = f.file_id
+             |WHERE $phase1""".stripMargin)
+        rs.next(); val n = rs.getLong(1); rs.close(); n
+      } finally st.close()
+    }
+    if (candidates > maxPlannerProbeRowGroups) return runPlanQuery(planSql(phase1))
+    val split = PlannerBloom.split(statsPred)
+    val extra =
+      split.sqlLeaves.zipWithIndex.map { case (s, i) =>
+        s"CASE WHEN $s THEN 1 ELSE 0 END AS leaf_$i"
+      } ++ split.bloomCols.map(c => s"rg.${c}_bloom")
+    val nLeaves = split.sqlLeaves.size
+    runPlanQuery(planSql(phase1, extra), keepRow = { rs =>
+      val verdicts = Array.tabulate(nLeaves)(i => rs.getInt(8 + i) == 1)
+      val blooms = Array.tabulate(split.bloomCols.size)(j =>
+        rs.getBytes(8 + nLeaves + j))
+      PlannerBloom.eval(split.root, verdicts, blooms)
+    })
   }
 
   override def minIndexedValue(colName: String): Option[Any] = conn.synchronized {
@@ -208,14 +261,19 @@ final class DerbyStatsIndex(
       |JOIN file_statistics f ON rg.file_id = f.file_id
       |ORDER BY f.file_name, rg.row_group""".stripMargin)
 
-  // concurrent planning threads share one embedded connection; serialize
-  private def runPlanQuery(sql: String): Seq[FileScanPlan] = conn.synchronized {
+  // concurrent planning threads share one embedded connection; serialize.
+  // `keepRow` filters candidate rows as they STREAM (the planner-side
+  // bloom probe) — per-row state only, never a materialized byte buffer
+  private def runPlanQuery(
+      sql: String,
+      keepRow: java.sql.ResultSet => Boolean = _ => true): Seq[FileScanPlan] =
+    conn.synchronized {
     val st = conn.createStatement()
     val rs = st.executeQuery(sql)
     val acc = mutable.LinkedHashMap.empty[String,
       (Long, Int, mutable.SortedSet[Int], mutable.Map[Int, (Long, Long)],
         mutable.Map[Int, Long])]
-    while (rs.next()) {
+    while (rs.next()) if (keepRow(rs)) {
       val (_, _, set, ranges, rows) = acc.getOrElseUpdate(
         rs.getString(1),
         (rs.getLong(2), rs.getInt(3), mutable.SortedSet.empty[Int],

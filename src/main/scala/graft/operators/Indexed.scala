@@ -39,6 +39,15 @@ object Indexed {
   def lastExecution(spark: SparkSession, sfDir: String) =
     cached(spark, sfDir).fileIndex.lastExecution
 
+  /** Test seam: the cached fixture's (stats index, data schema, data dir)
+    * so specs can replay planning decisions through alternate index modes
+    * (e.g. the planner-side bloom probe) against the same catalog. */
+  private[graft] def fixture(spark: SparkSession, sfDir: String)
+      : (graft.index.StatsIndex, org.apache.spark.sql.types.StructType, String) = {
+    val e = cached(spark, sfDir)
+    (e.index, e.dataSchema, e.dataDir)
+  }
+
   private def cached(spark: SparkSession, sfDir: String): Entry =
     cache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
       val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")

@@ -480,6 +480,17 @@ object StatsPredicateRewriter {
         if (l.value == null) keep(GreaterThan(nullCountCol(attr(a).get), Literal(0L)))
         else rw(EqualTo(a, l))
       case EqualNullSafe(l: Literal, a) if attr(a).isDefined => rw(EqualNullSafe(a, l))
+      // f(a) <=> lit for non-null lit is EqualTo for pruning purposes (the
+      // null-vs-null case only ADDS matches when lit is null, handled
+      // above for bare attrs) — delegating picks up both the interval
+      // overlap AND the bloom term when f is a widening cast of a bloom
+      // column (bloomAttr), closing the `CAST(k) <=> v` shape
+      case EqualNullSafe(x, l: Literal) if l.value != null && !isNaN(l) &&
+          ivalPair(x, l).isDefined =>
+        rw(EqualTo(x, l))
+      case EqualNullSafe(l: Literal, x) if l.value != null && !isNaN(l) &&
+          ivalPair(x, l).isDefined =>
+        rw(EqualTo(x, l))
 
       // interval comparisons — both sides decompose as interval images of
       // indexed statistics (a literal is the point interval [l, l], so
@@ -532,11 +543,14 @@ object StatsPredicateRewriter {
       case IsNotNull(a) if attr(a).isDefined =>
         keep(LessThan(nullCountCol(attr(a).get), rowCountCol))
 
-      // a IN (l1, l2, …)  ⇒  OR of the equality rewrites
-      case In(a, values) if attr(a).isDefined &&
+      // a IN (l1, l2, …)  ⇒  OR of the equality rewrites (also fires for a
+      // widening cast of a bloom column, so `CAST(k) IN (…)` keeps its
+      // per-member bloom terms)
+      case In(a, values) if (attr(a).isDefined || bloomAttr(a).isDefined) &&
           values.nonEmpty && values.forall(_.isInstanceOf[Literal]) =>
         values.map(v => rw(EqualTo(a, v.asInstanceOf[Literal]))).reduce(Or)
-      case InSet(a, hset) if attr(a).isDefined && hset.nonEmpty && hset.size <= 256 =>
+      case InSet(a, hset) if (attr(a).isDefined || bloomAttr(a).isDefined) &&
+          hset.nonEmpty && hset.size <= 256 =>
         val dt = a.dataType
         hset.toSeq.map(v => rw(EqualTo(a, Literal(v, dt)))).reduce(Or)
 

@@ -29,7 +29,11 @@ object IndexedParquet {
       dir: String,
       indexedCols: Seq[String],
       dbPath: String,
-      bloomCols: Seq[String] = Nil): (StatsIndex, StructType) = {
+      bloomCols: Seq[String] = Nil,
+      // true = never register JVM probe functions in the catalog; bloom
+      // probes run planner-side over shipped candidate bytes (the
+      // portability fallback for catalogs that can't host Java functions)
+      plannerSideBloomProbe: Boolean = false): (StatsIndex, StructType) = {
     val dirPath = new Path(dir)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = dirPath.getFileSystem(hconf)
@@ -46,7 +50,8 @@ object IndexedParquet {
 
     val serConf = new SerializableConfiguration(hconf)
     val colNames = indexedSchema.fieldNames.toSeq
-    val index = new DerbyStatsIndex(dbPath, indexedSchema, bloomCols.toSet)
+    val index = new DerbyStatsIndex(dbPath, indexedSchema, bloomCols.toSet,
+      plannerSideBloomProbe = plannerSideBloomProbe)
     index.initialize(indexedSchema)
     // footer reads AND catalog writes both run inside the job: stats flow
     // from each task straight to the catalog over that task's own JDBC
