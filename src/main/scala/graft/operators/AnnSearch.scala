@@ -54,14 +54,15 @@ object AnnSearch {
   private def signs(t: Int, p: Int): Seq[Long] =
     (0 until EmbeddingDim).map(d => planeSign(t, p, d))
 
-  /** LSH bucket key for table `t` over a quantized vector column. */
-  private def bucketKey(s: SparkSession, t: Int, v: Column): Column =
+  /** LSH bucket key for table `t` over a quantized vector column. Shared
+    * with dd7's hot-cluster subdivision (Dedup.semanticBlocks). */
+  private[operators] def bucketKey(s: SparkSession, t: Int, v: Column): Column =
     (0 until LshBits).map { p =>
       val proj = dot(s)(v, typedlit(signs(t, p)))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def sqlBucketKey(t: Int, v: String): String =
+  private[operators] def sqlBucketKey(t: Int, v: String): String =
     (0 until LshBits).map { p =>
       val arr = signs(t, p).mkString("[", ",", "]")
       s"(CASE WHEN list_sum(list_transform(list_zip($v, $arr::BIGINT[]), s -> s[1]*s[2])) > 0 THEN ${1L << p} ELSE 0 END)"

@@ -238,17 +238,69 @@ object Dedup {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("c"))
 
+  /** Semantic-dedup blocking with hot-cluster LSH subdivision. Input:
+    * (vec_id, v, nn, cell). Cold cells (≤ [[MaxBlock]] members) form ONE
+    * exact block — every within-cell pair is compared. Hot cells do NOT
+    * truncate (the pre-r5 hard cap silently dropped members ranked past
+    * the cap); instead each member lands in [[AnnSearch.LshTables]]
+    * random-hyperplane band buckets (ann2's hyperplanes, keyed by
+    * (cell, band, bucket)), so near-identical vectors — which share band
+    * signatures with high probability — still collide in some bucket.
+    * Every bucket is then capped at [[MaxBlock]] in deterministic
+    * md5(vec_id) order, bounding every join task at O(cap²) regardless of
+    * cluster heat. Recall trade documented: borderline pairs (cosine just
+    * over the 0.4 threshold) may miss all bands; near-dups (the semantic-
+    * dedup target) collide with probability ≈ 1 − (1 − s^bits)^bands. */
+  private[graft] def semanticBlocks(s: SparkSession, assigned: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+    val hotBands = array((0 until AnnSearch.LshTables).map(t =>
+      struct(lit(t).as("band"), AnnSearch.bucketKey(s, t, col("v")).as("sub"))): _*)
+    val coldBand = array(struct(lit(-1).as("band"), lit(0L).as("sub")))
+    val exploded = assigned
+      .withColumn("cnt", count(lit(1)).over(w))
+      .select(col("vec_id"), col("cell"), col("v"), col("nn"),
+        explode(when(col("cnt") <= MaxBlock, coldBand).otherwise(hotBands)).as("bk"))
+      .withColumn("label",
+        concat_ws("|", col("cell"), col("bk.band"), col("bk.sub")))
+      .drop("bk")
+    capBlocks(exploded, MaxBlock)
+  }
+
+  /** Within-block cosine near-dup pairs (≥ 0.4, integer-exact) over the
+    * subdivided blocks; DISTINCT because a hot-cell pair can collide in
+    * several bands. */
+  private[graft] def semanticPairs(s: SparkSession, assigned: DataFrame): DataFrame = {
+    val blocks = semanticBlocks(s, assigned)
+    val a = blocks.select(col("label"), col("cell"), col("vec_id").as("a"),
+      col("v").as("va"), col("nn").as("na"))
+    val b = blocks.select(col("label"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nn").as("nb"))
+    a.join(b, Seq("label")).where(col("a") < col("b"))
+      .withColumn("d", AnnSearch.dot(s)(col("va"), col("vb")))
+      // cosine >= 0.4  ⇔  d > 0 && 25 d² >= 4 na nb   (integer-exact)
+      .where(col("d") > 0 && col("d") * col("d") * 25 >= col("na") * col("nb") * 4)
+      .select("a", "b", "cell").distinct()
+  }
+
   @volatile private var dd7Oracle: Option[String] = None
 
   /** DuckDB oracle for dd7 with the fitted integer centroids inlined —
     * same assignment discipline as ann3's oracle (argmax score, ties to
-    * the lower cell), same deterministic cap as dd5's, same integer-exact
-    * cosine threshold. */
+    * the lower cell), same hot-cluster band subdivision as
+    * [[semanticBlocks]] (ann2's hyperplane signs inlined), same
+    * deterministic per-bucket cap, same integer-exact cosine threshold. */
   private def dd7Sql(cents: Array[Array[Long]]): String = {
     val values = cents.zipWithIndex.map { case (cv, c) =>
       val ncSq = cv.map(x => x * x).sum
       s"($c, ${cv.mkString("[", ",", "]")}::BIGINT[], ${ncSq})"
     }.mkString(",\n    ")
+    // hot cells: one branch per LSH band, label = cell|band|bucket —
+    // mirrors semanticBlocks' explode exactly
+    val hotBranches = (0 until AnnSearch.LshTables).map { t =>
+      s"""  SELECT vec_id, cell, v, nn, CAST(cell AS VARCHAR) || '|$t|' ||
+         |      CAST(${AnnSearch.sqlBucketKey(t, "v")} AS VARCHAR) AS label
+         |  FROM cnt WHERE cnt > $MaxBlock""".stripMargin
+    }.mkString("\n  UNION ALL\n")
     s"""WITH q AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) v
        |  FROM embeddings),
@@ -266,14 +318,21 @@ object Dedup {
        |  FROM sc),
        |corpus AS (SELECT rk.vec_id, rk.cell, n.v, n.nn
        |  FROM rk JOIN n ON n.vec_id = rk.vec_id WHERE rk.r = 1),
-       |capped AS (SELECT vec_id, cell, v, nn FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY cell
-       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) ck FROM corpus) t
+       |cnt AS (SELECT *, count(*) OVER (PARTITION BY cell) cnt FROM corpus),
+       |blocks AS (
+       |  SELECT vec_id, cell, v, nn,
+       |      CAST(cell AS VARCHAR) || '|-1|0' AS label
+       |  FROM cnt WHERE cnt <= $MaxBlock
+       |  UNION ALL
+       |$hotBranches),
+       |capped AS (SELECT vec_id, cell, v, nn, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY label
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) ck FROM blocks) t
        |  WHERE ck <= $MaxBlock),
        |p AS (SELECT x.vec_id a, y.vec_id b, x.cell, x.nn na, y.nn nb,
        |    list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2])) d
-       |  FROM capped x JOIN capped y ON x.cell = y.cell AND x.vec_id < y.vec_id)
-       |SELECT a, b, cell FROM p
+       |  FROM capped x JOIN capped y ON x.label = y.label AND x.vec_id < y.vec_id)
+       |SELECT DISTINCT a, b, cell FROM p
        |WHERE d > 0 AND d * d * 25 >= na * nb * 4""".stripMargin
   }
 
@@ -409,9 +468,11 @@ object Dedup {
     // WITHIN each cluster. Versus dd5 (blocked by a given label column)
     // the blocking here is learned from the data itself — the shape that
     // works when no labels exist. Scale: assignment is narrow codegen
-    // (zero shuffle), the pair join shuffles by cell, and the per-cell
-    // [[MaxBlock]] cap (deterministic md5 order, mirrored in the oracle)
-    // bounds every join task at O(cap²) no matter how hot a cluster is.
+    // (zero shuffle), the pair join shuffles by block label, and HOT
+    // cells subdivide into LSH band buckets instead of truncating
+    // (semanticBlocks) — every join task stays O(MaxBlock²) with no
+    // silent member drop; the cap + subdivision are mirrored in the
+    // oracle.
     QueryDef(
       "dd7_semantic",
       (s, dir) => {
@@ -420,18 +481,7 @@ object Dedup {
         dd7Oracle = Some(dd7Sql(cents))
         val assigned = q.withColumn("cell",
           -array_max(AnnSearch.cellScoreArr(s, cents)).getField("i"))
-        val capped = capBlocks(
-          assigned.withColumnRenamed("cell", "label"), MaxBlock)
-          .withColumnRenamed("label", "cell")
-        val a = capped.select(col("vec_id").as("a"), col("cell"),
-          col("v").as("va"), col("nn").as("na"))
-        val b = capped.select(col("vec_id").as("b"), col("cell"),
-          col("v").as("vb"), col("nn").as("nb"))
-        a.join(b, Seq("cell")).where(col("a") < col("b"))
-          .withColumn("d", AnnSearch.dot(s)(col("va"), col("vb")))
-          // cosine >= 0.4  ⇔  d > 0 && 25 d² >= 4 na nb   (integer-exact)
-          .where(col("d") > 0 && col("d") * col("d") * 25 >= col("na") * col("nb") * 4)
-          .select("a", "b", "cell")
+        semanticPairs(s, assigned)
       },
       None,
       oracleDyn = Some(() => dd7Oracle.get)),

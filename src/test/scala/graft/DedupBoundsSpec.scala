@@ -98,6 +98,51 @@ class DedupBoundsSpec extends SparkSpec {
     assert(comp.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("dd7 hot clusters subdivide instead of truncate: full dup recall, bounded blocks") {
+    import spark.implicits._
+    // ONE hot cell with 620 members (2.4x MaxBlock): 600 pseudo-random
+    // base vectors plus 20 exact duplicates; and one cold cell (10
+    // members, 1 dup pair). The pre-r5 hard cap kept only the first
+    // MaxBlock members per cell in md5 order — dup pairs whose members
+    // ranked past the cap were silently lost. Band subdivision must find
+    // ALL dup pairs (identical vectors share every band signature) while
+    // no post-cap block exceeds MaxBlock.
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 600).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextInt(2001) - 1000).toLong), 0)
+    }
+    val dups = (0 until 20).map(i => (1000L + i, base(i)._2, 0))
+    val coldBase = (2000 until 2010).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextInt(2001) - 1000).toLong), 1)
+    }
+    val cold = coldBase :+ ((3000L, coldBase.head._2, 1))
+    val assigned = (base ++ dups ++ cold)
+      .map { case (id, v, cell) => (id, v, v.map(x => x * x).sum, cell) }
+      .toDF("vec_id", "v", "nn", "cell")
+
+    val blocks = Dedup.semanticBlocks(spark, assigned)
+    val maxBlock = blocks.groupBy("label").count()
+      .agg(max(col("count"))).collect().head.getLong(0)
+    assert(maxBlock <= Dedup.MaxBlock, s"block of $maxBlock exceeds the cap")
+
+    val pairs = Dedup.semanticPairs(spark, assigned)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dupPairs = (0 until 20).map(i => (i.toLong, 1000L + i)).toSet
+    assert(dupPairs.subsetOf(pairs),
+      s"lost ${(dupPairs -- pairs).size} of 20 hot-cell dup pairs")
+    assert(pairs.contains((2000L, 3000L)), "cold-cell dup pair lost")
+
+    // the pre-subdivision shape (hard cap on the cell) demonstrably LOSES
+    // dup pairs on this fixture — the recall gap this change closes
+    val hardCapped = Dedup.capBlocks(
+      assigned.withColumnRenamed("cell", "label"), Dedup.MaxBlock)
+    val keptIds = hardCapped.filter(col("label") === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val oldRecall = dupPairs.count { case (a, b) =>
+      keptIds.contains(a) && keptIds.contains(b) }
+    assert(oldRecall < 20, "fixture does not exercise the old cap's drop")
+  }
+
   test("dd2 end-to-end on a hot-shingle corpus still finds rare near-dups") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-dd2cap").toString
