@@ -11,7 +11,8 @@ object SparkEntry {
       operators.Indexed.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.AnnSearch.defs ++ operators.Multimodal.defs ++
-      operators.Sketches.defs ++ operators.AsOf.defs
+      operators.Sketches.defs ++ operators.AsOf.defs ++
+      streaming.EventStreams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's flagship scenario (point predicate through the

@@ -60,9 +60,13 @@ object EventStreams {
     * bounded by the watermark (an unbounded stream cannot grow dedup state
     * without bound). */
   def dedupStream(events: DataFrame, idCol: String): DataFrame =
+    dedupStream(events, "1 hour", Seq(idCol))
+
+  /** Multi-key variant with an explicit watermark horizon. */
+  def dedupStream(events: DataFrame, watermarkDelay: String, idCols: Seq[String]): DataFrame =
     events
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark(idCol)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
 
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks from the preceding 10 minutes. Both sides carry watermarks so
@@ -89,4 +93,51 @@ object EventStreams {
       .schema(spark.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
+
+  // ---- driver-checked streaming dedup (st1) --------------------------------
+
+  private val streamFixture = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** `st1_stream_dedup`: the streaming dedup operator surfaced as a
+    * driver-checkable batch result. The events table is re-materialized
+    * (once per sfDir) as 4 ts-range files; a file stream feeds them one
+    * micro-batch at a time through `dropDuplicatesWithinWatermark` on
+    * (user_id, event_type) with a horizon wider than the dataset, so
+    * cross-micro-batch duplicate suppression is genuinely exercised and
+    * the emitted set is EXACTLY the distinct keys — deterministic
+    * regardless of batch order, hence ANSI-SQL-oracle-checkable
+    * (`SELECT DISTINCT …`). Watermark EXPIRY semantics (re-emission after
+    * state eviction) are pinned separately in StreamingSpec, where
+    * micro-batch timing is controlled.
+    *
+    * Scale notes: the operator under test is the production operator —
+    * state keyed by the dedup key, bounded by the watermark horizon; the
+    * memory sink + processAllAvailable are driver-gate harness only (a
+    * real deployment writes to a real sink and never collects). */
+  def streamDedupQuery(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = streamFixture.getOrElseUpdate(sfDir + "@" + s.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = new java.io.File(s"target/tmp/streamdedup/$safe/events-ts4").getAbsolutePath
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")))
+        graft.Tables.load(s, sfDir, "events")
+          .repartitionByRange(4, col("ts"))
+          .write.mode("overwrite").parquet(out)
+      out
+    })
+    val src = readEventStream(s, dir)
+    val sinkName = "graft_st1_sink"
+    s.catalog.dropTempView(sinkName) // stale sink from a previous run
+    val q = dedupStream(src, "3650 days", Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+      .writeStream.format("memory").queryName(sinkName).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sinkName)
+  }
+
+  val defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef(
+      "st1_stream_dedup",
+      (s, dir) => streamDedupQuery(s, dir),
+      Some("SELECT DISTINCT user_id, event_type FROM events")))
 }

@@ -113,6 +113,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st1_stream_dedup matches the batch distinct over the same events") {
+    val dir = sf("sf0.001")
+    val streamed = SparkEntry.queries("st1_stream_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val batch = Tables.load(spark, dir, "events")
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // exactly once per key: set parity AND no duplicate emissions
+    assert(streamed.length === streamed.toSet.size, "a key was emitted twice")
+    assert(streamed.toSet === batch.toSet)
+  }
+
+  test("streaming dedup re-admits a key after its watermark state expires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "event_id")
+    // 10-minute horizon: state for a key is evictable once the watermark
+    // passes its event time + 10 min
+    val q = EventStreams.dedupStream(df, "10 minutes", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_expiry").outputMode("append").start()
+    try {
+      def t(m: Int) = new java.sql.Timestamp(3600L * 1000 + m * 60000L)
+      in.addData((t(0), 1L), (t(2), 1L)) // duplicate within the horizon: dropped
+      q.processAllAvailable()
+      in.addData((t(60), 99L)) // advances the watermark far past t(0)+10min
+      q.processAllAvailable()
+      in.addData((t(61), 1L)) // state expired: key 1 is re-admitted
+      q.processAllAvailable()
+      val ones = spark.table("dedup_expiry").filter(col("event_id") === 1L).count()
+      assert(ones === 2L,
+        "expected key 1 re-emitted after watermark expiry (bounded state)")
+    } finally q.stop()
+  }
+
   test("watermarked hourly window aggregation emits per-window counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
