@@ -80,7 +80,7 @@ object AnnSearch {
     * cell index — pure codegen, no UDF, O(k) per row, no shuffle for the
     * assignment. `-array_max(...).getField("i")` is the assigned cell.
     * Shared by ann3 (probing) and dd7 (semantic-dedup blocking). */
-  private[operators] def cellScoreArr(
+  private[graft] def cellScoreArr(
       s: SparkSession, cents: Array[Array[Long]]): Column = {
     def cellScore(cv: Array[Long]): Column = {
       val d = dot(s)(col("v"), typedlit(cv.toSeq))
@@ -94,7 +94,7 @@ object AnnSearch {
 
   // persisted: the quantized corpus feeds several plan branches (bucket
   // keys per table, query side, rerank side) — materialize once
-  private[operators] def quantized(s: SparkSession, dir: String): DataFrame =
+  private[graft] def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), quant(col("embedding")).as("v"))
       .withColumn("nn", dot(s)(col("v"), col("v")))
@@ -233,34 +233,103 @@ object AnnSearch {
   val IvfProbes = 2
   val IvfFitSample = 512
 
+  /** Fit-mode session conf: `driver` (default — bounded 512-vector Lloyd
+    * fit on the driver) or `minibatch` (distributed DataFrame-aggregate
+    * Lloyd rounds over hash-sampled minibatches — better coverage on
+    * skewed corpora, one Spark job per round). Either way centroids are
+    * floor-quantized integers inlined into the dynamic oracle, so the
+    * downstream ann3/dd7 plans and oracles are mode-agnostic. */
+  val FitModeConf = "spark.graft.ann.fitMode"
+  val MinibatchRounds = 3
+  val MinibatchMod = 4L // each round visits ~1/MinibatchMod of the corpus
+
   private val ivfFitCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
   @volatile private var ann3Oracle: Option[String] = None
 
+  private[graft] def fitQuantizedCentroids(s: SparkSession, dir: String): Array[Array[Long]] = {
+    val mode = s.conf.get(FitModeConf, "driver")
+    ivfFitCache.getOrElseUpdate(s"$dir@$mode", mode match {
+      case "minibatch" => fitMinibatch(s, dir)
+      case _           => fitDriver(s, dir)
+    })
+  }
+
   /** Driver-side Lloyd fit on the first [[IvfFitSample]] vectors by id,
     * floor-quantized to integer centroids (so downstream assignment is
     * exact-integer and oracle-reproducible). */
-  private[operators] def fitQuantizedCentroids(s: SparkSession, dir: String): Array[Array[Long]] =
-    ivfFitCache.getOrElseUpdate(dir, {
-      import s.implicits._
-      val k = IvfCells
-      val sample = quantized(s, dir).orderBy("vec_id").limit(IvfFitSample)
-        .select("vec_id", "v").as[(Long, Array[Long])].collect()
-      var centroids: Array[Array[Double]] =
-        sample.take(k).map(_._2.map(_.toDouble))
-      (1 to 3).foreach { _ =>
-        val assigned = sample.map { case (_, v) => (nearestCentroid(v, centroids), v) }
-        centroids = (0 until k).map { c =>
-          val members = assigned.filter(_._1 == c).map(_._2)
-          if (members.isEmpty) centroids(c)
-          else {
-            val dim = members.head.length
-            (0 until dim).map(d => members.map(_(d).toDouble).sum / members.size).toArray
-          }
-        }.toArray
+  private def fitDriver(s: SparkSession, dir: String): Array[Array[Long]] = {
+    import s.implicits._
+    val k = IvfCells
+    val sample = quantized(s, dir).orderBy("vec_id").limit(IvfFitSample)
+      .select("vec_id", "v").as[(Long, Array[Long])].collect()
+    var centroids: Array[Array[Double]] =
+      sample.take(k).map(_._2.map(_.toDouble))
+    (1 to 3).foreach { _ =>
+      val assigned = sample.map { case (_, v) => (nearestCentroid(v, centroids), v) }
+      centroids = (0 until k).map { c =>
+        val members = assigned.filter(_._1 == c).map(_._2)
+        if (members.isEmpty) centroids(c)
+        else {
+          val dim = members.head.length
+          (0 until dim).map(d => members.map(_(d).toDouble).sum / members.size).toArray
+        }
+      }.toArray
+    }
+    centroids.map(_.map(x => math.floor(x).toLong))
+  }
+
+  /** Distributed minibatch Lloyd fit: each round is ONE job — assign a
+    * deterministic hash-sampled minibatch to the current centroids with
+    * the same codegen argmax shape the query path uses, then aggregate
+    * per-cell elementwise sums + counts (map-side combined; the shuffle
+    * carries only k×(dim+1) numbers regardless of corpus size) and update
+    * centroids on the driver (O(k·dim) state). Scales to any corpus the
+    * scan scales to, unlike the fixed 512-vector driver sample. */
+  private def fitMinibatch(s: SparkSession, dir: String): Array[Array[Long]] = {
+    import s.implicits._
+    val k = IvfCells
+    val q = quantized(s, dir)
+    var centroids: Array[Array[Double]] =
+      q.orderBy("vec_id").limit(k).select("v").as[Array[Long]].collect()
+        .map(_.map(_.toDouble))
+    (1 to MinibatchRounds).foreach { r =>
+      val batch = q.filter(
+        pmod(xxhash64(col("vec_id"), lit(r)), lit(MinibatchMod)) === 0)
+      val sums = (0 until EmbeddingDim)
+        .map(d => sum(element_at(col("v"), d + 1)).as(s"s$d"))
+      val rows = batch
+        .withColumn("cell", -array_max(cellScoreArrD(centroids)).getField("i"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .collect() // ≤ k rows of (cell, cnt, dim sums) — bounded by k, not data
+      val next = centroids.map(_.clone())
+      rows.foreach { row =>
+        val c = row.getInt(0)
+        val cnt = row.getLong(1)
+        if (cnt > 0)
+          next(c) = Array.tabulate(EmbeddingDim)(d => row.getLong(2 + d).toDouble / cnt)
       }
-      centroids.map(_.map(x => math.floor(x).toLong))
-    })
+      centroids = next
+    }
+    centroids.map(_.map(x => math.floor(x).toLong))
+  }
+
+  /** Fit-time variant of [[cellScoreArr]] over un-quantized (double)
+    * centroids: double zip_with/aggregate dot — exactness is not needed
+    * mid-fit (the FITTED result is what gets quantized + inlined). */
+  private def cellScoreArrD(cents: Array[Array[Double]]): Column = {
+    def cellScore(cv: Array[Double]): Column = {
+      val d = aggregate(
+        zip_with(col("v"), typedlit(cv.toSeq), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      val ncSq = cv.map(x => x * x).sum
+      (d * abs(d)) / (col("nn").cast("double") * lit(ncSq))
+    }
+    array(cents.zipWithIndex.map { case (cv, c) =>
+      struct(cellScore(cv).as("s"), lit(-c).as("i"))
+    }.toIndexedSeq: _*)
+  }
 
   /** DuckDB oracle for ann3 with the fitted integer centroids inlined:
     * same exact-integer score, same rank/tie discipline as the Spark plan. */
