@@ -339,6 +339,101 @@ object TextAnalysis {
              |SELECT d.doc_id, d.source, r.rate
              |FROM documents d JOIN rates r USING (source)
              |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source), 1, 4) AS INT) % 100
-             |    < r.rate""".stripMargin))
+             |    < r.rate""".stripMargin)),
+
+    // ----- benchmark n-gram decontamination ---------------------------------
+    // The eval-set leak scrub every training pipeline runs before a model
+    // sees the data: any training document sharing a word 5-gram with the
+    // benchmark set is flagged. Benchmark membership is deterministic here
+    // (doc_id % 50 = 0 stands in for the curated eval suite). Scale shape:
+    // eval suites are BOUNDED (a few GB of grams even when the corpus is
+    // 100 TB), so a compact bloom over xxhash64(gram) broadcasts to every
+    // scan task and pre-filters the corpus's exploded grams inside codegen
+    // — only near-hits reach the exact gram-keyed semi-join, so the
+    // shuffle is O(actual contamination), not O(corpus grams). The bloom
+    // is a pre-filter only (false positives removed by the exact join), so
+    // the result is exact and the oracle needs no bloom.
+    QueryDef(
+      "tx11_decontam",
+      (s, dir) => {
+        val n = 5
+        val docs = Tables.load(s, dir, "documents")
+        val grams = docs
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= n)
+          .select(col("doc_id"), explode(array_distinct(ngrams(n))).as("g"))
+        val bench = grams.filter(col("doc_id") % 50 === 0).select("g").distinct()
+        val train = grams.filter(col("doc_id") % 50 =!= 0)
+        val bloom = bench.select(xxhash64(col("g")).as("gh"))
+          .stat.bloomFilter("gh", 100000L, 0.01)
+        val baos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(baos)
+        import org.apache.spark.sql.GraftSqlShim
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        val might = GraftSqlShim.column(BloomFilterMightContain(
+          Literal(baos.toByteArray),
+          GraftSqlShim.expression(xxhash64(col("g")))))
+        val hits = train.filter(might)
+          .join(bench, "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("h"))
+        docs.filter(col("doc_id") % 50 =!= 0).select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("h"), lit(0L)).as("n_hit_grams"),
+            (coalesce(col("h"), lit(0L)) > 0).as("contaminated"))
+      },
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             |bench AS (SELECT DISTINCT array_to_string(w[i:i+4], ' ') g
+             |          FROM words, UNNEST(range(1, len(w)-3)) t(i)
+             |          WHERE doc_id % 50 = 0 AND len(w) >= 5),
+             |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') g
+             |       FROM words, UNNEST(range(1, len(w)-3)) t(i)
+             |       WHERE doc_id % 50 <> 0 AND len(w) >= 5),
+             |hits AS (SELECT doc_id, count(*) h FROM tg JOIN bench USING (g)
+             |         GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(h.h, 0) AS n_hit_grams,
+             |       coalesce(h.h, 0) > 0 AS contaminated
+             |FROM documents d LEFT JOIN hits h USING (doc_id)
+             |WHERE d.doc_id % 50 <> 0""".stripMargin)),
+
+    // ----- repeated-n-gram quality signal -----------------------------------
+    // The repetition filter of a quality pipeline (the Gopher-rule shape):
+    // a document whose 3-grams repeat heavily is boilerplate/spam. Emits
+    // per-document total vs distinct 3-gram counts, the hottest single
+    // 3-gram's count, and the integer-exact >5%-duplicate flag. Scale:
+    // two hash aggregates keyed (doc, gram) then (doc) — map-side
+    // combined, linear in token count, per-task memory bounded by
+    // document size (no cross-document state).
+    QueryDef(
+      "tx12_repetition",
+      (s, dir) => {
+        val perGram = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), explode(ngrams(3)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        perGram.groupBy("doc_id")
+          .agg(sum("c").as("n3"), count(lit(1)).as("d3"), max("c").as("top3"))
+          .select(col("doc_id"), col("n3"), col("d3"), col("top3"),
+            ((col("n3") - col("d3")) * 100 > col("n3") * 5).as("repetitive"))
+      },
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') w FROM documents
+             |               WHERE len(string_split(text, ' ')) >= 3),
+             |g AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') g
+             |      FROM words, UNNEST(range(1, len(w)-1)) t(i)),
+             |pg AS (SELECT doc_id, g, count(*) c FROM g GROUP BY doc_id, g)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3, count(*) AS d3,
+             |       max(c) AS top3,
+             |       (sum(c) - count(*)) * 100 > sum(c) * 5 AS repetitive
+             |FROM pg GROUP BY doc_id""".stripMargin))
   )
+
+  /** Word n-grams of the materialized token array `w` as joined strings
+    * (length-n windows; callers filter `size(w) >= n` first — a shorter
+    * sequence() bound would descend and explode). */
+  private def ngrams(n: Int): Column = {
+    val w = col("w")
+    transform(sequence(lit(0), size(w) - n), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))
+  }
 }
