@@ -267,6 +267,68 @@ object Relational2 {
              |  CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sk,
              |  min(CAST(props ->> '$.k' AS BIGINT)) AS mn,
              |  max(CAST(props ->> '$.k' AS BIGINT)) AS mx
-             |FROM events GROUP BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ----- exact distributed percentiles (histogram method) -----------------
+    // Linear-interpolated p50/p90 of l_quantity per return flag, computed
+    // EXACTLY and engine-exactly: quantity's domain is small integers, so
+    // instead of a per-group total sort (the naive shape — one task must
+    // sort a whole group at 100 TB) the plan aggregates a (flag, value)
+    // HISTOGRAM — one map-side-combined shuffle of ≤ |domain| rows per
+    // flag — and reads the interpolation positions off the cumulative
+    // counts. All arithmetic is integer (positions scaled by 10; values
+    // scaled by 10 in the output) so there is no float to diverge: with
+    // zero-indexed position p·(n-1), value v spanning cumulative rows
+    // [lo, hi) contributes v·(10−rem) at index ⌊p·(n-1)⌋ and v·rem at the
+    // next index. For unbounded domains the same plan works over a
+    // quantized key (the standard t-digest/bucketed trade).
+    QueryDef(
+      "q34_percentile",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").cast("long").as("v"))
+          .groupBy("l_returnflag", "v").agg(count(lit(1)).as("c"))
+        val byFlag = Window.partitionBy("l_returnflag")
+        val cum = counts
+          .withColumn("hi", sum("c").over(byFlag.orderBy("v")))
+          .withColumn("lo", col("hi") - col("c"))
+          .withColumn("n", sum("c").over(byFlag))
+        def contrib(tenthsK: Int): Column = {
+          val pos = lit(tenthsK.toLong) * (col("n") - 1) // p·(n-1), ×10
+          val idx = floor(pos / 10.0).cast("long")
+          val rem = pmod(pos, lit(10L))
+          val atIdx = when(idx >= col("lo") && idx < col("hi"),
+            col("v") * (lit(10L) - rem)).otherwise(0L)
+          val atNext = when(rem > 0 && idx + 1 >= col("lo") && idx + 1 < col("hi"),
+            col("v") * rem).otherwise(0L)
+          atIdx + atNext
+        }
+        cum.groupBy("l_returnflag")
+          .agg(max("n").as("n"),
+            sum(contrib(5)).as("p50x10"),
+            sum(contrib(9)).as("p90x10"))
+      },
+      Some("""WITH counts AS (
+             |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) v, count(*) c
+             |  FROM lineitem GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT l_returnflag, v, c,
+             |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) hi,
+             |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) - c lo,
+             |    sum(c) OVER (PARTITION BY l_returnflag) n
+             |  FROM counts)
+             |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN (5*(n-1))//10 >= lo AND (5*(n-1))//10 < hi
+             |             THEN v * (10 - (5*(n-1))%10) ELSE 0 END
+             |         + CASE WHEN (5*(n-1))%10 > 0 AND (5*(n-1))//10 + 1 >= lo
+             |                 AND (5*(n-1))//10 + 1 < hi
+             |             THEN v * ((5*(n-1))%10) ELSE 0 END) AS BIGINT) AS p50x10,
+             |  CAST(sum(CASE WHEN (9*(n-1))//10 >= lo AND (9*(n-1))//10 < hi
+             |             THEN v * (10 - (9*(n-1))%10) ELSE 0 END
+             |         + CASE WHEN (9*(n-1))%10 > 0 AND (9*(n-1))//10 + 1 >= lo
+             |                 AND (9*(n-1))//10 + 1 < hi
+             |             THEN v * ((9*(n-1))%10) ELSE 0 END) AS BIGINT) AS p90x10
+             |FROM cum GROUP BY l_returnflag""".stripMargin))
   )
 }
