@@ -114,8 +114,11 @@ object EventStreams {
     * state keyed by the dedup key, bounded by the watermark horizon; the
     * memory sink + processAllAvailable are driver-gate harness only (a
     * real deployment writes to a real sink and never collects). */
-  def streamDedupQuery(s: SparkSession, sfDir: String): DataFrame = {
-    val dir = streamFixture.getOrElseUpdate(sfDir + "@" + s.hashCode(), {
+  /** Once per sfDir: the events table re-materialized as 4 ts-range files
+    * so the file source yields one micro-batch per range (shared by
+    * st1/st2). */
+  private def streamFixtureDir(s: SparkSession, sfDir: String): String =
+    streamFixture.getOrElseUpdate(sfDir + "@" + s.hashCode(), {
       val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
       val out = new java.io.File(s"target/tmp/streamdedup/$safe/events-ts4").getAbsolutePath
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")))
@@ -124,6 +127,9 @@ object EventStreams {
           .write.mode("overwrite").parquet(out)
       out
     })
+
+  def streamDedupQuery(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = streamFixtureDir(s, sfDir)
     val src = readEventStream(s, dir)
     val sinkName = "graft_st1_sink"
     s.catalog.dropTempView(sinkName) // stale sink from a previous run
@@ -135,9 +141,34 @@ object EventStreams {
     s.table(sinkName)
   }
 
+  /** `st2_stream_hourly`: the watermarked-window aggregation surfaced as a
+    * driver-checkable batch result (the streaming analog of
+    * q18_event_hourly, same oracle shape). The same ts-range file fixture
+    * feeds micro-batches; the sink runs in COMPLETE mode so the final
+    * table carries every window — including ones the watermark has not
+    * closed — making the result deterministic in file order and equal to
+    * the batch aggregation. Append-mode emission/closure semantics are
+    * pinned separately in StreamingSpec where micro-batch timing is
+    * controlled; this row pins the VALUES cross-engine. */
+  def streamHourlyQuery(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = streamFixtureDir(s, sfDir)
+    val sinkName = "graft_st2_sink"
+    s.catalog.dropTempView(sinkName)
+    val q = hourlyCounts(readEventStream(s, dir))
+      .writeStream.format("memory").queryName(sinkName).outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sinkName)
+  }
+
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef(
       "st1_stream_dedup",
       (s, dir) => streamDedupQuery(s, dir),
-      Some("SELECT DISTINCT user_id, event_type FROM events")))
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
+    graft.QueryDef(
+      "st2_stream_hourly",
+      (s, dir) => streamHourlyQuery(s, dir),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+             |FROM events GROUP BY 1, 2""".stripMargin)))
 }
