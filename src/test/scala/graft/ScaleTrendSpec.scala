@@ -21,6 +21,15 @@ class ScaleTrendSpec extends SparkSpec {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Best of `reps` — an asymptotic regression is slow EVERY time, while a
+    * late-suite GC pause / shared-JVM hiccup (observed: a 52× one-off on a
+    * query that re-times at 12×) is not; min-of-2 filters the latter
+    * without loosening the bound on the former. */
+  private def bestOf(reps: Int)(f: => Unit): Double =
+    (1 to reps).map { _ =>
+      val t = timed(f); spark.catalog.clearCache(); t
+    }.min
+
   private val heavy =
     Seq("dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_components", "tx5_winnow")
 
@@ -29,10 +38,8 @@ class ScaleTrendSpec extends SparkSpec {
       val fn = SparkEntry.queries(name)
       fn(spark, sf("sf0.001")).count() // warmup: codegen + JIT
       spark.catalog.clearCache()
-      val tSmall = timed { fn(spark, sf("sf0.01")).count() }
-      spark.catalog.clearCache()
-      val tBig = timed { fn(spark, sf("sf0.1")).count() }
-      spark.catalog.clearCache()
+      val tSmall = bestOf(2) { fn(spark, sf("sf0.01")).count() }
+      val tBig = bestOf(2) { fn(spark, sf("sf0.1")).count() }
       val ratio = tBig / tSmall
       assert(ratio <= 30.0,
         f"$name: $tSmall%.2fs → $tBig%.2fs (${ratio}%.1f×) for 10× input — " +
