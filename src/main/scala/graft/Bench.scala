@@ -36,12 +36,35 @@ object Bench {
       val med = runs.map(_._1).sorted.apply(runs.size / 2)
       name -> (if (runs.forall(_._2)) med else -1.0)
     }
+    // Full-precision per-query timings to stderr for local inspection.
+    results.foreach { case (n, v) => System.err.println(f"[bench] $n%-24s $v%.3f s") }
+    // The harness capturing this output keeps only the last ~2000 bytes of
+    // stdout, and the build tool appends a ~75-byte success line after us —
+    // so the whole JSON line must fit in ~1900 bytes or its head is cut and
+    // it no longer parses. Render at 10 ms precision (plenty for sec-scale
+    // medians) and, if the suite grows past what fits, deterministically
+    // omit sub-50 ms entries (pure noise at this precision) with an explicit
+    // counter so the omission is visible rather than silent.
     val failures = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    def fmt(v: Double) = f"$v%.2f"
+    def render(rs: Seq[(String, Double)], omitted: Int): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      val omit = if (omitted > 0) s""","fast_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""failures":${failures.mkString("[", ",", "]")}$omit,"sf":"$sfDir"}"""
+    }
+    // escalating omission thresholds: drop the fastest (noise-level)
+    // entries first until the line fits; failures are never dropped
+    val line = (Seq(0.0, 0.05, 0.1, 0.25, 0.5).view
+      .map { thr =>
+        val kept = results.filter { case (_, v) => v < 0 || v >= thr }
+        render(kept, results.size - kept.size)
+      }
+      .find(_.length <= 1880)
+      .getOrElse(render(results.filter(_._2 < 0), results.count(_._2 >= 0))))
+    println(line)
     spark.stop()
   }
 }
