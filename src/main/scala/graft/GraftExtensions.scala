@@ -19,5 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotLong(children(0), children(1))))
     ext.injectPlannerStrategy(session => graft.plans.RowGroupScanStrategy(session))
+    // global MIN/MAX/COUNT over the index-backed relation → answered from
+    // the stats catalog (O(index), zero data scanned) when certified exact
+    ext.injectOptimizerRule(session => graft.plans.StatsAggPushdown(session))
   }
 }

@@ -254,6 +254,68 @@ final class DerbyStatsIndex(
     } finally st.close()
   }
 
+  override def maxIndexedValue(colName: String): Option[Any] = conn.synchronized {
+    require(indexedCols.exists(_.name == colName), s"$colName is not indexed")
+    if (indexedCols.exists(f => f.name == colName && f.dataType == BinaryType))
+      return None // bit-data collation not certified, same as min
+    val st = conn.createStatement()
+    try {
+      // over-long maxima are stored NULL (setValue: a truncated max would
+      // be a lower bound — unsound), so a stored max is always a verbatim
+      // value; the only exactness hazard is a NULL max over a row group
+      // that may still hold non-null values
+      val rs = st.executeQuery(
+        s"""SELECT MAX(${colName}_max),
+           |  SUM(CASE WHEN ${colName}_max IS NULL
+           |           AND (${colName}_null_count IS NULL
+           |                OR ${colName}_null_count < row_count)
+           |      THEN 1 ELSE 0 END)
+           |FROM row_group_statistics""".stripMargin)
+      val v =
+        if (rs.next() && rs.getLong(2) == 0L) Option(rs.getObject(1))
+        else None
+      rs.close()
+      v
+    } catch {
+      case _: java.sql.SQLException => None
+    } finally st.close()
+  }
+
+  override def totalRowCount(): Option[Long] = conn.synchronized {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery("SELECT SUM(row_count) FROM row_group_statistics")
+      // empty catalog ⇒ SUM is NULL ⇒ the relation lists zero files and a
+      // scan would count zero rows — 0 is the exact answer, not unknown
+      val v = if (rs.next()) Some(rs.getLong(1)) else None
+      rs.close()
+      v
+    } catch {
+      case _: java.sql.SQLException => None
+    } finally st.close()
+  }
+
+  override def nonNullCount(colName: String): Option[Long] = conn.synchronized {
+    require(indexedCols.exists(_.name == colName), s"$colName is not indexed")
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(
+        s"""SELECT SUM(row_count), SUM(${colName}_null_count),
+           |  SUM(CASE WHEN ${colName}_null_count IS NULL THEN 1 ELSE 0 END)
+           |FROM row_group_statistics""".stripMargin)
+      // empty catalog ⇒ all three SUMs are NULL, getLong reads 0 ⇒ Some(0),
+      // consistent with totalRowCount; any row group with an unknown null
+      // count (getLong(3) > 0) ⇒ uncertifiable
+      val v =
+        if (rs.next() && rs.getLong(3) == 0L) Some(rs.getLong(1) - rs.getLong(2))
+        else None
+      rs.close()
+      v
+    } catch {
+      case _: java.sql.SQLException => None
+    } finally st.close()
+  }
+
   override def allFiles(): Seq[FileScanPlan] = runPlanQuery(
     """SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
       |  rg.rg_start_bytes, rg.rg_compressed_bytes, rg.row_count

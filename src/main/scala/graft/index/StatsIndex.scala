@@ -79,5 +79,29 @@ trait StatsIndex extends AutoCloseable {
     * (strings and integrals are identity). */
   def minIndexedValue(colName: String): Option[Any] = None
 
+  /** Catalog-side scalar: the EXACT global maximum of an indexed column —
+    * the mirror of [[minIndexedValue]], same O(index) single-round-trip
+    * contract and the same conservative None. The truncation story differs
+    * by construction: over-long string/binary maxima are stored as NULL
+    * (a truncated max would be a LOWER bound, i.e. unsound), so any stored
+    * max is a verbatim value and the NULL-max guard alone certifies
+    * exactness (a NULL-max row group that may hold non-null values ⇒
+    * None). Same encoding seam as [[minIndexedValue]]. */
+  def maxIndexedValue(colName: String): Option[Any] = None
+
+  /** Catalog-side scalar: the exact total row count of the indexed table —
+    * SUM of per-row-group footer counts, one O(index) round trip. Footer
+    * row counts are always exact, and the relation's file listing IS the
+    * catalog (allFiles), so this equals what a full scan would count.
+    * Empty catalog ⇒ Some(0) (a scan of zero files counts zero rows);
+    * None only on catalog failure. */
+  def totalRowCount(): Option[Long] = None
+
+  /** Catalog-side scalar: the exact NON-NULL row count of an indexed
+    * column (what `COUNT(col)` returns). Certified only when every row
+    * group stores a non-NULL `{col}_null_count`; a single unknown null
+    * count ⇒ None. */
+  def nonNullCount(colName: String): Option[Long] = None
+
   def indexedSchema: StructType
 }

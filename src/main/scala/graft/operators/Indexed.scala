@@ -251,6 +251,30 @@ object Indexed {
              |  (SELECT min(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)))
              |   FROM lineitem)""".stripMargin)),
 
+    // aggregate pushdown to the index (the DSv2 SupportsPushDownAggregates
+    // shape at the engine's V1 seam — plans/StatsAggPushdown): a global
+    // MIN/MAX/COUNT over indexed columns folds to a LocalRelation answered
+    // entirely from the stats catalog — one O(index) JDBC round trip, ZERO
+    // data scanned (StatsAggPushdownSpec pins the LocalRelation plan and
+    // the scan fallback when certification fails). At 100 TB this is a
+    // catalog lookup where a scan would read the whole table.
+    QueryDef(
+      "idx14_agg_pushdown",
+      (s, dir) => lineitemIndexed(s, dir)
+        .agg(
+          min(col("l_ukey")).as("min_ukey"),
+          max(col("l_ukey")).as("max_ukey"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"),
+          count(lit(1)).as("n_rows"),
+          count(col("l_quantity")).as("n_qty")),
+      Some("""SELECT
+             |  min(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))) AS min_ukey,
+             |  max(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))) AS max_ukey,
+             |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+             |  count(*) AS n_rows, count(l_quantity) AS n_qty
+             |FROM lineitem""".stripMargin)),
+
     // row-level key index (the reference's named "precise index" extension,
     // index.rs:30-35): exact key -> (file, row_group) postings; scans only
     // row groups where the key OCCURS, not merely where its range overlaps

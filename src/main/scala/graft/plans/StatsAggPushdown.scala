@@ -1,0 +1,137 @@
+package graft.plans
+
+import graft.index.StatsIndex
+import graft.sources.IndexedParquetFileIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aggregate pushdown to the external stats index — the Spark-idiomatic
+  * analog of DSv2 `SupportsPushDownAggregates`, expressed as an injected
+  * optimizer rule over the engine's V1 index-backed relation: a global
+  * (no GROUP BY, no filter) `MIN` / `MAX` / `COUNT` over indexed columns
+  * is answered entirely from the catalog — one O(index) JDBC round trip,
+  * zero data scanned — by folding the plan to a [[LocalRelation]].
+  *
+  * This gives the reference's design seam ("the provider consults the
+  * index", /root/reference/sqlx-sqlite/src/main.rs:256-305) its aggregate
+  * face: the caller writes `df.agg(min(...), count(...))` and the PROVIDER
+  * decides the index can answer it. At 100 TB the difference is a full
+  * table scan vs a catalog lookup.
+  *
+  * Soundness: every scalar must be CERTIFIED exact by the index, or the
+  * plan is left untouched and the scan computes the answer —
+  *  - `minIndexedValue` / `maxIndexedValue` refuse when a NULL-stats row
+  *    group may hide the true extreme, on possible truncation, on binary
+  *    collation, and on catalog failure (StatsIndex contract);
+  *  - `COUNT(*)` is the SUM of footer row counts — exact by construction,
+  *    and consistent with a scan because the relation's file listing IS
+  *    the catalog (`IndexedParquetFileIndex.listFiles` serves
+  *    `index.allFiles()`: a file the catalog does not know is invisible
+  *    to the scan too);
+  *  - `COUNT(col)` additionally needs every row group's `{col}_null_count`
+  *    present;
+  *  - all-NULL columns: SQL MIN/MAX over only-NULL stats yield no
+  *    certified value ⇒ no rewrite (the scan returns NULL, correctly).
+  *
+  * The rewrite only fires on the exact shape `Aggregate(no grouping,
+  * min/max/count, [attribute-only Project,] indexed relation)` — any
+  * Filter, grouping, DISTINCT, agg-filter, or non-attribute input keeps
+  * the declarative plan for Catalyst to optimize normally. Kill switch:
+  * `spark.graft.statsAggPushdown=false`.
+  */
+final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (session.conf.get("spark.graft.statsAggPushdown", "true") != "true") return plan
+    plan.transform {
+      case agg: Aggregate if agg.groupingExpressions.isEmpty &&
+          agg.aggregateExpressions.nonEmpty =>
+        statsIndexOf(agg.child) match {
+          case Some(index) =>
+            val values = agg.aggregateExpressions.map(catalogValue(index, _))
+            if (values.forall(_.isDefined))
+              LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.map(_.get))))
+            else agg
+          case None => agg
+        }
+    }
+  }
+
+  /** The child must be the index-backed relation, optionally under an
+    * attribute-only Project (column pruning) — anything else (Filter,
+    * joins, computed projections) disqualifies the rewrite. */
+  private def statsIndexOf(p: LogicalPlan): Option[StatsIndex] = p match {
+    case l: LogicalRelation => fromRelation(l)
+    case Project(projectList, l: LogicalRelation)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      fromRelation(l)
+    case _ => None
+  }
+
+  private def fromRelation(l: LogicalRelation): Option[StatsIndex] =
+    l.relation match {
+      case h: HadoopFsRelation =>
+        h.location match {
+          case idx: IndexedParquetFileIndex => Some(idx.statsIndex)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** One aggregate output column → its certified catalog value (already in
+    * Catalyst internal encoding), or None ⇒ the whole rewrite aborts. */
+  private def catalogValue(index: StatsIndex, ne: Expression): Option[Any] = ne match {
+    case Alias(ae: AggregateExpression, _)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Min(a: AttributeReference) if indexed(index, a) && ordered(a.dataType) =>
+          index.minIndexedValue(a.name).flatMap(internal(_, a.dataType))
+        case Max(a: AttributeReference) if indexed(index, a) && ordered(a.dataType) =>
+          index.maxIndexedValue(a.name).flatMap(internal(_, a.dataType))
+        case Count(Seq(l: Literal)) if l.value != null =>
+          index.totalRowCount()
+        case Count(Seq(a: AttributeReference)) if indexed(index, a) =>
+          index.nonNullCount(a.name)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def indexed(index: StatsIndex, a: AttributeReference): Boolean =
+    index.indexedSchema.fields.exists(f => f.name == a.name && f.dataType == a.dataType)
+
+  /** Types whose footer min/max comparator provably matches Spark's total
+    * order. Float/double are excluded: historical parquet writers have
+    * NaN / signed-zero comparator hazards (stats may claim 0.0 where the
+    * data holds -0.0, or omit NaN), so an FP extreme from footers is not
+    * certified exact even when present. COUNT is type-independent. */
+  private def ordered(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType |
+        DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Catalog JDBC value → Catalyst internal value. The catalog already
+    * stores timestamps as Long micros and dates as Int days (Catalyst
+    * internals); strings arrive as java.lang.String and numerics as their
+    * boxed JDBC classes (SMALLINT widens byte/short to Integer). Types
+    * without a certified bridge return None ⇒ no rewrite. */
+  private def internal(v: Any, dt: DataType): Option[Any] = dt match {
+    case StringType => Some(UTF8String.fromString(v.asInstanceOf[String]))
+    case ByteType => Some(v.asInstanceOf[Number].byteValue)
+    case ShortType => Some(v.asInstanceOf[Number].shortValue)
+    case IntegerType | DateType => Some(v.asInstanceOf[Number].intValue)
+    case LongType | TimestampType | TimestampNTZType =>
+      Some(v.asInstanceOf[Number].longValue)
+    case FloatType => Some(v.asInstanceOf[Number].floatValue)
+    case DoubleType => Some(v.asInstanceOf[Number].doubleValue)
+    case _ => None
+  }
+}

@@ -57,7 +57,9 @@ class PruningGoldenSpec extends SparkSpec {
     exec.plans.map(p => p.fileName -> p.render).toMap
 
   test("fixture layout: 3 files, 60 row groups of 50 rows") {
-    df.count() // force a scan so lastExecution exists
+    // force a real scan so lastExecution exists — a bare count() would be
+    // answered from the catalog by StatsAggPushdown and never plan a scan
+    df.collect()
     assert(exec.totalFiles == 3)
     assert(exec.totalRowGroups == 60)
   }

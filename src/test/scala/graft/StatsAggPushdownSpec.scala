@@ -1,0 +1,157 @@
+package graft
+
+import graft.index.{ColumnStats, DerbyStatsIndex, FileStats, RowGroupStats}
+import graft.sources.IndexedParquet
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** Aggregate pushdown to the stats catalog (plans/StatsAggPushdown): a
+  * global MIN/MAX/COUNT over the index-backed relation folds to a
+  * LocalRelation answered from the catalog — zero data scanned — and ONLY
+  * when every scalar is certified exact; any disqualifier (filter,
+  * grouping, DISTINCT, uncertified type, unindexed column, kill switch)
+  * leaves the declarative scan plan untouched. Unit-level: the catalog
+  * scalars' own certification guards (maxIndexedValue / totalRowCount /
+  * nonNullCount — the mirrors of RoutingSpec's minIndexedValue pins).
+  */
+class StatsAggPushdownSpec extends SparkSpec {
+
+  // 2000 rows in 50-row groups; s is null every 3rd row so COUNT(col) and
+  // null-skipping MIN/MAX semantics are genuinely exercised
+  private lazy val fx: (DataFrame, DataFrame) = {
+    val base = Files.createTempDirectory("graft-aggpush").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    (0 until 2000)
+      .map(i => (i.toLong, if (i % 3 == 0) null else f"s$i%04d", i / 7.0))
+      .toDF("k", "s", "v")
+      .coalesce(1)
+      .write.option("parquet.block.row.count.limit", "50")
+      .mode("overwrite").parquet(dir)
+    val (index, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("k", "s", "v"), s"$base/statsdb")
+    val (df, _) = IndexedParquet.read(spark, dir, index, schema)
+    (df, spark.read.parquet(dir))
+  }
+  private def indexed = fx._1
+  private def plain = fx._2
+
+  private def folded(df: DataFrame): Boolean = {
+    val p = df.queryExecution.optimizedPlan
+    p.collectFirst { case l: LocalRelation => l }.isDefined &&
+      p.collectFirst { case r: LogicalRelation => r }.isEmpty
+  }
+
+  test("global min/max/count folds to a catalog-answered LocalRelation") {
+    val agg = indexed.agg(
+      min(col("k")).as("mn"), max(col("k")).as("mx"),
+      min(col("s")).as("smn"), max(col("s")).as("smx"),
+      count(lit(1)).as("n"), count(col("s")).as("ns"))
+    assert(folded(agg), agg.queryExecution.optimizedPlan.toString)
+    val r = agg.collect().head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 1999L)
+    // null-skipping string extremes: s0000 is NULL (i%3==0), so min is s0001
+    assert(r.getString(2) === "s0001" && r.getString(3) === "s1999")
+    assert(r.getLong(4) === 2000L)
+    assert(r.getLong(5) === 2000L - 667L) // 667 nulls: i%3==0 for 0..1999
+  }
+
+  test("catalog answers equal the scan answers (kill switch off = ground truth)") {
+    def row() = indexed.agg(
+      min(col("k")), max(col("k")), min(col("s")), max(col("s")),
+      count(lit(1)), count(col("s"))).collect().head
+    val viaCatalog = row()
+    spark.conf.set("spark.graft.statsAggPushdown", "false")
+    try {
+      val q = indexed.agg(
+        min(col("k")), max(col("k")), min(col("s")), max(col("s")),
+        count(lit(1)), count(col("s")))
+      assert(!folded(q))
+      assert(q.collect().head === viaCatalog)
+    } finally spark.conf.unset("spark.graft.statsAggPushdown")
+  }
+
+  test("disqualifiers keep the declarative scan plan") {
+    // a filter means the catalog scalars no longer answer the question
+    assert(!folded(indexed.filter(col("k") > 100).agg(min(col("k")))))
+    // grouping
+    assert(!folded(indexed.groupBy(col("s")).agg(min(col("k")))))
+    // DISTINCT aggregates
+    assert(!folded(indexed.agg(countDistinct(col("k")))))
+    // floating-point extremes are never certified (NaN/-0.0 comparators)
+    assert(!folded(indexed.agg(min(col("v")))))
+    // but FP COUNT is type-independent and still folds
+    assert(folded(indexed.agg(count(col("v")))))
+    // computed input, not an attribute
+    assert(!folded(indexed.agg(min(col("k") + 1))))
+    // correctness of the fallbacks
+    assert(indexed.filter(col("k") > 100).agg(min(col("k"))).collect().head.getLong(0) === 101L)
+    assert(indexed.agg(min(col("v"))).collect().head.getDouble(0) === 0.0)
+  }
+
+  test("plain parquet relations are untouched") {
+    assert(!folded(plain.agg(min(col("k")))))
+  }
+
+  // ---- catalog scalar guards (mirrors of RoutingSpec's minIndexedValue) ----
+
+  private def rg(i: Int, cs: ColumnStats, rows: Long = 10L) =
+    RowGroupStats(i, rows, i * 100L, 100L, Map("k" -> cs))
+
+  test("maxIndexedValue: exact when certified, refused when NULL-max may hide values") {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val db = new DerbyStatsIndex(
+      Files.createTempDirectory("graft-maxval").toString + "/db", schema)
+    db.initialize(schema)
+    db.addFile(FileStats("f1.parquet", 1000L, 20L, Vector(
+      rg(0, ColumnStats(Some(0L), Some(5L), Some(9L))),
+      rg(1, ColumnStats(None, None, None))))) // unknown stats, 10 live rows
+    assert(db.maxIndexedValue("k") === None)
+    db.addFile(FileStats("f1.parquet", 1000L, 20L, Vector(
+      rg(0, ColumnStats(Some(0L), Some(5L), Some(9L))),
+      rg(1, ColumnStats(Some(10L), None, None))))) // all-null hides nothing
+    assert(db.maxIndexedValue("k") === Some(9L))
+    db.close()
+  }
+
+  test("maxIndexedValue: over-long string maxima were stored NULL — refused") {
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val db = new DerbyStatsIndex(
+      Files.createTempDirectory("graft-maxval2").toString + "/db", schema)
+    db.initialize(schema)
+    val longStr = "x" * (DerbyStatsIndex.MaxStringLen + 10)
+    db.addFile(FileStats("f1.parquet", 1000L, 10L, Vector(
+      RowGroupStats(0, 10L, 0L, 100L, Map(
+        "s" -> ColumnStats(Some(0L), Some("a"), Some(longStr)))))))
+    // setValue dropped the max to NULL (a truncated max would be a lower
+    // bound — unsound), and NULL max over live rows is uncertifiable
+    assert(db.maxIndexedValue("s") === None)
+    db.close()
+  }
+
+  test("totalRowCount / nonNullCount: footer sums, certification, empty catalog") {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val db = new DerbyStatsIndex(
+      Files.createTempDirectory("graft-counts").toString + "/db", schema)
+    db.initialize(schema)
+    assert(db.totalRowCount() === Some(0L)) // empty catalog = zero files scanned
+    assert(db.nonNullCount("k") === Some(0L))
+    db.addFile(FileStats("f1.parquet", 1000L, 30L, Vector(
+      rg(0, ColumnStats(Some(2L), Some(5L), Some(9L)), rows = 10L),
+      rg(1, ColumnStats(Some(3L), Some(1L), Some(4L)), rows = 20L))))
+    assert(db.totalRowCount() === Some(30L))
+    assert(db.nonNullCount("k") === Some(25L))
+    // one unknown null count poisons certification of COUNT(col) — but not
+    // COUNT(*) (row counts are always present)
+    db.addFile(FileStats("f2.parquet", 1000L, 10L, Vector(
+      rg(0, ColumnStats(None, Some(0L), Some(1L)), rows = 10L))))
+    assert(db.totalRowCount() === Some(40L))
+    assert(db.nonNullCount("k") === None)
+    db.close()
+  }
+}
