@@ -510,6 +510,47 @@ object Dedup {
              |  UNION
              |  SELECT r.src, e.d FROM reach r JOIN ed e ON e.s = r.dst)
              |SELECT src AS doc_id, min(dst) AS component
-             |FROM reach GROUP BY src""".stripMargin))
+             |FROM reach GROUP BY src""".stripMargin)),
+
+    // ----- URL canonicalization + exact dedup -------------------------------
+    // Web-crawl dedup's first line: the same page arrives under scheme/
+    // host case variants, trailing slashes, and tracking query params.
+    // Canonicalize (lowercase, strip query, strip trailing slash), then
+    // exact-dedup on the canonical form keeping the smallest doc_id —
+    // dd1's shape with a normalization map in front. URLs are SYNTHESIZED
+    // deterministically from (source, doc_id) on both engines (the corpus
+    // has no URL column) so every variant class is exercised. Scale:
+    // map-only normalization, one hash-aggregate shuffle on the canonical
+    // key — linear, skew-free (canonical keys are near-uniform).
+    QueryDef(
+      "dd8_url_dedup",
+      (s, dir) => {
+        val url = concat(
+          when(pmod(col("doc_id"), lit(2L)) === 0, lit("https://"))
+            .otherwise(lit("HTTPS://")),
+          col("source"), lit(".Example.com/p/"), pmod(col("doc_id"), lit(50L)),
+          when(pmod(col("doc_id"), lit(3L)) === 0, lit("/")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5L)) === 0,
+            concat(lit("?utm_source=feed&ref="), col("doc_id")))
+            .otherwise(lit("")))
+        graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("canon",
+            regexp_replace(regexp_replace(lower(col("url")), "\\?.*$", ""), "/$", ""))
+          .groupBy("canon")
+          .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keep_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END) ||
+             |    source || '.Example.com/p/' || (doc_id % 50) ||
+             |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+             |    (CASE WHEN doc_id % 5 = 0
+             |          THEN '?utm_source=feed&ref=' || doc_id ELSE '' END) AS url
+             |  FROM documents)
+             |SELECT regexp_replace(regexp_replace(lower(url), '\?.*$', ''),
+             |                      '/$', '') AS canon,
+             |  count(*) AS n_variants, min(doc_id) AS keep_id
+             |FROM u GROUP BY 1""".stripMargin))
   )
 }

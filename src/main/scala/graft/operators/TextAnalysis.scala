@@ -425,7 +425,64 @@ object TextAnalysis {
              |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3, count(*) AS d3,
              |       max(c) AS top3,
              |       (sum(c) - count(*)) * 100 > sum(c) * 5 AS repetitive
-             |FROM pg GROUP BY doc_id""".stripMargin))
+             |FROM pg GROUP BY doc_id""".stripMargin)),
+
+    // PII redaction (the scrub pass every training-data pipeline runs
+    // before release): email + IPv4 patterns found and replaced with
+    // typed placeholder tokens, emitting per-document match counts and
+    // the fingerprint of the redacted text. PII is INJECTED
+    // deterministically from doc_id on both engines (the synthetic corpus
+    // has none), so real matches are exercised and the redacted output is
+    // cross-engine checkable. Patterns avoid backtracking-only features
+    // (no lookaround/backrefs), so Java regex and RE2 match identically;
+    // a terminal sentinel keeps the count independent of trailing-empty
+    // split semantics. Scale: map-only expression pipeline — zero
+    // shuffles, zero UDFs, text never leaves its partition.
+    QueryDef(
+      "tx13_pii_redact",
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+        val aug = concat(
+          col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example dial 10.0."), pmod(col("doc_id"), lit(256L)),
+          lit(".7 now"),
+          when(pmod(col("doc_id"), lit(4L)) === 0,
+            concat(lit(" cc admin-"), col("doc_id"), lit("@corp.example")))
+            .otherwise(lit("")),
+          lit(" ."))
+        val red = regexp_replace(
+          regexp_replace(col("aug"), email, "<EMAIL>"), ip, "<IP>")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), aug.as("aug"))
+          .select(
+            col("doc_id"),
+            (size(split(col("aug"), email)) - 1).cast("long").as("n_email"),
+            (size(split(col("aug"), ip)) - 1).cast("long").as("n_ip"),
+            md5(red).as("h"),
+            length(red).cast("long").as("len"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || doc_id || '@mail.example dial 10.0.' ||
+             |    (doc_id % 256) || '.7 now' ||
+             |    (CASE WHEN doc_id % 4 = 0
+             |          THEN ' cc admin-' || doc_id || '@corp.example' ELSE '' END) ||
+             |    ' .' AS aug
+             |  FROM documents),
+             |red AS (
+             |  SELECT doc_id, aug,
+             |    regexp_replace(regexp_replace(aug,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS r
+             |  FROM aug)
+             |SELECT doc_id,
+             |  CAST(len(regexp_split_to_array(aug,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS BIGINT) AS n_email,
+             |  CAST(len(regexp_split_to_array(aug,
+             |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) - 1 AS BIGINT) AS n_ip,
+             |  md5(r) AS h, CAST(length(r) AS BIGINT) AS len
+             |FROM red""".stripMargin))
   )
 
   /** Word n-grams of the materialized token array `w` as joined strings

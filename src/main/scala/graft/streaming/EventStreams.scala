@@ -72,11 +72,12 @@ object EventStreams {
     * clicks from the preceding 10 minutes. Both sides carry watermarks so
     * the join state is bounded — Spark drops buffered rows once they can
     * no longer match (the streaming analog of the batch rj1_range_join). */
-  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
-    val c = clicks.withWatermark("ts", "20 minutes")
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      watermarkDelay: String = "20 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay)
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
-    val p = purchases.withWatermark("ts", "20 minutes")
+    val p = purchases.withWatermark("ts", watermarkDelay)
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
     p.join(c,
@@ -161,6 +162,37 @@ object EventStreams {
     s.table(sinkName)
   }
 
+  /** `st3_stream_join`: the stream-stream interval join surfaced as a
+    * driver-checkable batch result. Both sides read the same ts-range file
+    * fixture; inner interval joins in append mode emit exactly the matched
+    * pairs. The gate variant runs with a watermark horizon wider than the
+    * dataset's time span (st1's trick): the file source orders
+    * micro-batches by file MODIFICATION time, not by ts range, so a
+    * later-range file processed first would advance the watermark and
+    * silently drop earlier files as late — with the wide horizon nothing
+    * is ever late or evicted and the emitted set is EXACTLY the interval
+    * join, batch-order-independent and ANSI-SQL-checkable. The production
+    * 20-minute horizon's eviction/late-drop semantics are pinned
+    * separately in StreamingSpec where micro-batch timing is controlled.
+    *
+    * Scale notes: the production operator — per-key buffered state bounded
+    * by watermark + interval bound on BOTH sides; memory sink +
+    * processAllAvailable are driver-gate harness only. */
+  def streamJoinQuery(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = streamFixtureDir(s, sfDir)
+    val src = readEventStream(s, dir)
+    val sinkName = "graft_st3_sink"
+    s.catalog.dropTempView(sinkName)
+    val q = clickToPurchaseJoin(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "purchase"),
+      watermarkDelay = "3650 days")
+      .writeStream.format("memory").queryName(sinkName).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sinkName)
+  }
+
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef(
       "st1_stream_dedup",
@@ -170,5 +202,15 @@ object EventStreams {
       "st2_stream_hourly",
       (s, dir) => streamHourlyQuery(s, dir),
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
-             |FROM events GROUP BY 1, 2""".stripMargin)))
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+    graft.QueryDef(
+      "st3_stream_join",
+      (s, dir) => streamJoinQuery(s, dir),
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             |  p.user_id AS user_id
+             |FROM events p JOIN events c
+             |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+             | AND p.user_id = c.user_id
+             | AND c.ts >= p.ts - INTERVAL 10 MINUTE
+             | AND c.ts < p.ts""".stripMargin)))
 }
