@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 22 suites share one forked JVM; at 8g the tail suites (ScaleTrend's
+  // sf0.1 timings) can degrade into GC thrash from accumulated garbage —
+  // observed as a one-off 140x timing outlier on a query that re-times at
+  // ~3x in isolation. The sandbox has 128 GiB; 16g removes the cliff.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
