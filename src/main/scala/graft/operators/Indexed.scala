@@ -48,6 +48,11 @@ object Indexed {
     (e.index, e.dataSchema, e.dataDir)
   }
 
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(); ()
+  }
+
   private def cached(spark: SparkSession, sfDir: String): Entry =
     cache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
       val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -58,10 +63,6 @@ object Indexed {
       val dataDir = s"$base/lineitem-v4"
       if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
         // stale stats DB describes the previous materialization — drop it
-        def rmrf(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rmrf)
-          f.delete(); ()
-        }
         rmrf(new java.io.File(s"$base/statsdb-v4"))
         spark.read.parquet(s"$sfDir/lineitem.parquet")
           // l_ukey: a high-cardinality key (md5 of the row identity) that
@@ -275,6 +276,27 @@ object Indexed {
              |  count(*) AS n_rows, count(l_quantity) AS n_qty
              |FROM lineitem""".stripMargin)),
 
+    // z-order clustered layout (sources/ZOrderLayout — the lakehouse
+    // OPTIMIZE ZORDER BY shape): a 2-d BOX predicate over the Morton-
+    // clustered copy, where row groups cover compact key-space rectangles
+    // and the stats index prunes on BOTH dimensions (ZOrderSpec pins that
+    // this layout keeps strictly fewer row groups than the single-column
+    // range layout for the same box, and that results are layout-
+    // invariant). Oracle runs on the original lineitem: layout + pruning
+    // change nothing.
+    QueryDef(
+      "zo1_zorder_2col",
+      (s, dir) => lineitemZordered(s, dir)
+        .filter(col("l_orderkey").between(200L, 299L) &&
+          col("l_partkey").between(40L, 79L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("l_linenumber").cast("long")).as("sln")),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sln
+             |FROM lineitem
+             |WHERE l_orderkey BETWEEN 200 AND 299 AND l_partkey BETWEEN 40 AND 79
+             |GROUP BY l_returnflag""".stripMargin)),
+
     // row-level key index (the reference's named "precise index" extension,
     // index.rs:30-35): exact key -> (file, row_group) postings; scans only
     // row groups where the key OCCURS, not merely where its range overlaps
@@ -310,6 +332,39 @@ object Indexed {
       .getOrElse(throw new IllegalStateException(
         "catalog cannot certify an exact min for l_ukey"))
       .asInstanceOf[String]
+
+  // ---- z-order clustered layout (sources/ZOrderLayout) ---------------------
+
+  private val zCache = TrieMap.empty[String, Entry]
+
+  /** Z-order-clustered copy of lineitem on (l_orderkey, l_partkey), indexed.
+    * Row groups cover compact rectangles of the 2-d key space, so the stats
+    * index prunes BOX predicates on both keys — the shape the l_orderkey
+    * range layout cannot serve (its row groups span the full l_partkey
+    * domain). 2048-row groups give the footer stats enough granularity to
+    * show it (~30 row groups at sf0.01, ~300 at sf0.1). */
+  def lineitemZordered(spark: SparkSession, sfDir: String): DataFrame =
+    zEntry(spark, sfDir).df
+
+  def lastZorderExecution(spark: SparkSession, sfDir: String) =
+    zEntry(spark, sfDir).fileIndex.lastExecution
+
+  private def zEntry(spark: SparkSession, sfDir: String): Entry =
+    zCache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
+      val dataDir = s"$base/lineitem-zorder-v1"
+      if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
+        rmrf(new java.io.File(s"$base/statsdb-zorder-v1"))
+        graft.sources.ZOrderLayout.write(
+          spark.read.parquet(s"$sfDir/lineitem.parquet"),
+          "l_orderkey", "l_partkey", dataDir, numFiles = 8, rowGroupRows = 2048)
+      }
+      val (index, dataSchema) = IndexedParquet.buildIndex(
+        spark, dataDir, Seq("l_orderkey", "l_partkey"), s"$base/statsdb-zorder-v1")
+      val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
+      Entry(df, fileIndex, dataDir, index, dataSchema)
+    })
 
   private val routedCache = TrieMap.empty[String, (org.apache.spark.sql.DataFrame,
     graft.sources.IndexedParquetFileIndex)]
