@@ -226,12 +226,173 @@ object AnnSearch {
           .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
       },
       None,
-      oracleDyn = Some(() => ann3Oracle.get))
+      oracleDyn = Some(() => ann3Oracle.get)),
+
+    // ----- product quantization (PQ) + asymmetric rerank ---------------------
+    // The third classic ANN index family (after LSH=ann2, IVF=ann3): each
+    // vector is ENCODED as M=8 sub-codes (4 bits each — 8 codes of k=16
+    // per 8-dim subspace), fit per-subspace by the same bounded
+    // deterministic Lloyd shape ann3 uses, codebooks floor-quantized to
+    // integer literals inlined into plan AND oracle. Candidate scoring is
+    // the decoded-centroid dot (numerically identical to the per-subspace
+    // ADC lookup-table sum), integer-exact so ranking is deterministic;
+    // the top-PqCandidates then rerank against the TRUE vectors. At scale
+    // the point is compression: the candidate pass reads 8-byte codes
+    // (64x smaller than the raw vectors — encode once at ingest), and
+    // only the rerank's bounded candidate set touches full vectors.
+    QueryDef(
+      "ann4_topk_pq",
+      (s, dir) => {
+        val q = quantized(s, dir)
+        val cbs = fitPqCodebooks(s, dir)
+        ann4Oracle = Some(ann4Sql(cbs))
+        val enc = (0 until PqM).foldLeft(q) { (df, m) =>
+          df.withColumn(s"c$m", pqCode(m, cbs(m)))
+        }
+        val decoded = flatten(array((0 until PqM).map { m =>
+          element_at(typedlit(cbs(m).map(_.toSeq).toSeq), (col(s"c$m") + 1).cast("int"))
+        }: _*))
+        val dec = enc.withColumn("dv", decoded)
+          .withColumn("nd", dot(s)(col("dv"), col("dv")))
+        val queries = q.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("nq"))
+        val adc = dec.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("dh", dot(s)(col("qv"), col("dv")))
+          .withColumn("sc", score(col("dh"), col("nq"), col("nd")))
+        val w = Window.partitionBy("q_id").orderBy(col("sc").desc, col("vec_id").asc)
+        val cands = adc.withColumn("r", row_number().over(w))
+          .where(col("r") <= PqCandidates).select("q_id", "vec_id")
+        val scored = cands
+          .join(broadcast(queries), "q_id")
+          .join(q, "vec_id")
+          .withColumn("d", dot(s)(col("qv"), col("v")))
+          .withColumn("sc", score(col("d"), col("nq"), col("nn")))
+        val w2 = Window.partitionBy("q_id").orderBy(col("sc").desc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w2))
+          .where(col("rank") <= LshTopK)
+          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      },
+      None,
+      oracleDyn = Some(() => ann4Oracle.get))
   )
 
   val IvfCells = 16
   val IvfProbes = 2
   val IvfFitSample = 512
+
+  // ---- product quantization -------------------------------------------------
+
+  val PqM = 8          // subspaces
+  val PqSubDim = EmbeddingDim / PqM
+  val PqK = 16         // codes per subspace (4 bits)
+  val PqCandidates = 16
+
+  private val pqFitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Long]]]]
+  @volatile private var ann4Oracle: Option[String] = None
+
+  /** Per-subspace codebooks `[m][k][subdim]`: the same bounded
+    * deterministic fit shape as [[fitDriver]] — first [[IvfFitSample]]
+    * vectors by id, per-subspace Lloyd (L2) for 3 rounds seeded from the
+    * first [[PqK]] subvectors, floor-quantized to integer centroids so
+    * encode/decode are exact-integer on both engines. */
+  private[graft] def fitPqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Long]]] =
+    pqFitCache.getOrElseUpdate(dir, {
+      import s.implicits._
+      val sample = quantized(s, dir).orderBy("vec_id").limit(IvfFitSample)
+        .select("v").as[Array[Long]].collect()
+      Array.tabulate(PqM) { m =>
+        val sub = sample.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))
+        var cents: Array[Array[Double]] = sub.take(PqK).map(_.map(_.toDouble))
+        (1 to 3).foreach { _ =>
+          val assigned = sub.map(v => (nearestL2(v, cents), v))
+          cents = Array.tabulate(PqK) { c =>
+            val members = assigned.filter(_._1 == c).map(_._2)
+            if (members.isEmpty) cents(c)
+            else Array.tabulate(PqSubDim)(d =>
+              members.map(_(d).toDouble).sum / members.size)
+          }
+        }
+        cents.map(_.map(x => math.floor(x).toLong))
+      }
+    })
+
+  private def nearestL2(v: Array[Long], cents: Array[Array[Double]]): Int =
+    cents.zipWithIndex.minBy { case (c, i) =>
+      (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+    }._2
+
+  /** Exact-integer L2 distance from the m-th subvector of `v` to an
+    * integer centroid (values < 2^30 — no overflow). */
+  private def pqDist(m: Int, cb: Array[Long]): Column =
+    aggregate(
+      zip_with(slice(col("v"), m * PqSubDim + 1, PqSubDim), typedlit(cb.toSeq),
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Argmin code for subspace m via the (dist·K + idx) integer-min trick —
+    * deterministic ties to the LOWER code, pure codegen. */
+  private def pqCode(m: Int, cbm: Array[Array[Long]]): Column =
+    least(cbm.zipWithIndex.map { case (cv, c) =>
+      pqDist(m, cv) * PqK + c
+    }: _*) % PqK
+
+  /** Dynamic oracle for ann4: the full encode → decode → ADC-rank →
+    * exact-rerank pipeline with the fitted codebooks inlined. */
+  private def ann4Sql(cbs: Array[Array[Array[Long]]]): String = {
+    def distSql(m: Int, cv: Array[Long]): String = {
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      val arr = cv.mkString("[", ",", "]")
+      s"list_sum(list_transform(list_zip(v[$lo:$hi], $arr::BIGINT[]), s -> (s[1]-s[2])*(s[1]-s[2])))"
+    }
+    // list_sum yields HUGEINT — cast the code back down so list_extract binds
+    def codeSql(m: Int): String =
+      cbs(m).zipWithIndex
+        .map { case (cv, c) => s"(${distSql(m, cv)}) * $PqK + $c" }
+        .mkString("CAST(least(", ", ", s") % $PqK AS BIGINT)")
+    val codeCols = (0 until PqM).map(m => s"${codeSql(m)} AS c$m").mkString(",\n    ")
+    def bookSql(m: Int): String =
+      cbs(m).map(_.mkString("[", ",", "]")).mkString("[", ", ", "]")
+    val decodePieces = (0 until PqM)
+      .map(m => s"list_extract(${bookSql(m)}, c$m + 1)").mkString(", ")
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |    list_sum(list_transform(list_zip(v, v), s -> s[1] * s[2])) nn FROM q),
+       |enc AS (SELECT vec_id, v, nn,
+       |    $codeCols
+       |  FROM n),
+       |dec AS (SELECT vec_id,
+       |    flatten([$decodePieces]) dv
+       |  FROM enc),
+       |d2 AS (SELECT vec_id, dv,
+       |    list_sum(list_transform(list_zip(dv, dv), s -> s[1] * s[2])) nd FROM dec),
+       |adc AS (SELECT a.vec_id q_id, b.vec_id,
+       |    list_sum(list_transform(list_zip(a.v, b.dv), s -> s[1] * s[2])) dh,
+       |    a.nn nq, b.nd
+       |  FROM n a JOIN d2 b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < $NumQueries),
+       |cand AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (
+       |        PARTITION BY q_id
+       |        ORDER BY CAST(dh * abs(dh) AS DOUBLE) / CAST(nq * nd AS DOUBLE) DESC,
+       |                 vec_id ASC) r
+       |    FROM adc) t
+       |  WHERE r <= $PqCandidates),
+       |scored AS (SELECT c.q_id, c.vec_id neighbor_id,
+       |    list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])) d,
+       |    a.nn nq, b.nn nv
+       |  FROM cand c JOIN n a ON a.vec_id = c.q_id JOIN n b ON b.vec_id = c.vec_id)
+       |SELECT q_id, rank, neighbor_id FROM (
+       |  SELECT q_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY q_id
+       |      ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(nq * nv AS DOUBLE) DESC,
+       |               neighbor_id ASC) rank
+       |  FROM scored) t
+       |WHERE rank <= $LshTopK""".stripMargin
+  }
 
   /** Fit-mode session conf: `driver` (default — bounded 512-vector Lloyd
     * fit on the driver) or `minibatch` (distributed DataFrame-aggregate

@@ -68,6 +68,20 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(recalled >= 2, s"IVF recalled only $recalled of ${brute.size} true neighbors")
   }
 
+  test("PQ top-k achieves reasonable recall of brute-force top-k") {
+    val brute = run("ann1_topk_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = run("ann4_topk_pq").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pq.nonEmpty)
+    // 8x16 codebooks compress 64 dims to 8 bytes; the decoded-centroid
+    // scores must still recover a solid share of the true top-k through
+    // the 16-candidate rerank
+    val recalled = brute.intersect(pq).size
+    assert(recalled >= brute.size / 3,
+      s"PQ recalled only $recalled of ${brute.size} true neighbors")
+  }
+
   test("language-ID prediction is total (never null) and from the lexicon set") {
     val langs = run("tx3_langid").select("pred_lang").distinct()
       .collect().map(_.getString(0)).toSet
