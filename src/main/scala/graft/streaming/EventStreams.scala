@@ -129,16 +129,35 @@ object EventStreams {
       out
     })
 
+  /** Stateful-stream sizing for the driver-gate queries: a streaming query
+    * creates one state store per shuffle partition per stateful operator
+    * and COMMITS each store every micro-batch — at the session default of
+    * 32 that is 32 near-empty store commits per batch for a fixture of a
+    * few thousand keys, pure fixed overhead. State-partition count is the
+    * standard sizing knob (fixed at first start by the checkpoint; these
+    * gate queries start fresh each run); a production deployment sizes it
+    * to key cardinality and throughput. Restored after the query stops. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val forced = s.conf.get("spark.graft.stream.statePartitions", n.toString).toInt
+    if (forced <= 0) return body // 0 ⇒ leave the session default
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, forced.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   def streamDedupQuery(s: SparkSession, sfDir: String): DataFrame = {
     val dir = streamFixtureDir(s, sfDir)
     val src = readEventStream(s, dir)
     val sinkName = "graft_st1_sink"
     s.catalog.dropTempView(sinkName) // stale sink from a previous run
-    val q = dedupStream(src, "3650 days", Seq("user_id", "event_type"))
-      .select("user_id", "event_type")
-      .writeStream.format("memory").queryName(sinkName).outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = dedupStream(src, "3650 days", Seq("user_id", "event_type"))
+        .select("user_id", "event_type")
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(sinkName)
   }
 
@@ -155,10 +174,12 @@ object EventStreams {
     val dir = streamFixtureDir(s, sfDir)
     val sinkName = "graft_st2_sink"
     s.catalog.dropTempView(sinkName)
-    val q = hourlyCounts(readEventStream(s, dir))
-      .writeStream.format("memory").queryName(sinkName).outputMode("complete")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = hourlyCounts(readEventStream(s, dir))
+        .writeStream.format("memory").queryName(sinkName).outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(sinkName)
   }
 
@@ -183,13 +204,15 @@ object EventStreams {
     val src = readEventStream(s, dir)
     val sinkName = "graft_st3_sink"
     s.catalog.dropTempView(sinkName)
-    val q = clickToPurchaseJoin(
-      src.filter(col("event_type") === "click"),
-      src.filter(col("event_type") === "purchase"),
-      watermarkDelay = "3650 days")
-      .writeStream.format("memory").queryName(sinkName).outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = clickToPurchaseJoin(
+        src.filter(col("event_type") === "click"),
+        src.filter(col("event_type") === "purchase"),
+        watermarkDelay = "3650 days")
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(sinkName)
   }
 
