@@ -118,7 +118,7 @@ object EventStreams {
   /** Once per sfDir: the events table re-materialized as 4 ts-range files
     * so the file source yields one micro-batch per range (shared by
     * st1/st2). */
-  private def streamFixtureDir(s: SparkSession, sfDir: String): String =
+  private[graft] def streamFixtureDir(s: SparkSession, sfDir: String): String =
     streamFixture.getOrElseUpdate(sfDir + "@" + s.hashCode(), {
       val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
       val out = new java.io.File(s"target/tmp/streamdedup/$safe/events-ts4").getAbsolutePath
