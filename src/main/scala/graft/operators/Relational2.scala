@@ -329,6 +329,37 @@ object Relational2 {
              |         + CASE WHEN (9*(n-1))%10 > 0 AND (9*(n-1))//10 + 1 >= lo
              |                 AND (9*(n-1))//10 + 1 < hi
              |             THEN v * ((9*(n-1))%10) ELSE 0 END) AS BIGINT) AS p90x10
-             |FROM cum GROUP BY l_returnflag""".stripMargin))
+             |FROM cum GROUP BY l_returnflag""".stripMargin)),
+
+    // ----- window navigation breadth ---------------------------------------
+    // lag/lead/ntile/percent_rank/cume_dist over a unique (date, key)
+    // order — fills out the window-function surface beyond row_number
+    // (q7), rolling frames (q29) and first/last (q30). percent_rank and
+    // cume_dist are single IEEE divisions of exact integers, so values
+    // are bit-identical cross-engine. One shuffle by o_custkey; within-
+    // partition sort only (no global sort).
+    QueryDef(
+      "q35_window_nav",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables.load(s, dir, "orders")
+          .withColumn("prev_ok", lag(col("o_orderkey"), 1).over(w))
+          .withColumn("next_ok", lead(col("o_orderkey"), 1).over(w))
+          .withColumn("tile", ntile(4).over(w))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .select("o_custkey", "o_orderkey", "prev_ok", "next_ok",
+            "tile", "pr", "cd")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  lag(o_orderkey) OVER w AS prev_ok,
+             |  lead(o_orderkey) OVER w AS next_ok,
+             |  CAST(ntile(4) OVER w AS INTEGER) AS tile,
+             |  percent_rank() OVER w AS pr,
+             |  cume_dist() OVER w AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin))
   )
 }

@@ -122,10 +122,23 @@ object EventStreams {
     streamFixture.getOrElseUpdate(sfDir + "@" + s.hashCode(), {
       val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
       val out = new java.io.File(s"target/tmp/streamdedup/$safe/events-ts4").getAbsolutePath
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")))
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
         graft.Tables.load(s, sfDir, "events")
           .repartitionByRange(4, col("ts"))
           .write.mode("overwrite").parquet(out)
+        // The file source orders micro-batches by MODIFICATION time, and
+        // parallel-written parts get arbitrary mtimes — stamp ascending
+        // mtimes in part (= ts-range) order so batches arrive in event
+        // time, emulating an in-order source (a Kafka partition). Order-
+        // insensitive gates (st1/st2/st3's wide-horizon variants) don't
+        // need this; st4's session stitching does.
+        val parts = new java.io.File(out).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.setLastModifiedTime(f.toPath,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        }
+      }
       out
     })
 
@@ -216,6 +229,34 @@ object EventStreams {
     s.table(sinkName)
   }
 
+  /** `st4_stream_sessions`: the custom-state sessionizer
+    * (`flatMapGroupsWithState`) surfaced as a driver-checkable batch
+    * result. Each update-mode emission carries the user's running
+    * (session, event) counters; both are MONOTONE, so `max` over the
+    * memory sink's appended emissions equals the final state — and the
+    * ts-range fixture feeds each user's events in global time order
+    * across batches, so the final counters equal the batch
+    * gaps-and-islands result (q28's oracle verbatim). Ties in `us` fall
+    * in the same session regardless of order (gap 0), so per-batch sort
+    * order cannot diverge from the oracle's (us, event_id) order. */
+  def streamSessionsQuery(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = streamFixtureDir(s, sfDir)
+    import s.implicits._
+    val sinkName = "graft_st4_sink"
+    s.catalog.dropTempView(sinkName)
+    withStatePartitions(s, 8) {
+      val src = readEventStream(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us")).as[Ev]
+      val q = sessionize(src).toDF()
+        .writeStream.format("memory").queryName(sinkName).outputMode("update")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(sinkName).groupBy("user_id")
+      .agg(max(col("n_sessions")).as("n_sessions"),
+        max(col("n_events")).as("n_events"))
+  }
+
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef(
       "st1_stream_dedup",
@@ -235,5 +276,20 @@ object EventStreams {
              |  ON p.event_type = 'purchase' AND c.event_type = 'click'
              | AND p.user_id = c.user_id
              | AND c.ts >= p.ts - INTERVAL 10 MINUTE
-             | AND c.ts < p.ts""".stripMargin)))
+             | AND c.ts < p.ts""".stripMargin)),
+    graft.QueryDef(
+      "st4_stream_sessions",
+      (s, dir) => streamSessionsQuery(s, dir),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+             |m AS (SELECT user_id, event_id, us,
+             |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+             |  FROM e),
+             |sess AS (SELECT user_id,
+             |    sum(CASE WHEN prev IS NULL OR us - prev > 600000000 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY us, event_id
+             |            ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM m)
+             |SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+             |FROM sess GROUP BY user_id""".stripMargin)))
 }

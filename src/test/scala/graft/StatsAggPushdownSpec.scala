@@ -98,6 +98,36 @@ class StatsAggPushdownSpec extends SparkSpec {
     assert(!folded(plain.agg(min(col("k")))))
   }
 
+  test("stale catalog stays consistent: an unindexed file is invisible to BOTH paths") {
+    // the relation's file listing IS the catalog (IndexedParquetFileIndex
+    // serves allFiles), so a file dropped into the directory without
+    // re-indexing is ignored by the scan AND by the catalog scalars —
+    // the pushdown can never disagree with the scan it replaces
+    val base = Files.createTempDirectory("graft-aggstale").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val (index, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("k"), s"$base/db")
+    // a new file arrives AFTER the index build
+    (1000 until 1100).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val (df, _) = IndexedParquet.read(spark, dir, index, schema)
+    val viaCatalog = df.agg(max(col("k")).as("mx"), count(lit(1)).as("n")).collect().head
+    spark.conf.set("spark.graft.statsAggPushdown", "false")
+    try {
+      val viaScan = df.agg(max(col("k")).as("mx"), count(lit(1)).as("n")).collect().head
+      assert(viaCatalog === viaScan)
+      assert(viaCatalog.getLong(0) === 99L && viaCatalog.getLong(1) === 100L)
+    } finally spark.conf.unset("spark.graft.statsAggPushdown")
+    // re-indexing brings the new file into BOTH views atomically
+    IndexedParquet.buildIndex(spark, dir, Seq("k"), s"$base/db")
+    val (df2, _) = IndexedParquet.read(spark, dir, index, schema)
+    val after = df2.agg(max(col("k")).as("mx"), count(lit(1)).as("n")).collect().head
+    assert(after.getLong(0) === 1099L && after.getLong(1) === 200L)
+  }
+
   // ---- catalog scalar guards (mirrors of RoutingSpec's minIndexedValue) ----
 
   private def rg(i: Int, cs: ColumnStats, rows: Long = 10L) =
