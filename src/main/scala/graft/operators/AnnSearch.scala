@@ -273,7 +273,29 @@ object AnnSearch {
           .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
       },
       None,
-      oracleDyn = Some(() => ann4Oracle.get))
+      oracleDyn = Some(() => ann4Oracle.get)),
+
+    // ----- per-label embedding centroids ------------------------------------
+    // The class-centroid computation curation pipelines run constantly
+    // (label prototypes, cluster summaries, SemDeDup seeds): elementwise
+    // per-label sums + counts over the quantized vectors — emitted as
+    // exact integers (callers divide for the mean) so the check is
+    // hash-exact. Scale: posexplode fans each row to dim rows, then ONE
+    // map-side-combined hash aggregate keyed (label, pos) — linear in
+    // corpus size, state bounded by |labels|×dim regardless of rows.
+    QueryDef(
+      "emb1_label_centroid",
+      (s, dir) => Tables.load(s, dir, "embeddings")
+        .select(col("label"), posexplode(quant(col("embedding"))).as(Seq("p", "x")))
+        .groupBy(col("label"), (col("p") + 1).cast("int").as("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n")),
+      Some(s"""WITH q AS (SELECT label,
+             |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) v
+             |  FROM embeddings)
+             |SELECT label, CAST(i AS INTEGER) AS pos,
+             |  CAST(sum(v[i]) AS BIGINT) AS sx, count(*) AS n
+             |FROM q, UNNEST(range(1, ${EmbeddingDim + 1})) t(i)
+             |GROUP BY 1, 2""".stripMargin))
   )
 
   val IvfCells = 16

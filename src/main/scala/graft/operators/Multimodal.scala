@@ -33,6 +33,7 @@ object Multimodal {
   final case class Resized(media_id: Long, w: Int, h: Int, rw: Int, rh: Int)
   final case class Features(media_id: Long, f_vowel: Long, f_space: Long, f_alpha: Long, f_other: Long)
   final case class Frame(media_id: Long, frame_no: Int, frame_md5: String)
+  final case class PackCost(media_id: Long, cost: Long)
 
   /** Deterministic stand-in for a real codec. A production build replaces
     * these bodies with actual decode calls; signatures and batch shape
@@ -170,6 +171,50 @@ object Multimodal {
       Some("""SELECT doc_id AS media_id, CAST(4 * f AS INT) AS frame_no,
              |  md5(substr(text, 1 + 4 * f * 16, 16)) AS frame_md5
              |FROM documents,
-             |  UNNEST(range((strlen(text) // 16 + 3) // 4)) t(f)""".stripMargin))
+             |  UNNEST(range((strlen(text) // 16 + 3) // 4)) t(f)""".stripMargin)),
+
+    // ----- multimodal sequence packing --------------------------------------
+    // The vision-language training-sample packer: each sample's sequence
+    // cost is text tokens PLUS image patches (ceil(w/16)·ceil(h/16) from
+    // the decoded dims — the ViT patch-grid arithmetic), and samples pack
+    // into fixed-budget sequences exactly like tx7 (256 md5 shards, one
+    // shuffle, O(1) window state). The decode runs in the same batched
+    // mapPartitions shape as mm1 (a real codec drops in unchanged);
+    // only (id, cost) scalars leave the map — payloads never shuffle.
+    QueryDef(
+      "mm4_pack_multimodal",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val budget = 2048L
+        val costs = media(s, dir).mapPartitions { it =>
+          inBatches[Media, PackCost](it, batch => batch.map { m =>
+            val (w, h) = FakeCodec.decodeDims(m.payload)
+            val patches = ((w + 15) / 16).toLong * ((h + 15) / 16)
+            val (_, spaces, _, _) = FakeCodec.features(m.payload)
+            PackCost(m.media_id, spaces + 1 + patches)
+          })
+        }.toDF()
+        val sharded = costs.withColumn("shard",
+          substring(md5(col("media_id").cast("string")), 1, 2))
+        val w = Window.partitionBy("shard").orderBy(col("media_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sharded.withColumn("cum", sum(col("cost")).over(w))
+          .select(col("media_id"), col("shard"), col("cost"),
+            ((col("cum") - col("cost")) / lit(budget)).cast("long").as("seq"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) shard,
+             |    (length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1)
+             |    + (((1 + (ascii(substr(text, 1, 1)) % 640)) + 15) // 16)
+             |      * (((1 + (ascii(substr(text, 2, 1)) % 480)) + 15) // 16) AS cost
+             |  FROM documents),
+             |c AS (SELECT doc_id, shard, cost,
+             |    sum(cost) OVER (PARTITION BY shard ORDER BY doc_id
+             |                    ROWS UNBOUNDED PRECEDING) cum
+             |  FROM t)
+             |SELECT doc_id AS media_id, shard, CAST(cost AS BIGINT) AS cost,
+             |  CAST((cum - cost) // 2048 AS BIGINT) AS seq
+             |FROM c""".stripMargin))
   )
 }
