@@ -121,9 +121,12 @@ class StatsAggPushdownSpec extends SparkSpec {
       assert(viaCatalog === viaScan)
       assert(viaCatalog.getLong(0) === 99L && viaCatalog.getLong(1) === 100L)
     } finally spark.conf.unset("spark.graft.statsAggPushdown")
-    // re-indexing brings the new file into BOTH views atomically
-    IndexedParquet.buildIndex(spark, dir, Seq("k"), s"$base/db")
-    val (df2, _) = IndexedParquet.read(spark, dir, index, schema)
+    // re-indexing brings the new file into BOTH views atomically; release
+    // the first handle first — an open embedded-Derby connection can hold
+    // locks that make the executor-side re-ingest time out under load
+    index.close()
+    val (index2, schema2) = IndexedParquet.buildIndex(spark, dir, Seq("k"), s"$base/db")
+    val (df2, _) = IndexedParquet.read(spark, dir, index2, schema2)
     val after = df2.agg(max(col("k")).as("mx"), count(lit(1)).as("n")).collect().head
     assert(after.getLong(0) === 1099L && after.getLong(1) === 200L)
   }
