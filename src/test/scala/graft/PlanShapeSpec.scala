@@ -63,7 +63,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"), p.take(2000))
   }
 
-  test("no ScalaUDF anywhere in the 67-query operator surface") {
+  test("no ScalaUDF anywhere in the registered operator surface") {
     import org.apache.spark.sql.catalyst.expressions.ScalaUDF
     val offenders = SparkEntry.registry.flatMap { q =>
       val plan = q.fn(spark, dir).queryExecution.analyzed
@@ -82,6 +82,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("ShuffleExchange"), p.take(2000))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      p.take(2000))
+  }
+
+  test("zo1: both box dimensions reach the z-ordered parquet scan as PushedFilters") {
+    // the PushedFilters render truncates at maxMetadataStringLength=100 —
+    // widen so every bound is visible to the assertion
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    val df = SparkEntry.queries("zo1_zorder_2col")(spark, dir)
+    df.count()
+    val p = try df.queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(p.contains("GreaterThanOrEqual(l_orderkey,200)") &&
+      p.contains("LessThanOrEqual(l_orderkey,299)"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_partkey,40)") &&
+      p.contains("LessThanOrEqual(l_partkey,79)"), p.take(2000))
+    // projection pruned to the referenced columns only
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_linenumber:int,l_returnflag:string>"),
       p.take(2000))
   }
 

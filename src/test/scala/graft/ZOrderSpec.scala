@@ -39,6 +39,19 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("zValue is injective and monotone along each axis (exhaustive 64x64)") {
+    import spark.implicits._
+    val pts = for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong)
+    val z = pts.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrderLayout.zValue(col("a"), col("b")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(z.values.toSet.size === pts.size) // injective
+    for (b <- 0L until 64L; a <- 1L until 64L)
+      assert(z((a - 1, b)) < z((a, b)), s"not monotone in a at ($a,$b)")
+    for (a <- 0L until 64L; b <- 1L until 64L)
+      assert(z((a, b - 1)) < z((a, b)), s"not monotone in b at ($a,$b)")
+  }
+
   /** Same 8000-row grid written two ways: x-range-clustered vs z-ordered,
     * both with 100-row groups (80 row groups each), both stats-indexed. */
   private lazy val fx = {
