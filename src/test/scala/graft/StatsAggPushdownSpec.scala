@@ -98,6 +98,15 @@ class StatsAggPushdownSpec extends SparkSpec {
     assert(!folded(plain.agg(min(col("k")))))
   }
 
+  test("SQL text over the registered indexed view folds too (plan-level rule)") {
+    indexed.createOrReplaceTempView("aggpush_indexed")
+    val q = spark.sql(
+      "SELECT min(k) AS mn, max(s) AS smx, count(*) AS n FROM aggpush_indexed")
+    assert(folded(q), q.queryExecution.optimizedPlan.toString)
+    val r = q.collect().head
+    assert(r.getLong(0) === 0L && r.getString(1) === "s1999" && r.getLong(2) === 2000L)
+  }
+
   test("stale catalog stays consistent: an unindexed file is invisible to BOTH paths") {
     // the relation's file listing IS the catalog (IndexedParquetFileIndex
     // serves allFiles), so a file dropped into the directory without
