@@ -33,15 +33,24 @@ object Dedup {
     * The token array is materialized in its own projection first —
     * referencing `split(...)` from inside the shingle lambda would
     * re-split the text per element (measured 6x slower). */
-  private def shingleDf(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document distinct word 3-shingles, exploded. `hashed` emits
+    * 60-bit md5-prefix ints instead of the raw trigram text (standard
+    * hashed-shingling; dd2's shuffle-payload path) — hashing happens
+    * INSIDE the per-doc array before array_distinct, so per-doc distinct
+    * semantics apply to the hashed values exactly as the oracle's
+    * SELECT DISTINCT does, and everything stays map-side. */
+  private def shingleDf(s: SparkSession, dir: String, hashed: Boolean = false): DataFrame = {
     val w = col("w")
+    def shingle(i: Column): Column =
+      concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))
+    def piece(i: Column): Column =
+      if (hashed) conv(substring(md5(shingle(i)), 1, 15), 16, 10).cast("long")
+      else shingle(i)
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("w"))
       .filter(size(w) >= 3)
       .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(w) - 3), i =>
-          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
-            element_at(w, i + 3))))).as("s"))
+        transform(sequence(lit(0), size(w) - 3), piece _))).as("s"))
   }
 
   private val shingleSql =
@@ -355,8 +364,15 @@ object Dedup {
       (s, dir) => {
         // shingling is cheap enough (one projection) that recomputing it
         // for the counts branch beats caching; at 100 TB this would be a
-        // materialize-to-storage step instead
-        val sh = shingleDf(s, dir)
+        // materialize-to-storage step instead.
+        // Shingles are HASHED to 60-bit ints before the shuffle (standard
+        // hashed-shingling): the inverted-index exchange carries 8-byte
+        // keys instead of raw text trigrams — at 100 TB the difference
+        // between shuffling the corpus's text and shuffling digests. The
+        // oracle applies the identical md5-prefix hash, so a collision
+        // (≈2⁻⁶⁰ per pair) merges the same postings on both engines and
+        // the check stays exact.
+        val sh = shingleDf(s, dir, hashed = true)
         val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
         // inverted index: one shuffle by shingle, pairs from each posting
         // list's combinations (no self-join second scan); hot buckets are
@@ -370,12 +386,14 @@ object Dedup {
           .select("a", "b")
       },
       Some(s"""WITH $shingleSql,
-              |n AS (SELECT doc_id, count(*) ns FROM sh GROUP BY doc_id),
-              |post AS (SELECT s FROM sh GROUP BY s
+              |shh AS (SELECT DISTINCT doc_id,
+              |          CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) s FROM sh),
+              |n AS (SELECT doc_id, count(*) ns FROM shh GROUP BY doc_id),
+              |post AS (SELECT s FROM shh GROUP BY s
               |         HAVING count(DISTINCT doc_id) > 1
               |            AND count(DISTINCT doc_id) <= $MaxPosting),
               |p AS (SELECT x.doc_id a, y.doc_id b, count(*) c
-              |      FROM sh x JOIN sh y USING (s) JOIN post USING (s)
+              |      FROM shh x JOIN shh y USING (s) JOIN post USING (s)
               |      WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
               |SELECT a, b FROM p
               |JOIN n na ON na.doc_id = p.a JOIN n nb ON nb.doc_id = p.b
