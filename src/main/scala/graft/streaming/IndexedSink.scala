@@ -14,14 +14,13 @@ import org.apache.spark.util.SerializableConfiguration
   * (entry point B, /root/reference/sqlx-sqlite/src/main.rs:215-240, made
   * continuous).
   *
-  * Mechanics: `foreachBatch` appends the batch as parquet, lists the
-  * directory afterwards, and ingests only files the catalog does not
-  * already know. INDEX ingest is exactly-once: `addFile` is a
-  * transactional per-file upsert, so a replayed batch re-ingesting the
-  * same file is a no-op. DATA-level exactly-once has the usual
-  * foreachBatch caveat — a batch replayed after a crash appends new part
-  * files; production appends ride a transactional table format, and the
-  * checkpointed source offsets make replays a failure-only edge. Footer
+  * Exactly-once END TO END despite foreachBatch's at-least-once contract:
+  * the batch writes to a staging directory and renames onto
+  * batchId-DETERMINISTIC names (`b<batchId>-k.parquet`), so a replayed
+  * batch REPLACES its previous attempt instead of duplicating it — the
+  * same idempotent-naming trick transactional table formats build on —
+  * and index ingest is a per-file transactional upsert keyed by those
+  * same names, so re-ingest overwrites rather than double-counts. Footer
   * reads run distributed, one task per new file, and stats flow
   * executor-side into the catalog like `ingestAll`.
   *
@@ -41,26 +40,45 @@ object IndexedSink {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(dataDir)
-        val dirPath = new Path(dataDir)
-        val fs = dirPath.getFileSystem(hconf.value)
-        val known = index.allFiles().map(_.fileName).toSet
-        val fresh = fs.listStatus(dirPath).toSeq
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath)
-          .filterNot(p => known.contains(p.getName))
-        if (fresh.nonEmpty) {
-          val paths = fresh.map(_.toString)
-          val cols = indexedCols
-          val statsRdd = spark.sparkContext
-            .parallelize(paths, math.max(1, math.min(paths.size,
-              spark.sparkContext.defaultParallelism)))
-            .map(f => FooterStats.read(new Path(f), hconf.value, cols))
-          index.ingestAll(statsRdd)
-        }
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch, batchId, dataDir, index, indexedCols, hconf)
       }
       .start()
+  }
+
+  /** One batch's idempotent commit: stage → rename onto
+    * batchId-deterministic names → ingest footer stats. Running this
+    * twice with the same (batch, batchId) leaves the table and catalog
+    * byte-identical — the replay contract the spec pins directly. */
+  private[graft] def commitBatch(batch: DataFrame, batchId: Long,
+      dataDir: String, index: StatsIndex, indexedCols: Seq[String],
+      hconf: SerializableConfiguration): Unit = {
+    val spark = batch.sparkSession
+    val dirPath = new Path(dataDir)
+    val fs = dirPath.getFileSystem(hconf.value)
+    val staging = new Path(dataDir, s".staging-$batchId")
+    batch.write.mode("overwrite").parquet(staging.toString)
+    val parts = fs.listStatus(staging).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    val finals = parts.zipWithIndex.map { case (p, k) =>
+      val tgt = new Path(dirPath, s"b$batchId-$k.parquet")
+      if (fs.exists(tgt)) fs.delete(tgt, false)
+      fs.rename(p, tgt)
+      tgt
+    }
+    fs.delete(staging, true)
+    if (finals.nonEmpty) {
+      val paths = finals.map(_.toString)
+      val cols = indexedCols
+      val statsRdd = spark.sparkContext
+        .parallelize(paths, math.max(1, math.min(paths.size,
+          spark.sparkContext.defaultParallelism)))
+        .map(f => FooterStats.read(new Path(f), hconf.value, cols))
+      // per-file transactional upsert keyed by the deterministic names:
+      // a replayed batch overwrites its own catalog rows
+      index.ingestAll(statsRdd)
+    }
+    ()
   }
 }
