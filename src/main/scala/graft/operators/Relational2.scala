@@ -360,6 +360,27 @@ object Relational2 {
              |  cume_dist() OVER w AS cd
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey
-             |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin))
+             |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin)),
+
+    // ----- bag-semantics set operations -------------------------------------
+    // EXCEPT ALL / INTERSECT ALL (q11/q12 cover the DISTINCT variants):
+    // multiplicity-preserving set ops plan as aggregates over counts, not
+    // sorts — one shuffle each on the row value.
+    QueryDef(
+      "q36_setops_all",
+      (s, dir) => {
+        val flags = Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag").as("f"), col("l_linestatus").as("st"))
+        val highQty = Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 25.0)
+          .select(col("l_returnflag").as("f"), col("l_linestatus").as("st"))
+        flags.exceptAll(highQty)
+          .groupBy("f", "st").agg(count(lit(1)).as("n_except"))
+      },
+      Some("""WITH a AS (SELECT l_returnflag f, l_linestatus st FROM lineitem),
+             |b AS (SELECT l_returnflag f, l_linestatus st FROM lineitem
+             |      WHERE l_quantity >= 25.0),
+             |d AS (SELECT f, st FROM a EXCEPT ALL SELECT f, st FROM b)
+             |SELECT f, st, count(*) AS n_except FROM d GROUP BY 1, 2""".stripMargin))
   )
 }
