@@ -375,7 +375,26 @@ object DerbyStatsIndex {
     * `ingestAll` partitions. Derby lacks ON CONFLICT/RETURNING:
     * select-then-update-or-insert inside one transaction has the same
     * semantics (`index.rs:242-329`). */
+  /** Concurrent upserts (many partitions ingesting into one catalog) can
+    * deadlock or time out on Derby's lock manager — the select-then-insert
+    * under the UNIQUE(file_name) index is the classic victim. The
+    * transaction is rolled back in full and the upsert is idempotent, so
+    * a bounded exponential-backoff retry is exactly right (the same
+    * contract a remote catalog's serialization failures need). */
   private[index] def ingestFile(
+      conn: Connection, indexedCols: Seq[StructField], stats: FileStats): Unit = {
+    var attempt = 0
+    while (true) {
+      try { ingestFileOnce(conn, indexedCols, stats); return }
+      catch {
+        case e: java.sql.SQLTransactionRollbackException if attempt < 5 =>
+          attempt += 1
+          Thread.sleep((50L << attempt) + scala.util.Random.nextInt(50))
+      }
+    }
+  }
+
+  private def ingestFileOnce(
       conn: Connection, indexedCols: Seq[StructField], stats: FileStats): Unit = {
     conn.setAutoCommit(false)
     try {
