@@ -381,6 +381,28 @@ object Relational2 {
              |b AS (SELECT l_returnflag f, l_linestatus st FROM lineitem
              |      WHERE l_quantity >= 25.0),
              |d AS (SELECT f, st FROM a EXCEPT ALL SELECT f, st FROM b)
-             |SELECT f, st, count(*) AS n_except FROM d GROUP BY 1, 2""".stripMargin))
+             |SELECT f, st, count(*) AS n_except FROM d GROUP BY 1, 2""".stripMargin)),
+
+    // ----- string-distance functions ----------------------------------------
+    // levenshtein over the nation-name pairs (unit-cost DP — identical
+    // definition in Spark and DuckDB): the fuzzy-matching primitive entity
+    // resolution and near-dup title matching build on. Small-side
+    // self-join broadcasts; at scale the left side streams.
+    QueryDef(
+      "q37_edit_distance",
+      (s, dir) => {
+        val a = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("ka"), col("n_name").as("na"))
+        val b = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("kb"), col("n_name").as("nb"))
+        a.join(broadcast(b), col("ka") < col("kb"))
+          .withColumn("d", levenshtein(col("na"), col("nb")))
+          .filter(col("d") <= 6)
+          .select(col("na"), col("nb"), col("d"))
+      },
+      Some("""SELECT a.n_name AS na, b.n_name AS nb,
+             |  CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS d
+             |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+             |WHERE levenshtein(a.n_name, b.n_name) <= 6""".stripMargin))
   )
 }
