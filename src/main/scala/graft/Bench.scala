@@ -55,15 +55,19 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""failures":${failures.mkString("[", ",", "]")}$omit,"sf":"$sfDir"}"""
     }
-    // escalating omission thresholds: drop the fastest (noise-level)
-    // entries first until the line fits; failures are never dropped
-    val line = (Seq(0.0, 0.05, 0.1, 0.25, 0.5).view
-      .map { thr =>
-        val kept = results.filter { case (_, v) => v < 0 || v >= thr }
-        render(kept, results.size - kept.size)
+    // if the full map overflows, drop the single fastest (noise-level)
+    // entries one at a time until the line fits — keeps the maximum
+    // number of per-query entries; failures are never dropped
+    val byCost = results.collect { case (n, v) if v >= 0 => (n, v) }
+      .sortBy(_._2).map(_._1)
+    val line = (0 to byCost.size).view
+      .map { drop =>
+        val dropped = byCost.take(drop).toSet
+        val kept = results.filter { case (n, v) => v < 0 || !dropped.contains(n) }
+        render(kept, drop)
       }
       .find(_.length <= 1880)
-      .getOrElse(render(results.filter(_._2 < 0), results.count(_._2 >= 0))))
+      .getOrElse(render(results.filter(_._2 < 0), results.count(_._2 >= 0)))
     println(line)
     spark.stop()
   }
