@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -26,4 +27,27 @@ object Skew {
     val smallS = small.withColumn("__salt", explode(saltValues))
     bigS.join(smallS, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  val defs: Seq[QueryDef] = Seq(
+    // The explicit hot-key mitigation as a driver-checked row: `events`
+    // genuinely concentrates on 5 event types (~20% of the table EACH),
+    // the worst case for a keyed shuffle join. The salted join spreads
+    // every hot key over 8 sub-partitions (big side salted, small side
+    // replicated per salt) and the results are provably identical to the
+    // plain equi-join — which is exactly what the oracle computes.
+    QueryDef(
+      "sj1_salted_join",
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+        val dim = events.select("event_type").distinct()
+          .withColumn("w", length(col("event_type")).cast("long"))
+        saltedEquiJoin(events, dim, "event_type", salts = 8)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+      },
+      Some("""WITH dim AS (SELECT DISTINCT event_type,
+             |    CAST(length(event_type) AS BIGINT) w FROM events)
+             |SELECT e.event_type, count(*) AS n, CAST(sum(w) AS BIGINT) AS sw
+             |FROM events e JOIN dim USING (event_type)
+             |GROUP BY 1""".stripMargin)))
 }
