@@ -62,4 +62,41 @@ object Compaction {
     }
     p.bins.size
   }
+
+  private val fixtureCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Once per sfDir: a deliberately fragmented copy of `orders` (16 small
+    * files), then compacted in place — the maintenance pass under the
+    * correctness gate. */
+  private def compactedOrders(s: SparkSession, sfDir: String): String =
+    fixtureCache.getOrElseUpdate(sfDir + "@" + s.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dataDir = new java.io.File(s"target/tmp/compact/$safe/orders-v1").getAbsolutePath
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dataDir, "_SUCCESS"))) {
+        graft.Tables.load(s, sfDir, "orders")
+          .repartition(16).write.mode("overwrite").parquet(dataDir)
+        compact(s, dataDir) // every part is far below the 32 MB threshold
+      }
+      dataDir
+    })
+
+  /** Compaction as a driver-checked row: the fragmented-then-compacted
+    * copy must answer exactly like the original table — the maintenance
+    * pass moves bytes, never rows. The oracle runs on the original
+    * `orders`; the double sum is rendered through the fixed-scale decimal
+    * cast so the check is order-insensitive. */
+  val defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef(
+      "cp1_compacted",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        s.read.parquet(compactedOrders(s, dir))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,4)"))
+              .cast("decimal(38,4)").cast("string").as("total"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS total
+             |FROM orders GROUP BY 1""".stripMargin)))
 }
