@@ -70,6 +70,30 @@ object Sketches {
              |  AND list_contains(string_split(text, ' '), 'join')
              |  AND list_contains(string_split(text, ' '), 'window')""".stripMargin)),
 
+    // ----- positional index: phrase search ----------------------------------
+    // The search-engine extension of ts1: a POSITIONAL inverted index
+    // answers phrase queries by adjacency-joining the two terms' posting
+    // lists on (doc, pos+1). Token adjacency over space-split text is
+    // exactly substring containment of ' a b ' in the space-padded text,
+    // which is what the oracle checks. Scale: the term filter reaches the
+    // scan (only the queried terms' postings materialize), then ONE join
+    // keyed (doc_id, pos) between two bounded posting lists — never a
+    // full positional index for all terms.
+    QueryDef(
+      "ts2_phrase",
+      (s, dir) => {
+        val (w1, w2) = ("table", "scan")
+        val positions = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+        val a = positions.filter(col("w") === w1)
+          .select(col("doc_id"), (col("p") + 1).as("np"))
+        val b = positions.filter(col("w") === w2)
+          .select(col("doc_id"), col("p").as("np"))
+        a.join(b, Seq("doc_id", "np")).select("doc_id").distinct()
+      },
+      Some("""SELECT DISTINCT doc_id FROM documents
+             |WHERE contains(' ' || text || ' ', ' table scan ')""".stripMargin)),
+
     // ----- mergeable sketches: HLL distinct + approximate quantiles ---------
     // A sketch's raw estimate is engine-specific by construction (Spark
     // HLL++ vs DuckDB's HLL use different hash functions and register
