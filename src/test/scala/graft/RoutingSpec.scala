@@ -113,6 +113,19 @@ class RoutingSpec extends SparkSpec {
       s"3-key IN kept ${exec.scannedRowGroups} row groups")
   }
 
+  test("large IN-lists (optimizer-converted to InSet) still route") {
+    // past spark.sql.optimizer.inSetConversionThreshold (default 10) the
+    // IN becomes an InSet — a different expression class in pointKeys
+    val keys = (0 until 15).map(i => (i * 501L) % 8009L)
+    val (df, fi) = routed()
+    val rows = df.filter(col("key").isin(keys: _*)).count()
+    assert(rows === plain.filter(col("key").isin(keys: _*)).count())
+    val exec = fi.lastExecution.get
+    assert(exec.route === Seq("rowlevel(key)"))
+    assert(exec.scannedRowGroups <= keys.size,
+      s"15-key InSet kept ${exec.scannedRowGroups} row groups")
+  }
+
   test("non-equality predicates on the routed column do not route") {
     val (df, fi) = routed()
     val rows = df.filter(col("key") > 8000L).count()
