@@ -98,6 +98,19 @@ class StatsAggPushdownSpec extends SparkSpec {
     assert(!folded(plain.agg(min(col("k")))))
   }
 
+  test("composition: the ROUTED relation's aggregates fold from the same catalog") {
+    // automatic index routing (8.7c) and aggregate pushdown (8.7d) share
+    // the IndexedParquetFileIndex seam — a routed relation's global
+    // count/min answers from the catalog exactly like the plain one
+    val dir = sf("sf0.001")
+    val routed = graft.operators.Indexed.lineitemRouted(spark, dir)
+    val q = routed.agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("mn"))
+    assert(folded(q), q.queryExecution.optimizedPlan.toString)
+    val plainCount = graft.Tables.load(spark, dir, "lineitem").count()
+    val r = q.collect().head
+    assert(r.getLong(0) === plainCount && r.getLong(1) === 0L)
+  }
+
   test("SQL text over the registered indexed view folds too (plan-level rule)") {
     indexed.createOrReplaceTempView("aggpush_indexed")
     val q = spark.sql(
