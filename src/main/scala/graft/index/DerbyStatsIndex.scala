@@ -152,6 +152,15 @@ final class DerbyStatsIndex(
     }
   }
 
+  override def removeFiles(fileNames: Set[String]): Unit = conn.synchronized {
+    if (fileNames.nonEmpty) {
+      val del = conn.prepareStatement(
+        "DELETE FROM file_statistics WHERE file_name = ?") // FK cascades to rg stats
+      fileNames.foreach { n => del.setString(1, n); del.addBatch() }
+      del.executeBatch(); del.close()
+    }
+  }
+
   // ---- pruning query (P1/P5, index.rs:102-176) ------------------------------
 
   override def getFiles(predicate: Expression): Seq[FileScanPlan] = {

@@ -51,6 +51,12 @@ trait StatsIndex extends AutoCloseable {
     * changed files; deleted files need explicit retention). */
   def retainOnly(fileNames: Set[String]): Unit
 
+  /** Drop index rows for SPECIFIC files — the O(removed) counterpart of
+    * [[retainOnly]]'s O(catalog) sweep, for callers that already know
+    * exactly which files are gone (e.g. a streaming sink replacing a
+    * failed batch attempt's parts). Unknown names are a no-op. */
+  def removeFiles(fileNames: Set[String]): Unit
+
   /** Core pruning call: data-space predicate → surviving files with their
     * row-group scan sets (`index.rs:102-176`). TRUE ⇒ everything. */
   def getFiles(predicate: Expression): Seq[FileScanPlan]

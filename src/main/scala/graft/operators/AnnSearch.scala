@@ -313,31 +313,102 @@ object AnnSearch {
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Long]]]]
   @volatile private var ann4Oracle: Option[String] = None
 
-  /** Per-subspace codebooks `[m][k][subdim]`: the same bounded
-    * deterministic fit shape as [[fitDriver]] — first [[IvfFitSample]]
-    * vectors by id, per-subspace Lloyd (L2) for 3 rounds seeded from the
-    * first [[PqK]] subvectors, floor-quantized to integer centroids so
-    * encode/decode are exact-integer on both engines. */
-  private[graft] def fitPqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Long]]] =
-    pqFitCache.getOrElseUpdate(dir, {
-      import s.implicits._
-      val sample = quantized(s, dir).orderBy("vec_id").limit(IvfFitSample)
-        .select("v").as[Array[Long]].collect()
-      Array.tabulate(PqM) { m =>
-        val sub = sample.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))
-        var cents: Array[Array[Double]] = sub.take(PqK).map(_.map(_.toDouble))
-        (1 to 3).foreach { _ =>
-          val assigned = sub.map(v => (nearestL2(v, cents), v))
-          cents = Array.tabulate(PqK) { c =>
-            val members = assigned.filter(_._1 == c).map(_._2)
-            if (members.isEmpty) cents(c)
-            else Array.tabulate(PqSubDim)(d =>
-              members.map(_(d).toDouble).sum / members.size)
-          }
-        }
-        cents.map(_.map(x => math.floor(x).toLong))
-      }
+  /** Per-subspace codebooks `[m][k][subdim]`, dispatched on the same
+    * [[FitModeConf]] session conf as the IVF fit: `driver` (default —
+    * bounded [[IvfFitSample]]-vector Lloyd on the driver) or `minibatch`
+    * ([[fitPqMinibatch]] — distributed, sees the whole corpus). Either
+    * way codebooks are floor-quantized integers inlined into plan AND
+    * dynamic oracle, so downstream is mode-agnostic. */
+  private[graft] def fitPqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Long]]] = {
+    val mode = s.conf.get(FitModeConf, "driver")
+    pqFitCache.getOrElseUpdate(s"$dir@$mode", mode match {
+      case "minibatch" => fitPqMinibatch(s, dir)
+      case _           => fitPqDriver(s, dir)
     })
+  }
+
+  /** Driver-side PQ fit: the same bounded deterministic shape as
+    * [[fitDriver]] — first [[IvfFitSample]] vectors by id, per-subspace
+    * Lloyd (L2) for 3 rounds seeded from the first [[PqK]] subvectors. */
+  private def fitPqDriver(s: SparkSession, dir: String): Array[Array[Array[Long]]] = {
+    import s.implicits._
+    val sample = quantized(s, dir).orderBy("vec_id").limit(IvfFitSample)
+      .select("v").as[Array[Long]].collect()
+    Array.tabulate(PqM) { m =>
+      val sub = sample.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))
+      var cents: Array[Array[Double]] = sub.take(PqK).map(_.map(_.toDouble))
+      (1 to 3).foreach { _ =>
+        val assigned = sub.map(v => (nearestL2(v, cents), v))
+        cents = Array.tabulate(PqK) { c =>
+          val members = assigned.filter(_._1 == c).map(_._2)
+          if (members.isEmpty) cents(c)
+          else Array.tabulate(PqSubDim)(d =>
+            members.map(_(d).toDouble).sum / members.size)
+        }
+      }
+      cents.map(_.map(x => math.floor(x).toLong))
+    }
+  }
+
+  /** Distributed minibatch PQ fit — the PQ analog of [[fitMinibatch]]:
+    * each round is ONE job over a deterministic hash-sampled minibatch.
+    * Every row fans out to its M (subspace, nearest-code, subvector)
+    * structs via a single explode, then ONE map-side-combined aggregate
+    * keyed (m, cell) carries only M×k×(subdim+1) partial sums through the
+    * shuffle regardless of corpus size; codebooks update on the driver
+    * (O(M·k·subdim) state). Assignment is the same L2-argmin the encode
+    * path uses, against the round's un-quantized double codebooks. Scales
+    * to any corpus the scan scales to — the fix for underfit 8×16
+    * codebooks from a 512-vector sample on a skewed corpus. */
+  private def fitPqMinibatch(s: SparkSession, dir: String): Array[Array[Array[Long]]] = {
+    import s.implicits._
+    val q = quantized(s, dir)
+    val seed = q.orderBy("vec_id").limit(PqK).select("v").as[Array[Long]].collect()
+    var books: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
+      seed.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim).map(_.toDouble))
+    }
+    (1 to MinibatchRounds).foreach { r =>
+      // distinct hash salt from the IVF fit so the two fits draw
+      // independent minibatch sequences
+      val batch = q.filter(
+        pmod(xxhash64(col("vec_id"), lit(1000 + r)), lit(MinibatchMod)) === 0)
+      val pieces = (0 until PqM).map { m =>
+        struct(lit(m).as("m"), pqCodeD(m, books(m)).as("cell"),
+          slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))
+      }
+      val sums = (0 until PqSubDim).map(d => sum(element_at(col("sv"), d + 1)).as(s"s$d"))
+      val rows = batch.select(explode(array(pieces: _*)).as("e"))
+        .select(col("e.m"), col("e.cell"), col("e.sv"))
+        .groupBy("m", "cell")
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .collect() // ≤ M×k rows of (m, cell, cnt, subdim sums) — bounded by the codebook size, not data
+      val next = books.map(_.map(_.clone()))
+      rows.foreach { row =>
+        val m = row.getInt(0); val c = row.getInt(1); val cnt = row.getLong(2)
+        if (cnt > 0)
+          next(m)(c) = Array.tabulate(PqSubDim)(d => row.getLong(3 + d).toDouble / cnt)
+      }
+      books = next
+    }
+    books.map(_.map(_.map(x => math.floor(x).toLong)))
+  }
+
+  /** Fit-time L2 distance of the m-th subvector to a DOUBLE centroid
+    * (mirror of [[pqDist]]; exactness mid-fit is irrelevant — the fitted,
+    * quantized result is what gets inlined). */
+  private def pqDistD(m: Int, cb: Array[Double]): Column =
+    aggregate(
+      zip_with(slice(col("v"), m * PqSubDim + 1, PqSubDim), typedlit(cb.toSeq),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Argmin code for subspace m against double centroids: lexicographic
+    * struct-min, ties to the LOWER code — same discipline as [[pqCode]]
+    * and [[nearestL2]]. */
+  private def pqCodeD(m: Int, cbm: Array[Array[Double]]): Column =
+    array_min(array(cbm.zipWithIndex.map { case (cv, c) =>
+      struct(pqDistD(m, cv).as("d"), lit(c).as("i"))
+    }: _*)).getField("i")
 
   private def nearestL2(v: Array[Long], cents: Array[Array[Double]]): Int =
     cents.zipWithIndex.minBy { case (c, i) =>
@@ -358,6 +429,26 @@ object AnnSearch {
     least(cbm.zipWithIndex.map { case (cv, c) =>
       pqDist(m, cv) * PqK + c
     }: _*) % PqK
+
+  /** Mean squared quantization error of a codebook set over the WHOLE
+    * corpus — the fit-quality scalar (lower = the 8-byte codes lose less
+    * of each vector). One job: encode with the query path's exact-integer
+    * argmin, decode, integer squared error per row, one avg. Spec-only
+    * (PqFitSpec compares driver vs minibatch fits). */
+  private[graft] def pqQuantMse(s: SparkSession, dir: String,
+      cbs: Array[Array[Array[Long]]]): Double = {
+    val q = quantized(s, dir)
+    val enc = (0 until PqM).foldLeft(q) { (df, m) =>
+      df.withColumn(s"c$m", pqCode(m, cbs(m)))
+    }
+    val decoded = flatten(array((0 until PqM).map { m =>
+      element_at(typedlit(cbs(m).map(_.toSeq).toSeq), (col(s"c$m") + 1).cast("int"))
+    }: _*))
+    enc.withColumn("err",
+        aggregate(zip_with(col("v"), decoded, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x))
+      .agg(avg(col("err"))).collect().head.getDouble(0)
+  }
 
   /** Dynamic oracle for ann4: the full encode → decode → ADC-rank →
     * exact-rerank pipeline with the fitted codebooks inlined. */

@@ -126,18 +126,21 @@ object EventStreams {
         graft.Tables.load(s, sfDir, "events")
           .repartitionByRange(4, col("ts"))
           .write.mode("overwrite").parquet(out)
-        // The file source orders micro-batches by MODIFICATION time, and
-        // parallel-written parts get arbitrary mtimes — stamp ascending
-        // mtimes in part (= ts-range) order so batches arrive in event
-        // time, emulating an in-order source (a Kafka partition). Order-
-        // insensitive gates (st1/st2/st3's wide-horizon variants) don't
-        // need this; st4's session stitching does.
-        val parts = new java.io.File(out).listFiles()
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        parts.zipWithIndex.foreach { case (f, i) =>
-          java.nio.file.Files.setLastModifiedTime(f.toPath,
-            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-        }
+      }
+      // The file source orders micro-batches by MODIFICATION time, and
+      // parallel-written parts get arbitrary mtimes — stamp ascending
+      // mtimes in part (= ts-range) order so batches arrive in event
+      // time, emulating an in-order source (a Kafka partition). Order-
+      // insensitive gates (st1/st2/st3's wide-horizon variants) don't
+      // need this; st4's session stitching does. Stamped UNCONDITIONALLY
+      // (not only on first materialization): a fixture left behind by a
+      // pre-stamping run would otherwise be reused with arbitrary mtimes
+      // and silently break st4 on a stale working tree.
+      val parts = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       }
       out
     })
@@ -149,7 +152,14 @@ object EventStreams {
     * few thousand keys, pure fixed overhead. State-partition count is the
     * standard sizing knob (fixed at first start by the checkpoint; these
     * gate queries start fresh each run); a production deployment sizes it
-    * to key cardinality and throughput. Restored after the query stops. */
+    * to key cardinality and throughput. Restored after the query stops.
+    *
+    * NOT CONCURRENCY-SAFE: this mutates the session-global shuffle
+    * partition count for the query's whole duration — a batch query or a
+    * second gate run concurrently on the SAME SparkSession would silently
+    * execute with the forced value (or see a racy restore). The driver
+    * gates and the bench run queries strictly sequentially; a concurrent
+    * caller must use a dedicated `spark.newSession()`. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val forced = s.conf.get("spark.graft.stream.statePartitions", n.toString).toInt
     if (forced <= 0) return body // 0 ⇒ leave the session default

@@ -61,10 +61,29 @@ object IndexedSink {
     val parts = fs.listStatus(staging).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath).sortBy(_.getName)
+    // Replay safety beyond same-part-count: a prior attempt may have
+    // committed MORE parts than this attempt produces (partitioning can
+    // change across restarts — defaultParallelism, shuffle partitions).
+    // Renaming onto b<batchId>-0..n-1 alone would leave the old attempt's
+    // b<batchId>-k (k >= n) files AND their catalog rows behind, silently
+    // double-counting. So first remove EVERY existing file of this batch
+    // id — catalog rows first, then data — making the replay a full
+    // replacement regardless of part count.
+    val stale = Option(fs.globStatus(new Path(dirPath, s"b$batchId-*.parquet")))
+      .map(_.toSeq).getOrElse(Seq.empty).map(_.getPath)
+    if (stale.nonEmpty) {
+      index.removeFiles(stale.map(_.getName).toSet)
+      stale.foreach { p =>
+        require(fs.delete(p, false) || !fs.exists(p), s"delete of stale $p failed")
+      }
+    }
     val finals = parts.zipWithIndex.map { case (p, k) =>
       val tgt = new Path(dirPath, s"b$batchId-$k.parquet")
-      if (fs.exists(tgt)) fs.delete(tgt, false)
-      fs.rename(p, tgt)
+      // rename failure surfaces as a boolean on many FileSystem
+      // implementations — swallowing it would delete the part with the
+      // staging dir below while the checkpoint advances (silent loss).
+      // Fail the batch instead; the replay contract makes the retry safe.
+      require(fs.rename(p, tgt), s"rename $p -> $tgt failed")
       tgt
     }
     fs.delete(staging, true)

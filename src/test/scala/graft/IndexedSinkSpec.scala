@@ -95,4 +95,31 @@ class IndexedSinkSpec extends SparkSpec {
     assert(spark.read.parquet(dataDir).count() === 100L)
     index.close()
   }
+
+  test("a replay that produces FEWER parts removes the prior attempt's orphans") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sink-shrink").toString
+    val dataDir = s"$base/data"
+    new java.io.File(dataDir).mkdirs()
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val index = new DerbyStatsIndex(s"$base/db", schema)
+    index.initialize(schema)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+
+    val rows = (0L until 100L).toDF("k")
+    // first attempt commits 4 parts (b3-0..3); the "crash + restart with
+    // different partitioning" replay produces only 2 — b3-2/b3-3 and their
+    // catalog rows must not survive, or rows double-count
+    IndexedSink.commitBatch(rows.repartition(4), 3L, dataDir, index, Seq("k"), hconf)
+    assert(index.allFiles().size >= 4)
+    IndexedSink.commitBatch(rows.repartition(2), 3L, dataDir, index, Seq("k"), hconf)
+    val names = new java.io.File(dataDir).list().filter(_.endsWith(".parquet")).toSet
+    assert(names === Set("b3-0.parquet", "b3-1.parquet"),
+      s"orphan parts survived the shrinking replay: $names")
+    assert(index.allFiles().map(_.fileName).toSet === names)
+    assert(index.totalRowCount() === Some(100L))
+    assert(spark.read.parquet(dataDir).count() === 100L)
+    index.close()
+  }
 }
