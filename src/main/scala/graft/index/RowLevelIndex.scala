@@ -100,6 +100,34 @@ object RowLevelIndex {
       .view.mapValues(_.map(_.getInt(1)).to(SortedSet)).toMap)
   }
 
+  /** Posting sets for a BOUNDED key range [lower, upper] (inclusiveness
+    * per flag) — the `k BETWEEN a AND b` routing shape. The posting table
+    * is key-sorted parquet, so the range predicate pushes down to its
+    * scan (only index files whose key min/max overlap the range are
+    * read); (file, row_group) pairs are deduplicated BEFORE the cap so
+    * `maxPostings` bounds distinct row groups, not per-key postings.
+    * None = overflow (the range covers too much for precise postings to
+    * pay off) — callers degrade to their stats-pruned plans. */
+  def postingsRange(
+      spark: SparkSession,
+      indexDir: String,
+      lower: Any, lowerInclusive: Boolean,
+      upper: Any, upperInclusive: Boolean,
+      maxPostings: Int = MaxPostings): Option[Map[String, SortedSet[Int]]] = {
+    val lo = if (lowerInclusive) col("key") >= lit(lower) else col("key") > lit(lower)
+    val hi = if (upperInclusive) col("key") <= lit(upper) else col("key") < lit(upper)
+    val rows = spark.read.parquet(indexDir)
+      .filter(lo && hi)
+      .select("file_name", "row_group")
+      .distinct() // many range keys share a row group — cap counts row groups
+      .limit(maxPostings + 1) // +1: detect overflow without counting all
+      .collect()
+    if (rows.length > maxPostings) None
+    else Some(rows
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getInt(1)).to(SortedSet)).toMap)
+  }
+
   /** Posting lookup: which row groups contain `key`. The driver collect is
     * bounded by `maxPostings` with a full-plan fallback (over-scan, never
     * wrong). */

@@ -297,6 +297,46 @@ object Indexed {
              |WHERE l_orderkey BETWEEN 200 AND 299 AND l_partkey BETWEEN 40 AND 79
              |GROUP BY l_returnflag""".stripMargin)),
 
+    // RANGE routing through the row-level index (extends idx13's seam):
+    // a bounded range conjunct (BETWEEN) on a posting-indexed column is
+    // answered by a pushdown RANGE read of the key-sorted posting table —
+    // row groups where in-range keys actually OCCUR, not merely where
+    // min/max overlap. Same cap/degrade contract as point routing
+    // (RoutingSpec pins route tags, narrowing, and half-open fallback).
+    QueryDef(
+      "idx15_routed_range",
+      (s, dir) => lineitemRouted(s, dir)
+        .filter(col("l_orderkey").between(1000L, 1100L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("l_linenumber").cast("long")).as("sln")),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sln
+             |FROM lineitem
+             |WHERE l_orderkey BETWEEN 1000 AND 1100
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // N-dimensional z-order with rank-binning (sources/ZOrderLayout.writeN):
+    // a 3-d BOX over the 3-col Morton layout, third dimension a FLOAT
+    // (l_extendedprice) rank-binned to dense ints by one approx-quantile
+    // pass — the pre-pass that fits any domain and skew into the per-dim
+    // bit budget. ZOrderSpec pins that the 3-d layout keeps fewer row
+    // groups than a 2-d layout for the same 3-d box. Oracle on the
+    // original lineitem: layout + binning + pruning change nothing.
+    QueryDef(
+      "zo2_zorder_3col",
+      (s, dir) => lineitemZordered3(s, dir)
+        .filter(col("l_orderkey").between(200L, 399L) &&
+          col("l_partkey").between(40L, 119L) &&
+          col("l_extendedprice").between(20000.0, 45000.0))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("l_linenumber").cast("long")).as("sln")),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sln
+             |FROM lineitem
+             |WHERE l_orderkey BETWEEN 200 AND 399 AND l_partkey BETWEEN 40 AND 119
+             |  AND l_extendedprice BETWEEN 20000.0 AND 45000.0
+             |GROUP BY l_returnflag""".stripMargin)),
+
     // row-level key index (the reference's named "precise index" extension,
     // index.rs:30-35): exact key -> (file, row_group) postings; scans only
     // row groups where the key OCCURS, not merely where its range overlaps
@@ -366,13 +406,50 @@ object Indexed {
       Entry(df, fileIndex, dataDir, index, dataSchema)
     })
 
+  private val z3Cache = TrieMap.empty[String, Entry]
+
+  /** 3-d z-order-clustered copy of lineitem on (l_orderkey, l_partkey,
+    * l_extendedprice), the price dimension rank-binned to 256 dense
+    * buckets (floats don't interleave; quantile bins do, and stay dense
+    * under skew). 21 bits per dimension — plenty for every SF's key
+    * domain. Stats-indexed on all three RAW columns: rank-binning is
+    * monotone, so footer min/max of the raw price column still serves the
+    * price bound of a 3-d box. */
+  def lineitemZordered3(spark: SparkSession, sfDir: String): DataFrame =
+    z3Entry(spark, sfDir).df
+
+  def lastZorder3Execution(spark: SparkSession, sfDir: String) =
+    z3Entry(spark, sfDir).fileIndex.lastExecution
+
+  private def z3Entry(spark: SparkSession, sfDir: String): Entry =
+    z3Cache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
+      val dataDir = s"$base/lineitem-zorder3-v1"
+      if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
+        rmrf(new java.io.File(s"$base/statsdb-zorder3-v1"))
+        graft.sources.ZOrderLayout.writeN(
+          spark.read.parquet(s"$sfDir/lineitem.parquet"),
+          Seq("l_orderkey", "l_partkey", "l_extendedprice"),
+          dataDir, numFiles = 8, rowGroupRows = 2048,
+          rankBins = Map("l_extendedprice" -> 256))
+      }
+      val (index, dataSchema) = IndexedParquet.buildIndex(
+        spark, dataDir, Seq("l_orderkey", "l_partkey", "l_extendedprice"),
+        s"$base/statsdb-zorder3-v1")
+      val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
+      Entry(df, fileIndex, dataDir, index, dataSchema)
+    })
+
   private val routedCache = TrieMap.empty[String, (org.apache.spark.sql.DataFrame,
     graft.sources.IndexedParquetFileIndex)]
 
   /** The SAME indexed relation, with automatic index routing on: l_ukey
-    * carries a row-level posting index (built lazily, one distributed
-    * pass), so equality/IN on it resolves to posting-exact row groups;
-    * everything else falls back to the bloom/min-max catalog path. */
+    * and l_orderkey each carry a row-level posting index (built lazily,
+    * one distributed pass each), so equality/IN — and bounded ranges,
+    * which push down into the key-sorted posting table — on either column
+    * resolve to posting-exact row groups; everything else falls back to
+    * the bloom/min-max catalog path. */
   def lineitemRouted(spark: SparkSession, sfDir: String): DataFrame =
     routedEntry(spark, sfDir)._1
 
@@ -388,6 +465,8 @@ object Indexed {
           spark, e.dataDir, e.index.allFiles(), e.dataSchema, "l_ukey", ukeyIdx)
       graft.sources.IndexedParquet.read(
         spark, e.dataDir, e.index, e.dataSchema,
-        rowLevelIndexes = Map("l_ukey" -> ukeyIdx))
+        rowLevelIndexes = Map(
+          "l_ukey" -> ukeyIdx,
+          "l_orderkey" -> rowLevelDir(spark, sfDir, e)))
     })
 }

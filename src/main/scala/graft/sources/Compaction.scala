@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Small-file compaction for parquet table directories — the lake
   * maintenance a 100 TB table needs (many small files destroy scan
@@ -36,8 +37,14 @@ object Compaction {
     Plan(real.toSeq, big.map(_._1) ++ single.flatten)
   }
 
-  /** Execute compaction in place: rewrite each bin as one file, delete the
-    * originals. Returns the number of bins rewritten. */
+  /** Execute compaction in place: ONE Spark job rewrites every bin — a
+    * single scan of all bin files, each row tagged with its bin id via the
+    * file-name metadata column, hash-clustered on bin id (all of a bin's
+    * rows land in one task) and written through a dynamic-partition write
+    * that emits exactly one file per bin value. A 100 TB table's thousand
+    * bins rewrite in parallel across the cluster instead of as a thousand
+    * sequential driver-looped jobs; the driver's remaining work is
+    * O(bins) metadata renames. Returns the number of bins rewritten. */
   def compact(
       spark: SparkSession,
       dir: String,
@@ -49,18 +56,50 @@ object Compaction {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => (s.getPath.toString, s.getLen))
     val p = plan(files, targetBytes, smallThresholdBytes)
-    p.bins.zipWithIndex.foreach { case (bin, i) =>
-      val staging = new Path(dirPath, s".compact-$i")
-      spark.read.parquet(bin: _*).coalesce(1)
-        .write.mode("overwrite").parquet(staging.toString)
-      val part = fs.listStatus(staging).toSeq
-        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-      val dest = new Path(dirPath, f"compacted-$i%05d.parquet")
-      fs.rename(part, dest)
-      fs.delete(staging, true)
-      bin.foreach(f => fs.delete(new Path(f), false))
+    if (p.bins.isEmpty) return 0
+    val binFiles = p.bins.flatten
+    val binOf = p.bins.zipWithIndex
+      .flatMap { case (bin, i) => bin.map(f => new Path(f).getName -> i) }.toMap
+    // output names must not collide with survivors of an earlier pass
+    // (renaming over an UNTOUCHED file would lose data) — continue the
+    // compacted-N numbering past the highest existing one
+    val offset = files
+      .flatMap { case (f, _) =>
+        "compacted-(\\d+)\\.parquet".r
+          .findFirstMatchIn(new Path(f).getName).map(_.group(1).toInt)
+      }.maxOption.map(_ + 1).getOrElse(0)
+    val staging = new Path(dirPath, ".compact-staging")
+    fs.delete(staging, true)
+    // schema from ONE footer read on the driver (the S5 parity path) — an
+    // explicit schema on the read skips Spark's footer-inference job
+    val schema = footerSchema(
+      new Path(binFiles.head), spark.sparkContext.hadoopConfiguration)
+    spark.read.schema(schema).parquet(binFiles: _*)
+      .withColumn("__bin", element_at(typedlit(binOf), col("_metadata.file_name")))
+      .repartition(p.bins.size, col("__bin"))
+      .write.partitionBy("__bin").mode("overwrite").parquet(staging.toString)
+    p.bins.indices.foreach { i =>
+      val sub = fs.listStatus(new Path(staging, s"__bin=$i")).toSeq
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      require(sub.size == 1, s"bin $i wrote ${sub.size} parts, expected 1")
+      val dest = new Path(dirPath, f"compacted-${offset + i}%05d.parquet")
+      require(fs.rename(sub.head, dest), s"rename ${sub.head} -> $dest failed")
     }
+    fs.delete(staging, true)
+    binFiles.foreach(f => fs.delete(new Path(f), false))
     p.bins.size
+  }
+
+  /** Spark schema from one parquet footer, read on the driver thread. */
+  private def footerSchema(
+      path: Path, conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.types.StructType = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf),
+      org.apache.parquet.ParquetReadOptions.builder().build())
+    val msg = try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+    new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter().convert(msg)
   }
 
   private val fixtureCache = scala.collection.concurrent.TrieMap.empty[String, String]

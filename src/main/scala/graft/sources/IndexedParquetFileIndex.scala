@@ -4,7 +4,7 @@ import graft.index.{FileScanPlan, RowLevelIndex, StatsIndex}
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, In, InSet, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.StructType
 
@@ -94,27 +94,35 @@ final class IndexedParquetFileIndex(
 
   // ---- row-level routing ----------------------------------------------------
 
-  /** Equality/IN conjuncts on row-level-indexed columns → intersect the
-    * precise posting row groups into the stats-pruned plans. */
+  /** Equality/IN conjuncts — and bounded range conjuncts — on row-level-
+    * indexed columns → intersect the precise posting row groups into the
+    * stats-pruned plans. */
   private def routeRowLevel(
       dataFilters: Seq[Expression],
       statsPlans: Seq[FileScanPlan]): (Seq[FileScanPlan], Seq[String]) = {
     if (rowLevelIndexes.isEmpty || dataFilters.isEmpty) return (statsPlans, Nil)
     val conjuncts = dataFilters.flatMap(splitConjuncts)
-    val routable = conjuncts.flatMap(pointKeys)
-    if (routable.isEmpty) return (statsPlans, Nil)
-    routable.foldLeft((statsPlans, Seq.empty[String])) {
+    val points = conjuncts.flatMap(pointKeys)
+    val ranges = rangeBounds(conjuncts)
+    if (points.isEmpty && ranges.isEmpty) return (statsPlans, Nil)
+    def intersect(plans: Seq[FileScanPlan], hits: Map[String, SortedSet[Int]]) =
+      plans.flatMap { p =>
+        hits.get(p.fileName)
+          .map(rgs => p.copy(scanRowGroups = p.scanRowGroups intersect rgs))
+          .filter(_.scanRowGroups.nonEmpty)
+      }
+    val afterPoints = points.foldLeft((statsPlans, Seq.empty[String])) {
       case ((plans, route), (colName, keys)) =>
         lookupPostings(colName, keys) match {
-          case Some(hits) =>
-            val kept = plans.flatMap { p =>
-              hits.get(p.fileName)
-                .map(rgs => p.copy(scanRowGroups = p.scanRowGroups intersect rgs))
-                .filter(_.scanRowGroups.nonEmpty)
-            }
-            (kept, route :+ s"rowlevel($colName)")
-          case None =>
-            (plans, route :+ s"rowlevel-degraded($colName)")
+          case Some(hits) => (intersect(plans, hits), route :+ s"rowlevel($colName)")
+          case None       => (plans, route :+ s"rowlevel-degraded($colName)")
+        }
+    }
+    ranges.foldLeft(afterPoints) {
+      case ((plans, route), (colName, (lo, loInc), (hi, hiInc))) =>
+        lookupRangePostings(colName, lo, loInc, hi, hiInc) match {
+          case Some(hits) => (intersect(plans, hits), route :+ s"rowlevel-range($colName)")
+          case None       => (plans, route :+ s"rowlevel-degraded($colName)")
         }
     }
   }
@@ -148,6 +156,51 @@ final class IndexedParquetFileIndex(
       case _ => None
     }
   }
+
+  /** BOUNDED range conjuncts per row-level-indexed column: a column routes
+    * only when the conjunction gives it both a lower AND an upper bound
+    * (`k BETWEEN a AND b` splits into exactly that) — a half-open range
+    * would usually cover too many postings to beat min/max stats, so it
+    * stays on the catalog path. With multiple bounds on one column the
+    * FIRST of each side is kept: a looser bound reads a posting superset,
+    * and intersecting a superset is still sound (over-scan, never wrong).
+    * Null literals never bound (comparison with NULL is never TRUE). */
+  private def rangeBounds(conjuncts: Seq[Expression])
+      : Seq[(String, (Any, Boolean), (Any, Boolean))] = {
+    def indexed(a: Attribute): Boolean = rowLevelIndexes.contains(a.name)
+    def v(l: Literal): Any = CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    val lowers = scala.collection.mutable.LinkedHashMap.empty[String, (Any, Boolean)]
+    val uppers = scala.collection.mutable.LinkedHashMap.empty[String, (Any, Boolean)]
+    def addLo(a: Attribute, l: Literal, inc: Boolean): Unit =
+      if (indexed(a) && l.value != null && !lowers.contains(a.name))
+        lowers(a.name) = (v(l), inc)
+    def addHi(a: Attribute, l: Literal, inc: Boolean): Unit =
+      if (indexed(a) && l.value != null && !uppers.contains(a.name))
+        uppers(a.name) = (v(l), inc)
+    conjuncts.foreach {
+      case GreaterThan(a: Attribute, l: Literal)        => addLo(a, l, inc = false)
+      case GreaterThanOrEqual(a: Attribute, l: Literal) => addLo(a, l, inc = true)
+      case LessThan(a: Attribute, l: Literal)           => addHi(a, l, inc = false)
+      case LessThanOrEqual(a: Attribute, l: Literal)    => addHi(a, l, inc = true)
+      // literal-first mirrors: l < a ⇔ a > l, etc.
+      case GreaterThan(l: Literal, a: Attribute)        => addHi(a, l, inc = false)
+      case GreaterThanOrEqual(l: Literal, a: Attribute) => addHi(a, l, inc = true)
+      case LessThan(l: Literal, a: Attribute)           => addLo(a, l, inc = false)
+      case LessThanOrEqual(l: Literal, a: Attribute)    => addLo(a, l, inc = true)
+      case _                                            => ()
+    }
+    lowers.keys.toSeq.filter(uppers.contains)
+      .map(c => (c, lowers(c), uppers(c)))
+  }
+
+  /** Bounded range-posting lookup; same degrade contract as
+    * [[lookupPostings]] (None = overflow or any failure ⇒ over-scan). */
+  private def lookupRangePostings(
+      colName: String, lo: Any, loInc: Boolean,
+      hi: Any, hiInc: Boolean): Option[Map[String, SortedSet[Int]]] =
+    try RowLevelIndex.postingsRange(
+      SparkSession.active, rowLevelIndexes(colName), lo, loInc, hi, hiInc, maxPostings)
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Bounded posting lookup; None on overflow (hot key), empty map when no
     * row group contains any key. Any failure — including no usable Spark

@@ -1,0 +1,89 @@
+package graft
+
+import graft.index.{DerbyStatsIndex, FooterStats}
+import graft.sources.{Compaction, IndexedParquet}
+import graft.streaming.IndexedSink
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+import java.nio.file.{Files, Paths}
+
+/** The full table lifecycle the components compose into: streaming appends
+  * that keep the catalog in sync (IndexedSink) → the table fragments into
+  * many small batch files → one-job compaction rewrites them → incremental
+  * re-ingest (footer upsert) + `retainOnly` of the replaced names bring
+  * the catalog back in step → the indexed relation keeps serving exact,
+  * pruned reads — and streaming resumes on the compacted table. At 100 TB
+  * every step is O(changed files), never O(table): per-batch footer
+  * ingest, one clustered rewrite job, per-file catalog upserts, one
+  * catalog-sweep delete.
+  */
+class LifecycleSpec extends SparkSpec {
+
+  test("stream → compact → re-ingest → prune keeps the catalog exact end to end") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lifecycle").toString
+    val dataDir = s"$base/data"
+    new java.io.File(dataDir).mkdirs()
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val index = new DerbyStatsIndex(s"$base/db", schema)
+    index.initialize(schema)
+    val hconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+
+    // --- streaming phase: 3 batches, 4 small part files each ---------------
+    (0 until 3).foreach { b =>
+      val rows = (b * 100L until (b + 1) * 100L).toDF("k").repartition(4)
+      IndexedSink.commitBatch(rows, b.toLong, dataDir, index, Seq("k"), hconf)
+    }
+    assert(index.totalRowCount() === Some(300L))
+    assert(index.allFiles().size === 12)
+
+    // --- compaction phase: every file is small → bins rewrite in one job ---
+    val bins = Compaction.compact(spark, dataDir,
+      targetBytes = 1L << 20, smallThresholdBytes = 1L << 20)
+    assert(bins >= 1)
+    val currentPaths = fileNames(dataDir).map(n => s"$dataDir/$n")
+    assert(currentPaths.size < 12, s"compaction must shrink: $currentPaths")
+
+    // --- catalog maintenance: incremental re-ingest + stale sweep ----------
+    // footer upserts for the current files (distributed, O(changed)), then
+    // ONE catalog sweep drops rows of the files compaction deleted
+    val statsRdd = spark.sparkContext
+      .parallelize(currentPaths, math.max(1, currentPaths.size))
+      .map(f => FooterStats.read(new Path(f), hconf.value, Seq("k")))
+    index.ingestAll(statsRdd)
+    index.retainOnly(currentPaths.map(new Path(_).getName).toSet)
+    assert(index.totalRowCount() === Some(300L))
+    assert(index.allFiles().map(_.fileName).toSet ===
+      currentPaths.map(new Path(_).getName).toSet)
+
+    // --- the indexed relation serves the compacted table exactly -----------
+    val (df, fi) = IndexedParquet.read(spark, dataDir, index, schema)
+    assert(df.count() === 300L) // catalog-answered aggregate
+    assert(df.filter(col("k").between(100L, 199L)).count() === 100L)
+    assert(fi.lastExecution.get.scannedFiles.toSet
+      .subsetOf(currentPaths.map(new Path(_).getName).toSet))
+    assert(df.select(sum(col("k"))).collect().head.getLong(0) ===
+      (0L until 300L).sum)
+
+    // --- streaming resumes on the compacted table --------------------------
+    IndexedSink.commitBatch((300L until 400L).toDF("k").repartition(2),
+      3L, dataDir, index, Seq("k"), hconf)
+    assert(index.totalRowCount() === Some(400L))
+    val (df2, fi2) = IndexedParquet.read(spark, dataDir, index, schema)
+    assert(df2.count() === 400L)
+    // a point read over the freshly appended range prunes the compacted bulk
+    assert(df2.filter(col("k") >= 350L).count() === 50L)
+    val scanned = fi2.lastExecution.get.scannedFiles
+    assert(scanned.forall(_.startsWith("b3-")),
+      s"k>=350 must prune everything but batch 3: $scanned")
+    index.close()
+  }
+
+  private def fileNames(dir: String): Seq[String] =
+    Files.list(Paths.get(dir)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+}

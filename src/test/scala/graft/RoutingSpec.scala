@@ -126,11 +126,68 @@ class RoutingSpec extends SparkSpec {
       s"15-key InSet kept ${exec.scannedRowGroups} row groups")
   }
 
-  test("non-equality predicates on the routed column do not route") {
+  test("half-open range predicates on the routed column do not route") {
     val (df, fi) = routed()
     val rows = df.filter(col("key") > 8000L).count()
     assert(rows === plain.filter(col("key") > 8000L).count())
     assert(fi.lastExecution.get.route === Nil)
+  }
+
+  // ---- bounded range routing (idx15 seam) ----------------------------------
+
+  test("a bounded range (BETWEEN) routes as a posting-table range read") {
+    val (df, fi) = routed()
+    val pred = col("key").between(100L, 110L)
+    val rows = df.filter(pred).count()
+    assert(rows === plain.filter(pred).count())
+    val exec = fi.lastExecution.get
+    assert(exec.route === Seq("rowlevel-range(key)"))
+    // 11 in-range keys, each in exactly 1 of 160 shuffled row groups whose
+    // min/max spans ~the whole domain (stats alone keep everything)
+    assert(exec.scannedRowGroups <= 11,
+      s"range postings kept ${exec.scannedRowGroups} row groups")
+  }
+
+  test("exclusive bounds route and keep strictly fewer keys' postings") {
+    val (df, fi) = routed()
+    val pred = col("key") > 100L && col("key") < 103L // keys 101, 102
+    val rows = df.filter(pred).count()
+    assert(rows === plain.filter(pred).count())
+    val exec = fi.lastExecution.get
+    assert(exec.route === Seq("rowlevel-range(key)"))
+    assert(exec.scannedRowGroups <= 2)
+  }
+
+  test("a too-wide range (posting overflow) degrades to the stats plans") {
+    val (df, fi) = routed(maxPostings = 0)
+    val pred = col("key").between(100L, 110L)
+    val rows = df.filter(pred).count()
+    assert(rows === plain.filter(pred).count())
+    assert(fi.lastExecution.get.route === Seq("rowlevel-degraded(key)"))
+  }
+
+  test("point and range conjuncts on different columns both route") {
+    // second routed column via a second posting index on seq
+    val seqIdx = s"${fx.base}/rowidx-seq"
+    if (!Files.exists(java.nio.file.Paths.get(seqIdx, "_SUCCESS")))
+      RowLevelIndex.build(spark, fx.dir, fx.index.allFiles(), fx.schema, "seq", seqIdx)
+    val (df, fi) = IndexedParquet.read(spark, fx.dir, fx.index, fx.schema,
+      rowLevelIndexes = Map("key" -> fx.rowIdx, "seq" -> seqIdx))
+    val pred = col("key") === 4242L && col("seq").between(0, 7999)
+    val rows = df.filter(pred).count()
+    assert(rows === plain.filter(pred).count())
+    val exec = fi.lastExecution.get
+    assert(exec.route.toSet === Set("rowlevel(key)", "rowlevel-range(seq)"))
+    // the point posting (1 row group) intersected with the wide range
+    assert(exec.scannedRowGroups <= 1)
+  }
+
+  test("idx15_routed_range end-to-end: bounded range resolves via postings") {
+    val dir = sf("sf0.001")
+    val q = SparkEntry.registry.find(_.name == "idx15_routed_range").get
+    assert(q.fn(spark, dir).count() >= 1)
+    val exec = graft.operators.Indexed.lastRoutedExecution(spark, dir).get
+    assert(exec.route === Seq("rowlevel-range(l_orderkey)"))
   }
 
   test("extra conjuncts intersect: routing composes with stats pruning") {
