@@ -275,6 +275,64 @@ object AnnSearch {
       None,
       oracleDyn = Some(() => ann4Oracle.get)),
 
+    // ----- IVF + PQ composition (IVFADC — the production shape) -------------
+    // What a billion-vector deployment actually runs (the FAISS IVFADC
+    // layout): the coarse quantizer (ann3's cells) bounds WHICH vectors
+    // are candidates, and product quantization (ann4's codes) bounds WHAT
+    // the candidate pass reads — 8-byte codes inside the probed cells
+    // only, so per query the work is O(cells_probed × cell_size) over
+    // compressed codes, with full vectors touched only by the bounded
+    // exact rerank. Both fits are shared (cached) with ann3/ann4 and
+    // honor spark.graft.ann.fitMode; the dynamic oracle composes the two
+    // fitted literal sets the same way the plan does.
+    QueryDef(
+      "ann5_topk_ivfpq",
+      (s, dir) => {
+        val q = quantized(s, dir)
+        val cents = fitQuantizedCentroids(s, dir)
+        val cbs = fitPqCodebooks(s, dir)
+        ann5Oracle = Some(ann5Sql(cents, cbs))
+        val scoreArr = cellScoreArr(s, cents)
+        // corpus: one coarse cell + M codes + decoded (ADC) form per row
+        val enc = (0 until PqM).foldLeft(
+          q.withColumn("cell", -array_max(scoreArr).getField("i"))) { (df, m) =>
+          df.withColumn(s"c$m", pqCode(m, cbs(m)))
+        }
+        val decoded = flatten(array((0 until PqM).map { m =>
+          element_at(typedlit(cbs(m).map(_.toSeq).toSeq), (col(s"c$m") + 1).cast("int"))
+        }: _*))
+        val dec = enc.withColumn("dv", decoded)
+          .withColumn("nd", dot(s)(col("dv"), col("dv")))
+          .select("vec_id", "cell", "dv", "nd")
+        val probes = slice(reverse(array_sort(scoreArr)), 1, IvfProbes)
+        val probed = q.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"),
+            explode(transform(probes, p => p.getField("i") * -1)).as("cell"))
+        val queries = q.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("nq"))
+        // ADC scoring only inside the probed cells (each corpus vector has
+        // exactly one cell, so the cell join cannot duplicate a candidate)
+        val adc = dec.join(broadcast(probed), "cell")
+          .where(col("vec_id") =!= col("q_id"))
+          .join(broadcast(queries), "q_id")
+          .withColumn("dh", dot(s)(col("qv"), col("dv")))
+          .withColumn("sc", score(col("dh"), col("nq"), col("nd")))
+        val w = Window.partitionBy("q_id").orderBy(col("sc").desc, col("vec_id").asc)
+        val cands = adc.withColumn("r", row_number().over(w))
+          .where(col("r") <= PqCandidates).select("q_id", "vec_id")
+        val scored = cands
+          .join(broadcast(queries), "q_id")
+          .join(q, "vec_id")
+          .withColumn("d", dot(s)(col("qv"), col("v")))
+          .withColumn("sc", score(col("d"), col("nq"), col("nn")))
+        val w2 = Window.partitionBy("q_id").orderBy(col("sc").desc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w2))
+          .where(col("rank") <= LshTopK)
+          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      },
+      None,
+      oracleDyn = Some(() => ann5Oracle.get)),
+
     // ----- per-label embedding centroids ------------------------------------
     // The class-centroid computation curation pipelines run constantly
     // (label prototypes, cluster summaries, SemDeDup seeds): elementwise
@@ -312,6 +370,7 @@ object AnnSearch {
   private val pqFitCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Long]]]]
   @volatile private var ann4Oracle: Option[String] = None
+  @volatile private var ann5Oracle: Option[String] = None
 
   /** Per-subspace codebooks `[m][k][subdim]`, dispatched on the same
     * [[FitModeConf]] session conf as the IVF fit: `driver` (default —
@@ -450,25 +509,36 @@ object AnnSearch {
       .agg(avg(col("err"))).collect().head.getDouble(0)
   }
 
+  // ---- shared SQL fragments for the PQ oracles (ann4, ann5) ----------------
+
+  private def pqDistSql(m: Int, cv: Array[Long]): String = {
+    val lo = m * PqSubDim + 1
+    val hi = (m + 1) * PqSubDim
+    val arr = cv.mkString("[", ",", "]")
+    s"list_sum(list_transform(list_zip(v[$lo:$hi], $arr::BIGINT[]), s -> (s[1]-s[2])*(s[1]-s[2])))"
+  }
+
+  // list_sum yields HUGEINT — cast the code back down so list_extract binds
+  private def pqCodeSql(cbs: Array[Array[Array[Long]]], m: Int): String =
+    cbs(m).zipWithIndex
+      .map { case (cv, c) => s"(${pqDistSql(m, cv)}) * $PqK + $c" }
+      .mkString("CAST(least(", ", ", s") % $PqK AS BIGINT)")
+
+  private def pqCodeColsSql(cbs: Array[Array[Array[Long]]]): String =
+    (0 until PqM).map(m => s"${pqCodeSql(cbs, m)} AS c$m").mkString(",\n    ")
+
+  private def pqBookSql(cbs: Array[Array[Array[Long]]], m: Int): String =
+    cbs(m).map(_.mkString("[", ",", "]")).mkString("[", ", ", "]")
+
+  private def pqDecodeSql(cbs: Array[Array[Array[Long]]]): String =
+    (0 until PqM)
+      .map(m => s"list_extract(${pqBookSql(cbs, m)}, c$m + 1)").mkString(", ")
+
   /** Dynamic oracle for ann4: the full encode → decode → ADC-rank →
     * exact-rerank pipeline with the fitted codebooks inlined. */
   private def ann4Sql(cbs: Array[Array[Array[Long]]]): String = {
-    def distSql(m: Int, cv: Array[Long]): String = {
-      val lo = m * PqSubDim + 1
-      val hi = (m + 1) * PqSubDim
-      val arr = cv.mkString("[", ",", "]")
-      s"list_sum(list_transform(list_zip(v[$lo:$hi], $arr::BIGINT[]), s -> (s[1]-s[2])*(s[1]-s[2])))"
-    }
-    // list_sum yields HUGEINT — cast the code back down so list_extract binds
-    def codeSql(m: Int): String =
-      cbs(m).zipWithIndex
-        .map { case (cv, c) => s"(${distSql(m, cv)}) * $PqK + $c" }
-        .mkString("CAST(least(", ", ", s") % $PqK AS BIGINT)")
-    val codeCols = (0 until PqM).map(m => s"${codeSql(m)} AS c$m").mkString(",\n    ")
-    def bookSql(m: Int): String =
-      cbs(m).map(_.mkString("[", ",", "]")).mkString("[", ", ", "]")
-    val decodePieces = (0 until PqM)
-      .map(m => s"list_extract(${bookSql(m)}, c$m + 1)").mkString(", ")
+    val codeCols = pqCodeColsSql(cbs)
+    val decodePieces = pqDecodeSql(cbs)
     s"""WITH q AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) v
        |  FROM embeddings),
@@ -487,6 +557,69 @@ object AnnSearch {
        |    a.nn nq, b.nd
        |  FROM n a JOIN d2 b ON b.vec_id <> a.vec_id
        |  WHERE a.vec_id < $NumQueries),
+       |cand AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (
+       |        PARTITION BY q_id
+       |        ORDER BY CAST(dh * abs(dh) AS DOUBLE) / CAST(nq * nd AS DOUBLE) DESC,
+       |                 vec_id ASC) r
+       |    FROM adc) t
+       |  WHERE r <= $PqCandidates),
+       |scored AS (SELECT c.q_id, c.vec_id neighbor_id,
+       |    list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])) d,
+       |    a.nn nq, b.nn nv
+       |  FROM cand c JOIN n a ON a.vec_id = c.q_id JOIN n b ON b.vec_id = c.vec_id)
+       |SELECT q_id, rank, neighbor_id FROM (
+       |  SELECT q_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY q_id
+       |      ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(nq * nv AS DOUBLE) DESC,
+       |               neighbor_id ASC) rank
+       |  FROM scored) t
+       |WHERE rank <= $LshTopK""".stripMargin
+  }
+
+  /** Dynamic oracle for ann5 (IVFADC): ann3's coarse-cell CTEs bound the
+    * candidate set, ann4's encode/decode CTEs provide the ADC scores —
+    * composed exactly like the Spark plan, both fitted literal sets
+    * inlined. */
+  private def ann5Sql(
+      cents: Array[Array[Long]], cbs: Array[Array[Array[Long]]]): String = {
+    val values = cents.zipWithIndex.map { case (cv, c) =>
+      val ncSq = cv.map(x => x * x).sum
+      s"($c, ${cv.mkString("[", ",", "]")}::BIGINT[], ${ncSq})"
+    }.mkString(",\n    ")
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |    list_sum(list_transform(list_zip(v, v), s -> s[1] * s[2])) nn FROM q),
+       |cents(cell, cv, nc) AS (VALUES
+       |    $values),
+       |sc AS (SELECT a.vec_id, c.cell,
+       |    list_sum(list_transform(list_zip(a.v, c.cv), s -> s[1] * s[2])) d,
+       |    a.nn, c.nc
+       |  FROM n a CROSS JOIN cents c),
+       |rk AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY CAST(d * abs(d) AS DOUBLE) / CAST(nn * nc AS DOUBLE) DESC,
+       |             cell ASC) r
+       |  FROM sc),
+       |corpus AS (SELECT vec_id, cell FROM rk WHERE r = 1),
+       |probe AS (SELECT vec_id q_id, cell FROM rk
+       |  WHERE vec_id < $NumQueries AND r <= $IvfProbes),
+       |enc AS (SELECT vec_id, v, nn,
+       |    ${pqCodeColsSql(cbs)}
+       |  FROM n),
+       |dec AS (SELECT vec_id,
+       |    flatten([${pqDecodeSql(cbs)}]) dv
+       |  FROM enc),
+       |d2 AS (SELECT vec_id, dv,
+       |    list_sum(list_transform(list_zip(dv, dv), s -> s[1] * s[2])) nd FROM dec),
+       |adc AS (SELECT p.q_id, k.vec_id,
+       |    list_sum(list_transform(list_zip(a.v, b.dv), s -> s[1] * s[2])) dh,
+       |    a.nn nq, b.nd
+       |  FROM corpus k JOIN probe p ON k.cell = p.cell
+       |  JOIN d2 b ON b.vec_id = k.vec_id
+       |  JOIN n a ON a.vec_id = p.q_id
+       |  WHERE k.vec_id <> p.q_id),
        |cand AS (SELECT q_id, vec_id FROM (
        |    SELECT q_id, vec_id, row_number() OVER (
        |        PARTITION BY q_id

@@ -82,6 +82,25 @@ class OperatorInvariantsSpec extends SparkSpec {
       s"PQ recalled only $recalled of ${brute.size} true neighbors")
   }
 
+  test("IVFADC (ann5) recall: the composed index still recovers true neighbors") {
+    val brute = run("ann1_topk_brute").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = run("ann5_topk_ivfpq").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivfpq.nonEmpty)
+    // the composition stacks BOTH approximations (2-of-16 cell probing AND
+    // 8-byte-code scoring), so require the weaker of the two bounds
+    val recalled = brute.intersect(ivfpq).size
+    assert(recalled >= 2,
+      s"IVFADC recalled only $recalled of ${brute.size} true neighbors")
+    // candidate containment: everything ann5 returns must come from the
+    // probed cells — i.e. be a subset of what pure IVF would consider, so
+    // IVFADC can only reorder-within or miss, never invent
+    val ivf = run("ann3_topk_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivfpq.forall { case (q, _) => ivf.exists(_._1 == q) })
+  }
+
   test("language-ID prediction is total (never null) and from the lexicon set") {
     val langs = run("tx3_langid").select("pred_lang").distinct()
       .collect().map(_.getString(0)).toSet
