@@ -19,6 +19,11 @@ object Compaction {
 
   final case class Plan(bins: Seq[Seq[String]], untouched: Seq[String])
 
+  /** What a compaction pass changed: files written and files deleted. */
+  final case class Result(newFiles: Seq[String], removedFiles: Seq[String]) {
+    def bins: Int = newFiles.size
+  }
+
   /** First-fit-decreasing bin packing of small files. */
   def plan(
       files: Seq[(String, Long)],
@@ -49,14 +54,23 @@ object Compaction {
       spark: SparkSession,
       dir: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      smallThresholdBytes: Long = 32L * 1024 * 1024): Int = {
+      smallThresholdBytes: Long = 32L * 1024 * 1024): Int =
+    compactDetailed(spark, dir, targetBytes, smallThresholdBytes).bins
+
+  /** [[compact]], returning which files the pass wrote and deleted — the
+    * O(changed) input [[compactIndexed]]'s catalog maintenance needs. */
+  def compactDetailed(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      smallThresholdBytes: Long = 32L * 1024 * 1024): Result = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(dirPath).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => (s.getPath.toString, s.getLen))
     val p = plan(files, targetBytes, smallThresholdBytes)
-    if (p.bins.isEmpty) return 0
+    if (p.bins.isEmpty) return Result(Nil, Nil)
     val binFiles = p.bins.flatten
     val binOf = p.bins.zipWithIndex
       .flatMap { case (bin, i) => bin.map(f => new Path(f).getName -> i) }.toMap
@@ -78,16 +92,45 @@ object Compaction {
       .withColumn("__bin", element_at(typedlit(binOf), col("_metadata.file_name")))
       .repartition(p.bins.size, col("__bin"))
       .write.partitionBy("__bin").mode("overwrite").parquet(staging.toString)
-    p.bins.indices.foreach { i =>
+    val written = p.bins.indices.map { i =>
       val sub = fs.listStatus(new Path(staging, s"__bin=$i")).toSeq
         .map(_.getPath).filter(_.getName.endsWith(".parquet"))
       require(sub.size == 1, s"bin $i wrote ${sub.size} parts, expected 1")
       val dest = new Path(dirPath, f"compacted-${offset + i}%05d.parquet")
       require(fs.rename(sub.head, dest), s"rename ${sub.head} -> $dest failed")
+      dest.toString
     }
     fs.delete(staging, true)
     binFiles.foreach(f => fs.delete(new Path(f), false))
-    p.bins.size
+    Result(written, binFiles)
+  }
+
+  /** Compaction with catalog maintenance in one call: rewrite the bins,
+    * then bring the stats index back in step with O(changed files) work —
+    * one keyed delete for the originals the pass removed and one
+    * distributed footer-ingest job for the files it wrote. The untouched
+    * bulk of a 100 TB table never re-ingests; the indexed relation serves
+    * exact reads again the moment this returns. */
+  def compactIndexed(
+      spark: SparkSession,
+      dir: String,
+      index: graft.index.StatsIndex,
+      indexedCols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024,
+      smallThresholdBytes: Long = 32L * 1024 * 1024): Int = {
+    val r = compactDetailed(spark, dir, targetBytes, smallThresholdBytes)
+    if (r.newFiles.nonEmpty) {
+      index.removeFiles(r.removedFiles.map(new Path(_).getName).toSet)
+      val serConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val cols = indexedCols
+      val statsRdd = spark.sparkContext
+        .parallelize(r.newFiles, math.max(1, math.min(r.newFiles.size,
+          spark.sparkContext.defaultParallelism)))
+        .map(f => graft.index.FooterStats.read(new Path(f), serConf.value, cols))
+      index.ingestAll(statsRdd)
+    }
+    r.bins
   }
 
   /** Spark schema from one parquet footer, read on the driver thread. */

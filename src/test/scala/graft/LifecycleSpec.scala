@@ -1,6 +1,6 @@
 package graft
 
-import graft.index.{DerbyStatsIndex, FooterStats}
+import graft.index.DerbyStatsIndex
 import graft.sources.{Compaction, IndexedParquet}
 import graft.streaming.IndexedSink
 import org.apache.hadoop.fs.Path
@@ -40,21 +40,15 @@ class LifecycleSpec extends SparkSpec {
     assert(index.totalRowCount() === Some(300L))
     assert(index.allFiles().size === 12)
 
-    // --- compaction phase: every file is small → bins rewrite in one job ---
-    val bins = Compaction.compact(spark, dataDir,
+    // --- compaction + catalog maintenance in one call ----------------------
+    // compactIndexed rewrites the bins in one job, then does O(changed)
+    // catalog work: keyed delete of the removed originals + distributed
+    // footer ingest of the files it wrote
+    val bins = Compaction.compactIndexed(spark, dataDir, index, Seq("k"),
       targetBytes = 1L << 20, smallThresholdBytes = 1L << 20)
     assert(bins >= 1)
     val currentPaths = fileNames(dataDir).map(n => s"$dataDir/$n")
     assert(currentPaths.size < 12, s"compaction must shrink: $currentPaths")
-
-    // --- catalog maintenance: incremental re-ingest + stale sweep ----------
-    // footer upserts for the current files (distributed, O(changed)), then
-    // ONE catalog sweep drops rows of the files compaction deleted
-    val statsRdd = spark.sparkContext
-      .parallelize(currentPaths, math.max(1, currentPaths.size))
-      .map(f => FooterStats.read(new Path(f), hconf.value, Seq("k")))
-    index.ingestAll(statsRdd)
-    index.retainOnly(currentPaths.map(new Path(_).getName).toSet)
     assert(index.totalRowCount() === Some(300L))
     assert(index.allFiles().map(_.fileName).toSet ===
       currentPaths.map(new Path(_).getName).toSet)
