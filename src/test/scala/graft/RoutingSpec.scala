@@ -182,6 +182,22 @@ class RoutingSpec extends SparkSpec {
     assert(exec.scannedRowGroups <= 1)
   }
 
+  test("soundness sweep: routed range scans lose no rows over many ranges") {
+    val (df, fi) = routed()
+    // deterministic pseudo-random bounded ranges across the key domain,
+    // including empty, single-key, inverted (lo > hi), and wide ranges
+    val ranges = (0 until 12).map { i =>
+      val a = (i.toLong * 997L) % 8009L
+      val b = a + (i.toLong * 131L) % 400L - 50L
+      (math.min(a, b), math.max(a, b))
+    } ++ Seq((0L, 8008L), (42L, 42L), (9000L, 9100L), (200L, 100L))
+    ranges.foreach { case (lo, hi) =>
+      val pred = col("key") >= lo && col("key") <= hi
+      assert(df.filter(pred).count() === plain.filter(pred).count(),
+        s"range [$lo,$hi] lost rows (route=${fi.lastExecution.get.route})")
+    }
+  }
+
   test("idx15_routed_range end-to-end: bounded range resolves via postings") {
     val dir = sf("sf0.001")
     val q = SparkEntry.registry.find(_.name == "idx15_routed_range").get

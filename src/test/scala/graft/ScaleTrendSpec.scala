@@ -30,8 +30,13 @@ class ScaleTrendSpec extends SparkSpec {
       val t = timed(f); spark.catalog.clearCache(); t
     }.min
 
-  private val heavy =
-    Seq("dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_components", "tx5_winnow")
+  private val heavy = Seq(
+    "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_components", "tx5_winnow",
+    // the IVFADC composition: candidate pass must stay codes-in-probed-
+    // cells (a lost cell join or decoded-vector shuffle would go
+    // super-linear); fits are cached after the first rep, min-of-2 takes
+    // the fit-free timing
+    "ann5_topk_ivfpq")
 
   heavy.foreach { name =>
     test(s"$name: sf0.01 → sf0.1 runtime stays ~linear in input size") {
