@@ -42,8 +42,12 @@ object IndexedParquet {
       .sortBy(_.getPath.getName) // sorted listing, main.rs:410-423
       .map(_.getPath.toString)
 
-    // schema of the table = parquet footer schema (main.rs:228-236)
-    val dataSchema = spark.read.parquet(dir).schema
+    // schema of the table = parquet footer schema (main.rs:228-236).
+    // mergeSchema: an EVOLVED directory (files written before a column
+    // existed next to files written after) must yield the union schema —
+    // single-footer inference could pick an old file and silently drop
+    // the new column from the index (SchemaEvolutionSpec pins this).
+    val dataSchema = spark.read.option("mergeSchema", "true").parquet(dir).schema
     val indexedSchema = StructType(
       dataSchema.fields.filter(f =>
         indexedCols.contains(f.name) && FooterStats.supported(f.dataType)))
