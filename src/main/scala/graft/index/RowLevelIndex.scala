@@ -43,9 +43,45 @@ object RowLevelIndex {
       plans: Seq[FileScanPlan],
       dataSchema: StructType,
       keyCol: String,
-      indexDir: String): Unit =
+      indexDir: String): Unit = {
     buildPlan(spark, dir, plans, dataSchema, keyCol)
       .write.mode("overwrite").parquet(indexDir)
+    writeCoverage(spark, indexDir, plans.map(_.fileName))
+  }
+
+  /** Coverage manifest: the DATA files this posting index was built over,
+    * one name per line in `<indexDir>/_covered` (underscore-prefixed ⇒
+    * invisible to parquet readers). Routing consults it so a STALE index
+    * — built before an append or compaction changed the file set — can
+    * only degrade to over-scan, never silently prune files it has no
+    * postings for. Deriving coverage from the posting table itself would
+    * be wrong: a file absent from the postings is indistinguishable from
+    * a covered file whose keys are all null. */
+  private def writeCoverage(
+      spark: SparkSession, indexDir: String, fileNames: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, "_covered")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(fileNames.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The coverage manifest's file-name set; None when the index predates
+    * manifests (or it is unreadable) — callers must then treat coverage
+    * as unknown and degrade. Read fresh each call: it is one tiny driver
+    * read per planning pass (same order as the posting lookup itself) and
+    * caching would miss a same-path rebuild. */
+  def coveredFiles(spark: SparkSession, indexDir: String): Option[Set[String]] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(indexDir, "_covered")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        Some(new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty).toSet)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The build dataflow, exposed for plan-shape assertions. */
   def buildPlan(

@@ -357,7 +357,9 @@ object Indexed {
   private val rowLevelCache = TrieMap.empty[String, String]
   private def rowLevelDir(spark: SparkSession, sfDir: String, e: Entry): String =
     rowLevelCache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
-      val dir = e.dataDir + "-rowidx"
+      // -v2: posting indexes now carry the _covered staleness manifest —
+      // a pre-manifest index on a stale working tree would degrade routing
+      val dir = e.dataDir + "-rowidx-v2"
       if (!Files.exists(Paths.get(dir, "_SUCCESS")))
         graft.index.RowLevelIndex.build(
           spark, e.dataDir, e.index.allFiles(), e.dataSchema, "l_orderkey", dir)
@@ -459,7 +461,7 @@ object Indexed {
   private def routedEntry(spark: SparkSession, sfDir: String) =
     routedCache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
       val e = cached(spark, sfDir)
-      val ukeyIdx = e.dataDir + "-rowidx-ukey"
+      val ukeyIdx = e.dataDir + "-rowidx-ukey-v2" // -v2: _covered manifest
       if (!Files.exists(Paths.get(ukeyIdx, "_SUCCESS")))
         graft.index.RowLevelIndex.build(
           spark, e.dataDir, e.index.allFiles(), e.dataSchema, "l_ukey", ukeyIdx)

@@ -17,9 +17,13 @@ import scala.collection.immutable.SortedSet
   * "Files scanned:" console assertions (sqlx-sqlite/README.md:38-70).
   *
   * `route` records which index kinds the provider consulted beyond the
-  * stats catalog: `rowlevel(col)` = precise postings intersected in;
-  * `rowlevel-degraded(col)` = postings overflowed the driver cap (hot key)
-  * and the stats-pruned plans stand alone. Empty = stats(+bloom) only.
+  * stats catalog: `rowlevel(col)` = precise point/IN postings intersected
+  * in; `rowlevel-range(col)` = bounded-range postings (pushdown range read
+  * of the key-sorted posting table); `rowlevel-degraded(col)` = postings
+  * overflowed the driver cap (hot key / too-wide range) and the
+  * stats-pruned plans stand alone; `rowlevel-stale(col)` = the posting
+  * index's coverage manifest doesn't cover every live file (built before
+  * an append/compaction) — catalog path only. Empty = stats(+bloom) only.
   */
 final case class PruneExecution(
     dataFilters: Seq[Expression],
@@ -111,16 +115,32 @@ final class IndexedParquetFileIndex(
           .map(rgs => p.copy(scanRowGroups = p.scanRowGroups intersect rgs))
           .filter(_.scanRowGroups.nonEmpty)
       }
+    // Staleness guard: a posting index built before an append/compaction
+    // changed the file set has NO postings for the new files — intersecting
+    // would silently prune them (rows lost). The build-time coverage
+    // manifest must cover every live stats-plan file or the column
+    // degrades to the catalog path (over-scan, never wrong). Checked
+    // against the FULL stats plan set: the fold only narrows, and a
+    // superset check covers every subset. One tiny driver read per column
+    // per planning pass, cached across this call's point+range conjuncts.
+    val coverageOk = scala.collection.mutable.Map.empty[String, Boolean]
+    def covered(colName: String): Boolean =
+      coverageOk.getOrElseUpdate(colName,
+        try RowLevelIndex.coveredFiles(SparkSession.active, rowLevelIndexes(colName))
+          .exists(cov => statsPlans.forall(p => cov.contains(p.fileName)))
+        catch { case scala.util.control.NonFatal(_) => false })
     val afterPoints = points.foldLeft((statsPlans, Seq.empty[String])) {
       case ((plans, route), (colName, keys)) =>
-        lookupPostings(colName, keys) match {
+        if (!covered(colName)) (plans, route :+ s"rowlevel-stale($colName)")
+        else lookupPostings(colName, keys) match {
           case Some(hits) => (intersect(plans, hits), route :+ s"rowlevel($colName)")
           case None       => (plans, route :+ s"rowlevel-degraded($colName)")
         }
     }
     ranges.foldLeft(afterPoints) {
       case ((plans, route), (colName, (lo, loInc), (hi, hiInc))) =>
-        lookupRangePostings(colName, lo, loInc, hi, hiInc) match {
+        if (!covered(colName)) (plans, route :+ s"rowlevel-stale($colName)")
+        else lookupRangePostings(colName, lo, loInc, hi, hiInc) match {
           case Some(hits) => (intersect(plans, hits), route :+ s"rowlevel-range($colName)")
           case None       => (plans, route :+ s"rowlevel-degraded($colName)")
         }

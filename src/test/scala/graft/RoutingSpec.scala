@@ -198,6 +198,46 @@ class RoutingSpec extends SparkSpec {
     }
   }
 
+  test("a STALE posting index (file set grew) degrades instead of losing rows") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-routing-stale").toString
+    val dir = s"$base/data"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def addFile(name: String, lo: Int, hi: Int): Unit = {
+      val tmp = s"$base/tmp-$name"
+      (lo until hi).map(i => (i.toLong, s"r$i")).toDF("key", "s")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, name))
+    }
+    addFile("f1.parquet", 0, 100)
+    val (idx1, schema) = IndexedParquet.buildIndex(spark, dir, Seq("key"), s"$base/db")
+    val rowIdx = s"$base/rowidx"
+    RowLevelIndex.build(spark, dir, idx1.allFiles(), schema, "key", rowIdx)
+    idx1.close()
+
+    // the table grows AFTER the posting index was built; the stats catalog
+    // is re-ingested (the cheap, always-maintained index) but the posting
+    // table is not — key 150 exists ONLY in the uncovered file
+    addFile("f2.parquet", 100, 200)
+    val (idx2, _) = IndexedParquet.buildIndex(spark, dir, Seq("key"), s"$base/db")
+    val (df, fi) = IndexedParquet.read(spark, dir, idx2, schema,
+      rowLevelIndexes = Map("key" -> rowIdx))
+    assert(df.filter(col("key") === 150L).count() === 1L,
+      "stale postings must not prune the uncovered file")
+    assert(fi.lastExecution.get.route === Seq("rowlevel-stale(key)"))
+    assert(df.filter(col("key").between(140L, 160L)).count() === 21L)
+    assert(fi.lastExecution.get.route === Seq("rowlevel-stale(key)"))
+
+    // rebuilding the posting index restores precise routing
+    RowLevelIndex.build(spark, dir, idx2.allFiles(), schema, "key", rowIdx)
+    assert(df.filter(col("key") === 150L).count() === 1L)
+    assert(fi.lastExecution.get.route === Seq("rowlevel(key)"))
+    idx2.close()
+  }
+
   test("idx15_routed_range end-to-end: bounded range resolves via postings") {
     val dir = sf("sf0.001")
     val q = SparkEntry.registry.find(_.name == "idx15_routed_range").get
