@@ -66,6 +66,30 @@ object RowLevelIndex {
     finally out.close()
   }
 
+  /** Incremental build: postings for `newPlans` (files NOT yet covered)
+    * appended to an existing posting table, manifest updated to the
+    * union — O(new files) work, the streaming-sink maintenance path.
+    * Appending doesn't preserve the table's global key sort, but lookups
+    * are pushdown-filtered reads (sortedness only sharpens file pruning
+    * within the index itself); a periodic [[build]] re-sorts. Replay-safe:
+    * duplicate postings collapse in the lookup's per-file set union, and
+    * postings for since-deleted files are never consulted (intersection
+    * is keyed by the LIVE stats-plan file names). */
+  def append(
+      spark: SparkSession,
+      dir: String,
+      newPlans: Seq[FileScanPlan],
+      dataSchema: StructType,
+      keyCol: String,
+      indexDir: String): Unit = {
+    if (newPlans.isEmpty) return
+    buildPlan(spark, dir, newPlans, dataSchema, keyCol)
+      .write.mode("append").parquet(indexDir)
+    val prev = coveredFiles(spark, indexDir).getOrElse(Set.empty)
+    writeCoverage(spark, indexDir,
+      (prev ++ newPlans.map(_.fileName)).toSeq)
+  }
+
   /** The coverage manifest's file-name set; None when the index predates
     * manifests (or it is unreadable) — callers must then treat coverage
     * as unknown and degrade. Read fresh each call: it is one tiny driver

@@ -31,9 +31,14 @@ import org.apache.spark.util.SerializableConfiguration
 object IndexedSink {
 
   /** Start the maintaining stream: rows from `source` append to `dataDir`
-    * as parquet, and `index` ingests each batch's new files. */
+    * as parquet, and `index` ingests each batch's new files. `rowLevel`
+    * (key column → posting-table dir) additionally keeps those row-level
+    * posting indexes fresh — an incremental [[graft.index.RowLevelIndex.append]]
+    * per batch, so automatic routing on the growing table stays PRECISE
+    * instead of degrading on the staleness guard. */
   def start(source: DataFrame, dataDir: String, index: StatsIndex,
-      indexedCols: Seq[String], checkpointDir: String): StreamingQuery = {
+      indexedCols: Seq[String], checkpointDir: String,
+      rowLevel: Map[String, String] = Map.empty): StreamingQuery = {
     val spark = source.sparkSession
     val hconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     source.writeStream
@@ -41,7 +46,7 @@ object IndexedSink {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch, batchId, dataDir, index, indexedCols, hconf)
+        commitBatch(batch, batchId, dataDir, index, indexedCols, hconf, rowLevel)
       }
       .start()
   }
@@ -52,7 +57,8 @@ object IndexedSink {
     * byte-identical — the replay contract the spec pins directly. */
   private[graft] def commitBatch(batch: DataFrame, batchId: Long,
       dataDir: String, index: StatsIndex, indexedCols: Seq[String],
-      hconf: SerializableConfiguration): Unit = {
+      hconf: SerializableConfiguration,
+      rowLevel: Map[String, String] = Map.empty): Unit = {
     val spark = batch.sparkSession
     val dirPath = new Path(dataDir)
     val fs = dirPath.getFileSystem(hconf.value)
@@ -97,6 +103,18 @@ object IndexedSink {
       // per-file transactional upsert keyed by the deterministic names:
       // a replayed batch overwrites its own catalog rows
       index.ingestAll(statsRdd)
+      if (rowLevel.nonEmpty) {
+        // incremental posting maintenance: postings + coverage for JUST
+        // this batch's files. Replay leaves only harmless garbage (dup
+        // postings collapse in the lookup; postings for removed files are
+        // never consulted); a periodic full rebuild compacts.
+        val names = finals.map(_.getName).toSet
+        val newPlans = index.allFiles().filter(p => names.contains(p.fileName))
+        rowLevel.foreach { case (colName, idxDir) =>
+          graft.index.RowLevelIndex.append(
+            spark, dataDir, newPlans, batch.schema, colName, idxDir)
+        }
+      }
     }
     ()
   }

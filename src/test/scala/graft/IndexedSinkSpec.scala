@@ -122,4 +122,38 @@ class IndexedSinkSpec extends SparkSpec {
     assert(spark.read.parquet(dataDir).count() === 100L)
     index.close()
   }
+
+  test("rowLevel maintenance keeps routing PRECISE on the growing table") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sink-rowlevel").toString
+    val dataDir = s"$base/data"
+    val rowIdx = s"$base/rowidx-k"
+    new java.io.File(dataDir).mkdirs()
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val index = new DerbyStatsIndex(s"$base/db", schema)
+    index.initialize(schema)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rowLevel = Map("k" -> rowIdx)
+
+    IndexedSink.commitBatch((0L until 100L).toDF("k").repartition(2),
+      0L, dataDir, index, Seq("k"), hconf, rowLevel)
+    val (df, fi) = graft.sources.IndexedParquet.read(
+      spark, dataDir, index, schema, rowLevelIndexes = rowLevel)
+    assert(df.filter(col("k") === 50L).count() === 1L)
+    assert(fi.lastExecution.get.route === Seq("rowlevel(k)"))
+
+    // the table GROWS; per-batch incremental posting append must keep the
+    // coverage manifest in step, so routing stays posting-exact instead of
+    // tripping the staleness guard
+    IndexedSink.commitBatch((1000L until 1100L).toDF("k").repartition(2),
+      1L, dataDir, index, Seq("k"), hconf, rowLevel)
+    assert(df.filter(col("k") === 1050L).count() === 1L)
+    assert(fi.lastExecution.get.route === Seq("rowlevel(k)"),
+      s"grew stale: ${fi.lastExecution.get.route}")
+    assert(df.filter(col("k") === 50L).count() === 1L)
+    // precise: a point key lives in exactly one row group of the 4 files
+    assert(fi.lastExecution.get.scannedRowGroups === 1)
+    index.close()
+  }
 }
