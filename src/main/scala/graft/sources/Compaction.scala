@@ -110,7 +110,12 @@ object Compaction {
     * one keyed delete for the originals the pass removed and one
     * distributed footer-ingest job for the files it wrote. The untouched
     * bulk of a 100 TB table never re-ingests; the indexed relation serves
-    * exact reads again the moment this returns. */
+    * exact reads again the moment this returns. Per-row-group BLOOMS for
+    * the new files are not rebuilt here — an absent bloom is "might
+    * match" (sound, just less pruning on the compacted files); rerun
+    * `BloomIndex.build` to restore probe precision. Likewise a row-level
+    * posting index over this table degrades via its coverage manifest
+    * until rebuilt. */
   def compactIndexed(
       spark: SparkSession,
       dir: String,
