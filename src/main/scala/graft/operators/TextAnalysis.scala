@@ -19,6 +19,12 @@ object TextAnalysis {
 
   private def tokens(c: Column): Column = split(c, " ")
 
+  /** Vocabulary size for tx14's commonness score: bounded so the fitted
+    * vocab always broadcasts (V entries, not corpus-scale). MUST be
+    * declared before `defs` — the oracle SQL strings interpolate it
+    * EAGERLY at object init (a forward reference would bake in 0). */
+  val CommonVocab = 256
+
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
 
@@ -482,7 +488,40 @@ object TextAnalysis {
              |  CAST(len(regexp_split_to_array(aug,
              |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) - 1 AS BIGINT) AS n_ip,
              |  md5(r) AS h, CAST(length(r) AS BIGINT) AS len
-             |FROM red""".stripMargin))
+             |FROM red""".stripMargin)),
+
+    // ----- corpus-frequency commonness score (perplexity-proxy filter) ------
+    // The CCNet-style quality gate without a language model: fit a top-V
+    // vocabulary (corpus token frequencies, one map-side-combined agg +
+    // bounded global top-V with a total (cnt desc, tok asc) tie order),
+    // then score each document by the sum of its tokens' corpus counts —
+    // rare-token-heavy docs (boilerplate, mangled encodings, gibberish)
+    // score low. Integers end to end (callers divide common_sum/n_tokens
+    // for the mean), so the cross-engine check is hash-exact where a
+    // log-prob would drift. Scale: the vocab agg shuffles (token, count)
+    // partials; scoring is a BROADCAST join (V is bounded) + one doc-keyed
+    // map-side-combined agg — the corpus text never shuffles.
+    QueryDef(
+      "tx14_commonness",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok").asc).limit(CommonVocab)
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(sum(coalesce(col("cnt"), lit(0L))).as("common_sum"),
+            count(lit(1)).as("n_tokens"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |v AS (SELECT tok, count(*) AS cnt FROM t
+             |  GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT $CommonVocab)
+             |SELECT doc_id,
+             |  CAST(sum(coalesce(v.cnt, 0)) AS BIGINT) AS common_sum,
+             |  count(*) AS n_tokens
+             |FROM t LEFT JOIN v USING (tok)
+             |GROUP BY doc_id""".stripMargin))
   )
 
   /** Word n-grams of the materialized token array `w` as joined strings
