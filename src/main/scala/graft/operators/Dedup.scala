@@ -399,6 +399,41 @@ object Dedup {
               |JOIN n na ON na.doc_id = p.a JOIN n nb ON nb.doc_id = p.b
               |WHERE c * 10 >= (na.ns + nb.ns - c) * 6""".stripMargin)),
 
+    // ----- shingle CONTAINMENT (quote / subset detection) --------------------
+    // Jaccard misses the asymmetric near-dup: a short document wholly
+    // quoted inside a long one scores c/(na+nb-c) ≈ na/nb → tiny, yet the
+    // small doc is pure duplication (boilerplate, quoting, page-in-page —
+    // the curation case Jaccard can't see). Containment normalizes the
+    // shared-shingle count by the SMALLER document instead:
+    // c / min(na, nb) >= 0.8, exactly, in integers. Same hashed-shingle
+    // inverted index, postings cap, and pair expansion as dd2 — one extra
+    // threshold shape, zero new shuffle structure.
+    QueryDef(
+      "dd9_containment",
+      (s, dir) => {
+        val sh = shingleDf(s, dir, hashed = true)
+        val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+        val common = pairCounts(postings(sh, MaxPosting))
+        common
+          .join(n.withColumnRenamed("doc_id", "a").withColumnRenamed("ns", "na"), "a")
+          .join(n.withColumnRenamed("doc_id", "b").withColumnRenamed("ns", "nb"), "b")
+          .where(col("c") * 10 >= least(col("na"), col("nb")) * 8)
+          .select("a", "b")
+      },
+      Some(s"""WITH $shingleSql,
+              |shh AS (SELECT DISTINCT doc_id,
+              |          CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) s FROM sh),
+              |n AS (SELECT doc_id, count(*) ns FROM shh GROUP BY doc_id),
+              |post AS (SELECT s FROM shh GROUP BY s
+              |         HAVING count(DISTINCT doc_id) > 1
+              |            AND count(DISTINCT doc_id) <= $MaxPosting),
+              |p AS (SELECT x.doc_id a, y.doc_id b, count(*) c
+              |      FROM shh x JOIN shh y USING (s) JOIN post USING (s)
+              |      WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+              |SELECT a, b FROM p
+              |JOIN n na ON na.doc_id = p.a JOIN n nb ON nb.doc_id = p.b
+              |WHERE c * 10 >= least(na.ns, nb.ns) * 8""".stripMargin)),
+
     // ----- MinHash + LSH banding --------------------------------------------
     // 12 minhashes derived from ONE md5 per shingle (the salted-12-md5
     // variant cost 12 digests per shingle — the dominant dd3 cost): the
