@@ -29,7 +29,7 @@ import scala.collection.mutable
 final class DerbyStatsIndex(
     dbPath: String,
     val indexedSchema: StructType,
-    val bloomCols: Set[String] = Set.empty,
+    override val bloomCols: Set[String] = Set.empty,
     // portability fallback: probe blooms PLANNER-side (candidate bloom
     // bytes ship out of the catalog) instead of registering JVM probe
     // functions inside the store — for catalogs that can't host them
@@ -324,6 +324,22 @@ final class DerbyStatsIndex(
       case _: java.sql.SQLException => None
     } finally st.close()
   }
+
+  /** Per-file bloom maintenance: one [[BloomIndex.build]] job per bloom
+    * column over JUST the given plans — the hook compaction and the
+    * streaming sink use to keep probe precision on a changing file set.
+    * Columns absent from `dataSchema` (schema evolution: files written
+    * before the column existed) are skipped — their blooms stay NULL,
+    * which probes as "might match" (sound). */
+  override def rebuildBlooms(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      plans: Seq[FileScanPlan],
+      dataSchema: StructType): Unit =
+    if (plans.nonEmpty)
+      bloomCols.toSeq.sorted
+        .filter(c => dataSchema.fieldNames.contains(c))
+        .foreach(c => BloomIndex.build(spark, dir, plans, dataSchema, c, dbPath))
 
   override def allFiles(): Seq[FileScanPlan] = runPlanQuery(
     """SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,

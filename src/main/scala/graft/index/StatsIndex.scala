@@ -64,6 +64,23 @@ trait StatsIndex extends AutoCloseable {
   /** All indexed files (for sizeInBytes / inputFiles / no-predicate scans). */
   def allFiles(): Seq[FileScanPlan]
 
+  /** Columns carrying per-row-group bloom filters in this catalog; empty =
+    * no bloom support. Implementations with blooms override (a constructor
+    * `val bloomCols` satisfies this directly). */
+  def bloomCols: Set[String] = Set.empty
+
+  /** Rebuild per-row-group blooms for JUST the given plans' files — the
+    * O(changed files) maintenance hook: compaction and the streaming sink
+    * call it after ingesting new files' footer stats, so bloom pruning
+    * stays effective on a table whose file set changes instead of
+    * degrading to "might match" on every new file. One distributed job per
+    * bloom column, one task per row group. Default: no-op (no blooms). */
+  def rebuildBlooms(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      plans: Seq[FileScanPlan],
+      dataSchema: StructType): Unit = ()
+
   /** Catalog-side scalar: the EXACT global minimum value of an indexed
     * column, computed as MIN over the per-row-group minima already in the
     * catalog — ONE O(index) round trip that never touches data.

@@ -106,23 +106,27 @@ object Compaction {
   }
 
   /** Compaction with catalog maintenance in one call: rewrite the bins,
-    * then bring the stats index back in step with O(changed files) work —
-    * one keyed delete for the originals the pass removed and one
-    * distributed footer-ingest job for the files it wrote. The untouched
-    * bulk of a 100 TB table never re-ingests; the indexed relation serves
-    * exact reads again the moment this returns. Per-row-group BLOOMS for
-    * the new files are not rebuilt here — an absent bloom is "might
-    * match" (sound, just less pruning on the compacted files); rerun
-    * `BloomIndex.build` to restore probe precision. Likewise a row-level
-    * posting index over this table degrades via its coverage manifest
-    * until rebuilt. */
+    * then bring EVERY index layer back in step with O(changed files) work —
+    * one keyed delete for the originals the pass removed, one distributed
+    * footer-ingest job for the files it wrote, one bloom-build job per
+    * bloom column over just those files (via the index's own
+    * `rebuildBlooms` hook), and for each entry in `rowLevel` (key column →
+    * posting-table dir) an incremental posting append that also extends
+    * the coverage manifest — so automatic routing stays PRECISE instead of
+    * tripping the staleness guard. The untouched bulk of a 100 TB table
+    * never re-ingests; the indexed relation serves exact, fully-pruned
+    * reads again the moment this returns. Postings for the removed
+    * originals linger in the posting table but are never consulted
+    * (lookups intersect with the LIVE stats plans); a periodic full
+    * `RowLevelIndex.build` compacts them away. */
   def compactIndexed(
       spark: SparkSession,
       dir: String,
       index: graft.index.StatsIndex,
       indexedCols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024,
-      smallThresholdBytes: Long = 32L * 1024 * 1024): Int = {
+      smallThresholdBytes: Long = 32L * 1024 * 1024,
+      rowLevel: Map[String, String] = Map.empty): Int = {
     val r = compactDetailed(spark, dir, targetBytes, smallThresholdBytes)
     if (r.newFiles.nonEmpty) {
       index.removeFiles(r.removedFiles.map(new Path(_).getName).toSet)
@@ -134,6 +138,17 @@ object Compaction {
           spark.sparkContext.defaultParallelism)))
         .map(f => graft.index.FooterStats.read(new Path(f), serConf.value, cols))
       index.ingestAll(statsRdd)
+      if (index.bloomCols.nonEmpty || rowLevel.nonEmpty) {
+        val names = r.newFiles.map(new Path(_).getName).toSet
+        val newPlans = index.allFiles().filter(p => names.contains(p.fileName))
+        val schema = footerSchema(
+          new Path(r.newFiles.head), spark.sparkContext.hadoopConfiguration)
+        index.rebuildBlooms(spark, dir, newPlans, schema)
+        rowLevel.foreach { case (colName, idxDir) =>
+          graft.index.RowLevelIndex.append(
+            spark, dir, newPlans, schema, colName, idxDir)
+        }
+      }
     }
     r.bins
   }

@@ -70,10 +70,7 @@ object IndexedParquet {
     // bloom pass AFTER footer ingest (it updates the catalog rows the
     // ingest wrote); one distributed job per bloom column, one task per
     // row group, executor-side JDBC — same shape as ingestAll
-    bloomCols.foreach { c =>
-      graft.index.BloomIndex.build(
-        spark, dir, index.allFiles(), dataSchema, c, dbPath)
-    }
+    index.rebuildBlooms(spark, dir, index.allFiles(), dataSchema)
     (index, dataSchema)
   }
 

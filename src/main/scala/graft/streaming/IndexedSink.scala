@@ -35,7 +35,9 @@ object IndexedSink {
     * (key column → posting-table dir) additionally keeps those row-level
     * posting indexes fresh — an incremental [[graft.index.RowLevelIndex.append]]
     * per batch, so automatic routing on the growing table stays PRECISE
-    * instead of degrading on the staleness guard. */
+    * instead of degrading on the staleness guard. An index with bloom
+    * columns likewise gets each batch's blooms attached (O(new files)
+    * build per batch via `rebuildBlooms`). */
   def start(source: DataFrame, dataDir: String, index: StatsIndex,
       indexedCols: Seq[String], checkpointDir: String,
       rowLevel: Map[String, String] = Map.empty): StreamingQuery = {
@@ -103,13 +105,18 @@ object IndexedSink {
       // per-file transactional upsert keyed by the deterministic names:
       // a replayed batch overwrites its own catalog rows
       index.ingestAll(statsRdd)
-      if (rowLevel.nonEmpty) {
-        // incremental posting maintenance: postings + coverage for JUST
-        // this batch's files. Replay leaves only harmless garbage (dup
-        // postings collapse in the lookup; postings for removed files are
-        // never consulted); a periodic full rebuild compacts.
+      if (rowLevel.nonEmpty || index.bloomCols.nonEmpty) {
+        // incremental bloom + posting maintenance for JUST this batch's
+        // files: blooms keep equality probes precise on the growing table
+        // (an absent bloom is only "might match"), postings + coverage
+        // keep routing off the staleness guard. Replay leaves only
+        // harmless garbage (a replayed batch re-attaches its blooms over
+        // the re-ingested rows; dup postings collapse in the lookup;
+        // postings for removed files are never consulted); a periodic
+        // full rebuild compacts.
         val names = finals.map(_.getName).toSet
         val newPlans = index.allFiles().filter(p => names.contains(p.fileName))
+        index.rebuildBlooms(spark, dataDir, newPlans, batch.schema)
         rowLevel.foreach { case (colName, idxDir) =>
           graft.index.RowLevelIndex.append(
             spark, dataDir, newPlans, batch.schema, colName, idxDir)

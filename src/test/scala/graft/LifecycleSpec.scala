@@ -76,6 +76,72 @@ class LifecycleSpec extends SparkSpec {
     index.close()
   }
 
+  test("compaction + sink maintain blooms and postings — no degrade, no stale routing") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lifecycle2").toString
+    val dataDir = s"$base/data"
+    new java.io.File(dataDir).mkdirs()
+    val schema = StructType(Seq(StructField("k", LongType)))
+    // bloom-carrying catalog + a row-level posting index, both maintained
+    // incrementally by the sink and by compactIndexed
+    val index = new DerbyStatsIndex(s"$base/db", schema, bloomCols = Set("k"))
+    index.initialize(schema)
+    val rowIdx = s"$base/rowidx"
+    val hconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+
+    // SPARSE keys (multiples of 17), hash-spread over 4 parts per batch so
+    // every part's min/max spans ~the whole batch range — range stats
+    // cannot prune an in-range probe; only blooms/postings can
+    (0 until 3).foreach { b =>
+      val rows = (b * 100L until (b + 1) * 100L).map(_ * 17L).toDF("k").repartition(4)
+      IndexedSink.commitBatch(rows, b.toLong, dataDir, index, Seq("k"), hconf,
+        rowLevel = Map("k" -> rowIdx))
+    }
+
+    def bloomKept(key: Long): Int = {
+      val pred = graft.sources.RowGroupSkipScan.resolvePredicate(
+        spark, schema, col("k") === key)
+      index.getFiles(pred).map(_.scanRowGroups.size).sum
+    }
+    // 1701 is inside batch 1's [1700, 3383] range but absent (not a
+    // multiple of 17): min/max keeps batch 1's parts, the sink-attached
+    // blooms prune them all (deterministic fixture — not a flaky fpp draw)
+    assert(bloomKept(1700L) >= 1, "existing key must survive its own bloom")
+    assert(bloomKept(1701L) === 0,
+      "sink-maintained blooms must prune an absent in-range key")
+
+    // routing is posting-exact on the streamed table (coverage manifest
+    // grew batch by batch — no staleness degrade)
+    val (df1, fi1) = IndexedParquet.read(spark, dataDir, index, schema,
+      rowLevelIndexes = Map("k" -> rowIdx))
+    assert(df1.filter(col("k") === 1700L).count() === 1L)
+    assert(fi1.lastExecution.get.route === Seq("rowlevel(k)"))
+    assert(fi1.lastExecution.get.scannedRowGroups === 1)
+
+    // --- compaction maintains all three layers in the same call ------------
+    val bins = Compaction.compactIndexed(spark, dataDir, index, Seq("k"),
+      targetBytes = 1L << 20, smallThresholdBytes = 1L << 20,
+      rowLevel = Map("k" -> rowIdx))
+    assert(bins >= 1)
+    assert(fileNames(dataDir).size < 12, "compaction must shrink the file set")
+
+    // blooms were rebuilt for the compacted files: the absent key still
+    // prunes to zero even though every original file (and its bloom) is gone
+    assert(bloomKept(1701L) === 0,
+      "compacted files must carry fresh blooms, not NULL might-match")
+    assert(bloomKept(1700L) >= 1)
+
+    // postings + coverage were appended for the compacted files: routing
+    // stays precise instead of tripping the staleness guard
+    val (df2, fi2) = IndexedParquet.read(spark, dataDir, index, schema,
+      rowLevelIndexes = Map("k" -> rowIdx))
+    assert(df2.filter(col("k") === 1700L).count() === 1L)
+    assert(fi2.lastExecution.get.route === Seq("rowlevel(k)"),
+      s"routing degraded after compaction: ${fi2.lastExecution.get.route}")
+    assert(df2.count() === 300L)
+    index.close()
+  }
+
   private def fileNames(dir: String): Seq[String] =
     Files.list(Paths.get(dir)).toArray
       .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
