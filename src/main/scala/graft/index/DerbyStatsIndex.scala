@@ -325,6 +325,35 @@ final class DerbyStatsIndex(
     } finally st.close()
   }
 
+  override def rowGroupStats(colName: String): Option[Seq[RowGroupStat]] =
+    conn.synchronized {
+      require(indexedCols.exists(_.name == colName), s"$colName is not indexed")
+      // bit-data collation in Derby differs from unsigned-lexicographic —
+      // binary stats are not certified for ordering, same as min/max scalars
+      if (indexedCols.exists(f => f.name == colName && f.dataType == BinaryType))
+        return None
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"""SELECT f.file_name, rg.row_group, rg.${colName}_min,
+             |  rg.${colName}_max, rg.row_count, rg.${colName}_null_count
+             |FROM row_group_statistics rg
+             |JOIN file_statistics f ON rg.file_id = f.file_id""".stripMargin)
+        val buf = mutable.ArrayBuffer.empty[RowGroupStat]
+        while (rs.next()) {
+          val mn = Option(rs.getObject(3))
+          val mx = Option(rs.getObject(4))
+          val rows = rs.getLong(5)
+          val nulls = { val n = rs.getLong(6); if (rs.wasNull()) None else Some(n) }
+          buf += RowGroupStat(rs.getString(1), rs.getInt(2), mn, mx, rows, nulls)
+        }
+        rs.close()
+        Some(buf.toSeq)
+      } catch {
+        case _: java.sql.SQLException => None
+      } finally st.close()
+    }
+
   /** Per-file bloom maintenance: one [[BloomIndex.build]] job per bloom
     * column over JUST the given plans — the hook compaction and the
     * streaming sink use to keep probe precision on a changing file set.

@@ -24,6 +24,20 @@ final case class FileScanPlan(
       .mkString("[", ", ", "]")
 }
 
+/** One row group's statistics for ONE column, in the catalog's storage
+  * encoding (same seam as [[StatsIndex.minIndexedValue]]: Long micros for
+  * timestamps, Int days for dates; string minima may be TRUNCATED — a
+  * lower bound, not a value — while over-long string maxima are stored as
+  * None). `min`/`max` are None when the footer had no usable stats;
+  * `nullCount` None when unknown. */
+final case class RowGroupStat(
+    fileName: String,
+    rowGroup: Int,
+    min: Option[Any],
+    max: Option[Any],
+    rowCount: Long,
+    nullCount: Option[Long])
+
 /** External secondary index over a directory of parquet files: per-file and
   * per-row-group min/max/null-count statistics held in an out-of-band
   * catalog store, consulted at planning time to prune files and row groups
@@ -63,6 +77,13 @@ trait StatsIndex extends AutoCloseable {
 
   /** All indexed files (for sizeInBytes / inputFiles / no-predicate scans). */
   def allFiles(): Seq[FileScanPlan]
+
+  /** Every row group's (min, max, row count, null count) for one indexed
+    * column — O(index) rows, the raw material for planner-side pruning
+    * strategies beyond predicate rewrite (e.g. top-k pruning). None =
+    * the catalog cannot serve the column (unindexed type, query failure);
+    * callers must then skip the optimization, never guess. */
+  def rowGroupStats(colName: String): Option[Seq[RowGroupStat]] = None
 
   /** Columns carrying per-row-group bloom filters in this catalog; empty =
     * no bloom support. Implementations with blooms override (a constructor

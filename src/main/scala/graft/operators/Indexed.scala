@@ -315,6 +315,28 @@ object Indexed {
              |WHERE l_orderkey BETWEEN 1000 AND 1100
              |GROUP BY l_returnflag""".stripMargin)),
 
+    // catalog-side TOP-K pruning (prune/TopKPruning): ORDER BY … LIMIT k
+    // scans only row groups that can provably contribute to the top k —
+    // a guaranteed-count threshold over the catalog's per-row-group
+    // (min, max, row count, null count), O(index) planning. On the
+    // l_orderkey-range-clustered fixture the top-10 probe keeps the tail
+    // row group(s) of ~60 (TopKPruningSpec pins effectiveness and
+    // soundness); on a time-clustered 100 TB table this is "read the
+    // newest row groups", not "sort the table".
+    QueryDef(
+      "idx16_topk",
+      (s, dir) => {
+        val e = cached(s, dir)
+        val plans = graft.prune.TopKPruning.prune(
+          e.index, "l_orderkey", 10, descending = true)
+        graft.sources.RowGroupSkipScan.scan(s, e.dataDir, plans, e.dataSchema)
+          .orderBy(col("l_orderkey").desc, col("l_linenumber").desc)
+          .limit(10)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 10""".stripMargin)),
+
     // N-dimensional z-order with rank-binning (sources/ZOrderLayout.writeN):
     // a 3-d BOX over the 3-col Morton layout, third dimension a FLOAT
     // (l_extendedprice) rank-binned to dense ints by one approx-quantile

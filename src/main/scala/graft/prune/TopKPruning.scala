@@ -1,0 +1,143 @@
+package graft.prune
+
+import graft.index.{FileScanPlan, RowGroupStat, StatsIndex}
+import org.apache.spark.sql.types._
+
+/** Catalog-side TOP-K pruning: for `ORDER BY c LIMIT k`, row groups that
+  * provably cannot contribute to the top k are skipped at planning time —
+  * O(index) work that, on a time-clustered 100 TB table, turns "sort the
+  * table" into "read the newest few row groups, then sort those".
+  *
+  * The reference's index answers only predicate pruning
+  * (/root/reference/sqlx-sqlite/src/index.rs:102-176); this extends the
+  * same per-row-group stats to ordering queries, the way its "other
+  * indexes can be added" note anticipates (index.rs:30-35).
+  *
+  * Soundness argument (descending case; ascending is the mirror):
+  *  - every row group with a stored minimum `m` and a certified null count
+  *    guarantees `rowCount - nullCount` non-null rows with value >= m —
+  *    for strings this holds even for TRUNCATED stored minima, which are
+  *    lower bounds (rows >= real min >= stored min);
+  *  - walk row groups by stored min descending, accumulating those
+  *    guarantees until they cover k rows; the last min walked is the
+  *    threshold T: the table provably holds >= k non-null rows >= T;
+  *  - a row group whose stored max is < T can contribute nothing (stored
+  *    maxima are verbatim, never truncated — over-long ones are stored as
+  *    unknown and keep the group). Groups with unknown bounds are kept.
+  *  - nulls: when they sort LAST (Spark's default for DESC) they lose to
+  *    the k guaranteed rows, so certified all-null groups are pruned too;
+  *    when they sort FIRST (`nullsFirst = true`, Spark's ASC default) any
+  *    group that may hold a null must be kept.
+  *
+  * If the guarantees never cover k rows (tiny table, uncertified stats),
+  * the full plan set comes back unchanged — over-scan, never wrong.
+  */
+object TopKPruning {
+
+  /** Orderings certified for catalog storage encodings (the seam
+    * documented on [[StatsIndex.minIndexedValue]]): integrals, date days
+    * and timestamp micros compare as long; float/double as double;
+    * decimals as BigDecimal; strings by Unicode CODE POINT — the order of
+    * their UTF-8 bytes, which is what Spark's UTF8String sort uses (Java's
+    * String.compareTo is UTF-16 code-UNIT order and disagrees above
+    * U+E000, so it would mis-prune). */
+  private def ordering(dt: DataType): Option[Ordering[Any]] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType =>
+      Some(Ordering.by((v: Any) => v.asInstanceOf[Number].longValue))
+    case FloatType | DoubleType =>
+      Some(Ordering.by((v: Any) => v.asInstanceOf[Number].doubleValue))
+    case _: DecimalType =>
+      Some(Ordering.comparatorToOrdering(
+        java.util.Comparator.comparing((v: Any) =>
+          v.asInstanceOf[java.math.BigDecimal])))
+    case StringType => Some(codePointOrdering)
+    case _ => None
+  }
+
+  private val codePointOrdering: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int = {
+      val x = a.asInstanceOf[String]
+      val y = b.asInstanceOf[String]
+      var i = 0
+      var j = 0
+      while (i < x.length && j < y.length) {
+        val cx = x.codePointAt(i)
+        val cy = y.codePointAt(j)
+        if (cx != cy) return Integer.compare(cx, cy)
+        i += Character.charCount(cx)
+        j += Character.charCount(cy)
+      }
+      Integer.compare(x.length - i, y.length - j)
+    }
+  }
+
+  /** Scan plans for `ORDER BY colName [DESC] LIMIT k`, pruned to the row
+    * groups that might hold a top-k row. `nullsFirst` must match the
+    * query's null ordering; the default mirrors Spark's
+    * (ASC ⇒ NULLS FIRST, DESC ⇒ NULLS LAST). Degrades to `allFiles()`
+    * whenever the catalog cannot certify a threshold. */
+  def prune(
+      index: StatsIndex,
+      colName: String,
+      k: Long,
+      descending: Boolean): Seq[FileScanPlan] =
+    prune(index, colName, k, descending, nullsFirst = !descending)
+
+  def prune(
+      index: StatsIndex,
+      colName: String,
+      k: Long,
+      descending: Boolean,
+      nullsFirst: Boolean): Seq[FileScanPlan] = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    val all = index.allFiles()
+    val dt = index.indexedSchema.fields.find(_.name == colName)
+      .getOrElse(return all).dataType
+    val ord = ordering(dt).getOrElse(return all)
+    val stats = index.rowGroupStats(colName).getOrElse(return all)
+
+    // guarantee bound: the value >= / <= which ALL of a group's non-null
+    // rows provably sit (DESC: its min; ASC: its max)
+    def guarantee(s: RowGroupStat): Option[Any] = if (descending) s.min else s.max
+    // contribution bound: the group's best possible row (DESC: its max)
+    def best(s: RowGroupStat): Option[Any] = if (descending) s.max else s.min
+    val better: (Any, Any) => Boolean =
+      if (descending) ord.gteq else ord.lteq
+
+    val certified = stats
+      .filter(s => guarantee(s).isDefined && s.nullCount.isDefined)
+      .sortBy(s => guarantee(s).get)(if (descending) ord.reverse else ord)
+    var covered = 0L
+    var threshold: Option[Any] = None
+    val it = certified.iterator
+    while (covered < k && it.hasNext) {
+      val s = it.next()
+      covered += s.rowCount - s.nullCount.get
+      if (covered >= k) threshold = guarantee(s)
+    }
+    threshold match {
+      case None => all // guarantees never covered k — no pruning possible
+      case Some(t) =>
+        val pruned = stats.filter { s =>
+          val mayHoldNullWinner =
+            nullsFirst && !s.nullCount.contains(0L) // unknown or > 0
+          val allNullLoser =
+            !nullsFirst && s.nullCount.contains(s.rowCount)
+          if (mayHoldNullWinner) false
+          else if (allNullLoser) true
+          else best(s) match {
+            case Some(b) => !better(b, t) // strictly worse than k rows
+            case None    => false         // unknown bound — keep
+          }
+        }.map(s => (s.fileName, s.rowGroup)).toSet
+        // subtract the provably-useless groups from the live plans (never
+        // intersect with a keep-set: a group missing from the stats rows
+        // must default to scanned)
+        all.flatMap { p =>
+          val rgs = p.scanRowGroups.filterNot(rg => pruned((p.fileName, rg)))
+          if (rgs.isEmpty) None else Some(p.copy(scanRowGroups = rgs))
+        }
+    }
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import graft.index.DerbyStatsIndex
+import graft.prune.TopKPruning
+import graft.sources.{IndexedParquet, RowGroupSkipScan}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** Catalog-side top-k pruning (prune/TopKPruning): `ORDER BY c LIMIT k`
+  * scans only row groups that can provably contribute.
+  *
+  *  - Effectiveness: on the range-clustered idx fixture a top-10 probe
+  *    keeps ≤ a handful of ~60 row groups (clustering makes minima tight,
+  *    so one tail row group's guarantee covers k).
+  *  - Soundness: on an adversarial fixture (shuffled values, nulls, ties)
+  *    the pruned scan's sorted top k equals the full scan's for many
+  *    (k, direction, null-order) combinations.
+  *  - Degrade: an uncoverable k (> table rows) returns the full plan set.
+  */
+class TopKPruningSpec extends SparkSpec {
+
+  // ---- effectiveness on the clustered idx fixture --------------------------
+
+  test("top-10 DESC on the clustering key keeps a handful of ~60 row groups") {
+    val dir = sf("sf0.001")
+    val q = SparkEntry.registry.find(_.name == "idx16_topk").get
+    val rows = q.fn(spark, dir).collect()
+    assert(rows.length === 10)
+    val (index, _, _) = graft.operators.Indexed.fixture(spark, dir)
+    val total = index.allFiles().map(_.scanRowGroups.size).sum
+    val kept = TopKPruning.prune(index, "l_orderkey", 10, descending = true)
+      .map(_.scanRowGroups.size).sum
+    assert(total >= 8, s"fixture should have several row groups, saw $total")
+    assert(kept <= math.max(2, total / 4),
+      s"top-k pruning kept $kept of $total row groups")
+  }
+
+  test("ascending top-k prunes via maxima (the mirror path)") {
+    val dir = sf("sf0.001")
+    val (index, _, _) = graft.operators.Indexed.fixture(spark, dir)
+    val total = index.allFiles().map(_.scanRowGroups.size).sum
+    // l_orderkey has no nulls, so Spark's ASC NULLS FIRST default cannot
+    // be beaten by a null — but the pruner doesn't know that and must
+    // still keep any group with nullCount > 0 (here: none)
+    val kept = TopKPruning.prune(index, "l_orderkey", 10, descending = false)
+      .map(_.scanRowGroups.size).sum
+    assert(kept <= math.max(2, total / 4),
+      s"ASC top-k pruning kept $kept of $total row groups")
+  }
+
+  // ---- soundness on an adversarial fixture ---------------------------------
+
+  // 4000 rows over 50-row row groups (80 groups). LOCALLY shuffled,
+  // globally increasing (v = i + noise(500)): row-group ranges overlap
+  // their ~10 neighbors but trend upward — the realistic
+  // roughly-time-clustered shape where top-k pruning fires without being
+  // trivially exact. ~10% nulls, heavy ties (key = v / 3), plus a unique
+  // tiebreak column. (A FULLY shuffled key is the degrade case — every
+  // group spans the domain and nothing can prune; the sweep below still
+  // covers it implicitly through the groups whose ranges do overlap.)
+  private lazy val fx: (String, DerbyStatsIndex, StructType) = {
+    val base = Files.createTempDirectory("graft-topk").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    (0 until 4000)
+      .map { i =>
+        val v = i.toLong + ((i.toLong * 2971L) % 500L)
+        (i.toLong, if (v % 10 == 0) None else Some(v / 3), s"s-${v % 97}")
+      }
+      .toDF("id", "key", "skey")
+      .coalesce(1)
+      .write.option("parquet.block.row.count.limit", "50")
+      .mode("overwrite").parquet(dir)
+    val (index, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("id", "key", "skey"), s"$base/statsdb")
+    (dir, index.asInstanceOf[DerbyStatsIndex], schema)
+  }
+
+  private def topK(
+      k: Int, descending: Boolean, nullsFirst: Boolean): (Seq[Row], Seq[Row], Int) = {
+    val (dir, index, schema) = fx
+    val key = if (descending) {
+      if (nullsFirst) col("key").desc_nulls_first else col("key").desc_nulls_last
+    } else {
+      if (nullsFirst) col("key").asc_nulls_first else col("key").asc_nulls_last
+    }
+    val order = Seq(key, col("id").asc)
+    val plans = TopKPruning.prune(index, "key", k, descending, nullsFirst)
+    val kept = plans.map(_.scanRowGroups.size).sum
+    val got = RowGroupSkipScan.scan(spark, dir, plans, schema)
+      .orderBy(order: _*).limit(k).select("id", "key").collect().toSeq
+    val want = spark.read.parquet(dir)
+      .orderBy(order: _*).limit(k).select("id", "key").collect().toSeq
+    (got, want, kept)
+  }
+  private type Row = org.apache.spark.sql.Row
+
+  test("pruned top-k equals full top-k across k × direction × null order") {
+    val total = fx._2.allFiles().map(_.scanRowGroups.size).sum
+    var anyPruned = false
+    for {
+      k <- Seq(1, 7, 64, 500)
+      descending <- Seq(true, false)
+      nullsFirst <- Seq(true, false)
+    } {
+      val (got, want, kept) = topK(k, descending, nullsFirst)
+      assert(got === want,
+        s"k=$k desc=$descending nullsFirst=$nullsFirst: pruned scan diverged")
+      assert(kept <= total)
+      if (kept < total) anyPruned = true
+    }
+    assert(anyPruned, "pruning never fired — the fixture is too easy")
+  }
+
+  test("string keys prune soundly (code-point ordering, truncation-safe minima)") {
+    val (got, want, kept) = {
+      val (dir, index, schema) = fx
+      val order = Seq(col("skey").desc_nulls_last, col("id").asc)
+      val plans = TopKPruning.prune(index, "skey", 25, descending = true)
+      (RowGroupSkipScan.scan(spark, dir, plans, schema)
+        .orderBy(order: _*).limit(25).select("id", "skey").collect().toSeq,
+        spark.read.parquet(dir)
+          .orderBy(order: _*).limit(25).select("id", "skey").collect().toSeq,
+        plans.map(_.scanRowGroups.size).sum)
+    }
+    assert(got === want)
+    assert(kept >= 1)
+  }
+
+  test("k beyond the table degrades to the full plan set") {
+    val (_, index, _) = fx
+    val total = index.allFiles().map(_.scanRowGroups.size).sum
+    val kept = TopKPruning.prune(index, "key", 1000000, descending = true)
+      .map(_.scanRowGroups.size).sum
+    assert(kept === total)
+  }
+}
