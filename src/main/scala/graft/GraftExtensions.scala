@@ -22,5 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // global MIN/MAX/COUNT over the index-backed relation → answered from
     // the stats catalog (O(index), zero data scanned) when certified exact
     ext.injectOptimizerRule(session => graft.plans.StatsAggPushdown(session))
+    // ORDER BY c LIMIT k over the index-backed relation → scan only row
+    // groups the catalog proves can contribute to the top k
+    ext.injectOptimizerRule(session => graft.plans.TopKPushdown(session))
   }
 }

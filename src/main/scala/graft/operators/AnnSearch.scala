@@ -353,7 +353,40 @@ object AnnSearch {
              |SELECT label, CAST(i AS INTEGER) AS pos,
              |  CAST(sum(v[i]) AS BIGINT) AS sx, count(*) AS n
              |FROM q, UNNEST(range(1, ${EmbeddingDim + 1})) t(i)
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ----- int8 affine quantization export (emb2) ---------------------------
+    // The vector-store export step: per-DIMENSION affine int8 quantization
+    // q = floor((x - min_d) * 255 / (max_d - min_d)). Dimension stats are
+    // one map-side-combined agg over exploded (pos, value) pairs — |dim|
+    // result rows — broadcast back onto the corpus; the quantize pass is
+    // map-only. Arithmetic stays on the suite's floor(x*1000) integer grid;
+    // the one division runs in IEEE double over exactly-representable
+    // integers (< 2^53) so Spark and DuckDB floor identically. 100 TB
+    // shape: per-task agg state is |dim| cells, the broadcast is |dim|
+    // rows, nothing else shuffles.
+    QueryDef(
+      "emb2_int8_quant",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(quant(col("embedding"))).as(Seq("p", "x")))
+        val stats = e.groupBy("p").agg(min("x").as("mn"), max("x").as("mx"))
+        e.join(broadcast(stats), "p")
+          .select(col("vec_id"), (col("p") + 1).cast("int").as("pos"),
+            when(col("mx") === col("mn"), 0L)
+              .otherwise(floor((col("x") - col("mn")) * lit(255) / (col("mx") - col("mn"))))
+              .as("q8"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) v
+             |  FROM embeddings),
+             |  e AS (SELECT vec_id, CAST(i AS INTEGER) AS pos, v[i] AS x
+             |    FROM v, UNNEST(range(1, ${EmbeddingDim + 1})) t(i)),
+             |  st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1)
+             |SELECT e.vec_id, e.pos,
+             |  CAST(CASE WHEN mx = mn THEN 0
+             |       ELSE floor((x - mn) * 255 / (mx - mn)) END AS BIGINT) AS q8
+             |FROM e JOIN st USING (pos)""".stripMargin))
   )
 
   val IvfCells = 16

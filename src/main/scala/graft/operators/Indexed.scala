@@ -329,13 +329,18 @@ object Indexed {
         val e = cached(s, dir)
         val plans = graft.prune.TopKPruning.prune(
           e.index, "l_orderkey", 10, descending = true)
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // every selected column takes part in the ordering so the limit
+        // boundary is deterministic for the oracle compare
         graft.sources.RowGroupSkipScan.scan(s, e.dataDir, plans, e.dataSchema)
-          .orderBy(col("l_orderkey").desc, col("l_linenumber").desc)
+          .orderBy(col("l_orderkey").desc, col("l_linenumber").desc,
+            col("l_quantity").desc)
           .limit(10)
           .select("l_orderkey", "l_linenumber", "l_quantity")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-             |ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 10""".stripMargin)),
+             |ORDER BY l_orderkey DESC, l_linenumber DESC, l_quantity DESC
+             |LIMIT 10""".stripMargin)),
 
     // N-dimensional z-order with rank-binning (sources/ZOrderLayout.writeN):
     // a 3-d BOX over the 3-col Morton layout, third dimension a FLOAT

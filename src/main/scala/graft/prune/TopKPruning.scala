@@ -45,8 +45,11 @@ object TopKPruning {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType | TimestampNTZType =>
       Some(Ordering.by((v: Any) => v.asInstanceOf[Number].longValue))
-    case FloatType | DoubleType =>
-      Some(Ordering.by((v: Any) => v.asInstanceOf[Number].doubleValue))
+    // float/double are NOT certified: parquet FP footer stats carry NaN /
+    // signed-zero comparator hazards (a group's stored max can be 5.0
+    // while it holds NaN, which Spark sorts greatest) — pruning on them
+    // could drop the true top row. Same exclusion as StatsAggPushdown.
+    case FloatType | DoubleType => None
     case _: DecimalType =>
       Some(Ordering.comparatorToOrdering(
         java.util.Comparator.comparing((v: Any) =>

@@ -129,6 +129,57 @@ class TopKPruningSpec extends SparkSpec {
     assert(kept >= 1)
   }
 
+  // ---- the automatic optimizer rule (plans/TopKPushdown) -------------------
+
+  test("plain orderBy().limit() on the indexed relation prunes automatically") {
+    val dir = sf("sf0.001")
+    val df = graft.operators.Indexed.lineitemIndexed(spark, dir)
+    // (l_orderkey, l_linenumber) is not unique in the synthetic data —
+    // order by every selected column so the boundary is deterministic
+    val ord = Seq(col("l_orderkey").desc, col("l_linenumber").desc,
+      col("l_quantity").desc)
+    val got = df.orderBy(ord: _*)
+      .limit(10).select("l_orderkey", "l_linenumber", "l_quantity").collect()
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .orderBy(ord: _*)
+      .limit(10).select("l_orderkey", "l_linenumber", "l_quantity").collect()
+    assert(got === want)
+    val exec = graft.operators.Indexed.lastExecution(spark, dir).get
+    assert(exec.route === Seq("topk(l_orderkey)"),
+      s"rule did not fire: ${exec.route}")
+    assert(exec.scannedRowGroups <= math.max(2, exec.totalRowGroups / 4),
+      s"kept ${exec.scannedRowGroups} of ${exec.totalRowGroups}")
+  }
+
+  test("the rule leaves filtered and computed-projection plans alone") {
+    val dir = sf("sf0.001")
+    val df = graft.operators.Indexed.lineitemIndexed(spark, dir)
+    // a Filter below the sort would make a whole-table threshold unsound —
+    // the declarative plan must stand (and still answer exactly)
+    val got = df.filter(col("l_orderkey") <= 100)
+      .orderBy(col("l_orderkey").desc, col("l_linenumber").desc).limit(5)
+      .select("l_orderkey", "l_linenumber").collect()
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") <= 100)
+      .orderBy(col("l_orderkey").desc, col("l_linenumber").desc).limit(5)
+      .select("l_orderkey", "l_linenumber").collect()
+    assert(got === want)
+    val exec = graft.operators.Indexed.lastExecution(spark, dir).get
+    assert(!exec.route.exists(_.startsWith("topk")),
+      s"rule fired through a Filter: ${exec.route}")
+  }
+
+  test("kill switch restores the declarative plan") {
+    val dir = sf("sf0.001")
+    val df = graft.operators.Indexed.lineitemIndexed(spark, dir)
+    spark.conf.set("spark.graft.topkPushdown", "false")
+    try {
+      val plan = df.orderBy(col("l_orderkey").desc).limit(3)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("RowGroupScan"), s"rule fired while disabled:\n$plan")
+    } finally spark.conf.unset("spark.graft.topkPushdown")
+  }
+
   test("k beyond the table degrades to the full plan set") {
     val (_, index, _) = fx
     val total = index.allFiles().map(_.scanRowGroups.size).sum
