@@ -325,6 +325,90 @@ final class DerbyStatsIndex(
     } finally st.close()
   }
 
+  /** Catalog-computed top-k survivors (the [[StatsIndex.topKSurvivors]]
+    * fast path): the guaranteed-count threshold is discovered by PAGED
+    * ordered reads of (guarantee bound, row count, null count) — usually
+    * one page: row groups are walked best-first, so coverage of k is
+    * typically reached within the first few — and the survivor filter
+    * then runs as ONE catalog-side pruning query, shipping only surviving
+    * plans to the planner. Numeric-encoded columns only (integrals,
+    * date/timestamp, decimal): Derby compares VARCHAR by UTF-16 code
+    * units, which diverges from Spark's code-point order above U+E000, so
+    * strings stay on the planner-side path (whose comparator is
+    * certified); float/double are uncertified everywhere. The threshold
+    * literal is numeric, so embedding it in the survivor SQL is safe. */
+  override def topKSurvivors(
+      colName: String,
+      k: Long,
+      descending: Boolean,
+      nullsFirst: Boolean): Option[Seq[FileScanPlan]] = conn.synchronized {
+    require(indexedCols.exists(_.name == colName), s"$colName is not indexed")
+    val numeric = indexedCols.find(_.name == colName).map(_.dataType).exists {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | _: DecimalType => true
+      case _ => false
+    }
+    if (!numeric || k <= 0) return None
+    val guar = if (descending) s"${colName}_min" else s"${colName}_max"
+    val best = if (descending) s"${colName}_max" else s"${colName}_min"
+    val dir = if (descending) "DESC" else "ASC"
+    try {
+      var covered = 0L
+      var threshold: Option[Any] = None
+      var offset = 0
+      val page = 1024
+      while (threshold.isEmpty) {
+        val st = conn.prepareStatement(
+          s"""SELECT $guar, rg.row_count, rg.${colName}_null_count
+             |FROM row_group_statistics rg
+             |WHERE $guar IS NOT NULL AND rg.${colName}_null_count IS NOT NULL
+             |ORDER BY $guar $dir
+             |OFFSET $offset ROWS FETCH NEXT $page ROWS ONLY""".stripMargin)
+        var n = 0
+        try {
+          val rs = st.executeQuery()
+          while (threshold.isEmpty && rs.next()) {
+            n += 1
+            covered += rs.getLong(2) - rs.getLong(3)
+            if (covered >= k) threshold = Some(rs.getObject(1))
+          }
+          rs.close()
+        } finally st.close()
+        if (threshold.isEmpty) {
+          if (n < page) return None // guarantees never cover k — uncertifiable
+          offset += page
+        }
+      }
+      val t = threshold.get match {
+        case d: java.math.BigDecimal => d.toPlainString
+        case other => other.toString
+      }
+      val cmp = if (descending) ">=" else "<="
+      // survivor = best value could beat the threshold (unknown bound
+      // keeps), refined by the null-order contract: nulls-first keeps any
+      // group that may hold a null; nulls-last prunes certified all-null
+      // groups (mirrors TopKPruning exactly)
+      val cond =
+        if (nullsFirst)
+          s"""(rg.$best $cmp $t OR rg.$best IS NULL
+             | OR rg.${colName}_null_count IS NULL
+             | OR rg.${colName}_null_count > 0)""".stripMargin
+        else
+          s"""((rg.$best $cmp $t OR rg.$best IS NULL)
+             | AND (rg.${colName}_null_count IS NULL
+             |      OR rg.${colName}_null_count <> rg.row_count))""".stripMargin
+      Some(runPlanQuery(
+        s"""SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
+           |  rg.rg_start_bytes, rg.rg_compressed_bytes, rg.row_count
+           |FROM row_group_statistics rg
+           |JOIN file_statistics f ON rg.file_id = f.file_id
+           |WHERE $cond
+           |ORDER BY f.file_name, rg.row_group""".stripMargin))
+    } catch {
+      case _: java.sql.SQLException => None
+    }
+  }
+
   override def rowGroupStats(colName: String): Option[Seq[RowGroupStat]] =
     conn.synchronized {
       require(indexedCols.exists(_.name == colName), s"$colName is not indexed")

@@ -85,6 +85,21 @@ trait StatsIndex extends AutoCloseable {
     * callers must then skip the optimization, never guess. */
   def rowGroupStats(colName: String): Option[Seq[RowGroupStat]] = None
 
+  /** Catalog-computed `ORDER BY colName LIMIT k` survivors: the plans for
+    * just the row groups that might hold a top-k row, with the threshold
+    * discovery AND the survivor filter both evaluated inside the catalog —
+    * O(survivors) transfer to the planner instead of [[rowGroupStats]]'
+    * O(index). Semantics must match [[graft.prune.TopKPruning]]'s
+    * planner-side algorithm exactly (it is the reference implementation
+    * and the fallback). None = the catalog cannot serve or certify
+    * (unsupported type, guarantees never cover k, query failure) — the
+    * caller falls back to planner-side pruning. */
+  def topKSurvivors(
+      colName: String,
+      k: Long,
+      descending: Boolean,
+      nullsFirst: Boolean): Option[Seq[FileScanPlan]] = None
+
   /** Columns carrying per-row-group bloom filters in this catalog; empty =
     * no bloom support. Implementations with blooms override (a constructor
     * `val bloomCols` satisfies this directly). */

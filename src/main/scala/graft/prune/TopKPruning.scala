@@ -98,6 +98,12 @@ object TopKPruning {
     val dt = index.indexedSchema.fields.find(_.name == colName)
       .getOrElse(return all).dataType
     val ord = ordering(dt).getOrElse(return all)
+    // catalog-side fast path: threshold + survivor filter evaluated inside
+    // the store, O(survivors) transfer instead of rowGroupStats' O(index)
+    index.topKSurvivors(colName, k, descending, nullsFirst) match {
+      case Some(plans) => return plans
+      case None => () // not served/certified — planner-side reference path
+    }
     val stats = index.rowGroupStats(colName).getOrElse(return all)
 
     // guarantee bound: the value >= / <= which ALL of a group's non-null

@@ -180,6 +180,50 @@ class TopKPruningSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topkPushdown")
   }
 
+  // ---- catalog-side fast path (DerbyStatsIndex.topKSurvivors) --------------
+
+  /** The fixture index with the catalog fast path masked off — forces
+    * TopKPruning down its planner-side reference algorithm. */
+  private def plannerOnly(u: DerbyStatsIndex): graft.index.StatsIndex =
+    new graft.index.StatsIndex {
+      def initialize(s: StructType): Unit = u.initialize(s)
+      def addFile(st: graft.index.FileStats): Unit = u.addFile(st)
+      def retainOnly(f: Set[String]): Unit = u.retainOnly(f)
+      def removeFiles(f: Set[String]): Unit = u.removeFiles(f)
+      def getFiles(p: org.apache.spark.sql.catalyst.expressions.Expression) =
+        u.getFiles(p)
+      def allFiles() = u.allFiles()
+      def indexedSchema: StructType = u.indexedSchema
+      override def rowGroupStats(c: String) = u.rowGroupStats(c)
+      override def topKSurvivors(c: String, k: Long, d: Boolean, nf: Boolean) =
+        None
+      def close(): Unit = ()
+    }
+
+  test("catalog-side survivors equal planner-side pruning exactly") {
+    val (_, index, _) = fx
+    val slow = plannerOnly(index)
+    def keySet(plans: Seq[graft.index.FileScanPlan]) =
+      plans.map(p => p.fileName -> p.scanRowGroups).toMap
+    for {
+      k <- Seq(1, 7, 64, 500)
+      descending <- Seq(true, false)
+      nullsFirst <- Seq(true, false)
+    } {
+      val fast = index.topKSurvivors("key", k.toLong, descending, nullsFirst)
+      assert(fast.isDefined, s"numeric fast path must serve k=$k")
+      val viaPlanner = TopKPruning.prune(slow, "key", k.toLong, descending, nullsFirst)
+      assert(keySet(fast.get) === keySet(viaPlanner),
+        s"k=$k desc=$descending nullsFirst=$nullsFirst: paths diverged")
+    }
+  }
+
+  test("strings stay on the planner-side path (Derby collation not certified)") {
+    val (_, index, _) = fx
+    assert(index.topKSurvivors("skey", 5L, descending = true, nullsFirst = false)
+      === None)
+  }
+
   test("k beyond the table degrades to the full plan set") {
     val (_, index, _) = fx
     val total = index.allFiles().map(_.scanRowGroups.size).sum
