@@ -332,7 +332,8 @@ object Indexed {
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
         // every selected column takes part in the ordering so the limit
         // boundary is deterministic for the oracle compare
-        graft.sources.RowGroupSkipScan.scan(s, e.dataDir, plans, e.dataSchema)
+        graft.sources.RowGroupSkipScan.scan(s, e.dataDir, plans, e.dataSchema,
+            requiredCols = Seq("l_orderkey", "l_linenumber", "l_quantity"))
           .orderBy(col("l_orderkey").desc, col("l_linenumber").desc,
             col("l_quantity").desc)
           .limit(10)

@@ -151,6 +151,20 @@ class TopKPruningSpec extends SparkSpec {
       s"kept ${exec.scannedRowGroups} of ${exec.totalRowGroups}")
   }
 
+  test("the SQL surface fires the rule too (ORDER BY ... LIMIT over the view)") {
+    val dir = sf("sf0.001")
+    graft.operators.Indexed.lineitemIndexed(spark, dir)
+      .createOrReplaceTempView("topk_lineitem")
+    val got = spark.sql(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM topk_lineitem
+        |ORDER BY l_orderkey DESC, l_linenumber DESC, l_quantity DESC
+        |LIMIT 10""".stripMargin).collect()
+    val exec = graft.operators.Indexed.lastExecution(spark, dir).get
+    assert(exec.route === Seq("topk(l_orderkey)"), s"route: ${exec.route}")
+    assert(got.length === 10)
+    assert(got.head.getLong(0) >= got.last.getLong(0))
+  }
+
   test("the rule leaves filtered and computed-projection plans alone") {
     val dir = sf("sf0.001")
     val df = graft.operators.Indexed.lineitemIndexed(spark, dir)
