@@ -343,6 +343,25 @@ object Indexed {
              |ORDER BY l_orderkey DESC, l_linenumber DESC, l_quantity DESC
              |LIMIT 10""".stripMargin)),
 
+    // FILTERED top-k through the AUTOMATIC rule (plans/TopKPushdown): the
+    // time-window-latest-k shape — plain df.filter(...).orderBy(...).limit()
+    // syntax; the injected rule certifies the threshold from row groups
+    // wholly inside the window and scans only contributing groups
+    // (route `topk-filtered`). Every selected column is in the ORDER BY
+    // for a deterministic limit boundary.
+    QueryDef(
+      "idx17_topk_window",
+      (s, dir) => lineitemIndexed(s, dir)
+        .filter(col("l_orderkey").between(100L, 1200L))
+        .orderBy(col("l_orderkey").desc, col("l_linenumber").desc,
+          col("l_quantity").desc)
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_orderkey BETWEEN 100 AND 1200
+             |ORDER BY l_orderkey DESC, l_linenumber DESC, l_quantity DESC
+             |LIMIT 20""".stripMargin)),
+
     // N-dimensional z-order with rank-binning (sources/ZOrderLayout.writeN):
     // a 3-d BOX over the 3-col Morton layout, third dimension a FLOAT
     // (l_extendedprice) rank-binned to dense ints by one approx-quantile

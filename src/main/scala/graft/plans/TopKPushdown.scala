@@ -1,41 +1,43 @@
 package graft.plans
 
 import graft.prune.TopKPruning
-import graft.sources.{IndexedParquetFileIndex, PruneExecution}
+import graft.sources.{IndexedParquetFileIndex, PruneExecution, RowGroupSkipScan}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Descending, IntegerLiteral, NullsFirst, SortOrder}
-import org.apache.spark.sql.catalyst.plans.logical.{Limit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Descending, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, IsNotNull, LessThan, LessThanOrEqual, Literal, NullsFirst, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Limit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, DateType, DecimalType, StringType, StructType, TimestampNTZType, TimestampType}
 
 /** Automatic top-k pruning — the optimizer face of
   * [[graft.prune.TopKPruning]]: a user writes plain
-  * `df.orderBy(c.desc).limit(k)` over the index-backed relation and the
-  * PROVIDER decides the catalog can bound the scan, rewriting the sort's
-  * input to a [[RowGroupScan]] over only the row groups that can provably
-  * contribute to the top k. The companion of [[StatsAggPushdown]] (same
-  * "the provider consults the index" seam,
+  * `df.orderBy(c.desc).limit(k)` — or the time-window-latest-k shape
+  * `df.filter(c >= x).orderBy(c.desc).limit(k)` — over the index-backed
+  * relation and the PROVIDER decides the catalog can bound the scan,
+  * rewriting the relation into a [[RowGroupScan]] over only the row
+  * groups that can provably contribute to the top k. The companion of
+  * [[StatsAggPushdown]] (same "the provider consults the index" seam,
   * /root/reference/sqlx-sqlite/src/main.rs:256-305) for ordering queries.
   *
-  * Fires only on the exact shape
-  * `Limit(k, Sort(order, global, [attribute-only Project,] indexed
-  * relation))` — any Filter below the sort disqualifies (a filter changes
-  * which rows compete for the top k, so a whole-table threshold would be
-  * unsound); any computed projection disqualifies (its expressions are
-  * not what the catalog indexed). Multi-key orderings prune on the
-  * LEADING key alone: a row strictly worse on the first key loses
-  * lexicographically regardless of the tail keys. When the catalog cannot
-  * certify a threshold (or prunes nothing) the declarative plan stands —
-  * over-scan, never wrong. Kill switch: `spark.graft.topkPushdown=false`.
+  * Fires on `Limit(k, Sort(order, global, chain))` where `chain` is the
+  * indexed relation under any stack of attribute-only Projects and AT
+  * MOST ONE Filter whose every conjunct is on the SORT column (bound
+  * comparisons with literals; `IsNotNull` is implied and ignored). A
+  * filter touching any OTHER column disqualifies — it changes which rows
+  * compete for the top k in a way per-group stats on the sort column
+  * cannot certify. Computed projections disqualify. Multi-key orderings
+  * prune on the LEADING key alone (lexicographic dominance). When the
+  * catalog certifies nothing, the declarative plan stands — over-scan,
+  * never wrong. Kill switch: `spark.graft.topkPushdown=false`.
   *
-  * The rewrite grafts a [[RowGroupScan]] leaf (one split per surviving
-  * row-group run, the same physical node the explicit skip-scan uses) and
-  * re-binds the relation's output attributes onto it via exprId-preserving
-  * aliases, so the Sort/Limit above — and anything above them — keep
-  * resolving unchanged. Column pruning is preserved: the scan reads only
-  * the attribute set the (possibly pruned) child projected.
+  * The rewrite substitutes the [[LogicalRelation]] node IN PLACE (any
+  * surrounding Filter/Project structure survives, so the filter is still
+  * re-applied above the scan — the Inexact contract) with the pruned
+  * [[RowGroupScan]] under exprId-preserving aliases; the filter's
+  * translatable conjuncts are pushed to the reader for page-level
+  * skipping inside surviving row groups.
   */
 final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -52,13 +54,18 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(
       k: Int, order: Seq[SortOrder], child: LogicalPlan): Option[LogicalPlan] = {
-    // the sort input must be the indexed relation, optionally column-pruned
-    val rel = child match {
-      case l: LogicalRelation => l
-      case Project(pl, l: LogicalRelation)
-          if pl.forall(_.isInstanceOf[AttributeReference]) => l
-      case _ => return None
+    // the sort input: the indexed relation under attribute-only Projects
+    // and at most one Filter
+    var cond: Option[Expression] = None
+    def strip(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case l: LogicalRelation => Some(l)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(c)
+      case f: Filter if cond.isEmpty =>
+        cond = Some(f.condition); strip(f.child)
+      case _ => None
     }
+    val rel = strip(child).getOrElse(return None)
     val h = rel.relation match {
       case h: HadoopFsRelation => h
       case _ => return None
@@ -77,24 +84,102 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
 
     val descending = order.head.direction == Descending
     val nullsFirst = order.head.nullOrdering == NullsFirst
-    val total = idx.allFiles().map(_.scanRowGroups.size).sum
-    val pruned = TopKPruning.prune(idx, a.name, k.toLong, descending, nullsFirst)
-    val kept = pruned.map(_.scanRowGroups.size).sum
-    if (kept >= total) return None // catalog couldn't narrow — leave the plan
+
+    val (plans, baseline, routeTag) = cond match {
+      case None =>
+        val total = idx.allFiles().map(_.scanRowGroups.size).sum
+        (TopKPruning.prune(idx, a.name, k.toLong, descending, nullsFirst),
+          total, s"topk(${a.name})")
+      case Some(c) =>
+        val (lo, hi) = parseBounds(c, a).getOrElse(return None)
+        // the filter's own stats pruning is what the declarative plan
+        // would get via listFiles — the baseline the rewrite must beat
+        val statsPlans = idx.getFiles(c)
+        (TopKPruning.pruneFiltered(
+            idx, a.name, k.toLong, descending, lo, hi, statsPlans),
+          statsPlans.map(_.scanRowGroups.size).sum,
+          s"topk-filtered(${a.name})")
+    }
+    val kept = plans.map(_.scanRowGroups.size).sum
+    if (kept >= baseline) return None // no narrowing beyond the stats path
 
     fi.lastExecution = Some(PruneExecution(
-      Nil, pruned, idx.allFiles().size, total, route = Seq(s"topk(${a.name})")))
-    val outAttrs = child.output
-    val required = StructType(
-      h.dataSchema.filter(f => outAttrs.exists(_.name == f.name)))
+      cond.toSeq, plans, idx.allFiles().size,
+      idx.allFiles().map(_.rowGroupCount).sum, route = Seq(routeTag)))
+
+    // every column the surviving Filter/Projects and the output need
+    val needed = (child.outputSet ++ child.references).map(_.name).toSet
+    val required = StructType(h.dataSchema.filter(f => needed.contains(f.name)))
     val scan = RowGroupScan(
       DataTypeUtils.toAttributes(required),
-      fi.rootPaths.head.toString, pruned, h.dataSchema, required,
-      mergeRuns = true)
+      fi.rootPaths.head.toString, plans, h.dataSchema, required,
+      mergeRuns = true,
+      pushedFilters =
+        cond.toSeq.flatMap(RowGroupSkipScan.translateDataFilters))
     val byName = scan.output.map(o => o.name -> o).toMap
-    Some(Project(
-      outAttrs.map(o =>
+    val remap = Project(
+      rel.output.filter(o => needed.contains(o.name)).map(o =>
         Alias(byName(o.name), o.name)(exprId = o.exprId, qualifier = o.qualifier)),
-      scan))
+      scan)
+    Some(child.transformUp {
+      case l: LogicalRelation if l eq rel => remap
+    })
+  }
+
+  /** All of `cond`'s conjuncts as bounds on the sort column `a`, or None
+    * if ANY conjunct is something else. At most one bound per side (two
+    * lower bounds etc. bail — the inside-the-interval certificate needs
+    * the exact interval, and Spark collapses redundant bounds anyway).
+    * Literal values are bridged from Catalyst internal encoding to the
+    * catalog's storage encoding (identical for integrals / date days /
+    * timestamp micros; UTF8String → String; Decimal → BigDecimal). */
+  private def parseBounds(cond: Expression, a: AttributeReference)
+      : Option[(Option[(Any, Boolean)], Option[(Any, Boolean)])] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def key(x: Expression): Boolean = x match {
+      case ar: AttributeReference => ar.exprId == a.exprId
+      case _ => false
+    }
+    def v(l: Literal): Option[Any] =
+      if (l.value == null) None
+      else Some(l.value match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case other => other
+      })
+    var lo: Option[(Any, Boolean)] = None
+    var hi: Option[(Any, Boolean)] = None
+    def setLo(b: (Any, Boolean)): Boolean =
+      if (lo.isDefined) false else { lo = Some(b); true }
+    def setHi(b: (Any, Boolean)): Boolean =
+      if (hi.isDefined) false else { hi = Some(b); true }
+    conjuncts(cond).foreach {
+      case IsNotNull(x) if key(x) => ()
+      case GreaterThan(x, l: Literal) if key(x) =>
+        if (!v(l).exists(b => setLo((b, false)))) return None
+      case GreaterThanOrEqual(x, l: Literal) if key(x) =>
+        if (!v(l).exists(b => setLo((b, true)))) return None
+      case LessThan(x, l: Literal) if key(x) =>
+        if (!v(l).exists(b => setHi((b, false)))) return None
+      case LessThanOrEqual(x, l: Literal) if key(x) =>
+        if (!v(l).exists(b => setHi((b, true)))) return None
+      case GreaterThan(l: Literal, x) if key(x) =>
+        if (!v(l).exists(b => setHi((b, false)))) return None
+      case GreaterThanOrEqual(l: Literal, x) if key(x) =>
+        if (!v(l).exists(b => setHi((b, true)))) return None
+      case LessThan(l: Literal, x) if key(x) =>
+        if (!v(l).exists(b => setLo((b, false)))) return None
+      case LessThanOrEqual(l: Literal, x) if key(x) =>
+        if (!v(l).exists(b => setLo((b, true)))) return None
+      case EqualTo(x, l: Literal) if key(x) =>
+        if (!v(l).exists(b => setLo((b, true)) && setHi((b, true)))) return None
+      case EqualTo(l: Literal, x) if key(x) =>
+        if (!v(l).exists(b => setLo((b, true)) && setHi((b, true)))) return None
+      case _ => return None // a conjunct the certificate cannot absorb
+    }
+    if (lo.isEmpty && hi.isEmpty) None else Some((lo, hi))
   }
 }

@@ -58,6 +58,73 @@ object TopKPruning {
     case _ => None
   }
 
+  /** FILTERED top-k pruning — `WHERE c [>= lo] [<= hi] ORDER BY c LIMIT k`,
+    * the time-window-latest-k shape: bounds are on the SORT column itself,
+    * so a row group lying WHOLLY inside the filter interval (certified
+    * stored min ≥ lo and stored max ≤ hi; truncated string minima are
+    * lower bounds, so `stored ≥ lo ⇒ real ≥ lo` stays sound) contributes
+    * its full non-null row count to the threshold guarantee — every one
+    * of those rows passes the filter. Survivors are taken from
+    * `statsPlans` (the filter's own stats pruning, already conservative)
+    * minus groups whose best value is strictly worse than the threshold.
+    * Null ordering is irrelevant here: a comparison filter on `c` never
+    * passes nulls, so certified all-null groups are pruned outright.
+    * Degrades to `statsPlans` unchanged whenever the inside-the-interval
+    * guarantees never cover k. */
+  def pruneFiltered(
+      index: StatsIndex,
+      colName: String,
+      k: Long,
+      descending: Boolean,
+      lo: Option[(Any, Boolean)],
+      hi: Option[(Any, Boolean)],
+      statsPlans: Seq[FileScanPlan]): Seq[FileScanPlan] = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    if (statsPlans.isEmpty) return statsPlans
+    val dt = index.indexedSchema.fields.find(_.name == colName)
+      .getOrElse(return statsPlans).dataType
+    val ord = ordering(dt).getOrElse(return statsPlans)
+    val stats = index.rowGroupStats(colName).getOrElse(return statsPlans)
+
+    def passesLo(v: Any) = lo.forall { case (b, inc) =>
+      if (inc) ord.gteq(v, b) else ord.gt(v, b) }
+    def passesHi(v: Any) = hi.forall { case (b, inc) =>
+      if (inc) ord.lteq(v, b) else ord.lt(v, b) }
+    def inside(s: RowGroupStat): Boolean =
+      s.min.isDefined && s.max.isDefined && s.nullCount.isDefined &&
+        passesLo(s.min.get) && passesHi(s.max.get)
+
+    def guarantee(s: RowGroupStat): Option[Any] = if (descending) s.min else s.max
+    def best(s: RowGroupStat): Option[Any] = if (descending) s.max else s.min
+    val better: (Any, Any) => Boolean = if (descending) ord.gteq else ord.lteq
+
+    val certified = stats.filter(inside)
+      .sortBy(s => guarantee(s).get)(if (descending) ord.reverse else ord)
+    var covered = 0L
+    var threshold: Option[Any] = None
+    val it = certified.iterator
+    while (covered < k && it.hasNext) {
+      val s = it.next()
+      covered += s.rowCount - s.nullCount.get
+      if (covered >= k) threshold = guarantee(s)
+    }
+    threshold match {
+      case None => statsPlans
+      case Some(t) =>
+        val pruned = stats.filter { s =>
+          if (s.nullCount.contains(s.rowCount)) true // no row passes the filter
+          else best(s) match {
+            case Some(b) => !better(b, t)
+            case None    => false
+          }
+        }.map(s => (s.fileName, s.rowGroup)).toSet
+        statsPlans.flatMap { p =>
+          val rgs = p.scanRowGroups.filterNot(rg => pruned((p.fileName, rg)))
+          if (rgs.isEmpty) None else Some(p.copy(scanRowGroups = rgs))
+        }
+    }
+  }
+
   private val codePointOrdering: Ordering[Any] = new Ordering[Any] {
     def compare(a: Any, b: Any): Int = {
       val x = a.asInstanceOf[String]

@@ -165,22 +165,77 @@ class TopKPruningSpec extends SparkSpec {
     assert(got.head.getLong(0) >= got.last.getLong(0))
   }
 
-  test("the rule leaves filtered and computed-projection plans alone") {
+  test("a sort-column range filter takes the filtered top-k path") {
     val dir = sf("sf0.001")
     val df = graft.operators.Indexed.lineitemIndexed(spark, dir)
-    // a Filter below the sort would make a whole-table threshold unsound —
-    // the declarative plan must stand (and still answer exactly)
-    val got = df.filter(col("l_orderkey") <= 100)
+    val ord = Seq(col("l_orderkey").desc, col("l_linenumber").desc)
+    // time-window-latest-k shape: both the filter and the ordering are on
+    // the clustering key, so stats certify the threshold inside the window
+    val got = df.filter(col("l_orderkey").between(100L, 1200L))
+      .orderBy(ord: _*).limit(5)
+      .select("l_orderkey", "l_linenumber").collect()
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey").between(100L, 1200L))
+      .orderBy(ord: _*).limit(5)
+      .select("l_orderkey", "l_linenumber").collect()
+    assert(got === want)
+    val exec = graft.operators.Indexed.lastExecution(spark, dir).get
+    assert(exec.route === Seq("topk-filtered(l_orderkey)"), s"${exec.route}")
+    // the window spans ~45 of 60 row groups; the top-5 needs ~1
+    assert(exec.scannedRowGroups <= 4,
+      s"kept ${exec.scannedRowGroups} of ${exec.totalRowGroups}")
+  }
+
+  test("a filter on any OTHER column disqualifies the rewrite") {
+    val dir = sf("sf0.001")
+    val df = graft.operators.Indexed.lineitemIndexed(spark, dir)
+    // l_returnflag is not the sort column: per-group sort-key stats say
+    // nothing about which rows pass, so the declarative plan must stand
+    val got = df.filter(col("l_returnflag") === "R")
       .orderBy(col("l_orderkey").desc, col("l_linenumber").desc).limit(5)
       .select("l_orderkey", "l_linenumber").collect()
     val want = spark.read.parquet(s"$dir/lineitem.parquet")
-      .filter(col("l_orderkey") <= 100)
+      .filter(col("l_returnflag") === "R")
       .orderBy(col("l_orderkey").desc, col("l_linenumber").desc).limit(5)
       .select("l_orderkey", "l_linenumber").collect()
     assert(got === want)
     val exec = graft.operators.Indexed.lastExecution(spark, dir).get
     assert(!exec.route.exists(_.startsWith("topk")),
-      s"rule fired through a Filter: ${exec.route}")
+      s"rule fired through a non-sort-column Filter: ${exec.route}")
+  }
+
+  test("filtered pruning is sound across windows × k × direction (fixture sweep)") {
+    val (dir, index, schema) = fx
+    val total = index.allFiles().map(_.scanRowGroups.size).sum
+    var anyNarrowed = false
+    for {
+      (loV, hiV) <- Seq((200L, 900L), (0L, 1400L), (600L, 650L))
+      k <- Seq(1, 16, 200)
+      descending <- Seq(true, false)
+    } {
+      val pred = col("key") >= loV && col("key") <= hiV
+      val resolved = RowGroupSkipScan.resolvePredicate(spark, schema, pred)
+      val statsPlans = index.getFiles(resolved)
+      val plans = TopKPruning.pruneFiltered(index, "key", k.toLong, descending,
+        Some((loV, true)), Some((hiV, true)), statsPlans)
+      val kept = plans.map(_.scanRowGroups.size).sum
+      assert(kept <= statsPlans.map(_.scanRowGroups.size).sum)
+      if (kept < statsPlans.map(_.scanRowGroups.size).sum) anyNarrowed = true
+      val ord =
+        if (descending) Seq(col("key").desc_nulls_last, col("id").asc)
+        else Seq(col("key").asc_nulls_last, col("id").asc)
+      val got =
+        if (plans.isEmpty) Seq.empty
+        else RowGroupSkipScan.scan(spark, dir, plans, schema)
+          .filter(pred).orderBy(ord: _*).limit(k).select("id", "key")
+          .collect().toSeq
+      val want = spark.read.parquet(dir)
+        .filter(pred).orderBy(ord: _*).limit(k).select("id", "key")
+        .collect().toSeq
+      assert(got === want,
+        s"window=[$loV,$hiV] k=$k desc=$descending diverged (kept $kept/$total)")
+    }
+    assert(anyNarrowed, "filtered pruning never narrowed — fixture too easy")
   }
 
   test("kill switch restores the declarative plan") {
