@@ -521,7 +521,44 @@ object TextAnalysis {
              |  CAST(sum(coalesce(v.cnt, 0)) AS BIGINT) AS common_sum,
              |  count(*) AS n_tokens
              |FROM t LEFT JOIN v USING (tok)
-             |GROUP BY doc_id""".stripMargin))
+             |GROUP BY doc_id""".stripMargin)),
+
+    // ----- overlapping token chunking (tx15) --------------------------------
+    // The RAG / embedding-ingestion step: split each document into
+    // fixed-width token windows with stride overlap (width 32, stride 24 —
+    // 8-token overlap carries context across boundaries). Map-only: chunk
+    // count, slices, and joins all happen inside the row; nothing
+    // shuffles, output is one row per (doc, chunk). The chunk-count
+    // division runs in IEEE double over small exact integers (quotients
+    // are ≥ 1/stride away from integers unless exact), so both engines
+    // floor identically.
+    QueryDef(
+      "tx15_chunk",
+      (s, dir) => {
+        val W = 32
+        val S = 24
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .withColumn("n", size(col("w")))
+          .withColumn("nc",
+            when(col("n") <= W, 1L)
+              .otherwise(floor((col("n") - W + (S - 1)) / lit(S.toDouble)) + 1L))
+          .select(col("doc_id"), col("w"),
+            posexplode(sequence(lit(0L), col("nc") - 1L)).as(Seq("p", "i")))
+          .withColumn("start", (col("i") * S).cast("int"))
+          .select(col("doc_id"), col("i").as("chunk_id"),
+            size(expr(s"slice(w, start + 1, $W)")).as("n_tok"),
+            array_join(expr(s"slice(w, start + 1, $W)"), " ").as("chunk"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |  c AS (SELECT doc_id, w, len(w) AS n,
+             |    CASE WHEN len(w) <= 32 THEN 1
+             |         ELSE CAST(floor((len(w) - 32 + 23) / 24.0) AS BIGINT) + 1
+             |    END AS nc FROM d)
+             |SELECT doc_id, i AS chunk_id,
+             |  CAST(len(w[i*24 + 1 : i*24 + 32]) AS INTEGER) AS n_tok,
+             |  array_to_string(w[i*24 + 1 : i*24 + 32], ' ') AS chunk
+             |FROM c, UNNEST(range(0, nc)) t(i)""".stripMargin))
   )
 
   /** Word n-grams of the materialized token array `w` as joined strings

@@ -139,6 +139,24 @@ class LifecycleSpec extends SparkSpec {
     assert(fi2.lastExecution.get.route === Seq("rowlevel(k)"),
       s"routing degraded after compaction: ${fi2.lastExecution.get.route}")
     assert(df2.count() === 300L)
+
+    // --- streaming resumes; automatic top-k reads only the newest batch ---
+    // "latest 5" over the compacted-then-grown table: the rule certifies
+    // its threshold from the per-batch-ingested footer stats and prunes
+    // the compacted bulk entirely — the time-series serving pattern the
+    // whole maintenance loop exists for
+    IndexedSink.commitBatch(
+      (300L until 400L).map(_ * 17L).toDF("k").repartition(4),
+      3L, dataDir, index, Seq("k"), hconf, rowLevel = Map("k" -> rowIdx))
+    val (df3, fi3) = IndexedParquet.read(spark, dataDir, index, schema,
+      rowLevelIndexes = Map("k" -> rowIdx))
+    val top = df3.orderBy(col("k").desc).limit(5).collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(399L, 398L, 397L, 396L, 395L).map(_ * 17L))
+    val exec3 = fi3.lastExecution.get
+    assert(exec3.route === Seq("topk(k)"),
+      s"top-k rule did not fire on the maintained table: ${exec3.route}")
+    assert(exec3.scannedFiles.forall(_.startsWith("b3-")),
+      s"latest-k must prune the compacted bulk: ${exec3.scannedFiles}")
     index.close()
   }
 
