@@ -1,0 +1,119 @@
+package graft
+
+import graft.index.{FileScanPlan, FileStats, RowGroupStat, StatsIndex}
+import graft.prune.TopKPruning
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.immutable.SortedSet
+
+/** ScalaCheck property for top-k pruning soundness, at the pure-function
+  * level (no Spark jobs): for randomly generated row groups — nullable
+  * values over a tiny domain to force heavy ties, including all-null and
+  * empty-stats groups — the multiset of top-k values computable from the
+  * KEPT row groups must equal the one computable from ALL rows, under
+  * every (k, direction, null-order) and, for the filtered variant, every
+  * random bound pair. Ties make the top-k ROW set ambiguous; the value
+  * multiset is what every valid tiebreak agrees on, so equality of the
+  * multisets is exactly "no pruning decision can change any answer".
+  */
+class TopKPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop, minSuccessful: Int): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(minSuccessful), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** A generated corpus: per row group, a list of Option[Long] rows. */
+  private val genGroups: Gen[List[List[Option[Long]]]] =
+    Gen.nonEmptyListOf(
+      Gen.listOf(Gen.frequency(
+        8 -> Gen.choose(0L, 20L).map(Some(_)),
+        2 -> Gen.const(None))))
+      .map(_.take(40))
+
+  private def fakeIndex(groups: List[List[Option[Long]]]): StatsIndex = {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val plans = groups.indices.map(i =>
+      FileScanPlan(f"g$i%03d", 1024L, 1, SortedSet(0)))
+    val stats = groups.zipWithIndex.map { case (rows, i) =>
+      val defined = rows.flatten
+      RowGroupStat(f"g$i%03d", 0,
+        defined.minOption, defined.maxOption,
+        rows.size.toLong, Some((rows.size - defined.size).toLong))
+    }
+    new StatsIndex {
+      def initialize(s: StructType): Unit = ()
+      def addFile(st: FileStats): Unit = ()
+      def retainOnly(f: Set[String]): Unit = ()
+      def removeFiles(f: Set[String]): Unit = ()
+      def getFiles(p: org.apache.spark.sql.catalyst.expressions.Expression) =
+        plans
+      def allFiles() = plans
+      def indexedSchema: StructType = schema
+      override def rowGroupStats(c: String) = Some(stats)
+      def close(): Unit = ()
+    }
+  }
+
+  /** Top-k VALUE multiset under (descending, nullsFirst): nulls as None,
+    * ordered per the flags, first k. */
+  private def topValues(
+      rows: Seq[Option[Long]], k: Int,
+      descending: Boolean, nullsFirst: Boolean): Seq[Option[Long]] = {
+    val ord = new Ordering[Option[Long]] {
+      def compare(a: Option[Long], b: Option[Long]): Int = (a, b) match {
+        case (None, None) => 0
+        case (None, _)    => if (nullsFirst) -1 else 1
+        case (_, None)    => if (nullsFirst) 1 else -1
+        case (Some(x), Some(y)) =>
+          if (descending) java.lang.Long.compare(y, x)
+          else java.lang.Long.compare(x, y)
+      }
+    }
+    rows.sorted(ord).take(k)
+  }
+
+  test("plain pruning never loses a top-k value (k × direction × null-order)") {
+    val prop = Prop.forAll(
+      genGroups, Gen.choose(1, 50), Gen.oneOf(true, false), Gen.oneOf(true, false)) {
+      (groups, k, descending, nullsFirst) =>
+        val index = fakeIndex(groups)
+        val kept = TopKPruning.prune(index, "k", k.toLong, descending, nullsFirst)
+          .map(_.fileName).toSet
+        val all = groups.zipWithIndex.flatMap { case (rows, i) => rows.map((f"g$i%03d", _)) }
+        val keptRows = all.filter(r => kept(r._1)).map(_._2)
+        topValues(all.map(_._2), k, descending, nullsFirst) ==
+          topValues(keptRows, k, descending, nullsFirst)
+    }
+    check(prop, 500)
+  }
+
+  test("filtered pruning never loses a top-k value (windows × k × direction)") {
+    val genBound = Gen.option(Gen.zip(Gen.choose(0L, 20L), Gen.oneOf(true, false)))
+    val prop = Prop.forAll(
+      genGroups, Gen.choose(1, 50), Gen.oneOf(true, false), genBound, genBound) {
+      (groups, k, descending, lo, hi) =>
+        val index = fakeIndex(groups)
+        val statsPlans = index.allFiles()
+        val kept = TopKPruning.pruneFiltered(
+            index, "k", k.toLong, descending,
+            lo.map { case (v, i) => (v: Any, i) }, hi.map { case (v, i) => (v: Any, i) },
+            statsPlans)
+          .map(_.fileName).toSet
+        def passes(v: Option[Long]): Boolean = v.exists { x =>
+          lo.forall { case (b, inc) => if (inc) x >= b else x > b } &&
+          hi.forall { case (b, inc) => if (inc) x <= b else x < b }
+        }
+        val all = groups.zipWithIndex.flatMap { case (rows, i) => rows.map((f"g$i%03d", _)) }
+        val passing = all.filter(r => passes(r._2))
+        val keptPassing = passing.filter(r => kept(r._1))
+        // the filter drops nulls, so null ordering is moot — use nulls-last
+        topValues(passing.map(_._2), k, descending, nullsFirst = false) ==
+          topValues(keptPassing.map(_._2), k, descending, nullsFirst = false)
+    }
+    check(prop, 500)
+  }
+}
