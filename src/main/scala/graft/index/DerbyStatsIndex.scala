@@ -341,7 +341,9 @@ final class DerbyStatsIndex(
       colName: String,
       k: Long,
       descending: Boolean,
-      nullsFirst: Boolean): Option[Seq[FileScanPlan]] = conn.synchronized {
+      nullsFirst: Boolean,
+      lo: Option[(Any, Boolean)] = None,
+      hi: Option[(Any, Boolean)] = None): Option[Seq[FileScanPlan]] = conn.synchronized {
     require(indexedCols.exists(_.name == colName), s"$colName is not indexed")
     val numeric = indexedCols.find(_.name == colName).map(_.dataType).exists {
       case ByteType | ShortType | IntegerType | LongType | DateType |
@@ -352,6 +354,26 @@ final class DerbyStatsIndex(
     val guar = if (descending) s"${colName}_min" else s"${colName}_max"
     val best = if (descending) s"${colName}_max" else s"${colName}_min"
     val dir = if (descending) "DESC" else "ASC"
+    def render(v: Any): String = v match {
+      case d: java.math.BigDecimal => d.toPlainString
+      case other => other.toString // boxed integrals only (numeric gate above)
+    }
+    // threshold certificate restricted to groups wholly inside the window:
+    // BOTH stored bounds must sit within [lo, hi] (and be known), so every
+    // non-null row of the group passes the data filter
+    // the windowed certificate needs BOTH stored bounds known (the
+    // unfiltered one needs only the guarantee side — adding more would
+    // diverge from the planner-side reference semantics)
+    val inside =
+      (if (lo.isDefined || hi.isDefined)
+        s" AND rg.${colName}_min IS NOT NULL AND rg.${colName}_max IS NOT NULL"
+      else "") +
+      lo.map { case (v, inc) =>
+        s" AND rg.${colName}_min ${if (inc) ">=" else ">"} ${render(v)}" }
+        .getOrElse("") +
+      hi.map { case (v, inc) =>
+        s" AND rg.${colName}_max ${if (inc) "<=" else "<"} ${render(v)}" }
+        .getOrElse("")
     try {
       var covered = 0L
       var threshold: Option[Any] = None
@@ -362,6 +384,7 @@ final class DerbyStatsIndex(
           s"""SELECT $guar, rg.row_count, rg.${colName}_null_count
              |FROM row_group_statistics rg
              |WHERE $guar IS NOT NULL AND rg.${colName}_null_count IS NOT NULL
+             |  $inside
              |ORDER BY $guar $dir
              |OFFSET $offset ROWS FETCH NEXT $page ROWS ONLY""".stripMargin)
         var n = 0

@@ -89,16 +89,22 @@ trait StatsIndex extends AutoCloseable {
     * just the row groups that might hold a top-k row, with the threshold
     * discovery AND the survivor filter both evaluated inside the catalog —
     * O(survivors) transfer to the planner instead of [[rowGroupStats]]'
-    * O(index). Semantics must match [[graft.prune.TopKPruning]]'s
-    * planner-side algorithm exactly (it is the reference implementation
-    * and the fallback). None = the catalog cannot serve or certify
-    * (unsupported type, guarantees never cover k, query failure) — the
-    * caller falls back to planner-side pruning. */
+    * O(index). `lo`/`hi` ((value, inclusive), catalog storage encoding)
+    * restrict the THRESHOLD certificate to row groups lying wholly inside
+    * the window — the filtered-top-k shape; survivors are then still the
+    * threshold-beating groups (callers intersect with the filter's own
+    * stats pruning). Semantics must match [[graft.prune.TopKPruning]]'s
+    * planner-side algorithms exactly (they are the reference
+    * implementation and the fallback). None = the catalog cannot serve or
+    * certify (unsupported type, guarantees never cover k, query failure)
+    * — the caller falls back to planner-side pruning. */
   def topKSurvivors(
       colName: String,
       k: Long,
       descending: Boolean,
-      nullsFirst: Boolean): Option[Seq[FileScanPlan]] = None
+      nullsFirst: Boolean,
+      lo: Option[(Any, Boolean)] = None,
+      hi: Option[(Any, Boolean)] = None): Option[Seq[FileScanPlan]] = None
 
   /** Columns carrying per-row-group bloom filters in this catalog; empty =
     * no bloom support. Implementations with blooms override (a constructor

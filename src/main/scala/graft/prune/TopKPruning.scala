@@ -84,6 +84,21 @@ object TopKPruning {
     val dt = index.indexedSchema.fields.find(_.name == colName)
       .getOrElse(return statsPlans).dataType
     val ord = ordering(dt).getOrElse(return statsPlans)
+    // catalog-side fast path: in-window threshold + survivor filter inside
+    // the store; survivors intersect with the filter's own stats pruning
+    // (both over-approximate independently, so intersecting is sound).
+    // nullsFirst=false always: a comparison filter on the column passes no
+    // nulls, so certified all-null groups lose regardless of sort order.
+    index.topKSurvivors(colName, k, descending, nullsFirst = false, lo, hi) match {
+      case Some(survivors) =>
+        val byFile = survivors.map(p => p.fileName -> p.scanRowGroups).toMap
+        return statsPlans.flatMap { p =>
+          byFile.get(p.fileName)
+            .map(rgs => p.copy(scanRowGroups = p.scanRowGroups intersect rgs))
+            .filter(_.scanRowGroups.nonEmpty)
+        }
+      case None => () // fall through to the planner-side reference path
+    }
     val stats = index.rowGroupStats(colName).getOrElse(return statsPlans)
 
     def passesLo(v: Any) = lo.forall { case (b, inc) =>

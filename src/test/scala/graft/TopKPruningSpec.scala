@@ -264,8 +264,8 @@ class TopKPruningSpec extends SparkSpec {
       def allFiles() = u.allFiles()
       def indexedSchema: StructType = u.indexedSchema
       override def rowGroupStats(c: String) = u.rowGroupStats(c)
-      override def topKSurvivors(c: String, k: Long, d: Boolean, nf: Boolean) =
-        None
+      override def topKSurvivors(c: String, k: Long, d: Boolean, nf: Boolean,
+          lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)]) = None
       def close(): Unit = ()
     }
 
@@ -284,6 +284,30 @@ class TopKPruningSpec extends SparkSpec {
       val viaPlanner = TopKPruning.prune(slow, "key", k.toLong, descending, nullsFirst)
       assert(keySet(fast.get) === keySet(viaPlanner),
         s"k=$k desc=$descending nullsFirst=$nullsFirst: paths diverged")
+    }
+  }
+
+  test("filtered fast path equals planner-side filtered pruning exactly") {
+    val (_, index, schema) = fx
+    val slow = plannerOnly(index)
+    def keySet(plans: Seq[graft.index.FileScanPlan]) =
+      plans.map(p => p.fileName -> p.scanRowGroups).toMap
+    for {
+      (loV, hiV) <- Seq((200L, 900L), (0L, 1400L), (600L, 650L))
+      k <- Seq(1, 16, 200)
+      descending <- Seq(true, false)
+    } {
+      val pred = col("key") >= loV && col("key") <= hiV
+      val resolved = RowGroupSkipScan.resolvePredicate(spark, schema, pred)
+      val statsPlans = index.getFiles(resolved)
+      val lo = Some((loV: Any, true))
+      val hi = Some((hiV: Any, true))
+      val fast = TopKPruning.pruneFiltered(
+        index, "key", k.toLong, descending, lo, hi, statsPlans)
+      val viaPlanner = TopKPruning.pruneFiltered(
+        slow, "key", k.toLong, descending, lo, hi, statsPlans)
+      assert(keySet(fast) === keySet(viaPlanner),
+        s"window=[$loV,$hiV] k=$k desc=$descending: filtered paths diverged")
     }
   }
 
