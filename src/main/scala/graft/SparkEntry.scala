@@ -12,7 +12,8 @@ object SparkEntry {
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.AnnSearch.defs ++ operators.Multimodal.defs ++
       operators.Sketches.defs ++ operators.AsOf.defs ++
-      operators.Skew.defs ++ sources.Compaction.defs ++
+      operators.Skew.defs ++ operators.Graph.defs ++
+      sources.Compaction.defs ++
       streaming.EventStreams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
