@@ -36,10 +36,14 @@ object Graph {
         explode(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(4L)))).as("j"))
       .select(col("src"), pmod(col("src") * 7L + col("j") * 13L, lit(n)).as("dst"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("g"))
+    // materialized once, reused every iteration — without the persist each
+    // iteration would re-derive the edge list and re-aggregate the degrees
+    // from scratch (3× the scans at 100 TB); production loops checkpoint
+    // this the same way
+    val edgesDeg = edges.join(deg, "src").persist()
     var rank = docs.select(col("doc_id").as("node"), lit(1000000L).as("r"))
     (1 to 3).foreach { _ =>
-      val contrib = edges
-        .join(deg, "src")
+      val contrib = edgesDeg
         .join(rank.select(col("node").as("src"), col("r").as("rs")), "src")
         .select(col("dst").as("node"), floor(col("rs") / col("g")).as("c"))
       rank = docs.select(col("doc_id").as("node"))

@@ -107,8 +107,13 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
       cond.toSeq, plans, idx.allFiles().size,
       idx.allFiles().map(_.rowGroupCount).sum, route = Seq(routeTag)))
 
-    // every column the surviving Filter/Projects and the output need
-    val needed = (child.outputSet ++ child.references).map(_.name).toSet
+    // every column ANY node of the surviving Filter/Project chain consumes
+    // (not just the top node's references — an intermediate Project or the
+    // Filter condition must also resolve against the substituted scan)
+    val needed = child.collect {
+      case p: Project => p.projectList.map(_.name)
+      case f: Filter  => f.condition.references.map(_.name).toSeq
+    }.flatten.toSet ++ child.output.map(_.name)
     val required = StructType(h.dataSchema.filter(f => needed.contains(f.name)))
     val scan = RowGroupScan(
       DataTypeUtils.toAttributes(required),
