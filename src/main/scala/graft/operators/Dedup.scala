@@ -39,14 +39,19 @@ object Dedup {
     * INSIDE the per-doc array before array_distinct, so per-doc distinct
     * semantics apply to the hashed values exactly as the oracle's
     * SELECT DISTINCT does, and everything stays map-side. */
-  private def shingleDf(s: SparkSession, dir: String, hashed: Boolean = false): DataFrame = {
+  private def shingleDf(s: SparkSession, dir: String, hashed: Boolean = false): DataFrame =
+    shinglesOf(Tables.load(s, dir, "documents"), hashed)
+
+  /** As [[shingleDf]], over an arbitrary `(doc_id, text, …)` frame — the
+    * seam the incremental path (dd10) uses to shingle ONLY a new batch. */
+  private def shinglesOf(docs: DataFrame, hashed: Boolean = false): DataFrame = {
     val w = col("w")
     def shingle(i: Column): Column =
       concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))
     def piece(i: Column): Column =
       if (hashed) conv(substring(md5(shingle(i)), 1, 15), 16, 10).cast("long")
       else shingle(i)
-    Tables.load(s, dir, "documents")
+    docs
       .select(col("doc_id"), toks(col("text")).as("w"))
       .filter(size(w) >= 3)
       .select(col("doc_id"), explode(array_distinct(
@@ -108,28 +113,37 @@ object Dedup {
     df.withColumn("rk", row_number().over(w)).where(col("rk") <= cap).drop("rk")
   }
 
-  /** MinHash+LSH candidate pairs (a < b), the dd3 pipeline: 12
-    * multiply-shift minhashes from ONE md5 per shingle, 4 bands x 3 rows,
-    * pair combinations inside each band bucket. Single pass — the
-    * signature subtree is computed exactly once (no union, no self-join).
-    * Bucket sizes are bounded by design (only near-dups collide), so the
-    * array combination step is O(bucket²) with tiny buckets — the shape
-    * that survives a 1000x corpus. Shared by dd3 (emits the pairs) and
-    * dd6 (clusters them). */
-  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleDf(s, dir)
+  /** LSH band keys per document from an exploded shingle frame
+    * `(doc_id, s)`: 12 multiply-shift minhashes from ONE md5 per shingle
+    * aggregated into a signature, melted to (doc_id, band, bkey) — 4
+    * bands x 3 rows. Factored out of [[minhashPairs]] so the INCREMENTAL
+    * path (dd10) can band an arbitrary document subset: the corpus's
+    * band keys are computed once and persisted; only each new batch is
+    * re-banded. */
+  private[graft] def bandKeys(sh: DataFrame): DataFrame = {
     val base = conv(substring(md5(col("s")), 1, 10), 16, 10).cast("long")
     val mhCols = (0 until MinhashCount).map { h =>
       min((lit(mhA(h)) * base + lit(mhB(h))).bitwiseAND(lit(MhMask)))
         .as(s"mh$h")
     }
     val sig = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-    val melted = sig.select(col("doc_id"), explode(array(
+    sig.select(col("doc_id"), explode(array(
       (0 until Bands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|", (0 until 3).map(r => col(s"mh${b * 3 + r}")): _*)).as("bkey"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** MinHash+LSH candidate pairs (a < b), the dd3 pipeline: [[bandKeys]]
+    * over every document, pair combinations inside each band bucket.
+    * Single pass — the signature subtree is computed exactly once (no
+    * union, no self-join). Bucket sizes are bounded by design (only
+    * near-dups collide), so the array combination step is O(bucket²)
+    * with tiny buckets — the shape that survives a 1000x corpus. Shared
+    * by dd3 (emits the pairs) and dd6 (clusters them). */
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val melted = bandKeys(shingleDf(s, dir))
     val buckets = melted.groupBy("band", "bkey")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .where(size(col("ds")) > 1)
@@ -140,9 +154,10 @@ object Dedup {
       .distinct()
   }
 
-  /** The dd3 pipeline as DuckDB CTEs ending in `pairs(a, b)` — shared by
-    * the dd3 oracle and dd6's recursive-closure oracle. */
-  private def mhPairsCtes: String = {
+  /** The signature/banding pipeline as DuckDB CTEs ending in
+    * `bands(doc_id, band, bkey)` — shared by [[mhPairsCtes]] and dd10's
+    * incremental (corpus x batch) oracle. */
+  private def mhBandsCtes: String = {
     val mhSelects = (0 until MinhashCount).map(h =>
       s"min((${mhA(h)} * b + ${mhB(h)}) & $MhMask) mh$h").mkString(",\n  ")
     val bandRows = (0 until Bands).map { bnd =>
@@ -157,11 +172,16 @@ object Dedup {
        |  $mhSelects
        |  FROM base GROUP BY doc_id),
        |bands AS (
-       |$bandRows),
+       |$bandRows)""".stripMargin
+  }
+
+  /** The dd3 pipeline as DuckDB CTEs ending in `pairs(a, b)` — shared by
+    * the dd3 oracle and dd6's recursive-closure oracle. */
+  private def mhPairsCtes: String =
+    s"""$mhBandsCtes,
        |pairs AS (SELECT DISTINCT x.doc_id a, y.doc_id b
        |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
        |WHERE x.doc_id < y.doc_id)""".stripMargin
-  }
 
   /** Connected components of an undirected pair graph `(a, b)`: each
     * vertex's component is the MIN vertex id reachable from it.
@@ -604,6 +624,52 @@ object Dedup {
              |SELECT regexp_replace(regexp_replace(lower(url), '\?.*$', ''),
              |                      '/$', '') AS canon,
              |  count(*) AS n_variants, min(doc_id) AS keep_id
-             |FROM u GROUP BY 1""".stripMargin))
+             |FROM u GROUP BY 1""".stripMargin)),
+
+    // ----- INCREMENTAL dedup: new batch vs persisted corpus band index ----
+    // The continuous-ingestion shape: at 100 TB you never re-shingle the
+    // corpus to admit a new crawl batch — the corpus's LSH band keys are
+    // computed ONCE and persisted as a table BUCKETED by (band, bkey), so
+    // admitting a batch is (a) band the batch (O(batch) narrow work), and
+    // (b) one join in which ONLY the batch side shuffles — the corpus
+    // index is read in place, bucket-aligned (IncrementalDedupSpec pins
+    // zero Exchange over the corpus side and exactly one documents scan
+    // in the plan). Emits (corpus doc a, batch doc b) LSH candidate pairs
+    // — dd3's collision semantics restricted to cross pairs; batch-vs-
+    // batch pairs are dd3's job on the batch alone. Corpus = doc_id % 5
+    // != 0, batch = doc_id % 5 = 0 (a scale-independent 20% arrival).
+    QueryDef(
+      "dd10_incremental",
+      (s, dir) => {
+        val corpus = s.table(corpusBandTable(s, dir))
+          .withColumnRenamed("doc_id", "a")
+        val batch = bandKeys(shinglesOf(
+            Tables.load(s, dir, "documents").filter(col("doc_id") % 5 === 0)))
+          .withColumnRenamed("doc_id", "b")
+        corpus.join(batch, Seq("band", "bkey"))
+          .select("a", "b").distinct()
+      },
+      Some(s"""WITH $mhBandsCtes
+              |SELECT DISTINCT x.doc_id a, y.doc_id b
+              |FROM bands x JOIN bands y
+              |  ON x.band = y.band AND x.bkey = y.bkey
+              |WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0""".stripMargin))
   )
+
+  private val bandTableCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The persisted corpus band index for `dir`: (doc_id, band, bkey) of
+    * every corpus document, written once per session as a table bucketed
+    * AND sorted by (band, bkey). Bucketing is the incremental contract —
+    * every later batch join co-locates against it with no corpus-side
+    * shuffle. 8 buckets here; at 100 TB the count scales with the corpus
+    * (it only has to keep a bucket's postings within one task's memory). */
+  private def corpusBandTable(s: SparkSession, dir: String): String =
+    bandTableCache.getOrElseUpdate(dir + "@" + s.hashCode(), {
+      val tbl = "graft_bands_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val corpusBands = bandKeys(shinglesOf(
+        Tables.load(s, dir, "documents").filter(col("doc_id") % 5 =!= 0)))
+      graft.sources.Bucketing.writeBucketed(corpusBands, tbl, "band", 8, "bkey")
+      tbl
+    })
 }
