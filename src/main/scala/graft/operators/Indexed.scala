@@ -384,6 +384,20 @@ object Indexed {
              |  AND l_extendedprice BETWEEN 20000.0 AND 45000.0
              |GROUP BY l_returnflag""".stripMargin)),
 
+    // COUNT(DISTINCT key) pushdown to the row-level POSTING index
+    // (plans/StatsAggPushdown.distinctRewrite): the posting table's
+    // distinct keys ARE the data's distinct keys, so the aggregate scans
+    // the small key-pruned posting parquet instead of the table — the
+    // NDV query a 100 TB catalog answers from its key directory, not a
+    // full-table distinct. Certified only when the index's coverage
+    // manifest equals the live file set (DistinctPushdownSpec pins the
+    // rewrite, the staleness fallback, and the kill switch).
+    QueryDef(
+      "idx18_distinct",
+      (s, dir) => lineitemRouted(s, dir)
+        .agg(count_distinct(col("l_orderkey")).as("n_keys")),
+      Some("SELECT count(DISTINCT l_orderkey) AS n_keys FROM lineitem")),
+
     // row-level key index (the reference's named "precise index" extension,
     // index.rs:30-35): exact key -> (file, row_group) postings; scans only
     // row groups where the key OCCURS, not merely where its range overlaps

@@ -4,7 +4,7 @@ import graft.index.StatsIndex
 import graft.sources.IndexedParquetFileIndex
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -53,21 +53,76 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     plan.transform {
       case agg: Aggregate if agg.groupingExpressions.isEmpty &&
           agg.aggregateExpressions.nonEmpty =>
-        statsIndexOf(agg.child) match {
-          case Some(index) =>
-            val values = agg.aggregateExpressions.map(catalogValue(index, _))
+        fileIndexOf(agg.child) match {
+          case Some(idx) =>
+            val values = agg.aggregateExpressions.map(catalogValue(idx.statsIndex, _))
             if (values.forall(_.isDefined))
               LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.map(_.get))))
-            else agg
+            else distinctRewrite(agg, idx).getOrElse(agg)
           case None => agg
         }
     }
   }
 
+  /** COUNT(DISTINCT key) answered from the row-level POSTING index: the
+    * posting table holds one row per distinct (key, row group) pair over
+    * the files it covers, so its distinct keys ARE the data's distinct
+    * keys — the aggregate is rewritten to scan the (small, key-column-
+    * pruned) posting parquet instead of the data. O(index) where the
+    * declarative plan is a full-table distinct: at 100 TB the posting
+    * table is the ~GB key directory vs the table's TBs, and NULL
+    * semantics carry over verbatim (COUNT DISTINCT ignores the posting
+    * table's null-key rows exactly as it ignores the data's null rows;
+    * replayed-append duplicate postings collapse in the same distinct).
+    *
+    * Certification — all must hold, or the declarative plan stands:
+    *  - every output column is a filterless `COUNT(DISTINCT key)` over
+    *    the SAME single row-level-indexed column (any other aggregate,
+    *    multi-column distinct, or agg-filter disqualifies);
+    *  - the index's coverage manifest EQUALS the live file set: a missing
+    *    file would undercount, a since-removed file could contribute keys
+    *    no longer present (strictly stronger than routing's superset
+    *    check, where over-approximation is harmless);
+    *  - the posting key column's type matches the data column's.
+    * Kill switch: `spark.graft.distinctAggPushdown=false`. */
+  private def distinctRewrite(
+      agg: Aggregate, idx: IndexedParquetFileIndex): Option[LogicalPlan] = {
+    if (session.conf.get("spark.graft.distinctAggPushdown", "true") != "true")
+      return None
+    val keyPerOutput = agg.aggregateExpressions.map {
+      case Alias(ae: AggregateExpression, _) if ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(a: AttributeReference)) => Some(a)
+          case _ => None
+        }
+      case _ => None
+    }
+    if (keyPerOutput.exists(_.isEmpty)) return None
+    val attrs = keyPerOutput.flatten
+    if (attrs.map(_.exprId).distinct.size != 1) return None
+    val keyAttr = attrs.head
+    val indexDir = idx.rowLevelIndexDirs.get(keyAttr.name) match {
+      case Some(d) => d
+      case None => return None
+    }
+    val live = idx.statsIndex.allFiles().map(_.fileName).toSet
+    if (!graft.index.RowLevelIndex.coveredFiles(session, indexDir).contains(live))
+      return None
+    val posting =
+      try session.read.parquet(indexDir).select("key").queryExecution.analyzed
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val postingKey = posting.output.head
+    if (postingKey.dataType != keyAttr.dataType) return None
+    val rebound = agg.aggregateExpressions.map(_.transform {
+      case a: AttributeReference if a.exprId == keyAttr.exprId => postingKey
+    }.asInstanceOf[NamedExpression])
+    Some(Aggregate(Nil, rebound, posting))
+  }
+
   /** The child must be the index-backed relation, optionally under an
     * attribute-only Project (column pruning) — anything else (Filter,
     * joins, computed projections) disqualifies the rewrite. */
-  private def statsIndexOf(p: LogicalPlan): Option[StatsIndex] = p match {
+  private def fileIndexOf(p: LogicalPlan): Option[IndexedParquetFileIndex] = p match {
     case l: LogicalRelation => fromRelation(l)
     case Project(projectList, l: LogicalRelation)
         if projectList.forall(_.isInstanceOf[AttributeReference]) =>
@@ -75,11 +130,11 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     case _ => None
   }
 
-  private def fromRelation(l: LogicalRelation): Option[StatsIndex] =
+  private def fromRelation(l: LogicalRelation): Option[IndexedParquetFileIndex] =
     l.relation match {
       case h: HadoopFsRelation =>
         h.location match {
-          case idx: IndexedParquetFileIndex => Some(idx.statsIndex)
+          case idx: IndexedParquetFileIndex => Some(idx)
           case _ => None
         }
       case _ => None

@@ -75,6 +75,11 @@ final class IndexedParquetFileIndex(
   /** The backing stats index (for scans that consult it directly). */
   def statsIndex: StatsIndex = index
 
+  /** Column → posting-table directory for the row-level indexes this
+    * relation routes through (plans/StatsAggPushdown's COUNT DISTINCT
+    * rewrite consults the same registry the filter router uses). */
+  def rowLevelIndexDirs: Map[String, String] = rowLevelIndexes
+
   @volatile var lastExecution: Option[PruneExecution] = None
 
   override def rootPaths: Seq[Path] = Seq(dir)
