@@ -386,7 +386,41 @@ object AnnSearch {
              |SELECT e.vec_id, e.pos,
              |  CAST(CASE WHEN mx = mn THEN 0
              |       ELSE floor((x - mn) * 255 / (mx - mn)) END AS BIGINT) AS q8
-             |FROM e JOIN st USING (pos)""".stripMargin))
+             |FROM e JOIN st USING (pos)""".stripMargin)),
+
+    // ----- gram matrix X^T X (emb3) -----------------------------------------
+    // The PCA/whitening prep every embedding pipeline runs before choosing
+    // a projection: the d x d gram matrix of the quantized corpus, upper
+    // triangle as (i, j, g) rows. Each input row explodes to d(d+1)/2
+    // products that are partially aggregated MAP-SIDE before the one
+    // shuffle, so the exchange carries O(d^2 x tasks) cells — independent
+    // of corpus size; no row ever sees another row (outer-product
+    // additivity). The quantized array is materialized ONCE per row
+    // before the pair lambda (the per-element recompute trap measured 6x
+    // on shingles). Integer-exact: floor(x*1000) grid, BIGINT sums.
+    QueryDef(
+      "emb3_gram",
+      (s, dir) => {
+        val d = EmbeddingDim
+        val v = col("v")
+        Tables.load(s, dir, "embeddings")
+          .select(quant(col("embedding")).as("v"))
+          .select(explode(flatten(transform(sequence(lit(1), lit(d)), i =>
+            transform(sequence(i, lit(d)), j =>
+              struct(i.cast("int").as("i"), j.cast("int").as("j"),
+                (element_at(v, i) * element_at(v, j)).as("p")))))).as("e"))
+          .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+          .agg(sum(col("e.p")).as("g"))
+      },
+      Some(s"""WITH q AS (SELECT
+             |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) v
+             |  FROM embeddings)
+             |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+             |  CAST(sum(v[i] * v[j]) AS BIGINT) AS g
+             |FROM q, UNNEST(range(1, ${EmbeddingDim + 1})) a(i),
+             |     UNNEST(range(1, ${EmbeddingDim + 1})) b(j)
+             |WHERE j >= i
+             |GROUP BY 1, 2""".stripMargin))
   )
 
   val IvfCells = 16

@@ -558,7 +558,40 @@ object TextAnalysis {
              |SELECT doc_id, i AS chunk_id,
              |  CAST(len(w[i*24 + 1 : i*24 + 32]) AS INTEGER) AS n_tok,
              |  array_to_string(w[i*24 + 1 : i*24 + 32], ' ') AS chunk
-             |FROM c, UNNEST(range(0, nc)) t(i)""".stripMargin))
+             |FROM c, UNNEST(range(0, nc)) t(i)""".stripMargin)),
+
+    // ----- deterministic global shuffle + sharding (tx16) -------------------
+    // The step between curation and training: break source/time order by
+    // a seeded hash, split into shards, and give every document a stable
+    // position within its shard. NOT a global sort — one hash-partition
+    // shuffle on the shard key plus a within-shard window sort, the only
+    // shape that scales (a total order over 100 TB serializes on a range
+    // exchange; training jobs only need per-shard order). Reshuffling is
+    // changing the seed; identical inputs always yield identical shards,
+    // so a resumed pipeline re-reads the same data in the same order.
+    QueryDef(
+      "tx16_shuffle_shard",
+      (s, dir) => {
+        val mkey = md5(concat(col("doc_id").cast("string"), lit(":42")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("mkey"), col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), mkey.as("mkey"))
+          .withColumn("shard",
+            pmod(conv(substring(col("mkey"), 1, 2), 16, 10).cast("long"), lit(8L))
+              .cast("int"))
+          .withColumn("pos", row_number().over(w))
+          .select("doc_id", "shard", "pos")
+      },
+      Some("""WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') mkey
+             |  FROM documents),
+             |s AS (SELECT doc_id, mkey,
+             |  CAST(CAST('0x' || substr(mkey, 1, 2) AS BIGINT) % 8 AS INTEGER) shard
+             |  FROM k)
+             |SELECT doc_id, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard ORDER BY mkey, doc_id)
+             |       AS INTEGER) AS pos
+             |FROM s""".stripMargin))
   )
 
   /** Word n-grams of the materialized token array `w` as joined strings

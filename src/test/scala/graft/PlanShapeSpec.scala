@@ -127,4 +127,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.indexOf("HashAggregate", firstExchange) > firstExchange,
       "expected a partial aggregate under the exchange")
   }
+
+  test("emb3_gram: one exchange, partial agg under it (shuffle is O(d^2 x tasks))") {
+    val p = plan("emb3_gram")
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(2000))
+    val firstExchange = p.indexOf("Exchange")
+    assert(p.indexOf("HashAggregate", firstExchange) > firstExchange,
+      "the d(d+1)/2 products must combine map-side before the shuffle")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("tx16_shuffle_shard: one hash exchange on shard, no global sort") {
+    val p = plan("tx16_shuffle_shard")
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("hashpartitioning(shard"), p.take(2000))
+    assert(!p.contains("rangepartitioning"),
+      "a range exchange means a global sort snuck in")
+  }
 }
