@@ -14,7 +14,7 @@ object SparkEntry {
       operators.Sketches.defs ++ operators.AsOf.defs ++
       operators.Skew.defs ++ operators.Graph.defs ++
       sources.Compaction.defs ++
-      streaming.EventStreams.defs
+      streaming.EventStreams.defs ++ streaming.DocumentStreams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's flagship scenario (point predicate through the

@@ -44,7 +44,7 @@ object Dedup {
 
   /** As [[shingleDf]], over an arbitrary `(doc_id, text, …)` frame — the
     * seam the incremental path (dd10) uses to shingle ONLY a new batch. */
-  private def shinglesOf(docs: DataFrame, hashed: Boolean = false): DataFrame = {
+  private[graft] def shinglesOf(docs: DataFrame, hashed: Boolean = false): DataFrame = {
     val w = col("w")
     def shingle(i: Column): Column =
       concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))
@@ -135,6 +135,40 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
+  /** MAP-ONLY [[bandKeys]]: the same (doc_id, band, bkey) rows computed
+    * without the explode+groupBy signature shuffle — every shingle of a
+    * document lives in its own row's token array, so the 12 minhash
+    * minima are per-row `array_min`s over the hashed distinct-shingle
+    * array. Zero exchanges and zero state, which is what lets the
+    * STREAMING incremental path (st5) band each arriving micro-batch
+    * statelessly; the batch incremental path (dd10) uses it for the same
+    * reason (its only shuffle is then the band join itself).
+    * BandKeysEquivalence in IncrementalDedupSpec pins row-identity with
+    * [[bandKeys]]. */
+  private[graft] def bandKeysMapOnly(docs: DataFrame): DataFrame = {
+    val w = col("w")
+    def shingle(i: Column): Column =
+      concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))
+    val hashed = docs
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .filter(size(w) >= 3)
+      .select(col("doc_id"),
+        transform(
+          array_distinct(transform(sequence(lit(0), size(w) - 3), shingle _)),
+          sv => conv(substring(md5(sv), 1, 10), 16, 10).cast("long")).as("bs"))
+    val mh = (0 until MinhashCount).map { h =>
+      array_min(transform(col("bs"),
+        b => (lit(mhA(h)) * b + lit(mhB(h))).bitwiseAND(lit(MhMask)))).as(s"mh$h")
+    }
+    hashed.select(col("doc_id") +: mh: _*)
+      .select(col("doc_id"), explode(array(
+        (0 until Bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("|", (0 until 3).map(r => col(s"mh${b * 3 + r}")): _*)).as("bkey"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
   /** MinHash+LSH candidate pairs (a < b), the dd3 pipeline: [[bandKeys]]
     * over every document, pair combinations inside each band bucket.
     * Single pass — the signature subtree is computed exactly once (no
@@ -155,9 +189,9 @@ object Dedup {
   }
 
   /** The signature/banding pipeline as DuckDB CTEs ending in
-    * `bands(doc_id, band, bkey)` — shared by [[mhPairsCtes]] and dd10's
-    * incremental (corpus x batch) oracle. */
-  private def mhBandsCtes: String = {
+    * `bands(doc_id, band, bkey)` — shared by [[mhPairsCtes]], dd10's
+    * incremental (corpus x batch) oracle, and st5's streaming gate. */
+  private[graft] def mhBandsCtes: String = {
     val mhSelects = (0 until MinhashCount).map(h =>
       s"min((${mhA(h)} * b + ${mhB(h)}) & $MhMask) mh$h").mkString(",\n  ")
     val bandRows = (0 until Bands).map { bnd =>
@@ -643,8 +677,8 @@ object Dedup {
       (s, dir) => {
         val corpus = s.table(corpusBandTable(s, dir))
           .withColumnRenamed("doc_id", "a")
-        val batch = bandKeys(shinglesOf(
-            Tables.load(s, dir, "documents").filter(col("doc_id") % 5 === 0)))
+        val batch = bandKeysMapOnly(
+            Tables.load(s, dir, "documents").filter(col("doc_id") % 5 === 0))
           .withColumnRenamed("doc_id", "b")
         corpus.join(batch, Seq("band", "bkey"))
           .select("a", "b").distinct()
@@ -664,11 +698,11 @@ object Dedup {
     * every later batch join co-locates against it with no corpus-side
     * shuffle. 8 buckets here; at 100 TB the count scales with the corpus
     * (it only has to keep a bucket's postings within one task's memory). */
-  private def corpusBandTable(s: SparkSession, dir: String): String =
+  private[graft] def corpusBandTable(s: SparkSession, dir: String): String =
     bandTableCache.getOrElseUpdate(dir + "@" + s.hashCode(), {
       val tbl = "graft_bands_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      val corpusBands = bandKeys(shinglesOf(
-        Tables.load(s, dir, "documents").filter(col("doc_id") % 5 =!= 0)))
+      val corpusBands = bandKeysMapOnly(
+        Tables.load(s, dir, "documents").filter(col("doc_id") % 5 =!= 0))
       graft.sources.Bucketing.writeBucketed(corpusBands, tbl, "band", 8, "bkey")
       tbl
     })

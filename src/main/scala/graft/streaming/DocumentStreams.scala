@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming admission control for a document corpus — the online face of
+  * dd10's incremental dedup: documents ARRIVE as a stream and each
+  * micro-batch is checked against the persisted corpus band index before
+  * admission. The pipeline is fully STATELESS on the stream side:
+  * banding is the map-only variant (`Dedup.bandKeysMapOnly` — a doc's
+  * shingles never leave its row, so there is no streaming aggregation and
+  * no state store), and the membership check is a STREAM-STATIC join
+  * against the bucketed corpus band table (the static side is planned per
+  * micro-batch; only the arriving batch shuffles). At 100 TB the same
+  * topology runs against a Kafka source with the band table maintained by
+  * the ingestion pipeline (IndexedSink's catalog-maintenance pattern).
+  */
+object DocumentStreams {
+
+  private val fixture = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Once per sfDir: the ARRIVING documents (doc_id % 5 = 0 — dd10's
+    * batch slice) re-materialized as 4 doc_id-range files so the file
+    * source feeds them one micro-batch at a time. Order doesn't matter
+    * (the emitted pair set is batch-order-independent: each document's
+    * matches depend only on its own row and the static table), but
+    * mtimes are stamped ascending anyway so batch boundaries are
+    * deterministic run to run. */
+  private[graft] def docStreamDir(s: SparkSession, sfDir: String): String =
+    fixture.getOrElseUpdate(sfDir + "@" + s.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = new java.io.File(s"target/tmp/streamdocs/$safe/docs-v1").getAbsolutePath
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+        graft.Tables.load(s, sfDir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(out)
+      }
+      val parts = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      out
+    })
+
+  /** `st5_stream_dedup_inc`: the streaming incremental-dedup gate. The
+    * memory sink collects raw (corpus a, batch b) band collisions —
+    * duplicates only within a single micro-batch (a document's bands all
+    * live in its one row), so the gate's batch-side `distinct()` yields
+    * exactly dd10's pair set and the ANSI oracle applies verbatim. */
+  def streamIncDedupQuery(s: SparkSession, sfDir: String): DataFrame = {
+    val corpus = s.table(Dedup.corpusBandTable(s, sfDir))
+      .withColumnRenamed("doc_id", "a")
+    val dir = docStreamDir(s, sfDir)
+    val src = s.readStream
+      .schema(s.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val sinkName = "graft_st5_sink"
+    s.catalog.dropTempView(sinkName)
+    val bands = Dedup.bandKeysMapOnly(src).withColumnRenamed("doc_id", "b")
+    val q = corpus.join(bands, Seq("band", "bkey"))
+      .select(col("a"), col("b"))
+      .writeStream.format("memory").queryName(sinkName).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sinkName).distinct()
+  }
+
+  val defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef(
+      "st5_stream_dedup_inc",
+      (s, dir) => streamIncDedupQuery(s, dir),
+      Some(s"""WITH ${Dedup.mhBandsCtes}
+              |SELECT DISTINCT x.doc_id a, y.doc_id b
+              |FROM bands x JOIN bands y
+              |  ON x.band = y.band AND x.bkey = y.bkey
+              |WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0""".stripMargin))
+  )
+}

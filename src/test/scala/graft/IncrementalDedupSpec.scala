@@ -78,4 +78,20 @@ class IncrementalDedupSpec extends SparkSpec {
       .collect { case (x, y) if x % 5 != 0 && y % 5 == 0 => (x, y) }
     assert(inc == expected, s"inc=${inc.size} expected=${expected.size}")
   }
+
+  test("map-only banding is row-identical to the aggregate pipeline") {
+    val docs = Tables.load(spark, dir, "documents")
+    val viaAgg = operators.Dedup.bandKeys(operators.Dedup.shinglesOf(docs))
+      .collect().map(_.toSeq).toSet
+    val mapOnly = operators.Dedup.bandKeysMapOnly(docs)
+      .collect().map(_.toSeq).toSet
+    assert(mapOnly == viaAgg,
+      s"mapOnly=${mapOnly.size} viaAgg=${viaAgg.size}")
+    assert(mapOnly.nonEmpty)
+
+    // and the map-only plan really is map-only: zero exchanges
+    val p = operators.Dedup.bandKeysMapOnly(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
 }
