@@ -116,4 +116,12 @@ class OperatorInvariantsSpec extends SparkSpec {
       .agg(max("k")).collect().head.getLong(0)
     assert(joined == 1L)
   }
+
+  test("triangle attribution: per-node counts sum to 3x the triangle total") {
+    import org.apache.spark.sql.functions._
+    // the fixture graph has a KNOWN nonzero triangle count (degenerate
+    // all-zero output would vacuously pass the oracle's shape)
+    val total = run("gr2_triangles").agg(sum("n_tri")).collect().head.getLong(0)
+    assert(total == 36L, s"sum of per-node counts = $total (12 triangles x 3)")
+  }
 }
