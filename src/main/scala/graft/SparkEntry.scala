@@ -13,7 +13,7 @@ object SparkEntry {
       operators.AnnSearch.defs ++ operators.Multimodal.defs ++
       operators.Sketches.defs ++ operators.AsOf.defs ++
       operators.Skew.defs ++ operators.Graph.defs ++
-      sources.Compaction.defs ++
+      sources.Compaction.defs ++ sources.MergeUpsert.defs ++
       streaming.EventStreams.defs ++ streaming.DocumentStreams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

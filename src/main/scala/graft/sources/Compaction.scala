@@ -154,7 +154,7 @@ object Compaction {
   }
 
   /** Spark schema from one parquet footer, read on the driver thread. */
-  private def footerSchema(
+  private[sources] def footerSchema(
       path: Path, conf: org.apache.hadoop.conf.Configuration)
       : org.apache.spark.sql.types.StructType = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
