@@ -160,6 +160,62 @@ class LifecycleSpec extends SparkSpec {
     index.close()
   }
 
+  test("merge and delete compose with the maintained catalog — routing stays precise") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-lifecycle3").toString
+    val dataDir = s"$base/data"
+    new java.io.File(dataDir).mkdirs()
+    val dataSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    val indexSchema = StructType(Seq(StructField("k", LongType)))
+    val index = new DerbyStatsIndex(s"$base/db", indexSchema)
+    index.initialize(indexSchema)
+    val rowIdx = s"$base/rowidx"
+    val hconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+
+    // stream in 3 batches of sparse keys, then compact — the maintained
+    // starting state every long-lived table reaches
+    (0 until 3).foreach { b =>
+      val rows = (b * 100L until (b + 1) * 100L).map(i => (i * 17L, i)).toDF("k", "v")
+        .repartition(4)
+      IndexedSink.commitBatch(rows, b.toLong, dataDir, index, Seq("k"), hconf,
+        rowLevel = Map("k" -> rowIdx))
+    }
+    Compaction.compactIndexed(spark, dataDir, index, Seq("k"),
+      targetBytes = 1L << 20, smallThresholdBytes = 1L << 20,
+      rowLevel = Map("k" -> rowIdx))
+
+    // MERGE: two updates (v := -1) + three inserts, located via postings
+    val source = (Seq((170L, -1L), (3400L, -1L)) ++
+      (0 until 3).map(i => (100000L + i, 7L))).toDF("k", "v")
+    val rm = graft.sources.MergeUpsert.merge(spark, dataDir, source, "k",
+      Some(index), Seq("k"), Some(rowIdx))
+    assert(rm.matchedFiles.nonEmpty)
+    assert(index.totalRowCount() === Some(303L))
+    assert(index.allFiles().map(_.fileName).toSet === fileNames(dataDir).toSet)
+
+    // routing stays posting-exact on the merged table; the update is live
+    val (df1, fi1) = IndexedParquet.read(spark, dataDir, index, dataSchema,
+      rowLevelIndexes = Map("k" -> rowIdx))
+    assert(df1.filter(col("k") === 170L).select("v").as[Long].collect().toSeq
+      === Seq(-1L))
+    assert(fi1.lastExecution.get.route === Seq("rowlevel(k)"),
+      s"routing degraded after merge: ${fi1.lastExecution.get.route}")
+
+    // DELETE: one original key, one merged-in key
+    val rd = graft.sources.MergeUpsert.delete(spark, dataDir,
+      Seq(3400L, 100001L).toDF("k"), "k",
+      Some(index), Seq("k"), Some(rowIdx))
+    assert(rd.matchedFiles.nonEmpty)
+    assert(index.totalRowCount() === Some(301L))
+    val (df2, fi2) = IndexedParquet.read(spark, dataDir, index, dataSchema,
+      rowLevelIndexes = Map("k" -> rowIdx))
+    assert(df2.filter(col("k") === 3400L).count() === 0L)
+    assert(df2.count() === 301L)
+    assert(index.allFiles().map(_.fileName).toSet === fileNames(dataDir).toSet)
+    index.close()
+  }
+
   private def fileNames(dir: String): Seq[String] =
     Files.list(Paths.get(dir)).toArray
       .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
