@@ -591,7 +591,51 @@ object TextAnalysis {
              |SELECT doc_id, shard,
              |  CAST(row_number() OVER (PARTITION BY shard ORDER BY mkey, doc_id)
              |       AS INTEGER) AS pos
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // ----- temperature-flattened source mixing (tx17) -----------------------
+    // Data mixing, the step tx9's fixed-rate sampler stands in front of:
+    // per-source KEEP RATES are computed FROM the source counts so the
+    // sampled mixture follows temperature-flattened proportions — here
+    // weight w_s = isqrt(n_s) (temperature 2: big sources flattened
+    // toward small ones), expected picks per source = N·w_s/(2·Σw). The
+    // whole rate computation is INTEGER arithmetic end to end (floor of
+    // the correctly-rounded sqrt, then BIGINT div) so both engines derive
+    // bit-identical rates — no FP normalization sum whose order could
+    // drift. Membership is the md5-bucket trick: deterministic,
+    // reshuffle = change the salt. Scale: one map-side-combined count
+    // agg (|sources| rows), a two-long global sum, one broadcast of the
+    // rate table, one map-only filter — the corpus itself never shuffles.
+    QueryDef(
+      "tx17_temperature_mix",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+          .withColumn("w", floor(sqrt(col("n"))).cast("long"))
+        val totals = counts.agg(sum("n").as("nn"), sum("w").as("ww"))
+        val rates = counts.crossJoin(broadcast(totals))
+          .withColumn("rate",
+            least(lit(1000L), expr("(1000 * w * nn) div (ww * n * 2)")))
+          .select("source", "rate")
+        val bucket = conv(substring(md5(concat_ws(":",
+          col("doc_id").cast("string"), col("source"))), 1, 4), 16, 10)
+          .cast("int") % 1000
+        docs.join(broadcast(rates), "source")
+          .where(bucket < col("rate"))
+          .select("doc_id", "source", "rate")
+      },
+      Some("""WITH c AS (
+             |  SELECT source, count(*) AS n FROM documents GROUP BY 1),
+             |w AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+             |             CAST(sum(w) AS BIGINT) AS ww FROM w),
+             |r AS (SELECT source,
+             |        LEAST(1000, (1000 * w * nn) // (ww * n * 2)) AS rate
+             |      FROM w, t)
+             |SELECT d.doc_id, d.source, r.rate
+             |FROM documents d JOIN r USING (source)
+             |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source), 1, 4) AS INT) % 1000
+             |    < r.rate""".stripMargin))
   )
 
   /** Word n-grams of the materialized token array `w` as joined strings
