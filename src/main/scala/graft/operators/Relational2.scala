@@ -403,6 +403,54 @@ object Relational2 {
       Some("""SELECT a.n_name AS na, b.n_name AS nb,
              |  CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS d
              |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
-             |WHERE levenshtein(a.n_name, b.n_name) <= 6""".stripMargin))
+             |WHERE levenshtein(a.n_name, b.n_name) <= 6""".stripMargin)),
+
+    // ----- time-series resample + gap-fill ----------------------------------
+    // 15-minute resampling of the event stream onto a DENSE generated
+    // grid (~half the grid cells have no events — they must appear with
+    // n=0, which no plain GROUP BY can produce). The dashboard/feature
+    // regularization shape: downstream consumers need every bucket
+    // present. Scale: one map-side-combined agg over the events (the only
+    // O(data) step), then the gap-fill works entirely in AGGREGATED space
+    // — the grid is |types| × buckets rows from an exploded sequence over
+    // a broadcast 1-row span, left-joined to the aggregate; O(output),
+    // never a second pass over the corpus.
+    QueryDef(
+      "q38_resample_gapfill",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val bucket = expr(
+          "timestampadd(MINUTE, CAST(floor(minute(ts)/15)*15 AS INT), date_trunc('hour', ts))")
+        val b = ev.select(col("event_type"), bucket.as("bucket"), col("value"))
+        val agg = b.groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast(DecimalType(38, 4)).cast("string").as("sv"))
+        val span = b.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+        val grid = b.select("event_type").distinct()
+          .crossJoin(broadcast(span))
+          .select(col("event_type"),
+            explode(expr("sequence(lo, hi, interval 15 minutes)")).as("bucket"))
+        grid.join(agg, Seq("event_type", "bucket"), "left")
+          .select(col("event_type"), col("bucket"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("sv"), lit("0.0000")).as("sv"))
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type,
+             |    date_trunc('hour', ts)
+             |      + to_minutes(CAST(floor(minute(ts)/15)*15 AS BIGINT)) AS bucket,
+             |    value
+             |  FROM events),
+             |a AS (SELECT event_type, bucket, count(*) AS n,
+             |        CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sv
+             |      FROM b GROUP BY 1, 2),
+             |s AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+             |g AS (SELECT t.event_type, gs.bucket
+             |      FROM (SELECT DISTINCT event_type FROM b) t
+             |      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS bucket
+             |                  FROM s) gs)
+             |SELECT g.event_type, g.bucket, COALESCE(a.n, 0) AS n,
+             |  COALESCE(a.sv, '0.0000') AS sv
+             |FROM g LEFT JOIN a USING (event_type, bucket)""".stripMargin))
   )
 }
