@@ -422,11 +422,16 @@ object Relational2 {
         val bucket = expr(
           "timestampadd(MINUTE, CAST(floor(minute(ts)/15)*15 AS INT), date_trunc('hour', ts))")
         val b = ev.select(col("event_type"), bucket.as("bucket"), col("value"))
+        // the aggregate is |types|×|buckets| — tiny — and every downstream
+        // branch (span, type list, the gap-fill join) needs it, so persist
+        // it: the corpus is scanned exactly once (PlanShapeSpec pins this;
+        // without the cache each pruned branch re-scans the events)
         val agg = b.groupBy("event_type", "bucket")
           .agg(count(lit(1)).as("n"),
             sum(dec(col("value"))).cast(DecimalType(38, 4)).cast("string").as("sv"))
-        val span = b.agg(min("bucket").as("lo"), max("bucket").as("hi"))
-        val grid = b.select("event_type").distinct()
+          .persist()
+        val span = agg.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+        val grid = agg.select("event_type").distinct()
           .crossJoin(broadcast(span))
           .select(col("event_type"),
             explode(expr("sequence(lo, hi, interval 15 minutes)")).as("bucket"))
@@ -444,9 +449,9 @@ object Relational2 {
              |a AS (SELECT event_type, bucket, count(*) AS n,
              |        CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sv
              |      FROM b GROUP BY 1, 2),
-             |s AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+             |s AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM a),
              |g AS (SELECT t.event_type, gs.bucket
-             |      FROM (SELECT DISTINCT event_type FROM b) t
+             |      FROM (SELECT DISTINCT event_type FROM a) t
              |      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS bucket
              |                  FROM s) gs)
              |SELECT g.event_type, g.bucket, COALESCE(a.n, 0) AS n,

@@ -144,4 +144,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"),
       "a range exchange means a global sort snuck in")
   }
+
+  test("tx17_temperature_mix: rate table broadcasts, corpus never sort-merges") {
+    val p = plan("tx17_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q38_resample_gapfill: gap-fill reads the cached aggregate, not the corpus") {
+    val p = plan("q38_resample_gapfill")
+    // span, type list, and the gap-fill join must all read the persisted
+    // |types|×|buckets| aggregate — the events themselves are scanned once
+    // when that cache materializes (each InMemoryTableScan echoes the
+    // cached child plan in the STRING, so count cache reads, not scans)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
