@@ -456,6 +456,73 @@ object Relational2 {
              |                  FROM s) gs)
              |SELECT g.event_type, g.bucket, COALESCE(a.n, 0) AS n,
              |  COALESCE(a.sv, '0.0000') AS sv
-             |FROM g LEFT JOIN a USING (event_type, bucket)""".stripMargin))
+             |FROM g LEFT JOIN a USING (event_type, bucket)""".stripMargin)),
+
+    // ----- ordered event funnel ---------------------------------------------
+    // view → click → purchase IN TEMPORAL ORDER per user: each stage is
+    // the min event time strictly after the previous stage's — the
+    // product-analytics funnel, and the same shape as multi-step
+    // interaction mining over behavioral training data. Every join and
+    // aggregate is keyed on user_id (one partitioning reused down the
+    // chain; each stage's input is the type-filtered subset, not the full
+    // stream). Timestamps compare exactly cross-engine: the generator
+    // emits whole-microsecond ns values, so Spark's µs narrowing loses
+    // nothing (checked: 0 rows with sub-µs components).
+    QueryDef(
+      "q39_funnel",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        def stage(df: org.apache.spark.sql.DataFrame, typ: String,
+                  prev: String, out: String) =
+          ev.filter(col("event_type") === typ).join(df, "user_id")
+            .filter(col("ts") > col(prev))
+            .groupBy("user_id").agg(min("ts").as(out))
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val t2 = stage(t1, "click", "t1", "t2")
+        val t3 = stage(t2, "purchase", "t2", "t3")
+        t1.agg(count(lit(1)).as("s_view"))
+          .crossJoin(t2.agg(count(lit(1)).as("s_click")))
+          .crossJoin(t3.agg(count(lit(1)).as("s_purchase")))
+      },
+      Some("""WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |            WHERE event_type = 'view' GROUP BY 1),
+             |t2 AS (SELECT e.user_id, min(e.ts) AS t2
+             |       FROM events e JOIN t1 USING (user_id)
+             |       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+             |t3 AS (SELECT e.user_id, min(e.ts) AS t3
+             |       FROM events e JOIN t2 USING (user_id)
+             |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+             |SELECT (SELECT count(*) FROM t1) AS s_view,
+             |       (SELECT count(*) FROM t2) AS s_click,
+             |       (SELECT count(*) FROM t3) AS s_purchase""".stripMargin)),
+
+    // ----- retention cohorts ------------------------------------------------
+    // Day-grain cohort retention: users bucketed by first-active day,
+    // counted per (cohort, day-offset). After the user-day distinct the
+    // per-(cohort, offset) count(*) IS the distinct-user count — no
+    // second distinct. Shape: user-day dedup agg, cohort min agg, one
+    // user-keyed join (partitioning reused from the aggs), final
+    // (cohort, offset) agg — all map-side partial.
+    QueryDef(
+      "q40_retention",
+      (s, dir) => {
+        val ud = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+        val cohort = ud.groupBy("user_id").agg(min("d").as("cohort"))
+        ud.join(cohort, "user_id")
+          .groupBy(col("cohort"),
+            datediff(col("d"), col("cohort")).as("offset_days"))
+          .agg(count(lit(1)).as("users"))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+             |            FROM events),
+             |c AS (SELECT user_id, min(d) AS cohort FROM ud GROUP BY 1)
+             |SELECT c.cohort, CAST(ud.d - c.cohort AS INT) AS offset_days,
+             |       count(*) AS users
+             |FROM ud JOIN c USING (user_id)
+             |GROUP BY 1, 2""".stripMargin))
   )
 }
