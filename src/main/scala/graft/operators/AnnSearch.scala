@@ -420,7 +420,55 @@ object AnnSearch {
              |FROM q, UNNEST(range(1, ${EmbeddingDim + 1})) a(i),
              |     UNNEST(range(1, ${EmbeddingDim + 1})) b(j)
              |WHERE j >= i
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ----- centroid-distance outliers (emb4) --------------------------------
+    // Embedding-space quality filtering: the 5 vectors FURTHEST from their
+    // own label's centroid, per label — the mislabeled/noise-flagging pass
+    // (the curation shape CLIP-score filtering instantiates). Exactness
+    // trick: comparing ||v − s/n||² within a label only needs the
+    // n²-scaled form Σ(n·v_p − s_p)² — pure BIGINT, no division, no FP
+    // (sound while n·1000·dim fits a Long — ~10¹⁴ rows/label; per-label
+    // cardinality never approaches that). Shape: centroid agg is
+    // |labels|×dim state broadcast back; the distance agg is partial
+    // map-side (a vector's posexplode never crosses tasks), so the
+    // vec-keyed exchange carries ONE row per vector; the final top-k
+    // window shuffles only (label, vec_id, d2) scalars.
+    QueryDef(
+      "emb4_centroid_outlier",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(quant(col("embedding"))).as(Seq("p", "x")))
+        val cent = e.groupBy("label", "p")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        val d2 = e.join(broadcast(cent), Seq("label", "p"))
+          .select(col("vec_id"), col("label"),
+            ((col("n") * col("x") - col("sx")) *
+             (col("n") * col("x") - col("sx"))).as("sq"))
+          .groupBy("vec_id", "label").agg(sum("sq").as("d2"))
+        val w = Window.partitionBy("label")
+          .orderBy(col("d2").desc, col("vec_id").asc)
+        d2.withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 5)
+          .select("label", "vec_id", "d2", "rk")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) v
+             |  FROM embeddings),
+             |e AS (SELECT vec_id, label, CAST(i AS INTEGER) AS p, v[i] AS x
+             |      FROM v, UNNEST(range(1, ${EmbeddingDim + 1})) t(i)),
+             |c AS (SELECT label, p, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+             |      FROM e GROUP BY 1, 2),
+             |d AS (SELECT e.vec_id, e.label,
+             |        CAST(sum((n * x - sx) * (n * x - sx)) AS BIGINT) AS d2
+             |      FROM e JOIN c USING (label, p) GROUP BY 1, 2),
+             |r AS (SELECT label, vec_id, d2,
+             |        CAST(row_number() OVER (PARTITION BY label
+             |               ORDER BY d2 DESC, vec_id) AS INTEGER) AS rk
+             |      FROM d)
+             |SELECT label, vec_id, d2, rk FROM r WHERE rk <= 5""".stripMargin))
   )
 
   val IvfCells = 16
