@@ -36,7 +36,13 @@ class ScaleTrendSpec extends SparkSpec {
     // cells (a lost cell join or decoded-vector shuffle would go
     // super-linear); fits are cached after the first rep, min-of-2 takes
     // the fit-free timing
-    "ann5_topk_ivfpq")
+    "ann5_topk_ivfpq",
+    // the degree-ordered orientation is the whole point: losing it turns
+    // a hub's wedge generation O(deg²) and the closure join quadratic
+    "gr2_triangles",
+    // the per-vector distance agg must stay partial map-side (one row per
+    // vector on the wire); a lost partial agg ships dim rows per vector
+    "emb4_centroid_outlier")
 
   heavy.foreach { name =>
     test(s"$name: sf0.01 → sf0.1 runtime stays ~linear in input size") {
