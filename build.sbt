@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from captured stdout; sbt's
+// default LoggedOutput prefixes every forked-run line with "[info] ",
+// which defeats a strict `json.loads(line)` (observed: BENCH_r01..r07
+// all carry parsed:null even when the line fits the tail buffer).
+// StdoutOutput passes the forked JVM's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

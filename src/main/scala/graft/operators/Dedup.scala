@@ -687,7 +687,47 @@ object Dedup {
               |SELECT DISTINCT x.doc_id a, y.doc_id b
               |FROM bands x JOIN bands y
               |  ON x.band = y.band AND x.bkey = y.bkey
-              |WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0""".stripMargin))
+              |WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0""".stripMargin)),
+
+    // ----- leakage-safe train/val split -------------------------------------
+    // Splitting a training corpus doc-by-doc leaks: near-duplicate pairs
+    // straddle the boundary and the val set silently overlaps train (the
+    // benchmark-contamination failure mode tx11 guards against, caused by
+    // the split itself). The unit of assignment must be the NEAR-DUP
+    // CLUSTER, not the document: label every doc with its dd6 component
+    // (docs in no cluster are their own singleton component), then hash
+    // the COMPONENT id to a side — every member of a cluster lands on the
+    // same side by construction. Scale: the component labels are dd6's
+    // O(log diameter) rounds over the candidate-pair graph (tiny — only
+    // near-dups pair); the split itself is a map + one left join keyed on
+    // doc_id. Deterministic: component = min doc_id of the cluster, side
+    // = component mod 10 (a fixed 90/10 split; any keyed hash works).
+    QueryDef(
+      "dd11_leakage_split",
+      (s, dir) => {
+        val comp = connectedComponents(minhashPairs(s, dir))
+          .select(col("v").as("doc_id"), col("l").as("component"))
+        Tables.load(s, dir, "documents").select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+          .withColumn("split",
+            when(pmod(col("component"), lit(10L)) === 0, lit("val"))
+              .otherwise(lit("train")))
+      },
+      Some(s"""WITH RECURSIVE $mhPairsCtes,
+             |ed AS (SELECT a s, b d FROM pairs
+             |       UNION ALL SELECT b, a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT s, s FROM (SELECT DISTINCT s FROM ed)
+             |  UNION
+             |  SELECT r.src, e.d FROM reach r JOIN ed e ON e.s = r.dst),
+             |comp AS (SELECT src AS doc_id, min(dst) AS component
+             |         FROM reach GROUP BY src)
+             |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+             |  CASE WHEN COALESCE(c.component, d.doc_id) % 10 = 0
+             |       THEN 'val' ELSE 'train' END AS split
+             |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin))
   )
 
   private val bandTableCache = scala.collection.concurrent.TrieMap.empty[String, String]
