@@ -18,15 +18,23 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
-    * default. Read nanos as long and narrow to microseconds (truncating,
-    * matching how ns-capable engines narrow to µs-precision timestamps).
+  /** `events.ts` has shipped as two physical layouts: TIMESTAMP(NANOS)
+    * (which Spark 4 refuses by default — read nanos as long, truncate to
+    * microseconds, matching how ns-capable engines narrow to µs) and
+    * plain µs TIMESTAMP (isAdjustedToUTC=false → TIMESTAMP_NTZ). Both
+    * normalize to the same session-UTC TimestampType so every downstream
+    * query and plan pin sees one schema regardless of generator vintage.
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Register the given tables as temp views so `spark.sql` queries work. */
