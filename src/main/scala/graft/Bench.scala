@@ -13,20 +13,47 @@ object Bench {
     * cannot elide the loop.
     */
   @volatile private var calSink: Long = 0L
-  private def calibrate(): Double = {
-    val t0 = System.nanoTime()
-    var x = 0x9e3779b97f4a7c15L; var i = 0
+  private def mixLoop(seed: Long): Long = {
+    var x = seed; var i = 0
     while (i < 100000000) {
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       i += 1
     }
-    calSink = x
+    x
+  }
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    calSink = mixLoop(0x9e3779b97f4a7c15L)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Parallel-capacity probe: the same fixed-work loop run simultaneously on
+    * N = cpus threads; reports wall time until ALL complete. The round-8
+    * adjudication showed the single-thread `cal` probe is blind to the
+    * sandbox's dominant contention mode — parallel-capacity starvation,
+    * where one thread still runs at full speed but 32 concurrent ones
+    * don't. On healthy hardware with >= N free cores, calp ~= cal; under
+    * starvation calp balloons while cal stays flat, which is exactly the
+    * signature that made BENCH_r08 (76.5 s, cal healthy) unreadable without
+    * a judge re-run. Emitted as `"calp":[a,b]` next to `"cal":[a,b]`.
+    */
+  private def calibrateParallel(n: Int): Double = {
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { k =>
+      val t = new Thread(() => { calSink = mixLoop(0x9e3779b97f4a7c15L + k) })
+      t.start(); t
+    }
+    threads.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Canonical bench config is local[32] (BASELINE.md "Canonical bench
+    // configuration") — the default must match it so cross-round numbers
+    // are same-config by construction; SPARK_GRAFT_CPUS remains an
+    // explicit, visible override (the JSON records the value used).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,6 +66,7 @@ object Bench {
     try operators.Indexed.lineitemIndexed(spark, sfDir).count()
     catch { case _: Throwable => () }
     val calStart = calibrate()
+    val calpStart = calibrateParallel(cpus.toInt)
     // steady-state timing: one untimed warmup run per query (JIT + codegen
     // compilation of each query's generated classes), then the MEDIAN of 3
     // measured runs — a single GC/contention burst in this shared sandbox
@@ -69,6 +97,7 @@ object Bench {
       name -> (if (runs.forall(_._2)) med else -1.0)
     }
     val calEnd = calibrate()
+    val calpEnd = calibrateParallel(cpus.toInt)
     // JSON must be locale-independent: f"" interpolators use the JVM
     // default locale and a comma-decimal locale would emit invalid JSON.
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
@@ -77,7 +106,8 @@ object Bench {
     results.foreach { case (n, v) =>
       System.err.println(s"[bench] ${n.padTo(24, ' ')} ${fmt3(v)} s")
     }
-    System.err.println(s"[bench] cal ${fmt3(calStart)} / ${fmt3(calEnd)} s")
+    System.err.println(s"[bench] cal ${fmt3(calStart)} / ${fmt3(calEnd)} s, " +
+      s"calp ${fmt3(calpStart)} / ${fmt3(calpEnd)} s ($cpus threads)")
     // The harness capturing this output keeps only the last ~2000 bytes of
     // stdout, and the build tool appends a ~75-byte success line after us —
     // so the whole JSON line must fit in ~1900 bytes or its head is cut and
@@ -92,6 +122,7 @@ object Bench {
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
       val omit = if (omitted > 0) s""","fast_omitted":$omitted""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cal":[${fmt(calStart)},${fmt(calEnd)}],""" +
+        s""""calp":[${fmt(calpStart)},${fmt(calpEnd)}],"cpus":$cpus,""" +
         s""""queries":$qs,"failures":${failures.mkString("[", ",", "]")}$omit,"sf":"$sfDir"}"""
     }
     // if the full map overflows, drop the single fastest (noise-level)

@@ -29,11 +29,18 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TimestampType cast below interprets wall-clock values in the
+    // session timezone; only UTC makes it agree with the epoch-micros path
+    // and the DuckDB oracle, so pin it here rather than relying on the
+    // launcher's javaOptions.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other; expected nanos-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
 

@@ -285,6 +285,18 @@ object AnnSearch {
     // exact rerank. Both fits are shared (cached) with ann3/ann4 and
     // honor spark.graft.ann.fitMode; the dynamic oracle composes the two
     // fitted literal sets the same way the plan does.
+    //
+    // TRUE ADC scoring: the candidate pass never reconstructs a
+    // dim-length decoded vector. Each query broadcasts a per-(subspace,
+    // code) distance table `tab` (M×K partial dots of the query subvector
+    // against the codebook entries — M·K·subdim work per QUERY, once),
+    // and each candidate's dot is M table lookups on its codes; the
+    // code-dependent decoded norm is likewise M lookups into a PLAN-TIME
+    // literal table (subspaces are disjoint, so ‖decoded‖² decomposes
+    // per-subspace). That keeps the candidate pass reading 8 bytes of
+    // codes per row — the 64× bandwidth win PQ exists for — while staying
+    // integer-exact: lookup sums are the same longs the decoded dot
+    // produced, so the dynamic oracle is unchanged.
     QueryDef(
       "ann5_topk_ivfpq",
       (s, dir) => {
@@ -293,29 +305,43 @@ object AnnSearch {
         val cbs = fitPqCodebooks(s, dir)
         ann5Oracle = Some(ann5Sql(cents, cbs))
         val scoreArr = cellScoreArr(s, cents)
-        // corpus: one coarse cell + M codes + decoded (ADC) form per row
+        // corpus: one coarse cell + M codes per row; nd (decoded norm²)
+        // from the plan-time per-code norm table — no decoded vector
         val enc = (0 until PqM).foldLeft(
           q.withColumn("cell", -array_max(scoreArr).getField("i"))) { (df, m) =>
           df.withColumn(s"c$m", pqCode(m, cbs(m)))
         }
-        val decoded = flatten(array((0 until PqM).map { m =>
-          element_at(typedlit(cbs(m).map(_.toSeq).toSeq), (col(s"c$m") + 1).cast("int"))
-        }: _*))
-        val dec = enc.withColumn("dv", decoded)
-          .withColumn("nd", dot(s)(col("dv"), col("dv")))
-          .select("vec_id", "cell", "dv", "nd")
+        val normTab: Int => Seq[Long] =
+          m => cbs(m).map(cv => cv.map(x => x * x).sum).toSeq
+        val nd = (0 until PqM).map { m =>
+          element_at(typedlit(normTab(m)), (col(s"c$m") + 1).cast("int"))
+        }.reduce(_ + _)
+        val dec = enc.withColumn("nd", nd)
+          .select(("vec_id" +: "cell" +: "nd" +: (0 until PqM).map(m => s"c$m"))
+            .map(col): _*)
         val probes = slice(reverse(array_sort(scoreArr)), 1, IvfProbes)
         val probed = q.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"),
             explode(transform(probes, p => p.getField("i") * -1)).as("cell"))
+        // per-query ADC table: tab[m][c] = <query subvector m, codebook[m][c]>
+        val tab = array((0 until PqM).map { m =>
+          array((0 until PqK).map { c =>
+            dot(s)(slice(col("qv"), m * PqSubDim + 1, PqSubDim),
+              typedlit(cbs(m)(c).toSeq))
+          }: _*)
+        }: _*)
         val queries = q.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("nq"))
+        val qtab = queries.select(col("q_id"), col("nq"), tab.as("tab"))
         // ADC scoring only inside the probed cells (each corpus vector has
         // exactly one cell, so the cell join cannot duplicate a candidate)
+        val dh = (0 until PqM).map { m =>
+          element_at(element_at(col("tab"), m + 1), (col(s"c$m") + 1).cast("int"))
+        }.reduce(_ + _)
         val adc = dec.join(broadcast(probed), "cell")
           .where(col("vec_id") =!= col("q_id"))
-          .join(broadcast(queries), "q_id")
-          .withColumn("dh", dot(s)(col("qv"), col("dv")))
+          .join(broadcast(qtab), "q_id")
+          .withColumn("dh", dh)
           .withColumn("sc", score(col("dh"), col("nq"), col("nd")))
         val w = Window.partitionBy("q_id").orderBy(col("sc").desc, col("vec_id").asc)
         val cands = adc.withColumn("r", row_number().over(w))

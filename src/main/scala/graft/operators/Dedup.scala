@@ -727,7 +727,72 @@ object Dedup {
              |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
              |  CASE WHEN COALESCE(c.component, d.doc_id) % 10 = 0
              |       THEN 'val' ELSE 'train' END AS split
-             |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin))
+             |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin)),
+
+    // ----- cluster-representative selection ---------------------------------
+    // The step that actually EMITS the deduped corpus: per near-dup
+    // cluster (dd6 component; unclustered docs are their own singleton)
+    // keep the best member by a deterministic quality key — the count of
+    // tx2's integer quality gates passed, ties broken by smallest doc_id
+    // — and emit (doc_id, component, kept) for EVERY doc so downstream
+    // can either filter kept=true (the deduped corpus) or audit what was
+    // dropped and why it lost. Scale: quality scoring is map-only; the
+    // arg-max is one component-keyed hash aggregate (max of a (score,
+    // -doc_id) struct — lexicographic, so the tie-break costs nothing)
+    // plus one component-keyed join back — the same shuffle shape dd11
+    // already pays, nothing quadratic, nothing collected.
+    QueryDef(
+      "dd12_representative",
+      (s, dir) => {
+        val comp = connectedComponents(minhashPairs(s, dir))
+          .select(col("v").as("doc_id"), col("l").as("component"))
+        val toks = TextAnalysis.tokens(col("text"))
+        val nTok = size(toks)
+        val nStop = TextAnalysis.countIn(toks, TextAnalysis.stopwords)
+        val score = (col("n_chars") >= 100).cast("int") +
+          (nStop * 100 >= nTok * 2 && nStop * 100 <= nTok * 40).cast("int") +
+          (length(regexp_replace(col("text"), " ", "")) < nTok * 12).cast("int")
+        val labeled = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), score.as("score"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"),
+            col("score"))
+        val best = labeled.groupBy("component")
+          .agg(max(struct(col("score"), (-col("doc_id")).as("negid"))).as("b"))
+          .select(col("component"), (-col("b.negid")).as("keep_id"))
+        labeled.join(best, Seq("component"))
+          .select(col("doc_id"), col("component"),
+            (col("doc_id") === col("keep_id")).as("kept"))
+      },
+      Some {
+        val nTok = "len(string_split(d.text, ' '))"
+        val nStop = TextAnalysis.sqlCountIn(TextAnalysis.stopwords)
+          .replace("string_split(text,", "string_split(d.text,")
+        s"""WITH RECURSIVE $mhPairsCtes,
+           |ed AS (SELECT a s, b d FROM pairs
+           |       UNION ALL SELECT b, a FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT s, s FROM (SELECT DISTINCT s FROM ed)
+           |  UNION
+           |  SELECT r.src, e.d FROM reach r JOIN ed e ON e.s = r.dst),
+           |comp AS (SELECT src AS doc_id, min(dst) AS component
+           |         FROM reach GROUP BY src),
+           |lab AS (SELECT d.doc_id,
+           |    COALESCE(c.component, d.doc_id) AS component,
+           |    (CASE WHEN d.n_chars >= 100 THEN 1 ELSE 0 END) +
+           |    (CASE WHEN $nStop * 100 >= $nTok * 2
+           |               AND $nStop * 100 <= $nTok * 40 THEN 1 ELSE 0 END) +
+           |    (CASE WHEN length(replace(d.text, ' ', '')) < $nTok * 12
+           |          THEN 1 ELSE 0 END) AS score
+           |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+           |k AS (SELECT component, doc_id AS keep_id, row_number() OVER (
+           |        PARTITION BY component ORDER BY score DESC, doc_id ASC) rn
+           |      FROM lab)
+           |SELECT l.doc_id, l.component, l.doc_id = k.keep_id AS kept
+           |FROM lab l JOIN (SELECT component, keep_id FROM k WHERE rn = 1) k
+           |  USING (component)""".stripMargin
+      })
   )
 
   private val bandTableCache = scala.collection.concurrent.TrieMap.empty[String, String]

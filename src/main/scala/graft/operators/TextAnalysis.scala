@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private def tokens(c: Column): Column = split(c, " ")
+  private[graft] def tokens(c: Column): Column = split(c, " ")
 
   /** Vocabulary size for tx14's commonness score: bounded so the fitted
     * vocab always broadcasts (V entries, not corpus-scale). MUST be
@@ -25,10 +25,10 @@ object TextAnalysis {
     * EAGERLY at object init (a forward reference would bake in 0). */
   val CommonVocab = 256
 
-  private def countIn(toks: Column, words: Seq[String]): Column =
+  private[graft] def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
 
-  private def sqlCountIn(words: Seq[String]): String =
+  private[graft] def sqlCountIn(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   /** Tiny per-language function-word lexicons (public-knowledge stopword
@@ -635,7 +635,66 @@ object TextAnalysis {
              |SELECT d.doc_id, d.source, r.rate
              |FROM documents d JOIN r USING (source)
              |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source), 1, 4) AS INT) % 1000
-             |    < r.rate""".stripMargin))
+             |    < r.rate""".stripMargin)),
+
+    // ----- hashed linear quality classifier (tx18) --------------------------
+    // The fastText-shape doc-quality scorer every curation pipeline runs:
+    // token bigrams hash into a BOUNDED feature space (F buckets), a
+    // fixed integer weight per bucket, document score = bias + Σ weights
+    // over bigram OCCURRENCES, pass = score ≥ 0. The weight table here is
+    // derived deterministically from the bucket id (md5 → [-8, 8]) so
+    // both engines materialize the identical table; a trained model would
+    // load the table from storage — the pipeline shape (hash → broadcast
+    // weight join → map-side-combined per-doc sum) is exactly the same.
+    // Feature hashing uses the repo's cross-engine md5 bridge (bandKeys
+    // pattern); a Spark-only deployment would swap in xxhash64 (codegen'd,
+    // no hex detour) without touching the shape. Scale: the weight table
+    // is F rows (broadcast, corpus-independent); the per-doc sum is one
+    // map-side-combined hash aggregate keyed on doc_id; the corpus text
+    // never shuffles — same broadcast-bounded pattern as tx14/tx17.
+    QueryDef(
+      "tx18_quality_score",
+      (s, dir) => {
+        val F = 1024
+        val Bias = 3L
+        val docs = Tables.load(s, dir, "documents")
+        val w = col("w")
+        def bigram(i: Column): Column =
+          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))
+        val feats = docs
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .filter(size(w) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(w) - 2), bigram _)).as("bg"))
+          .select(col("doc_id"),
+            (conv(substring(md5(col("bg")), 1, 10), 16, 10).cast("long") % F)
+              .as("fid"))
+        val weights = s.range(F).select(col("id").as("fid"),
+          ((conv(substring(md5(concat(lit("tx18-w:"), col("id").cast("string"))),
+            1, 4), 16, 10).cast("long") % 17) - 8).as("wt"))
+        val sums = feats.join(broadcast(weights), Seq("fid"))
+          .groupBy("doc_id").agg(sum(col("wt")).as("sw"))
+        docs.select(col("doc_id"))
+          .join(sums, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (coalesce(col("sw"), lit(0L)) + Bias).as("margin"))
+          .withColumn("quality_pass", col("margin") >= 0)
+      },
+      Some("""WITH wds AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+             |f AS (SELECT doc_id,
+             |    CAST('0x' || substr(md5(array_to_string(w[i:i+1], ' ')), 1, 10)
+             |         AS BIGINT) % 1024 AS fid
+             |  FROM wds, UNNEST(range(1, len(w))) t(i)
+             |  WHERE len(w) >= 2),
+             |wt AS (SELECT f AS fid,
+             |    CAST('0x' || substr(md5('tx18-w:' || CAST(f AS VARCHAR)), 1, 4)
+             |         AS BIGINT) % 17 - 8 AS wt
+             |  FROM range(0, 1024) r(f)),
+             |s AS (SELECT doc_id, CAST(sum(wt.wt) AS BIGINT) AS sw
+             |  FROM f JOIN wt USING (fid) GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(s.sw, 0) + 3 AS margin,
+             |  COALESCE(s.sw, 0) + 3 >= 0 AS quality_pass
+             |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin))
   )
 
   /** Word n-grams of the materialized token array `w` as joined strings

@@ -152,6 +152,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("ann5: candidate pass is true ADC — codes + table lookups, no decoded vector") {
+    val p = plan("ann5_topk_ivfpq")
+    // the decoded-vector form was a flatten(array(element_at(codebook, code)…))
+    // per candidate row; true ADC replaces it with per-query lookup tables,
+    // so no flatten (the decoded-vector constructor) may appear anywhere
+    assert(!p.contains("flatten("), p.take(3000))
+    // probe and query sides stay broadcast — the candidate pass must not
+    // shuffle the corpus codes
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q38_resample_gapfill: gap-fill reads the cached aggregate, not the corpus") {
     val p = plan("q38_resample_gapfill")
     // span, type list, and the gap-fill join must all read the persisted
