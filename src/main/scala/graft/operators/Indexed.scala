@@ -362,6 +362,31 @@ object Indexed {
              |ORDER BY l_orderkey DESC, l_linenumber DESC, l_quantity DESC
              |LIMIT 20""".stripMargin)),
 
+    // COMPOSITE filtered top-k through the automatic rule: the filter is on
+    // a DIFFERENT indexed column than the sort key — the per-source-
+    // latest-k shape (`WHERE src = … ORDER BY time DESC LIMIT k`) every
+    // event store serves constantly. The threshold certificate
+    // generalizes per column (prune/TopKPruning.pruneComposite): only row
+    // groups certified ALL-PASS on the filter column (min = max = 'R',
+    // zero nulls) contribute their counts, so the rewrite fires exactly
+    // when the LAYOUT clusters the filter column — here a
+    // (l_returnflag, l_orderkey) range layout, the "partition by source,
+    // cluster by time" shape a 100 TB table would use. Route
+    // `topk-composite`; on an unclustered layout certification fails and
+    // the declarative plan stands (TopKPruningSpec pins both).
+    QueryDef(
+      "idx19_topk_filtered2col",
+      (s, dir) => lineitemComposite(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .orderBy(col("l_orderkey").desc, col("l_linenumber").desc,
+          col("l_quantity").desc)
+        .limit(10)
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_returnflag = 'R'
+             |ORDER BY l_orderkey DESC, l_linenumber DESC, l_quantity DESC
+             |LIMIT 10""".stripMargin)),
+
     // N-dimensional z-order with rank-binning (sources/ZOrderLayout.writeN):
     // a 3-d BOX over the 3-col Morton layout, third dimension a FLOAT
     // (l_extendedprice) rank-binned to dense ints by one approx-quantile
@@ -500,6 +525,49 @@ object Indexed {
       val (index, dataSchema) = IndexedParquet.buildIndex(
         spark, dataDir, Seq("l_orderkey", "l_partkey", "l_extendedprice"),
         s"$base/statsdb-zorder3-v1")
+      val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
+      Entry(df, fileIndex, dataDir, index, dataSchema)
+    })
+
+  private val compCache = TrieMap.empty[String, Entry]
+
+  /** (l_returnflag, l_orderkey) range-clustered copy of lineitem, indexed
+    * on both — the "partition by source, cluster by time" layout that
+    * makes COMPOSITE filtered top-k certifiable: each row group holds one
+    * returnflag value and a narrow l_orderkey band, so
+    * `WHERE l_returnflag = v ORDER BY l_orderkey DESC LIMIT k` certifies
+    * all-pass groups and prunes to the tail of that flag's band. 2048-row
+    * groups give footer stats the needed granularity. */
+  def lineitemComposite(spark: SparkSession, sfDir: String): DataFrame =
+    compEntry(spark, sfDir).df
+
+  def lastCompositeExecution(spark: SparkSession, sfDir: String) =
+    compEntry(spark, sfDir).fileIndex.lastExecution
+
+  private[graft] def compositeFixture(spark: SparkSession, sfDir: String)
+      : (graft.index.StatsIndex, org.apache.spark.sql.types.StructType, String) = {
+    val e = compEntry(spark, sfDir)
+    (e.index, e.dataSchema, e.dataDir)
+  }
+
+  private def compEntry(spark: SparkSession, sfDir: String): Entry =
+    compCache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
+      val dataDir = s"$base/lineitem-comp-v1"
+      if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
+        rmrf(new java.io.File(s"$base/statsdb-comp-v1"))
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .repartitionByRange(8, col("l_returnflag"), col("l_orderkey"))
+          .sortWithinPartitions("l_returnflag", "l_orderkey")
+          .write.mode("overwrite")
+          .option("parquet.block.row.count.limit", "2048")
+          .option("parquet.block.size", (1L * 1024 * 1024).toString)
+          .parquet(dataDir)
+      }
+      val (index, dataSchema) = IndexedParquet.buildIndex(
+        spark, dataDir, Seq("l_returnflag", "l_orderkey"),
+        s"$base/statsdb-comp-v1")
       val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
       Entry(df, fileIndex, dataDir, index, dataSchema)
     })

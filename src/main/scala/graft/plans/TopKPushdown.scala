@@ -91,14 +91,17 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
         (TopKPruning.prune(idx, a.name, k.toLong, descending, nullsFirst),
           total, s"topk(${a.name})")
       case Some(c) =>
-        val (lo, hi) = parseBounds(c, a).getOrElse(return None)
+        val (lo, hi, others) = parseBounds(c, a).getOrElse(return None)
         // the filter's own stats pruning is what the declarative plan
         // would get via listFiles — the baseline the rewrite must beat
         val statsPlans = idx.getFiles(c)
-        (TopKPruning.pruneFiltered(
-            idx, a.name, k.toLong, descending, lo, hi, statsPlans),
+        val tag = if (others.isEmpty) s"topk-filtered(${a.name})"
+                  else s"topk-composite(${a.name};${others.map(_.col).mkString(",")})"
+        (TopKPruning.pruneComposite(
+            idx, a.name, k.toLong, descending, nullsFirst,
+            lo, hi, others, statsPlans),
           statsPlans.map(_.scanRowGroups.size).sum,
-          s"topk-filtered(${a.name})")
+          tag)
     }
     val kept = plans.map(_.scanRowGroups.size).sum
     if (kept >= baseline) return None // no narrowing beyond the stats path
@@ -131,22 +134,24 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
     })
   }
 
-  /** All of `cond`'s conjuncts as bounds on the sort column `a`, or None
-    * if ANY conjunct is something else. At most one bound per side (two
-    * lower bounds etc. bail — the inside-the-interval certificate needs
-    * the exact interval, and Spark collapses redundant bounds anyway).
-    * Literal values are bridged from Catalyst internal encoding to the
-    * catalog's storage encoding (identical for integrals / date days /
+  /** All of `cond`'s conjuncts as per-column bounds: the sort column `a`'s
+    * interval plus one [[TopKPruning.OtherColBounds]] per OTHER referenced
+    * column, or None if ANY conjunct is something else (non-comparison, a
+    * computed key, attr-to-attr). At most one bound per side per column
+    * (two lower bounds etc. bail — the inside-the-interval certificate
+    * needs the exact interval, and Spark collapses redundant bounds
+    * anyway). `IsNotNull` on the sort column is implied and ignored; on
+    * another column it still constrains rows, so it is recorded as a
+    * bound-less entry (all-pass then requires a certified zero null
+    * count). Literal values are bridged from Catalyst internal encoding to
+    * the catalog's storage encoding (identical for integrals / date days /
     * timestamp micros; UTF8String → String; Decimal → BigDecimal). */
   private def parseBounds(cond: Expression, a: AttributeReference)
-      : Option[(Option[(Any, Boolean)], Option[(Any, Boolean)])] = {
+      : Option[(Option[(Any, Boolean)], Option[(Any, Boolean)],
+                Seq[TopKPruning.OtherColBounds])] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
-    }
-    def key(x: Expression): Boolean = x match {
-      case ar: AttributeReference => ar.exprId == a.exprId
-      case _ => false
     }
     def v(l: Literal): Option[Any] =
       if (l.value == null) None
@@ -155,36 +160,52 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
         case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
         case other => other
       })
-    var lo: Option[(Any, Boolean)] = None
-    var hi: Option[(Any, Boolean)] = None
-    def setLo(b: (Any, Boolean)): Boolean =
-      if (lo.isDefined) false else { lo = Some(b); true }
-    def setHi(b: (Any, Boolean)): Boolean =
-      if (hi.isDefined) false else { hi = Some(b); true }
+    // per-column accumulated bounds, insertion-ordered for a stable route tag
+    final case class B(var lo: Option[(Any, Boolean)] = None,
+                       var hi: Option[(Any, Boolean)] = None)
+    val byCol = scala.collection.mutable.LinkedHashMap.empty[String, B]
+    def bnd(ar: AttributeReference): B = byCol.getOrElseUpdate(ar.name, B())
+    def setLo(ar: AttributeReference, b: (Any, Boolean)): Boolean = {
+      val e = bnd(ar)
+      if (e.lo.isDefined) false else { e.lo = Some(b); true }
+    }
+    def setHi(ar: AttributeReference, b: (Any, Boolean)): Boolean = {
+      val e = bnd(ar)
+      if (e.hi.isDefined) false else { e.hi = Some(b); true }
+    }
     conjuncts(cond).foreach {
-      case IsNotNull(x) if key(x) => ()
-      case GreaterThan(x, l: Literal) if key(x) =>
-        if (!v(l).exists(b => setLo((b, false)))) return None
-      case GreaterThanOrEqual(x, l: Literal) if key(x) =>
-        if (!v(l).exists(b => setLo((b, true)))) return None
-      case LessThan(x, l: Literal) if key(x) =>
-        if (!v(l).exists(b => setHi((b, false)))) return None
-      case LessThanOrEqual(x, l: Literal) if key(x) =>
-        if (!v(l).exists(b => setHi((b, true)))) return None
-      case GreaterThan(l: Literal, x) if key(x) =>
-        if (!v(l).exists(b => setHi((b, false)))) return None
-      case GreaterThanOrEqual(l: Literal, x) if key(x) =>
-        if (!v(l).exists(b => setHi((b, true)))) return None
-      case LessThan(l: Literal, x) if key(x) =>
-        if (!v(l).exists(b => setLo((b, false)))) return None
-      case LessThanOrEqual(l: Literal, x) if key(x) =>
-        if (!v(l).exists(b => setLo((b, true)))) return None
-      case EqualTo(x, l: Literal) if key(x) =>
-        if (!v(l).exists(b => setLo((b, true)) && setHi((b, true)))) return None
-      case EqualTo(l: Literal, x) if key(x) =>
-        if (!v(l).exists(b => setLo((b, true)) && setHi((b, true)))) return None
+      case IsNotNull(ar: AttributeReference) =>
+        if (ar.exprId != a.exprId) bnd(ar) // record: rows must be non-null
+      case GreaterThan(ar: AttributeReference, l: Literal) =>
+        if (!v(l).exists(b => setLo(ar, (b, false)))) return None
+      case GreaterThanOrEqual(ar: AttributeReference, l: Literal) =>
+        if (!v(l).exists(b => setLo(ar, (b, true)))) return None
+      case LessThan(ar: AttributeReference, l: Literal) =>
+        if (!v(l).exists(b => setHi(ar, (b, false)))) return None
+      case LessThanOrEqual(ar: AttributeReference, l: Literal) =>
+        if (!v(l).exists(b => setHi(ar, (b, true)))) return None
+      case GreaterThan(l: Literal, ar: AttributeReference) =>
+        if (!v(l).exists(b => setHi(ar, (b, false)))) return None
+      case GreaterThanOrEqual(l: Literal, ar: AttributeReference) =>
+        if (!v(l).exists(b => setHi(ar, (b, true)))) return None
+      case LessThan(l: Literal, ar: AttributeReference) =>
+        if (!v(l).exists(b => setLo(ar, (b, false)))) return None
+      case LessThanOrEqual(l: Literal, ar: AttributeReference) =>
+        if (!v(l).exists(b => setLo(ar, (b, true)))) return None
+      case EqualTo(ar: AttributeReference, l: Literal) =>
+        if (!v(l).exists(b => setLo(ar, (b, true)) && setHi(ar, (b, true))))
+          return None
+      case EqualTo(l: Literal, ar: AttributeReference) =>
+        if (!v(l).exists(b => setLo(ar, (b, true)) && setHi(ar, (b, true))))
+          return None
       case _ => return None // a conjunct the certificate cannot absorb
     }
-    if (lo.isEmpty && hi.isEmpty) None else Some((lo, hi))
+    val sortB = byCol.getOrElse(a.name, B())
+    val others = byCol.collect {
+      case (name, b) if name != a.name =>
+        TopKPruning.OtherColBounds(name, b.lo, b.hi)
+    }.toSeq
+    if (sortB.lo.isEmpty && sortB.hi.isEmpty && others.isEmpty) None
+    else Some((sortB.lo, sortB.hi, others))
   }
 }

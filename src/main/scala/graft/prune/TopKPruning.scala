@@ -140,6 +140,119 @@ object TopKPruning {
     }
   }
 
+  /** Bounds on one NON-sort indexed column of a composite filtered top-k
+    * (`None`/`None` = a bare IsNotNull conjunct: no value bounds, but rows
+    * must be non-null in the column). */
+  final case class OtherColBounds(
+      col: String,
+      lo: Option[(Any, Boolean)],
+      hi: Option[(Any, Boolean)])
+
+  /** COMPOSITE filtered top-k pruning — `WHERE <conjuncts over several
+    * indexed columns> ORDER BY c LIMIT k`, e.g. the per-source-latest-k
+    * shape `WHERE src = 'web' ORDER BY ts DESC LIMIT k`. The threshold
+    * guarantee generalizes per-column: a row group contributes its
+    * non-null-in-`c` row count iff EVERY filter conjunct is certified
+    * ALL-PASS for the group —
+    *  - sort-column bounds: stored min ≥ lo and stored max ≤ hi (the
+    *    [[pruneFiltered]] inside-the-interval certificate);
+    *  - other-column bounds: that column's stored min ≥ lo, stored max
+    *    ≤ hi AND certified null count 0 (a null row fails any comparison
+    *    — and a bare IsNotNull — so all-pass needs zero nulls). Truncated
+    *    string minima stay sound: stored ≥ lo ⇒ real ≥ stored ≥ lo;
+    *    stored maxima are verbatim by construction.
+    * Such a group's non-null-in-`c` rows ALL pass the whole filter and
+    * all sit at-or-beyond the group's guarantee bound, so accumulating
+    * them to k yields a sound threshold; survivors are `statsPlans` (the
+    * filter's own stats pruning) minus groups whose best sort value is
+    * strictly worse. Null ordering on the sort column: bounds on `c`
+    * reject nulls outright (as in [[pruneFiltered]]); without them the
+    * [[prune]] rules apply (nullsFirst keeps any group that may hold a
+    * null; nullsLast prunes certified all-null groups). Degrades to
+    * `statsPlans` unchanged whenever certification never covers k — on a
+    * layout where the filter columns aren't clustered, no group certifies
+    * all-pass and the declarative plan simply stands: over-scan, never
+    * wrong. This is O(index) planner-side work (one rowGroupStats fetch
+    * per filter column); the catalog-side fast path only serves the
+    * single-column shapes, so composites skip it. */
+  def pruneComposite(
+      index: StatsIndex,
+      colName: String,
+      k: Long,
+      descending: Boolean,
+      nullsFirst: Boolean,
+      sortLo: Option[(Any, Boolean)],
+      sortHi: Option[(Any, Boolean)],
+      others: Seq[OtherColBounds],
+      statsPlans: Seq[FileScanPlan]): Seq[FileScanPlan] = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    if (others.isEmpty)
+      return pruneFiltered(index, colName, k, descending, sortLo, sortHi, statsPlans)
+    if (statsPlans.isEmpty) return statsPlans
+    val dt = index.indexedSchema.fields.find(_.name == colName)
+      .getOrElse(return statsPlans).dataType
+    val ord = ordering(dt).getOrElse(return statsPlans)
+    val sortStats = index.rowGroupStats(colName).getOrElse(return statsPlans)
+    val otherInfo = others.map { ob =>
+      val odt = index.indexedSchema.fields.find(_.name == ob.col)
+        .getOrElse(return statsPlans).dataType
+      val oord = ordering(odt).getOrElse(return statsPlans)
+      val stats = index.rowGroupStats(ob.col).getOrElse(return statsPlans)
+      (ob, oord, stats.map(s => (s.fileName, s.rowGroup) -> s).toMap)
+    }
+    def allPass(file: String, rg: Int): Boolean = otherInfo.forall {
+      case (ob, o, m) =>
+        m.get((file, rg)).exists { s =>
+          s.nullCount.contains(0L) &&
+            ob.lo.forall { case (b, inc) =>
+              s.min.exists(v => if (inc) o.gteq(v, b) else o.gt(v, b)) } &&
+            ob.hi.forall { case (b, inc) =>
+              s.max.exists(v => if (inc) o.lteq(v, b) else o.lt(v, b)) }
+        }
+    }
+    val sortBounded = sortLo.isDefined || sortHi.isDefined
+    def passesLo(v: Any) = sortLo.forall { case (b, inc) =>
+      if (inc) ord.gteq(v, b) else ord.gt(v, b) }
+    def passesHi(v: Any) = sortHi.forall { case (b, inc) =>
+      if (inc) ord.lteq(v, b) else ord.lt(v, b) }
+    def insideSort(s: RowGroupStat): Boolean =
+      s.min.isDefined && s.max.isDefined && s.nullCount.isDefined &&
+        passesLo(s.min.get) && passesHi(s.max.get)
+    def guarantee(s: RowGroupStat): Option[Any] = if (descending) s.min else s.max
+    def best(s: RowGroupStat): Option[Any] = if (descending) s.max else s.min
+    val better: (Any, Any) => Boolean = if (descending) ord.gteq else ord.lteq
+
+    val certified = sortStats
+      .filter(s => insideSort(s) && allPass(s.fileName, s.rowGroup))
+      .sortBy(s => guarantee(s).get)(if (descending) ord.reverse else ord)
+    var covered = 0L
+    var threshold: Option[Any] = None
+    val it = certified.iterator
+    while (covered < k && it.hasNext) {
+      val s = it.next()
+      covered += s.rowCount - s.nullCount.get
+      if (covered >= k) threshold = guarantee(s)
+    }
+    threshold match {
+      case None => statsPlans
+      case Some(t) =>
+        val pruned = sortStats.filter { s =>
+          val mayNullWin = nullsFirst && !sortBounded && !s.nullCount.contains(0L)
+          val allNullGroup = s.nullCount.contains(s.rowCount)
+          if (mayNullWin) false
+          else if (allNullGroup) true // sortBounded rejects nulls; else nullsLast loses
+          else best(s) match {
+            case Some(b) => !better(b, t)
+            case None    => false
+          }
+        }.map(s => (s.fileName, s.rowGroup)).toSet
+        statsPlans.flatMap { p =>
+          val rgs = p.scanRowGroups.filterNot(rg => pruned((p.fileName, rg)))
+          if (rgs.isEmpty) None else Some(p.copy(scanRowGroups = rgs))
+        }
+    }
+  }
+
   private val codePointOrdering: Ordering[Any] = new Ordering[Any] {
     def compare(a: Any, b: Any): Int = {
       val x = a.asInstanceOf[String]

@@ -186,11 +186,14 @@ class TopKPruningSpec extends SparkSpec {
       s"kept ${exec.scannedRowGroups} of ${exec.totalRowGroups}")
   }
 
-  test("a filter on any OTHER column disqualifies the rewrite") {
+  test("an OTHER-column filter on an UNCLUSTERED layout leaves the declarative plan") {
     val dir = sf("sf0.001")
     val df = graft.operators.Indexed.lineitemIndexed(spark, dir)
-    // l_returnflag is not the sort column: per-group sort-key stats say
-    // nothing about which rows pass, so the declarative plan must stand
+    // l_returnflag is not the sort column AND the idx fixture clusters only
+    // l_orderkey — every row group spans all flags, so the composite
+    // certificate can never prove a group all-pass: pruneComposite degrades
+    // to the filter's own stats plans, the rewrite sees no narrowing, and
+    // the declarative plan must stand (the sound fallback)
     val got = df.filter(col("l_returnflag") === "R")
       .orderBy(col("l_orderkey").desc, col("l_linenumber").desc).limit(5)
       .select("l_orderkey", "l_linenumber").collect()
@@ -236,6 +239,85 @@ class TopKPruningSpec extends SparkSpec {
         s"window=[$loV,$hiV] k=$k desc=$descending diverged (kept $kept/$total)")
     }
     assert(anyNarrowed, "filtered pruning never narrowed — fixture too easy")
+  }
+
+  test("composite filtered top-k fires on the (flag, orderkey)-clustered layout") {
+    val dir = sf("sf0.001")
+    val df = graft.operators.Indexed.lineitemComposite(spark, dir)
+    val ord = Seq(col("l_orderkey").desc, col("l_linenumber").desc,
+      col("l_quantity").desc)
+    val got = df.filter(col("l_returnflag") === "R")
+      .orderBy(ord: _*).limit(10)
+      .select("l_orderkey", "l_linenumber", "l_quantity").collect()
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_returnflag") === "R")
+      .orderBy(ord: _*).limit(10)
+      .select("l_orderkey", "l_linenumber", "l_quantity").collect()
+    assert(got === want)
+    val exec = graft.operators.Indexed.lastCompositeExecution(spark, dir).get
+    assert(exec.route.exists(_.startsWith("topk-composite(l_orderkey")),
+      s"composite rule did not fire: ${exec.route}")
+    assert(exec.scannedRowGroups < exec.totalRowGroups,
+      s"kept ${exec.scannedRowGroups} of ${exec.totalRowGroups}")
+  }
+
+  test("composite pruning is sound across other-col windows × k × direction × null order") {
+    val (dir, index, schema) = fx
+    var anyNarrowed = false
+    for {
+      (loV, hiV) <- Seq((0L, 1000L), (1200L, 3200L), (3900L, 3999L))
+      k <- Seq(1, 16, 200)
+      descending <- Seq(true, false)
+      nullsFirst <- Seq(true, false)
+    } {
+      // filter on `id` (perfectly clustered: written in id order), sort by
+      // `key` (locally shuffled, globally increasing, ~10% nulls, ties)
+      val pred = col("id") >= loV && col("id") <= hiV
+      val resolved = RowGroupSkipScan.resolvePredicate(spark, schema, pred)
+      val statsPlans = index.getFiles(resolved)
+      val others = Seq(TopKPruning.OtherColBounds(
+        "id", Some((loV, true)), Some((hiV, true))))
+      val plans = TopKPruning.pruneComposite(index, "key", k.toLong,
+        descending, nullsFirst, None, None, others, statsPlans)
+      val statsKept = statsPlans.map(_.scanRowGroups.size).sum
+      val kept = plans.map(_.scanRowGroups.size).sum
+      assert(kept <= statsKept)
+      if (kept < statsKept) anyNarrowed = true
+      val keyOrd = (descending, nullsFirst) match {
+        case (true, true)   => col("key").desc_nulls_first
+        case (true, false)  => col("key").desc_nulls_last
+        case (false, true)  => col("key").asc_nulls_first
+        case (false, false) => col("key").asc_nulls_last
+      }
+      val ord = Seq(keyOrd, col("id").asc)
+      val got =
+        if (plans.isEmpty) Seq.empty
+        else RowGroupSkipScan.scan(spark, dir, plans, schema)
+          .filter(pred).orderBy(ord: _*).limit(k).select("id", "key")
+          .collect().toSeq
+      val want = spark.read.parquet(dir)
+        .filter(pred).orderBy(ord: _*).limit(k).select("id", "key")
+        .collect().toSeq
+      assert(got === want,
+        s"id∈[$loV,$hiV] k=$k desc=$descending nf=$nullsFirst diverged " +
+          s"(kept $kept/$statsKept)")
+    }
+    assert(anyNarrowed, "composite pruning never narrowed — fixture too easy")
+  }
+
+  test("composite certification fails closed on an unclustered filter column") {
+    val (_, index, schema) = fx
+    // skey (s-<v%97>) varies inside every 50-row group — no group can be
+    // all-pass, so the result must be the stats plans unchanged
+    val pred = col("skey") === "s-42"
+    val resolved = RowGroupSkipScan.resolvePredicate(spark, schema, pred)
+    val statsPlans = index.getFiles(resolved)
+    val others = Seq(TopKPruning.OtherColBounds(
+      "skey", Some(("s-42", true)), Some(("s-42", true))))
+    val plans = TopKPruning.pruneComposite(index, "key", 5L,
+      descending = true, nullsFirst = false, None, None, others, statsPlans)
+    assert(plans.map(p => p.fileName -> p.scanRowGroups).toMap ===
+      statsPlans.map(p => p.fileName -> p.scanRowGroups).toMap)
   }
 
   test("kill switch restores the declarative plan") {
