@@ -84,6 +84,15 @@ final class DerbyStatsIndex(
     val statCols = indexedCols.flatMap { f =>
       val t = derbyType(f.dataType)
       Seq(s"${f.name}_null_count BIGINT", s"${f.name}_min $t", s"${f.name}_max $t") ++
+        // ORDER-PRESERVING shadow of string min/max: uppercase hex of the
+        // stored value's UTF-8 bytes. Derby compares VARCHAR by UTF-16
+        // code unit (diverges from Spark's code-point order above U+E000),
+        // but hex digits are plain ASCII, so Derby's ordered reads over
+        // the shadow equal UTF-8 byte order — certifying the catalog-side
+        // top-k fast path for string sort keys (topKSurvivors)
+        (if (f.dataType == StringType)
+           Seq(s"${f.name}_min_hex VARCHAR(${DerbyStatsIndex.MaxHexLen})",
+             s"${f.name}_max_hex VARCHAR(${DerbyStatsIndex.MaxHexLen})") else Nil) ++
         // per-row-group bloom, attached post-ingest by BloomIndex.build;
         // NULL until then ("unknown ⇒ might match" like every other stat)
         (if (bloomCols.contains(f.name))
@@ -331,12 +340,14 @@ final class DerbyStatsIndex(
     * one page: row groups are walked best-first, so coverage of k is
     * typically reached within the first few — and the survivor filter
     * then runs as ONE catalog-side pruning query, shipping only surviving
-    * plans to the planner. Numeric-encoded columns only (integrals,
-    * date/timestamp, decimal): Derby compares VARCHAR by UTF-16 code
-    * units, which diverges from Spark's code-point order above U+E000, so
-    * strings stay on the planner-side path (whose comparator is
-    * certified); float/double are uncertified everywhere. The threshold
-    * literal is numeric, so embedding it in the survivor SQL is safe. */
+    * plans to the planner. Served for numeric-encoded columns (integrals,
+    * date/timestamp, decimal) directly, and for STRINGS via the
+    * order-preserving hex shadow columns (Derby compares raw VARCHAR by
+    * UTF-16 code unit, which diverges from Spark's code-point order above
+    * U+E000 — the ASCII-only hex of the UTF-8 bytes restores byte order;
+    * see [[DerbyStatsIndex.hex]]); float/double are uncertified
+    * everywhere. Threshold literals are numeric or hex, so embedding them
+    * in the survivor SQL is safe. */
   override def topKSurvivors(
       colName: String,
       k: Long,
@@ -345,19 +356,28 @@ final class DerbyStatsIndex(
       lo: Option[(Any, Boolean)] = None,
       hi: Option[(Any, Boolean)] = None): Option[Seq[FileScanPlan]] = conn.synchronized {
     require(indexedCols.exists(_.name == colName), s"$colName is not indexed")
-    val numeric = indexedCols.find(_.name == colName).map(_.dataType).exists {
+    val colType = indexedCols.find(_.name == colName).map(_.dataType)
+    val numeric = colType.exists {
       case ByteType | ShortType | IntegerType | LongType | DateType |
            TimestampType | TimestampNTZType | _: DecimalType => true
       case _ => false
     }
-    if (!numeric || k <= 0) return None
-    val guar = if (descending) s"${colName}_min" else s"${colName}_max"
-    val best = if (descending) s"${colName}_max" else s"${colName}_min"
+    // strings are served through the order-preserving hex shadow columns
+    // (see initialize): Derby's ordered reads over them equal Spark's
+    // UTF8String (code-point) order, which the raw VARCHAR columns do not
+    val isString = colType.contains(StringType)
+    if ((!numeric && !isString) || k <= 0) return None
+    val minCol = if (isString) s"${colName}_min_hex" else s"${colName}_min"
+    val maxCol = if (isString) s"${colName}_max_hex" else s"${colName}_max"
+    val guar = if (descending) minCol else maxCol
+    val best = if (descending) maxCol else minCol
     val dir = if (descending) "DESC" else "ASC"
-    def render(v: Any): String = v match {
-      case d: java.math.BigDecimal => d.toPlainString
-      case other => other.toString // boxed integrals only (numeric gate above)
-    }
+    def render(v: Any): String =
+      if (isString) "'" + DerbyStatsIndex.hex(v.asInstanceOf[String]) + "'"
+      else v match {
+        case d: java.math.BigDecimal => d.toPlainString
+        case other => other.toString // boxed integrals only (numeric gate above)
+      }
     // threshold certificate restricted to groups wholly inside the window:
     // BOTH stored bounds must sit within [lo, hi] (and be known), so every
     // non-null row of the group passes the data filter
@@ -366,13 +386,13 @@ final class DerbyStatsIndex(
     // diverge from the planner-side reference semantics)
     val inside =
       (if (lo.isDefined || hi.isDefined)
-        s" AND rg.${colName}_min IS NOT NULL AND rg.${colName}_max IS NOT NULL"
+        s" AND rg.$minCol IS NOT NULL AND rg.$maxCol IS NOT NULL"
       else "") +
       lo.map { case (v, inc) =>
-        s" AND rg.${colName}_min ${if (inc) ">=" else ">"} ${render(v)}" }
+        s" AND rg.$minCol ${if (inc) ">=" else ">"} ${render(v)}" }
         .getOrElse("") +
       hi.map { case (v, inc) =>
-        s" AND rg.${colName}_max ${if (inc) "<=" else "<"} ${render(v)}" }
+        s" AND rg.$maxCol ${if (inc) "<=" else "<"} ${render(v)}" }
         .getOrElse("")
     try {
       var covered = 0L
@@ -404,6 +424,9 @@ final class DerbyStatsIndex(
       }
       val t = threshold.get match {
         case d: java.math.BigDecimal => d.toPlainString
+        // string threshold comes back FROM the hex shadow column — already
+        // hex ([0-9A-F]*), safe to embed quoted
+        case s: String if isString => "'" + s + "'"
         case other => other.toString
       }
       val cmp = if (descending) ">=" else "<="
@@ -519,6 +542,28 @@ object DerbyStatsIndex {
   /** Stats strings longer than this are truncated (min) or dropped (max). */
   val MaxStringLen = 1024
 
+  /** Width of the string min/max hex shadow columns: up to 3 UTF-8 bytes
+    * per UTF-16 code unit of a MaxStringLen-truncated value (surrogate
+    * pairs average 2 bytes/unit), ×2 hex chars per byte, rounded up. */
+  val MaxHexLen = 8192
+
+  /** Uppercase hex of a string's UTF-8 bytes — an ASCII-only,
+    * order-preserving encoding: byte-wise comparison of the hex equals
+    * UTF-8 byte (= Unicode code point) comparison of the original, and
+    * hex digits sort identically under Derby's UTF-16-code-unit VARCHAR
+    * collation. Prefixes stay sound: Derby pads the shorter operand with
+    * spaces (0x20), which sort below every hex digit, so a prefix orders
+    * before its extensions — exactly byte-lexicographic order. */
+  private[index] def hex(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    bytes.foreach { b =>
+      sb.append("0123456789ABCDEF".charAt((b >> 4) & 0xF))
+      sb.append("0123456789ABCDEF".charAt(b & 0xF))
+    }
+    sb.toString
+  }
+
   @volatile private var driverLoaded = false
   private[index] def ensureDriver(): Unit = if (!driverLoaded) synchronized {
     if (!driverLoaded) {
@@ -600,7 +645,10 @@ object DerbyStatsIndex {
 
       val cols = Seq("file_id", "row_group", "row_count",
         "rg_start_bytes", "rg_compressed_bytes") ++
-        indexedCols.flatMap(f => Seq(s"${f.name}_null_count", s"${f.name}_min", s"${f.name}_max"))
+        indexedCols.flatMap(f =>
+          Seq(s"${f.name}_null_count", s"${f.name}_min", s"${f.name}_max") ++
+            (if (f.dataType == StringType)
+               Seq(s"${f.name}_min_hex", s"${f.name}_max_hex") else Nil))
       val ins = conn.prepareStatement(
         s"""INSERT INTO row_group_statistics (${cols.mkString(", ")})
            |VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin)
@@ -617,6 +665,18 @@ object DerbyStatsIndex {
           setValue(ins, i + 1, cs.flatMap(_.min), f.dataType)
           setValue(ins, i + 2, cs.flatMap(_.max), f.dataType, isMax = true)
           i += 3
+          if (f.dataType == StringType) {
+            // hex shadows of EXACTLY what the VARCHAR columns store (same
+            // truncation for min, same drop-to-NULL for over-long max), so
+            // ordered reads over the shadow see the same value set
+            val mn = cs.flatMap(_.min).collect { case s: String =>
+              if (s.length <= MaxStringLen) s else s.take(MaxStringLen) }
+            val mx = cs.flatMap(_.max).collect {
+              case s: String if s.length <= MaxStringLen => s }
+            setNullable(ins, i, mn.map(hex), java.sql.Types.VARCHAR)
+            setNullable(ins, i + 1, mx.map(hex), java.sql.Types.VARCHAR)
+            i += 2
+          }
         }
         ins.addBatch()
       }

@@ -63,7 +63,7 @@ object Indexed {
       val dataDir = s"$base/lineitem-v4"
       if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
         // stale stats DB describes the previous materialization — drop it
-        rmrf(new java.io.File(s"$base/statsdb-v4"))
+        rmrf(new java.io.File(s"$base/statsdb-v5"))
         spark.read.parquet(s"$sfDir/lineitem.parquet")
           // l_ukey: a high-cardinality key (md5 of the row identity) that
           // is UNCORRELATED with the l_orderkey range clustering — the
@@ -81,7 +81,7 @@ object Indexed {
       }
       // -v4: schema grew (l_ukey stats + bloom column) — a stale pre-v4
       // DB would reject inserts; versioning the path sidesteps migration
-      val dbPath = s"$base/statsdb-v4"
+      val dbPath = s"$base/statsdb-v5"
       val (index, dataSchema) = IndexedParquet.buildIndex(
         spark, dataDir,
         Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_ukey"),
@@ -556,7 +556,7 @@ object Indexed {
       val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
       val dataDir = s"$base/lineitem-comp-v1"
       if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
-        rmrf(new java.io.File(s"$base/statsdb-comp-v1"))
+        rmrf(new java.io.File(s"$base/statsdb-comp-v2"))
         spark.read.parquet(s"$sfDir/lineitem.parquet")
           .repartitionByRange(8, col("l_returnflag"), col("l_orderkey"))
           .sortWithinPartitions("l_returnflag", "l_orderkey")
@@ -567,7 +567,7 @@ object Indexed {
       }
       val (index, dataSchema) = IndexedParquet.buildIndex(
         spark, dataDir, Seq("l_returnflag", "l_orderkey"),
-        s"$base/statsdb-comp-v1")
+        s"$base/statsdb-comp-v2")
       val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
       Entry(df, fileIndex, dataDir, index, dataSchema)
     })

@@ -393,10 +393,63 @@ class TopKPruningSpec extends SparkSpec {
     }
   }
 
-  test("strings stay on the planner-side path (Derby collation not certified)") {
+  test("string fast path serves from the hex shadow and equals the planner exactly") {
     val (_, index, _) = fx
-    assert(index.topKSurvivors("skey", 5L, descending = true, nullsFirst = false)
-      === None)
+    val slow = plannerOnly(index)
+    def keySet(plans: Seq[graft.index.FileScanPlan]) =
+      plans.map(p => p.fileName -> p.scanRowGroups).toMap
+    for {
+      k <- Seq(1, 7, 64, 500)
+      descending <- Seq(true, false)
+      nullsFirst <- Seq(true, false)
+    } {
+      val fast = index.topKSurvivors("skey", k.toLong, descending, nullsFirst)
+      assert(fast.isDefined,
+        s"string fast path must serve k=$k (hex shadow columns)")
+      val viaPlanner =
+        TopKPruning.prune(slow, "skey", k.toLong, descending, nullsFirst)
+      assert(keySet(fast.get) === keySet(viaPlanner),
+        s"k=$k desc=$descending nullsFirst=$nullsFirst: string paths diverged")
+    }
+  }
+
+  test("string fast path agrees with the planner beyond U+E000 (code-point order)") {
+    // Derby's raw VARCHAR collation (UTF-16 code units) disagrees with
+    // UTF-8 byte order exactly in [U+E000, U+FFFF] vs supplementary
+    // planes: surrogate pairs (0xD800-0xDFFF units) sort BELOW U+E000 in
+    // code-unit order but ABOVE it in code-point order. Build a fixture
+    // whose group boundaries straddle that band and pin catalog ==
+    // planner == full-scan truth.
+    val base = Files.createTempDirectory("graft-topk-uni").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    val vals = Seq("a", "𐀀", "zz", "�", "😀",
+      "a", "", "𐀁", "m", "￿")
+    (0 until 400).map(i => (i.toLong, vals(i % vals.size) + s"-$i"))
+      .toDF("id", "ukey")
+      .coalesce(1)
+      .write.option("parquet.block.row.count.limit", "40")
+      .mode("overwrite").parquet(dir)
+    val (index, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("id", "ukey"), s"$base/statsdb")
+    val slow = plannerOnly(index.asInstanceOf[DerbyStatsIndex])
+    def keySet(plans: Seq[graft.index.FileScanPlan]) =
+      plans.map(p => p.fileName -> p.scanRowGroups).toMap
+    for (descending <- Seq(true, false)) {
+      val fast = index.topKSurvivors("ukey", 25L, descending, nullsFirst = false)
+      assert(fast.isDefined)
+      val viaPlanner = TopKPruning.prune(slow, "ukey", 25L, descending,
+        nullsFirst = false)
+      assert(keySet(fast.get) === keySet(viaPlanner),
+        s"desc=$descending: supplementary-plane ordering diverged")
+      val ord = if (descending) Seq(col("ukey").desc_nulls_last, col("id").asc)
+                else Seq(col("ukey").asc_nulls_last, col("id").asc)
+      val got = RowGroupSkipScan.scan(spark, dir, fast.get, schema)
+        .orderBy(ord: _*).limit(25).select("id", "ukey").collect().toSeq
+      val want = spark.read.parquet(dir)
+        .orderBy(ord: _*).limit(25).select("id", "ukey").collect().toSeq
+      assert(got === want, s"desc=$descending: pruned scan diverged")
+    }
   }
 
   test("k beyond the table degrades to the full plan set") {
