@@ -234,9 +234,12 @@ object AnnSearch {
     // per 8-dim subspace), fit per-subspace by the same bounded
     // deterministic Lloyd shape ann3 uses, codebooks floor-quantized to
     // integer literals inlined into plan AND oracle. Candidate scoring is
-    // the decoded-centroid dot (numerically identical to the per-subspace
-    // ADC lookup-table sum), integer-exact so ranking is deterministic;
-    // the top-PqCandidates then rerank against the TRUE vectors. At scale
+    // TRUE ADC (ann5's pattern): each broadcast query carries an M×K
+    // partial-dot lookup table, each candidate's dot is M lookups on its
+    // codes, and the decoded norm is M lookups into a plan-time literal
+    // table — numerically identical to the decoded-centroid dot (disjoint
+    // subspaces), integer-exact so ranking is deterministic; the
+    // top-PqCandidates then rerank against the TRUE vectors. At scale
     // the point is compression: the candidate pass reads 8-byte codes
     // (64x smaller than the raw vectors — encode once at ingest), and
     // only the rerank's bounded candidate set touches full vectors.
@@ -249,15 +252,27 @@ object AnnSearch {
         val enc = (0 until PqM).foldLeft(q) { (df, m) =>
           df.withColumn(s"c$m", pqCode(m, cbs(m)))
         }
-        val decoded = flatten(array((0 until PqM).map { m =>
-          element_at(typedlit(cbs(m).map(_.toSeq).toSeq), (col(s"c$m") + 1).cast("int"))
-        }: _*))
-        val dec = enc.withColumn("dv", decoded)
-          .withColumn("nd", dot(s)(col("dv"), col("dv")))
+        val normTab: Int => Seq[Long] =
+          m => cbs(m).map(cv => cv.map(x => x * x).sum).toSeq
+        val nd = (0 until PqM).map { m =>
+          element_at(typedlit(normTab(m)), (col(s"c$m") + 1).cast("int"))
+        }.reduce(_ + _)
+        val dec = enc.withColumn("nd", nd)
+          .select(("vec_id" +: "nd" +: (0 until PqM).map(m => s"c$m")).map(col): _*)
+        val tab = array((0 until PqM).map { m =>
+          array((0 until PqK).map { c =>
+            dot(s)(slice(col("qv"), m * PqSubDim + 1, PqSubDim),
+              typedlit(cbs(m)(c).toSeq))
+          }: _*)
+        }: _*)
         val queries = q.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("nq"))
-        val adc = dec.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-          .withColumn("dh", dot(s)(col("qv"), col("dv")))
+        val qtab = queries.select(col("q_id"), col("nq"), tab.as("tab"))
+        val dh = (0 until PqM).map { m =>
+          element_at(element_at(col("tab"), m + 1), (col(s"c$m") + 1).cast("int"))
+        }.reduce(_ + _)
+        val adc = dec.join(broadcast(qtab), col("vec_id") =!= col("q_id"))
+          .withColumn("dh", dh)
           .withColumn("sc", score(col("dh"), col("nq"), col("nd")))
         val w = Window.partitionBy("q_id").orderBy(col("sc").desc, col("vec_id").asc)
         val cands = adc.withColumn("r", row_number().over(w))

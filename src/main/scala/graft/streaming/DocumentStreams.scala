@@ -21,20 +21,22 @@ object DocumentStreams {
   private val fixture = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Once per sfDir: the ARRIVING documents (doc_id % 5 = 0 — dd10's
-    * batch slice) re-materialized as 4 doc_id-range files so the file
-    * source feeds them one micro-batch at a time. Order doesn't matter
-    * (the emitted pair set is batch-order-independent: each document's
-    * matches depend only on its own row and the static table), but
-    * mtimes are stamped ascending anyway so batch boundaries are
-    * deterministic run to run. */
+    * batch slice) re-materialized as 2 doc_id-range files so the file
+    * source feeds them one micro-batch at a time (two batches prove the
+    * per-micro-batch admission topology; the pipeline is stateless, so
+    * more batches add only fixed planning cost, no coverage). Order
+    * doesn't matter (the emitted pair set is batch-order-independent:
+    * each document's matches depend only on its own row and the static
+    * table), but mtimes are stamped ascending anyway so batch boundaries
+    * are deterministic run to run. */
   private[graft] def docStreamDir(s: SparkSession, sfDir: String): String =
     fixture.getOrElseUpdate(sfDir + "@" + s.hashCode(), {
       val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      val out = new java.io.File(s"target/tmp/streamdocs/$safe/docs-v1").getAbsolutePath
+      val out = new java.io.File(s"target/tmp/streamdocs/$safe/docs-v2").getAbsolutePath
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
         graft.Tables.load(s, sfDir, "documents")
           .filter(col("doc_id") % 5 === 0)
-          .repartitionByRange(4, col("doc_id"))
+          .repartitionByRange(2, col("doc_id"))
           .write.mode("overwrite").parquet(out)
       }
       val parts = new java.io.File(out).listFiles()

@@ -152,16 +152,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
-  test("ann5: candidate pass is true ADC — codes + table lookups, no decoded vector") {
-    val p = plan("ann5_topk_ivfpq")
+  test("ann4/ann5: candidate pass is true ADC — codes + table lookups, no decoded vector") {
     // the decoded-vector form was a flatten(array(element_at(codebook, code)…))
     // per candidate row; true ADC replaces it with per-query lookup tables,
     // so no flatten (the decoded-vector constructor) may appear anywhere
-    assert(!p.contains("flatten("), p.take(3000))
+    val p5 = plan("ann5_topk_ivfpq")
+    assert(!p5.contains("flatten("), p5.take(3000))
     // probe and query sides stay broadcast — the candidate pass must not
     // shuffle the corpus codes
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
-    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p5.contains("BroadcastHashJoin"), p5.take(2000))
+    assert(!p5.contains("CartesianProduct"), p5.take(2000))
+    val p4 = plan("ann4_topk_pq")
+    assert(!p4.contains("flatten("), p4.take(3000))
+    assert(p4.contains("Broadcast"), p4.take(2000))
+    assert(!p4.contains("CartesianProduct"), p4.take(2000))
   }
 
   test("q38_resample_gapfill: gap-fill reads the cached aggregate, not the corpus") {

