@@ -238,7 +238,11 @@ object EventStreams {
     val src = readEventStream(s, dir)
     val sinkName = "graft_st3_sink"
     s.catalog.dropTempView(sinkName)
-    withStatePartitions(s, 8) {
+    // 4, not the gate default 8: the interval join keeps TWO stateful
+    // sides, so its per-batch fixed cost is 2× state-store commits per
+    // partition — halving partitions halves the dominant fixed term while
+    // ~1500 user keys still spread fine over 4 stores
+    withStatePartitions(s, 4) {
       val q = clickToPurchaseJoin(
         src.filter(col("event_type") === "click"),
         src.filter(col("event_type") === "purchase"),

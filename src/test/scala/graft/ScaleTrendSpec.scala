@@ -42,7 +42,14 @@ class ScaleTrendSpec extends SparkSpec {
     "gr2_triangles",
     // the per-vector distance agg must stay partial map-side (one row per
     // vector on the wire); a lost partial agg ships dim rows per vector
-    "emb4_centroid_outlier")
+    "emb4_centroid_outlier",
+    // dd6's rounds + one component-keyed arg-max + one keyed join — the
+    // full emit path of the dedup pipeline; a lost map-side combine or an
+    // accidental text shuffle in the scoring join would go super-linear
+    "dd12_representative",
+    // map-only hashed-bigram margins against a broadcast weight table; a
+    // lost broadcast would shuffle the exploded (doc, fid) feature stream
+    "tx18_quality_score")
 
   heavy.foreach { name =>
     test(s"$name: sf0.01 → sf0.1 runtime stays ~linear in input size") {
