@@ -176,8 +176,16 @@ object Dedup {
     * near-dups collide), so the array combination step is O(bucket²)
     * with tiny buckets — the shape that survives a 1000x corpus. Shared
     * by dd3 (emits the pairs) and dd6 (clusters them). */
-  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val melted = bandKeys(shingleDf(s, dir))
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    bandPairs(bandKeys(shingleDf(s, dir)))
+
+  /** Candidate pairs (a < b) from a melted `(doc_id, band, bkey)` band
+    * frame: pair combinations inside each band bucket. Factored from
+    * [[minhashPairs]] so the INCREMENTAL component path (dd13) can expand
+    * pairs over document SUBSETS — band keys are per-document (map-only),
+    * so a subset's buckets are exactly the full corpus's buckets
+    * restricted to the subset. */
+  private[graft] def bandPairs(melted: DataFrame): DataFrame = {
     val buckets = melted.groupBy("band", "bkey")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .where(size(col("ds")) > 1)
@@ -791,7 +799,49 @@ object Dedup {
            |SELECT l.doc_id, l.component, l.doc_id = k.keep_id AS kept
            |FROM lab l JOIN (SELECT component, keep_id FROM k WHERE rn = 1) k
            |  USING (component)""".stripMargin
-      })
+      }),
+
+    // ----- INCREMENTAL connected components ---------------------------------
+    // The missing piece between dd10 (incremental candidate pairs) and
+    // dd6 (batch cluster labels): when a batch arrives, cluster identity
+    // is MAINTAINED, not recomputed — label propagation runs over the
+    // corpus's STAR-COMPRESSED labels (one (label, member) edge per
+    // already-labeled doc, a graph of diameter 2) unioned with only the
+    // NEW edges (dd10's cross pairs + the batch's internal pairs). Star
+    // edges preserve exactly the old components' connectivity and their
+    // min-vertex ids, and band keys are per-document, so the three pair
+    // sets (corpus-corpus, cross, batch-batch) partition the full graph's
+    // pairs — the merged labels provably EQUAL a full recompute, and the
+    // oracle is dd6's full-graph recursive closure verbatim. Scale: the
+    // corpus labels and band table both persist (computed once per corpus
+    // version); per batch the work is O(batch bands) narrow banding, one
+    // bucket-aligned cross join, and CC over |labels| + |new pairs| edges
+    // — never O(corpus pairs) again.
+    QueryDef(
+      "dd13_incremental_components",
+      (s, dir) => {
+        val corpusBands = s.table(corpusBandTable(s, dir))
+        val stars = s.table(corpusLabelTable(s, dir))
+          .select(col("l").as("a"), col("v").as("b"))
+          .where(col("a") =!= col("b"))
+        val batchBands = bandKeysMapOnly(
+          Tables.load(s, dir, "documents").filter(col("doc_id") % 5 === 0))
+        val batchPairs = bandPairs(batchBands)
+        val cross = corpusBands.withColumnRenamed("doc_id", "a")
+          .join(batchBands.withColumnRenamed("doc_id", "b"), Seq("band", "bkey"))
+          .select("a", "b").distinct()
+        connectedComponents(stars.union(cross).union(batchPairs))
+          .select(col("v").as("doc_id"), col("l").as("component"))
+      },
+      Some(s"""WITH RECURSIVE $mhPairsCtes,
+             |ed AS (SELECT a s, b d FROM pairs
+             |       UNION ALL SELECT b, a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT s, s FROM (SELECT DISTINCT s FROM ed)
+             |  UNION
+             |  SELECT r.src, e.d FROM reach r JOIN ed e ON e.s = r.dst)
+             |SELECT src AS doc_id, min(dst) AS component
+             |FROM reach GROUP BY src""".stripMargin))
   )
 
   private val componentTableCache =
@@ -812,6 +862,26 @@ object Dedup {
       val comp = connectedComponents(minhashPairs(s, dir))
         .select(col("v").as("doc_id"), col("l").as("component"))
       graft.sources.Bucketing.writeBucketed(comp, tbl, "doc_id", 8)
+      tbl
+    })
+
+  private val corpusLabelCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The CORPUS-ONLY component label table for `dir`: labels over the
+    * corpus slice's own candidate pairs (doc_id % 5 != 0 — dd10's corpus),
+    * persisted once per session. This is dd13's maintained state: each
+    * admitted batch merges into these labels via star edges instead of
+    * re-running propagation over the corpus pair graph. Distinct from
+    * [[componentTable]] (labels over ALL docs — the final answer dd11/dd12
+    * consume); this table deliberately excludes batch influence because it
+    * IS the before-the-batch state. */
+  private[graft] def corpusLabelTable(s: SparkSession, dir: String): String =
+    corpusLabelCache.getOrElseUpdate(dir + "@" + s.hashCode(), {
+      val tbl = "graft_corpus_labels_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val labels = connectedComponents(
+        bandPairs(s.table(corpusBandTable(s, dir))))
+      graft.sources.Bucketing.writeBucketed(labels, tbl, "v", 8)
       tbl
     })
 

@@ -98,6 +98,18 @@ class DedupBoundsSpec extends SparkSpec {
     assert(comp.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("dd13 incremental labels equal dd6's full recompute exactly") {
+    // star-compression soundness on real data: merging the batch into the
+    // persisted corpus labels must land on the identical (doc_id,
+    // component) set as running label propagation over the whole graph
+    val dir = sf("sf0.001")
+    val full = SparkEntry.queries("dd6_components")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = SparkEntry.queries("dd13_incremental_components")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full)
+  }
+
   test("dd7 hot clusters subdivide instead of truncate: full dup recall, bounded blocks") {
     import spark.implicits._
     // ONE hot cell with 620 members (2.4x MaxBlock): 600 pseudo-random
