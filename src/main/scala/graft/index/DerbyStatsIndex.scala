@@ -554,7 +554,7 @@ object DerbyStatsIndex {
     * collation. Prefixes stay sound: Derby pads the shorter operand with
     * spaces (0x20), which sort below every hex digit, so a prefix orders
     * before its extensions — exactly byte-lexicographic order. */
-  private[index] def hex(s: String): String = {
+  private[graft] def hex(s: String): String = {
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val sb = new java.lang.StringBuilder(bytes.length * 2)
     bytes.foreach { b =>

@@ -168,6 +168,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p4.contains("CartesianProduct"), p4.take(2000))
   }
 
+  test("tx18: weight table broadcasts and the margin sum combines map-side") {
+    val p = plan("tx18_quality_score")
+    // the exploded (doc, fid) feature stream must meet the F=1024 weight
+    // table as a BROADCAST (a shuffled weight join would exchange the
+    // feature stream by fid — corpus-sized); the doc-keyed margin agg and
+    // the final doc-keyed left join legitimately shuffle (both sides are
+    // corpus-sized at scale)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the margin sum must be partial under its exchange (map-side combine)
+    val aggExchange = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(aggExchange >= 0, p.take(3000))
+    assert(p.indexOf("HashAggregate", aggExchange) > aggExchange,
+      "margin sum must combine map-side before the shuffle")
+  }
+
   test("q38_resample_gapfill: gap-fill reads the cached aggregate, not the corpus") {
     val p = plan("q38_resample_gapfill")
     // span, type list, and the gap-fill join must all read the persisted

@@ -116,4 +116,41 @@ class TopKPropertySpec extends AnyFunSuite {
     }
     check(prop, 500)
   }
+
+  test("hex shadow encoding is order-preserving for arbitrary unicode strings") {
+    // the string catalog fast path rests on this invariant: lexicographic
+    // comparison of hex(s) — ASCII-only, so Derby's UTF-16-code-unit
+    // collation, pad-space semantics included, equals plain compareTo —
+    // must order exactly like UTF-8 bytes, i.e. Unicode code points, the
+    // order Spark's UTF8String sort uses. Generator weights the
+    // historically divergent bands: [U+E000, U+FFFF] vs supplementary
+    // planes (where UTF-16 code-unit order inverts), plus empty strings
+    // and shared prefixes.
+    val genCp = org.scalacheck.Gen.frequency(
+      5 -> org.scalacheck.Gen.choose(0x20, 0x7E),
+      2 -> org.scalacheck.Gen.choose(0x80, 0xD7FF),
+      2 -> org.scalacheck.Gen.choose(0xE000, 0xFFFF),
+      2 -> org.scalacheck.Gen.choose(0x10000, 0x10FFFF))
+    val genStr = org.scalacheck.Gen.listOf(genCp).map(cps =>
+      cps.foldLeft(new java.lang.StringBuilder)(_.appendCodePoint(_)).toString)
+    def byteCompare(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val c = java.lang.Integer.compare(a(i) & 0xFF, b(i) & 0xFF)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(a.length, b.length)
+    }
+    val prop = Prop.forAll(genStr, genStr) { (s1, s2) =>
+      val viaHex = math.signum(
+        graft.index.DerbyStatsIndex.hex(s1)
+          .compareTo(graft.index.DerbyStatsIndex.hex(s2)))
+      val viaBytes = math.signum(byteCompare(
+        s1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        s2.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      viaHex == viaBytes
+    }
+    check(prop, 1000)
+  }
 }
