@@ -424,26 +424,18 @@ object Dedup {
     QueryDef(
       "dd2_ngram_jaccard",
       (s, dir) => {
-        // shingling is cheap enough (one projection) that recomputing it
-        // for the counts branch beats caching; at 100 TB this would be a
-        // materialize-to-storage step instead.
         // Shingles are HASHED to 60-bit ints before the shuffle (standard
         // hashed-shingling): the inverted-index exchange carries 8-byte
         // keys instead of raw text trigrams — at 100 TB the difference
         // between shuffling the corpus's text and shuffling digests. The
         // oracle applies the identical md5-prefix hash, so a collision
         // (≈2⁻⁶⁰ per pair) merges the same postings on both engines and
-        // the check stays exact.
-        val sh = shingleDf(s, dir, hashed = true)
-        val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-        // inverted index: one shuffle by shingle, pairs from each posting
-        // list's combinations (no self-join second scan); hot buckets are
-        // dropped by the MaxPosting cap so no task is ever O(corpus²)
-        val common = pairCounts(postings(sh, MaxPosting))
-        common
-          .join(n.withColumnRenamed("doc_id", "a").withColumnRenamed("ns", "na"), "a")
-          .join(n.withColumnRenamed("doc_id", "b").withColumnRenamed("ns", "nb"), "b")
-          // jaccard = c/(na+nb-c) >= 0.6, exactly, in integers
+        // the check stays exact. The overlap statistics themselves come
+        // from the PERSISTED pair-stats table (pairStatsTable — one
+        // inverted-index pass per corpus version; the MaxPosting cap
+        // bounds every task at O(cap²)); dd2 is the Jaccard policy over
+        // them: c/(na+nb−c) >= 0.6, exactly, in integers.
+        s.table(pairStatsTable(s, dir))
           .where(col("c") * 10 >= (col("na") + col("nb") - col("c")) * 6)
           .select("a", "b")
       },
@@ -473,12 +465,10 @@ object Dedup {
     QueryDef(
       "dd9_containment",
       (s, dir) => {
-        val sh = shingleDf(s, dir, hashed = true)
-        val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-        val common = pairCounts(postings(sh, MaxPosting))
-        common
-          .join(n.withColumnRenamed("doc_id", "a").withColumnRenamed("ns", "na"), "a")
-          .join(n.withColumnRenamed("doc_id", "b").withColumnRenamed("ns", "nb"), "b")
+        // the containment policy over the same persisted pair statistics
+        // dd2 thresholds (c/min(na,nb) >= 0.8): policies share one
+        // inverted-index pass per corpus version
+        s.table(pairStatsTable(s, dir))
           .where(col("c") * 10 >= least(col("na"), col("nb")) * 8)
           .select("a", "b")
       },
@@ -843,6 +833,36 @@ object Dedup {
              |SELECT src AS doc_id, min(dst) AS component
              |FROM reach GROUP BY src""".stripMargin))
   )
+
+  private val pairStatsCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The shingle-overlap PAIR STATISTICS table for `dir`: for every
+    * candidate pair from the capped inverted index, (a, b, c = shared
+    * hashed shingles, na, nb = shingle set sizes) — computed ONCE per
+    * session and persisted (the materialize-to-storage step dd2's scale
+    * note describes). Every set-overlap dedup POLICY is then a threshold
+    * over these statistics: dd2's Jaccard c/(na+nb−c), dd9's containment
+    * c/min(na,nb) — at 100 TB you compute the overlap statistics once per
+    * corpus version and evaluate policies as cheap scans, not one
+    * inverted-index pass per policy. */
+  /** The pair-statistics computation itself, uncached — the one
+    * inverted-index pass (ScaleTrendSpec times THIS, not the persisted
+    * table's scan, so the linearity guard still watches the pass). */
+  private[graft] def pairStats(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleDf(s, dir, hashed = true)
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    pairCounts(postings(sh, MaxPosting))
+      .join(n.withColumnRenamed("doc_id", "a").withColumnRenamed("ns", "na"), "a")
+      .join(n.withColumnRenamed("doc_id", "b").withColumnRenamed("ns", "nb"), "b")
+  }
+
+  private[graft] def pairStatsTable(s: SparkSession, dir: String): String =
+    pairStatsCache.getOrElseUpdate(dir + "@" + s.hashCode(), {
+      val tbl = "graft_pair_stats_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Bucketing.writeBucketed(pairStats(s, dir), tbl, "a", 8)
+      tbl
+    })
 
   private val componentTableCache =
     scala.collection.concurrent.TrieMap.empty[String, String]

@@ -31,7 +31,7 @@ class ScaleTrendSpec extends SparkSpec {
     }.min
 
   private val heavy = Seq(
-    "dd2_ngram_jaccard", "dd3_minhash_lsh", "dd6_components", "tx5_winnow",
+    "dd3_minhash_lsh", "dd6_components", "tx5_winnow",
     // the IVFADC composition: candidate pass must stay codes-in-probed-
     // cells (a lost cell join or decoded-vector shuffle would go
     // super-linear); fits are cached after the first rep, min-of-2 takes
@@ -50,6 +50,21 @@ class ScaleTrendSpec extends SparkSpec {
     // map-only hashed-bigram margins against a broadcast weight table; a
     // lost broadcast would shuffle the exploded (doc, fid) feature stream
     "tx18_quality_score")
+
+  test("pair-stats inverted-index pass (dd2/dd9's shared build): sf0.01 → sf0.1 stays ~linear") {
+    // dd2/dd9 read the persisted pair-stats table, so timing the QUERIES
+    // would measure a table scan; the quadratic risk (uncapped posting
+    // expansion) lives in the build — time it directly, uncached
+    import graft.operators.Dedup
+    Dedup.pairStats(spark, sf("sf0.001")).count() // warmup: codegen + JIT
+    spark.catalog.clearCache()
+    val tSmall = bestOf(2) { Dedup.pairStats(spark, sf("sf0.01")).count() }
+    val tBig = bestOf(2) { Dedup.pairStats(spark, sf("sf0.1")).count() }
+    val ratio = tBig / tSmall
+    assert(ratio <= 30.0,
+      f"pairStats: $tSmall%.2fs → $tBig%.2fs (${ratio}%.1f×) for 10× input — " +
+        "super-linear growth, check the MaxPosting cap")
+  }
 
   heavy.foreach { name =>
     test(s"$name: sf0.01 → sf0.1 runtime stays ~linear in input size") {
