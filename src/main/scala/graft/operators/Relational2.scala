@@ -523,6 +523,37 @@ object Relational2 {
              |SELECT c.cohort, CAST(ud.d - c.cohort AS INT) AS offset_days,
              |       count(*) AS users
              |FROM ud JOIN c USING (user_id)
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ----- recursive CTE (q41) ----------------------------------------------
+    // WITH RECURSIVE through Spark's native SQL surface (new in Spark 4 —
+    // the hierarchical/reachability query class that previously forced a
+    // driver-side loop): per-node depth in a synthetic reporting tree over
+    // supplier (node k >= 2 reports to k DIV 2, root 1 — derived from the
+    // key itself so both engines build the identical graph; key 0 is
+    // excluded to avoid the 0 DIV 2 = 0 self-loop). Spark iterates the
+    // recursive step as chained joins exactly like dd6's label rounds, but
+    // declared in SQL; depth is bounded by log2(|supplier|), far under the
+    // recursion guard. Scale: each iteration is one keyed join of the
+    // frontier against supplier — frontier-sized, not table-sized.
+    QueryDef(
+      "q41_recursive_cte",
+      (s, dir) => {
+        Tables.register(s, dir, "supplier")
+        s.sql("""WITH RECURSIVE chain AS (
+                |  SELECT s_suppkey, 0 AS depth FROM supplier WHERE s_suppkey = 1
+                |  UNION ALL
+                |  SELECT sup.s_suppkey, c.depth + 1
+                |  FROM supplier sup JOIN chain c ON sup.s_suppkey DIV 2 = c.s_suppkey
+                |  WHERE sup.s_suppkey > 1)
+                |SELECT s_suppkey, depth FROM chain""".stripMargin)
+      },
+      Some("""WITH RECURSIVE chain(s_suppkey, depth) AS (
+             |  SELECT s_suppkey, 0 AS depth FROM supplier WHERE s_suppkey = 1
+             |  UNION ALL
+             |  SELECT sup.s_suppkey, c.depth + 1
+             |  FROM supplier sup JOIN chain c ON sup.s_suppkey // 2 = c.s_suppkey
+             |  WHERE sup.s_suppkey > 1)
+             |SELECT s_suppkey, depth FROM chain""".stripMargin))
   )
 }
