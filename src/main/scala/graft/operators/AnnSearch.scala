@@ -509,8 +509,52 @@ object AnnSearch {
              |        CAST(row_number() OVER (PARTITION BY label
              |               ORDER BY d2 DESC, vec_id) AS INTEGER) AS rk
              |      FROM d)
-             |SELECT label, vec_id, d2, rk FROM r WHERE rk <= 5""".stripMargin))
+             |SELECT label, vec_id, d2, rk FROM r WHERE rk <= 5""".stripMargin)),
+
+    // ----- k-NN graph construction (emb5) -----------------------------------
+    // The neighborhood graph SemDeDup-style pruning and graph-based
+    // curation build as a preprocessing artifact: for EVERY vector, its
+    // top-KnnK cosine neighbors among candidates sharing its learned
+    // block (dd7's cell assignment with hot-cell LSH subdivision and the
+    // deterministic cap — bounded O(block²) tasks, never all-pairs). A
+    // blocked k-NN graph is the standard corpus-scale construction (an
+    // exact graph is quadratic by definition); recall follows the block
+    // recall dd7 documents. Directed: ranking is per SOURCE vector, so
+    // the pair join keeps both orientations (x ≠ y, not x < y). Scoring
+    // is the suite's integer-exact sign-preserving cos² as one double
+    // division — rankable cross-engine; ties break to the lower neighbor
+    // id. Scale: candidate generation is the same bounded block join dd7
+    // runs; the ranking is one source-keyed window over O(block²·blocks)
+    // scored edges.
+    QueryDef(
+      "emb5_knn_graph",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val q = quantized(s, dir)
+        val cents = fitQuantizedCentroids(s, dir)
+        Dedup.emb5Oracle = Some(Dedup.emb5Sql(cents))
+        val assigned = q.withColumn("cell",
+          -array_max(cellScoreArr(s, cents)).getField("i"))
+        val blocks = Dedup.semanticBlocks(s, assigned)
+        val a = blocks.select(col("label"), col("vec_id").as("src"),
+          col("v").as("va"), col("nn").as("na"))
+        val b = blocks.select(col("label"), col("vec_id").as("dst"),
+          col("v").as("vb"), col("nn").as("nb"))
+        val scored = a.join(b, Seq("label")).where(col("src") =!= col("dst"))
+          .withColumn("d", dot(s)(col("va"), col("vb")))
+          .withColumn("sc", score(col("d"), col("na"), col("nb")))
+          .select("src", "dst", "sc").distinct() // hot-cell multi-band dups
+        val w = Window.partitionBy("src").orderBy(col("sc").desc, col("dst").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= KnnK)
+          .select(col("src").as("vec_id"), col("rank"),
+            col("dst").as("neighbor_id"))
+      },
+      None,
+      oracleDyn = Some(() => Dedup.emb5Oracle.get))
   )
+
+  val KnnK = 3
 
   val IvfCells = 16
   val IvfProbes = 2

@@ -360,7 +360,11 @@ object Dedup {
     * the lower cell), same hot-cluster band subdivision as
     * [[semanticBlocks]] (ann2's hyperplane signs inlined), same
     * deterministic per-bucket cap, same integer-exact cosine threshold. */
-  private def dd7Sql(cents: Array[Array[Long]]): String = {
+  /** The cell-assignment + hot-cell subdivision + cap pipeline as DuckDB
+    * CTEs ending in `capped(vec_id, cell, v, nn, label)` — the oracle
+    * mirror of [[semanticBlocks]], shared by dd7's near-dup tail and
+    * emb5's k-NN tail. */
+  private def blockedCtes(cents: Array[Array[Long]]): String = {
     val values = cents.zipWithIndex.map { case (cv, c) =>
       val ncSq = cv.map(x => x * x).sum
       s"($c, ${cv.mkString("[", ",", "]")}::BIGINT[], ${ncSq})"
@@ -372,7 +376,7 @@ object Dedup {
          |      CAST(${AnnSearch.sqlBucketKey(t, "v")} AS VARCHAR) AS label
          |  FROM cnt WHERE cnt > $MaxBlock""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    s"""WITH q AS (SELECT vec_id,
+    s"""q AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) v
        |  FROM embeddings),
        |n AS (SELECT vec_id, v,
@@ -399,13 +403,32 @@ object Dedup {
        |capped AS (SELECT vec_id, cell, v, nn, label FROM (
        |    SELECT *, row_number() OVER (PARTITION BY label
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) ck FROM blocks) t
-       |  WHERE ck <= $MaxBlock),
+       |  WHERE ck <= $MaxBlock)""".stripMargin
+  }
+
+  private def dd7Sql(cents: Array[Array[Long]]): String =
+    s"""WITH ${blockedCtes(cents)},
        |p AS (SELECT x.vec_id a, y.vec_id b, x.cell, x.nn na, y.nn nb,
        |    list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2])) d
        |  FROM capped x JOIN capped y ON x.label = y.label AND x.vec_id < y.vec_id)
        |SELECT DISTINCT a, b, cell FROM p
        |WHERE d > 0 AND d * d * 25 >= na * nb * 4""".stripMargin
-  }
+
+  @volatile private[graft] var emb5Oracle: Option[String] = None
+
+  private[graft] def emb5Sql(cents: Array[Array[Long]]): String =
+    s"""WITH ${blockedCtes(cents)},
+       |p AS (SELECT x.vec_id src, y.vec_id dst, x.nn na, y.nn nb,
+       |    list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2])) d
+       |  FROM capped x JOIN capped y
+       |    ON x.label = y.label AND x.vec_id <> y.vec_id),
+       |sd AS (SELECT DISTINCT src, dst,
+       |    CAST(d * abs(d) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS sc FROM p)
+       |SELECT vec_id, rank, neighbor_id FROM (
+       |  SELECT src AS vec_id, dst AS neighbor_id, row_number() OVER (
+       |      PARTITION BY src ORDER BY sc DESC, dst ASC) rank
+       |  FROM sd) t
+       |WHERE rank <= ${AnnSearch.KnnK}""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
