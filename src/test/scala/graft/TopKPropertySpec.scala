@@ -117,6 +117,87 @@ class TopKPropertySpec extends AnyFunSuite {
     check(prop, 500)
   }
 
+  /** Two-column corpus: per row (sort value k, filter value f), both
+    * nullable over a tiny domain — heavy ties, all-null groups, empty
+    * groups. */
+  private val genGroups2: Gen[List[List[(Option[Long], Option[Long])]]] =
+    Gen.nonEmptyListOf(
+      Gen.listOf(Gen.zip(
+        Gen.frequency(8 -> Gen.choose(0L, 20L).map(Some(_)), 2 -> Gen.const(None)),
+        Gen.frequency(8 -> Gen.choose(0L, 20L).map(Some(_)), 2 -> Gen.const(None)))))
+      .map(_.take(40))
+
+  private def fakeIndex2(
+      groups: List[List[(Option[Long], Option[Long])]]): StatsIndex = {
+    val schema = StructType(Seq(StructField("k", LongType), StructField("f", LongType)))
+    val plans = groups.indices.map(i =>
+      FileScanPlan(f"g$i%03d", 1024L, 1, SortedSet(0)))
+    def statsOf(sel: ((Option[Long], Option[Long])) => Option[Long]) =
+      groups.zipWithIndex.map { case (rows, i) =>
+        val defined = rows.map(sel).flatten
+        RowGroupStat(f"g$i%03d", 0,
+          defined.minOption, defined.maxOption,
+          rows.size.toLong, Some((rows.size - defined.size).toLong))
+      }
+    val kStats = statsOf(_._1)
+    val fStats = statsOf(_._2)
+    new StatsIndex {
+      def initialize(s: StructType): Unit = ()
+      def addFile(st: FileStats): Unit = ()
+      def retainOnly(f: Set[String]): Unit = ()
+      def removeFiles(f: Set[String]): Unit = ()
+      def getFiles(p: org.apache.spark.sql.catalyst.expressions.Expression) =
+        plans
+      def allFiles() = plans
+      def indexedSchema: StructType = schema
+      override def rowGroupStats(c: String) =
+        Some(if (c == "k") kStats else fStats)
+      def close(): Unit = ()
+    }
+  }
+
+  test("composite pruning never loses a top-k value (other-col bounds × k × direction × null order)") {
+    val genBound = Gen.option(Gen.zip(Gen.choose(0L, 20L), Gen.oneOf(true, false)))
+    val prop = Prop.forAll(
+      genGroups2, Gen.choose(1, 50), Gen.oneOf(true, false),
+      Gen.oneOf(true, false), Gen.zip(genBound, genBound, genBound, genBound)) {
+      (groups, k, descending, nullsFirst, bounds) =>
+        val (lo, hi, lo2, hi2) = bounds
+        val index = fakeIndex2(groups)
+        val others = Seq(TopKPruning.OtherColBounds("f",
+          lo2.map { case (v, i) => (v: Any, i) },
+          hi2.map { case (v, i) => (v: Any, i) }))
+        val kept = TopKPruning.pruneComposite(
+            index, "k", k.toLong, descending, nullsFirst,
+            lo.map { case (v, i) => (v: Any, i) },
+            hi.map { case (v, i) => (v: Any, i) },
+            others, index.allFiles())
+          .map(_.fileName).toSet
+        val sortBounded = lo.isDefined || hi.isDefined
+        def passesK(v: Option[Long]): Boolean =
+          if (!sortBounded) true // no comparison on k — nulls compete
+          else v.exists { x =>
+            lo.forall { case (b, inc) => if (inc) x >= b else x > b } &&
+            hi.forall { case (b, inc) => if (inc) x <= b else x < b }
+          }
+        // an OtherColBounds row models comparisons (or a bare IsNotNull):
+        // null f never passes
+        def passesF(v: Option[Long]): Boolean = v.exists { x =>
+          lo2.forall { case (b, inc) => if (inc) x >= b else x > b } &&
+          hi2.forall { case (b, inc) => if (inc) x <= b else x < b }
+        }
+        val all = groups.zipWithIndex.flatMap { case (rows, i) =>
+          rows.map { case (kv, fv) => (f"g$i%03d", kv, fv) } }
+        val passing = all.filter(r => passesK(r._2) && passesF(r._3))
+        val keptPassing = passing.filter(r => kept(r._1))
+        // with sort bounds the filter drops k-nulls, so null order is moot
+        val nf = !sortBounded && nullsFirst
+        topValues(passing.map(_._2), k, descending, nf) ==
+          topValues(keptPassing.map(_._2), k, descending, nf)
+    }
+    check(prop, 500)
+  }
+
   test("hex shadow encoding is order-preserving for arbitrary unicode strings") {
     // the string catalog fast path rests on this invariant: lexicographic
     // comparison of hex(s) — ASCII-only, so Derby's UTF-16-code-unit
