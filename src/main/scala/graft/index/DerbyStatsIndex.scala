@@ -455,6 +455,131 @@ final class DerbyStatsIndex(
     }
   }
 
+  /** Ordering-certified storage encoding of a column for catalog-side
+    * ordered reads/comparisons: (min column, max column, literal
+    * renderer). Numerics compare natively; strings through the hex
+    * shadows; float/double/binary are uncertified → None. */
+  private def colEncoding(colName: String)
+      : Option[(String, String, Any => String)] = {
+    val colType = indexedCols.find(_.name == colName).map(_.dataType)
+    val numeric = colType.exists {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | _: DecimalType => true
+      case _ => false
+    }
+    val isString = colType.contains(StringType)
+    if (!numeric && !isString) None
+    else Some((
+      if (isString) s"${colName}_min_hex" else s"${colName}_min",
+      if (isString) s"${colName}_max_hex" else s"${colName}_max",
+      (v: Any) =>
+        if (isString) "'" + DerbyStatsIndex.hex(v.asInstanceOf[String]) + "'"
+        else v match {
+          case d: java.math.BigDecimal => d.toPlainString
+          case other => other.toString
+        }))
+  }
+
+  /** Catalog-side COMPOSITE filtered top-k (the in-store face of
+    * [[graft.prune.TopKPruning.pruneComposite]]): the threshold walk's
+    * WHERE additionally requires every other filter column's stats to
+    * certify the group ALL-PASS (zero nulls, stored bounds inside that
+    * column's interval — hex-rendered for strings), and the survivor
+    * query mirrors pruneComposite's keep logic exactly (null-order aware:
+    * with no sort bounds and nulls-first, any possibly-null group
+    * survives; certified all-null groups are dropped otherwise). Returns
+    * the keep-set; the caller intersects with the filter's own stats
+    * plans. One threshold walk + one survivor query — O(survivors)
+    * shipped, independent of how many columns the filter touches. */
+  override def topKSurvivorsComposite(
+      colName: String,
+      k: Long,
+      descending: Boolean,
+      nullsFirst: Boolean,
+      lo: Option[(Any, Boolean)],
+      hi: Option[(Any, Boolean)],
+      others: Seq[graft.prune.TopKPruning.OtherColBounds])
+      : Option[Seq[FileScanPlan]] = conn.synchronized {
+    if (k <= 0 || !indexedCols.exists(_.name == colName)) return None
+    val (minCol, maxCol, render) = colEncoding(colName).getOrElse(return None)
+    val otherSql = others.map { ob =>
+      if (!indexedCols.exists(_.name == ob.col)) return None
+      val (omin, omax, orender) = colEncoding(ob.col).getOrElse(return None)
+      s" AND rg.${ob.col}_null_count = 0" +
+        ob.lo.map { case (v, inc) =>
+          s" AND rg.$omin ${if (inc) ">=" else ">"} ${orender(v)}" }.getOrElse("") +
+        ob.hi.map { case (v, inc) =>
+          s" AND rg.$omax ${if (inc) "<=" else "<"} ${orender(v)}" }.getOrElse("")
+    }.mkString
+    val guar = if (descending) minCol else maxCol
+    val best = if (descending) maxCol else minCol
+    val dir = if (descending) "DESC" else "ASC"
+    val sortBounded = lo.isDefined || hi.isDefined
+    // pruneComposite's insideSort: min, max AND null count known,
+    // sort bounds satisfied, every other column certified all-pass
+    val inside =
+      s" AND rg.$minCol IS NOT NULL AND rg.$maxCol IS NOT NULL" +
+      lo.map { case (v, inc) =>
+        s" AND rg.$minCol ${if (inc) ">=" else ">"} ${render(v)}" }.getOrElse("") +
+      hi.map { case (v, inc) =>
+        s" AND rg.$maxCol ${if (inc) "<=" else "<"} ${render(v)}" }.getOrElse("") +
+      otherSql
+    try {
+      var covered = 0L
+      var threshold: Option[Any] = None
+      var offset = 0
+      val page = 1024
+      while (threshold.isEmpty) {
+        val st = conn.prepareStatement(
+          s"""SELECT $guar, rg.row_count, rg.${colName}_null_count
+             |FROM row_group_statistics rg
+             |WHERE $guar IS NOT NULL AND rg.${colName}_null_count IS NOT NULL
+             |  $inside
+             |ORDER BY $guar $dir
+             |OFFSET $offset ROWS FETCH NEXT $page ROWS ONLY""".stripMargin)
+        var n = 0
+        try {
+          val rs = st.executeQuery()
+          while (threshold.isEmpty && rs.next()) {
+            n += 1
+            covered += rs.getLong(2) - rs.getLong(3)
+            if (covered >= k) threshold = Some(rs.getObject(1))
+          }
+          rs.close()
+        } finally st.close()
+        if (threshold.isEmpty) {
+          if (n < page) return None // guarantees never cover k
+          offset += page
+        }
+      }
+      val t = threshold.get match {
+        case d: java.math.BigDecimal => d.toPlainString
+        case s: String if minCol.endsWith("_hex") => "'" + s + "'"
+        case other => other.toString
+      }
+      val cmp = if (descending) ">=" else "<="
+      // keep = mayNullWin OR (NOT certified-all-null AND best could beat t)
+      val keepNull =
+        if (nullsFirst && !sortBounded)
+          s""" OR rg.${colName}_null_count IS NULL
+             | OR rg.${colName}_null_count > 0""".stripMargin
+        else ""
+      val cond =
+        s"""(((rg.$best $cmp $t OR rg.$best IS NULL)
+           |  AND (rg.${colName}_null_count IS NULL
+           |       OR rg.${colName}_null_count <> rg.row_count))$keepNull)""".stripMargin
+      Some(runPlanQuery(
+        s"""SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
+           |  rg.rg_start_bytes, rg.rg_compressed_bytes, rg.row_count
+           |FROM row_group_statistics rg
+           |JOIN file_statistics f ON rg.file_id = f.file_id
+           |WHERE $cond
+           |ORDER BY f.file_name, rg.row_group""".stripMargin))
+    } catch {
+      case _: java.sql.SQLException => None
+    }
+  }
+
   override def rowGroupStats(colName: String): Option[Seq[RowGroupStat]] =
     conn.synchronized {
       require(indexedCols.exists(_.name == colName), s"$colName is not indexed")

@@ -106,6 +106,25 @@ trait StatsIndex extends AutoCloseable {
       lo: Option[(Any, Boolean)] = None,
       hi: Option[(Any, Boolean)] = None): Option[Seq[FileScanPlan]] = None
 
+  /** Catalog-computed COMPOSITE filtered top-k survivors — the in-store
+    * face of [[graft.prune.TopKPruning.pruneComposite]]: the threshold
+    * certificate additionally requires every `others` column's stats to
+    * certify the group ALL-PASS (zero nulls; stored min/max inside that
+    * column's bound interval), and survivors are the groups that may
+    * still hold a top-k row (callers intersect with the filter's own
+    * stats pruning, exactly like the windowed [[topKSurvivors]]).
+    * Semantics must match `pruneComposite`'s planner-side algorithm
+    * exactly. None = cannot serve/certify → planner-side fallback. */
+  def topKSurvivorsComposite(
+      colName: String,
+      k: Long,
+      descending: Boolean,
+      nullsFirst: Boolean,
+      lo: Option[(Any, Boolean)],
+      hi: Option[(Any, Boolean)],
+      others: Seq[graft.prune.TopKPruning.OtherColBounds])
+      : Option[Seq[FileScanPlan]] = None
+
   /** Columns carrying per-row-group bloom filters in this catalog; empty =
     * no bloom support. Implementations with blooms override (a constructor
     * `val bloomCols` satisfies this directly). */

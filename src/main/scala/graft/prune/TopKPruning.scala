@@ -192,6 +192,20 @@ object TopKPruning {
     val dt = index.indexedSchema.fields.find(_.name == colName)
       .getOrElse(return statsPlans).dataType
     val ord = ordering(dt).getOrElse(return statsPlans)
+    // catalog-side fast path: the all-pass-extended threshold + survivor
+    // filter inside the store, O(survivors) transfer instead of one
+    // O(index) rowGroupStats fetch per filter column
+    index.topKSurvivorsComposite(
+        colName, k, descending, nullsFirst, sortLo, sortHi, others) match {
+      case Some(survivors) =>
+        val byFile = survivors.map(p => p.fileName -> p.scanRowGroups).toMap
+        return statsPlans.flatMap { p =>
+          byFile.get(p.fileName)
+            .map(rgs => p.copy(scanRowGroups = p.scanRowGroups intersect rgs))
+            .filter(_.scanRowGroups.nonEmpty)
+        }
+      case None => () // fall through to the planner-side reference path
+    }
     val sortStats = index.rowGroupStats(colName).getOrElse(return statsPlans)
     val otherInfo = others.map { ob =>
       val odt = index.indexedSchema.fields.find(_.name == ob.col)

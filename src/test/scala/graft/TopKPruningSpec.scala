@@ -279,6 +279,14 @@ class TopKPruningSpec extends SparkSpec {
         "id", Some((loV, true)), Some((hiV, true))))
       val plans = TopKPruning.pruneComposite(index, "key", k.toLong,
         descending, nullsFirst, None, None, others, statsPlans)
+      // the Derby index serves the composite fast path; the planner-side
+      // reference algorithm must produce the identical plan set
+      val viaPlanner = TopKPruning.pruneComposite(plannerOnly(index), "key",
+        k.toLong, descending, nullsFirst, None, None, others, statsPlans)
+      assert(plans.map(p => p.fileName -> p.scanRowGroups).toMap ===
+        viaPlanner.map(p => p.fileName -> p.scanRowGroups).toMap,
+        s"id∈[$loV,$hiV] k=$k desc=$descending nf=$nullsFirst: " +
+          "catalog and planner composite paths diverged")
       val statsKept = statsPlans.map(_.scanRowGroups.size).sum
       val kept = plans.map(_.scanRowGroups.size).sum
       assert(kept <= statsKept)
