@@ -101,6 +101,55 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(ivfpq.forall { case (q, _) => ivf.exists(_._1 == q) })
   }
 
+  test("emb5 k-NN graph is EXACT within blocks and recalls globally (vs brute truth)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.AnnSearch
+    // the dynamic oracle MIRRORS the blocked construction, so a silently
+    // degraded blocking would stay oracle-green — pin against ground
+    // truths the oracle never sees
+    val knn = run("emb5_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(knn.nonEmpty)
+    val q = AnnSearch.quantized(spark, dir)
+    val cents = AnnSearch.fitQuantizedCentroids(spark, dir)
+    val assigned = q.withColumn("cell",
+      -array_max(AnnSearch.cellScoreArr(spark, cents)).getField("i"))
+    def topPerSrc(pairs: org.apache.spark.sql.DataFrame) = {
+      val d = graft.functions.VectorMath.dot(spark, col("va"), col("vb"))
+      val sc = (d * abs(d)).cast("double") / (col("na") * col("nb")).cast("double")
+      val w = Window.partitionBy("src").orderBy(col("sc").desc, col("dst").asc)
+      pairs.where(col("src") =!= col("dst"))
+        .withColumn("sc", sc)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= AnnSearch.KnnK)
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val a = assigned.select(col("cell"), col("vec_id").as("src"),
+      col("v").as("va"), col("nn").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("dst"),
+      col("v").as("vb"), col("nn").as("nb"))
+    // the construction's actual GUARANTEE: within a (cold) block,
+    // neighbors are exact — with no hot cells, the graph must EQUAL the
+    // within-cell exact top-K
+    val hot = assigned.groupBy("cell").count()
+      .agg(max("count")).collect().head.getLong(0) > graft.operators.Dedup.MaxBlock
+    val exactInCell = topPerSrc(a.join(b, Seq("cell")))
+    if (!hot) assert(knn === exactInCell,
+      "blocked k-NN diverged from the within-cell exact top-K")
+    else assert(knn.subsetOf(exactInCell),
+      "subdivided blocks emitted an edge outside its cell's exact top-K set")
+    // global recall context: cross-cell true neighbors are the accepted
+    // miss (random vectors are the adversarial case — near-dups, the
+    // operator's target, share cells by construction); require a floor
+    val exactGlobal = topPerSrc(
+      a.drop("cell").crossJoin(b.drop("cell")))
+    val recalled = exactGlobal.intersect(knn).size
+    assert(recalled * 10 >= exactGlobal.size * 2,
+      s"k-NN graph recalled only $recalled of ${exactGlobal.size} exact edges")
+  }
+
   test("language-ID prediction is total (never null) and from the lexicon set") {
     val langs = run("tx3_langid").select("pred_lang").distinct()
       .collect().map(_.getString(0)).toSet
