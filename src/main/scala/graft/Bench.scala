@@ -53,10 +53,16 @@ object Bench {
     // configuration") — the default must match it so cross-round numbers
     // are same-config by construction; SPARK_GRAFT_CPUS remains an
     // explicit, visible override (the JSON records the value used).
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpusRaw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // the master string accepts non-numeric forms like "*"; everything
+    // numeric (shuffle partitions, calibration threads, the JSON "cpus"
+    // field) needs an Int — fall back to the machine's core count so a
+    // "*" override still emits valid JSON
+    val cpus = scala.util.Try(cpusRaw.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(s"local[$cpusRaw]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -66,7 +72,7 @@ object Bench {
     try operators.Indexed.lineitemIndexed(spark, sfDir).count()
     catch { case _: Throwable => () }
     val calStart = calibrate()
-    val calpStart = calibrateParallel(cpus.toInt)
+    val calpStart = calibrateParallel(cpus)
     // steady-state timing: one untimed warmup run per query (JIT + codegen
     // compilation of each query's generated classes), then the MEDIAN of 3
     // measured runs — a single GC/contention burst in this shared sandbox
@@ -97,7 +103,7 @@ object Bench {
       name -> (if (runs.forall(_._2)) med else -1.0)
     }
     val calEnd = calibrate()
-    val calpEnd = calibrateParallel(cpus.toInt)
+    val calpEnd = calibrateParallel(cpus)
     // JSON must be locale-independent: f"" interpolators use the JVM
     // default locale and a comma-decimal locale would emit invalid JSON.
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))

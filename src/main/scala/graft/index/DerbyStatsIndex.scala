@@ -400,12 +400,16 @@ final class DerbyStatsIndex(
       var offset = 0
       val page = 1024
       while (threshold.isEmpty) {
+        // (file_id, row_group) tiebreakers make the OFFSET walk total-ordered:
+        // each page re-executes the query, and without them a page boundary
+        // inside a run of equal guarantee values could double-count or skip
+        // groups across executions, certifying a threshold not backed by k rows
         val st = conn.prepareStatement(
           s"""SELECT $guar, rg.row_count, rg.${colName}_null_count
              |FROM row_group_statistics rg
              |WHERE $guar IS NOT NULL AND rg.${colName}_null_count IS NOT NULL
              |  $inside
-             |ORDER BY $guar $dir
+             |ORDER BY $guar $dir, rg.file_id, rg.row_group
              |OFFSET $offset ROWS FETCH NEXT $page ROWS ONLY""".stripMargin)
         var n = 0
         try {
@@ -535,7 +539,7 @@ final class DerbyStatsIndex(
              |FROM row_group_statistics rg
              |WHERE $guar IS NOT NULL AND rg.${colName}_null_count IS NOT NULL
              |  $inside
-             |ORDER BY $guar $dir
+             |ORDER BY $guar $dir, rg.file_id, rg.row_group
              |OFFSET $offset ROWS FETCH NEXT $page ROWS ONLY""".stripMargin)
         var n = 0
         try {
@@ -795,7 +799,7 @@ object DerbyStatsIndex {
             // truncation for min, same drop-to-NULL for over-long max), so
             // ordered reads over the shadow see the same value set
             val mn = cs.flatMap(_.min).collect { case s: String =>
-              if (s.length <= MaxStringLen) s else s.take(MaxStringLen) }
+              if (s.length <= MaxStringLen) s else DerbyStatsIndex.truncMin(s) }
             val mx = cs.flatMap(_.max).collect {
               case s: String if s.length <= MaxStringLen => s }
             setNullable(ins, i, mn.map(hex), java.sql.Types.VARCHAR)
@@ -829,6 +833,20 @@ object DerbyStatsIndex {
     case _          => java.sql.Types.OTHER
   }
 
+  /** MaxStringLen truncation for min values that never splits a surrogate
+    * pair: a trailing unpaired high surrogate is dropped too, so the
+    * stored VARCHAR and its hex shadow are byte images of the SAME
+    * well-formed string (a split pair would hex-encode via getBytes as
+    * '?' — sound as a bound, but a different value than the VARCHAR
+    * holds, breaking catalog==planner plan-set equivalence). Dropping a
+    * code unit only shortens the prefix, so it stays a lower bound. */
+  private[graft] def truncMin(s: String): String = {
+    val t = s.take(MaxStringLen)
+    if (t.nonEmpty && Character.isHighSurrogate(t.charAt(t.length - 1)))
+      t.substring(0, t.length - 1)
+    else t
+  }
+
   /** Long strings: store min truncated (still a lower bound => sound) and
     * max as NULL (unknown => "might match" => sound). */
   private def setValue(ps: PreparedStatement, i: Int, v: Option[Any], dt: DataType,
@@ -837,7 +855,7 @@ object DerbyStatsIndex {
     case (Some(s: String), StringType) =>
       if (s.length <= MaxStringLen) ps.setString(i, s)
       else if (isMax) ps.setNull(i, java.sql.Types.VARCHAR)
-      else ps.setString(i, s.take(MaxStringLen))
+      else ps.setString(i, truncMin(s))
     case (Some(b: Array[Byte]), BinaryType) =>
       if (b.length <= MaxStringLen) ps.setBytes(i, b)
       else if (isMax) ps.setNull(i, java.sql.Types.VARBINARY)

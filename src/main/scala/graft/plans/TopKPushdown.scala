@@ -23,14 +23,18 @@ import org.apache.spark.sql.types.{DataType, DateType, DecimalType, StringType, 
   *
   * Fires on `Limit(k, Sort(order, global, chain))` where `chain` is the
   * indexed relation under any stack of attribute-only Projects and AT
-  * MOST ONE Filter whose every conjunct is on the SORT column (bound
-  * comparisons with literals; `IsNotNull` is implied and ignored). A
-  * filter touching any OTHER column disqualifies — it changes which rows
-  * compete for the top k in a way per-group stats on the sort column
-  * cannot certify. Computed projections disqualify. Multi-key orderings
-  * prune on the LEADING key alone (lexicographic dominance). When the
-  * catalog certifies nothing, the declarative plan stands — over-scan,
-  * never wrong. Kill switch: `spark.graft.topkPushdown=false`.
+  * MOST ONE Filter of literal-bound conjuncts. Sort-column conjuncts
+  * tighten the threshold walk directly (`IsNotNull` is implied and
+  * ignored). Conjuncts on OTHER columns take the COMPOSITE certificate
+  * ([[TopKPruning.pruneComposite]]): the threshold is certified only
+  * from row groups whose stats prove every other-column conjunct
+  * ALL-PASS (zero nulls, bounds inside the interval), so rows counted
+  * toward k are guaranteed to survive the filter; groups that are not
+  * all-pass still compete as survivors. When no threshold can be
+  * certified this way, the declarative plan stands — over-scan, never
+  * wrong. Computed projections disqualify. Multi-key orderings prune on
+  * the LEADING key alone (lexicographic dominance). Kill switch:
+  * `spark.graft.topkPushdown=false`.
   *
   * The rewrite substitutes the [[LogicalRelation]] node IN PLACE (any
   * surrounding Filter/Project structure survives, so the filter is still

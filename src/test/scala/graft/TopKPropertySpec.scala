@@ -234,4 +234,43 @@ class TopKPropertySpec extends AnyFunSuite {
     }
     check(prop, 1000)
   }
+
+  test("truncMin never splits a surrogate pair and stays a lower bound") {
+    // a MaxStringLen cut landing between a surrogate pair's halves would
+    // leave an unpaired high surrogate in the VARCHAR while hex() encodes
+    // it via getBytes as '?': sound as a bound but a DIFFERENT value than
+    // the VARCHAR holds, breaking catalog==planner plan-set equivalence.
+    // truncMin must emit a well-formed prefix whose hex is its exact byte
+    // image. Generator forces supplementary code points around the cut.
+    import graft.index.DerbyStatsIndex
+    val max = DerbyStatsIndex.MaxStringLen
+    val genCp = org.scalacheck.Gen.frequency(
+      3 -> org.scalacheck.Gen.choose(0x20, 0x7E),
+      3 -> org.scalacheck.Gen.choose(0x10000, 0x10FFFF))
+    val genLong = for {
+      cps  <- org.scalacheck.Gen.listOfN(max / 2 + 8, genCp)
+      tail <- org.scalacheck.Gen.listOfN(4, genCp)
+    } yield {
+      val sb = new java.lang.StringBuilder
+      cps.foreach(sb.appendCodePoint)
+      // force at least one supplementary char to straddle index max-1
+      while (sb.length < max + 1) sb.appendCodePoint(0x10400)
+      tail.foreach(sb.appendCodePoint)
+      sb.toString
+    }
+    val prop = Prop.forAll(genLong) { s =>
+      val t = DerbyStatsIndex.truncMin(s)
+      val wellFormed =
+        !Character.isHighSurrogate(t.charAt(t.length - 1)) &&
+          t.codePoints().toArray.forall(Character.isValidCodePoint)
+      val isPrefix = s.startsWith(t) && t.length <= max
+      // hex shadow is the exact byte image of the stored value: decoding
+      // the hex back yields the identical string (no '?' substitution)
+      val hexBytes = DerbyStatsIndex.hex(t).grouped(2)
+        .map(h => java.lang.Integer.parseInt(h, 16).toByte).toArray
+      val roundTrip = new String(hexBytes, java.nio.charset.StandardCharsets.UTF_8) == t
+      wellFormed && isPrefix && roundTrip
+    }
+    check(prop, 200)
+  }
 }
