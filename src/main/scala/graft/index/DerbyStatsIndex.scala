@@ -484,17 +484,9 @@ final class DerbyStatsIndex(
         }))
   }
 
-  /** Catalog-side COMPOSITE filtered top-k (the in-store face of
-    * [[graft.prune.TopKPruning.pruneComposite]]): the threshold walk's
-    * WHERE additionally requires every other filter column's stats to
-    * certify the group ALL-PASS (zero nulls, stored bounds inside that
-    * column's interval — hex-rendered for strings), and the survivor
-    * query mirrors pruneComposite's keep logic exactly (null-order aware:
-    * with no sort bounds and nulls-first, any possibly-null group
-    * survives; certified all-null groups are dropped otherwise). Returns
-    * the keep-set; the caller intersects with the filter's own stats
-    * plans. One threshold walk + one survivor query — O(survivors)
-    * shipped, independent of how many columns the filter touches. */
+  /** Catalog-side COMPOSITE filtered top-k: the single-disjunct face of
+    * the disjunctive walk below (see
+    * [[graft.prune.TopKPruning.pruneComposite]]). */
   override def topKSurvivorsComposite(
       colName: String,
       k: Long,
@@ -503,37 +495,69 @@ final class DerbyStatsIndex(
       lo: Option[(Any, Boolean)],
       hi: Option[(Any, Boolean)],
       others: Seq[graft.prune.TopKPruning.OtherColBounds])
+      : Option[Seq[FileScanPlan]] =
+    topKSurvivorsDisjunctive(colName, k, descending, nullsFirst,
+      Seq(graft.prune.TopKPruning.Disjunct(lo, hi, others)))
+
+  /** Catalog-side DISJUNCTIVE filtered top-k (the in-store face of
+    * [[graft.prune.TopKPruning.pruneDisjunctive]]): the threshold walk's
+    * WHERE requires, for SOME disjunct, the sort interval to hold on the
+    * group's stored bounds AND every other filter column's stats to
+    * certify the group ALL-PASS (zero nulls, stored bounds inside that
+    * column's interval — hex-rendered for strings); the survivor query
+    * mirrors pruneDisjunctive's keep logic exactly (null-order aware:
+    * nulls may win only under nulls-first AND a disjunct placing no
+    * bound on the sort column; certified all-null groups are dropped
+    * otherwise). Returns the keep-set; the caller intersects with the
+    * filter's own stats plans. One threshold walk + one survivor query —
+    * O(survivors) shipped, independent of how many disjuncts or columns
+    * the filter carries. */
+  override def topKSurvivorsDisjunctive(
+      colName: String,
+      k: Long,
+      descending: Boolean,
+      nullsFirst: Boolean,
+      disjuncts: Seq[graft.prune.TopKPruning.Disjunct])
       : Option[Seq[FileScanPlan]] = conn.synchronized {
-    if (k <= 0 || !indexedCols.exists(_.name == colName)) return None
+    if (k <= 0 || disjuncts.isEmpty ||
+        !indexedCols.exists(_.name == colName)) return None
     val (minCol, maxCol, render) = colEncoding(colName).getOrElse(return None)
-    val otherSql = others.map { ob =>
-      if (!indexedCols.exists(_.name == ob.col)) return None
-      val (omin, omax, orender) = colEncoding(ob.col).getOrElse(return None)
-      s" AND rg.${ob.col}_null_count = 0" +
-        ob.lo.map { case (v, inc) =>
-          s" AND rg.$omin ${if (inc) ">=" else ">"} ${orender(v)}" }.getOrElse("") +
-        ob.hi.map { case (v, inc) =>
-          s" AND rg.$omax ${if (inc) "<=" else "<"} ${orender(v)}" }.getOrElse("")
-    }.mkString
+    // per-disjunct certificate: sort interval on the stored bounds AND
+    // every other column all-pass; a bound-free disjunct certifies any
+    // group (its rows pass the OR trivially)
+    val disjSql = disjuncts.map { d =>
+      val parts = Seq.newBuilder[String]
+      d.sortLo.foreach { case (v, inc) =>
+        parts += s"rg.$minCol ${if (inc) ">=" else ">"} ${render(v)}" }
+      d.sortHi.foreach { case (v, inc) =>
+        parts += s"rg.$maxCol ${if (inc) "<=" else "<"} ${render(v)}" }
+      d.others.foreach { ob =>
+        if (!indexedCols.exists(_.name == ob.col)) return None
+        val (omin, omax, orender) = colEncoding(ob.col).getOrElse(return None)
+        parts += s"rg.${ob.col}_null_count = 0"
+        ob.lo.foreach { case (v, inc) =>
+          parts += s"rg.$omin ${if (inc) ">=" else ">"} ${orender(v)}" }
+        ob.hi.foreach { case (v, inc) =>
+          parts += s"rg.$omax ${if (inc) "<=" else "<"} ${orender(v)}" }
+      }
+      val ps = parts.result()
+      if (ps.isEmpty) "(1=1)" else ps.mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
     val guar = if (descending) minCol else maxCol
     val best = if (descending) maxCol else minCol
     val dir = if (descending) "DESC" else "ASC"
-    val sortBounded = lo.isDefined || hi.isDefined
-    // pruneComposite's insideSort: min, max AND null count known,
-    // sort bounds satisfied, every other column certified all-pass
+    // pruneDisjunctive's certificate: min, max AND null count known, and
+    // some disjunct fully satisfied
     val inside =
-      s" AND rg.$minCol IS NOT NULL AND rg.$maxCol IS NOT NULL" +
-      lo.map { case (v, inc) =>
-        s" AND rg.$minCol ${if (inc) ">=" else ">"} ${render(v)}" }.getOrElse("") +
-      hi.map { case (v, inc) =>
-        s" AND rg.$maxCol ${if (inc) "<=" else "<"} ${render(v)}" }.getOrElse("") +
-      otherSql
+      s" AND rg.$minCol IS NOT NULL AND rg.$maxCol IS NOT NULL AND $disjSql"
     try {
       var covered = 0L
       var threshold: Option[Any] = None
       var offset = 0
       val page = 1024
       while (threshold.isEmpty) {
+        // (file_id, row_group) tiebreakers keep the OFFSET walk
+        // total-ordered across per-page re-executions
         val st = conn.prepareStatement(
           s"""SELECT $guar, rg.row_count, rg.${colName}_null_count
              |FROM row_group_statistics rg
@@ -562,9 +586,12 @@ final class DerbyStatsIndex(
         case other => other.toString
       }
       val cmp = if (descending) ">=" else "<="
-      // keep = mayNullWin OR (NOT certified-all-null AND best could beat t)
+      // keep = mayNullWin OR (NOT certified-all-null AND best could beat t);
+      // a sort-column null passes the OR only through a disjunct with no
+      // sort bound
+      val nullMayPass = disjuncts.exists(d => d.sortLo.isEmpty && d.sortHi.isEmpty)
       val keepNull =
-        if (nullsFirst && !sortBounded)
+        if (nullsFirst && nullMayPass)
           s""" OR rg.${colName}_null_count IS NULL
              | OR rg.${colName}_null_count > 0""".stripMargin
         else ""

@@ -125,6 +125,21 @@ trait StatsIndex extends AutoCloseable {
       others: Seq[graft.prune.TopKPruning.OtherColBounds])
       : Option[Seq[FileScanPlan]] = None
 
+  /** Catalog-computed DISJUNCTIVE filtered top-k survivors — the in-store
+    * face of [[graft.prune.TopKPruning.pruneDisjunctive]]: a row group's
+    * count certifies the threshold iff SOME disjunct's sort interval and
+    * other-column all-pass bounds are both satisfied by the group's
+    * stats. Semantics must match `pruneDisjunctive`'s planner-side
+    * algorithm exactly. None = cannot serve/certify → planner-side
+    * fallback. */
+  def topKSurvivorsDisjunctive(
+      colName: String,
+      k: Long,
+      descending: Boolean,
+      nullsFirst: Boolean,
+      disjuncts: Seq[graft.prune.TopKPruning.Disjunct])
+      : Option[Seq[FileScanPlan]] = None
+
   /** Columns carrying per-row-group bloom filters in this catalog; empty =
     * no bloom support. Implementations with blooms override (a constructor
     * `val bloomCols` satisfies this directly). */

@@ -387,6 +387,29 @@ object Indexed {
              |ORDER BY l_orderkey DESC, l_linenumber DESC, l_quantity DESC
              |LIMIT 10""".stripMargin)),
 
+    // DISJUNCTIVE composite filtered top-k through the automatic rule: the
+    // per-source-IN-latest-k shape (`WHERE src IN (…) ORDER BY time DESC
+    // LIMIT k`). The composite certificate generalizes per DISJUNCT
+    // (prune/TopKPruning.pruneDisjunctive): a row group certifies the
+    // threshold when it is all-pass for SOME IN value — on the
+    // (l_returnflag, l_orderkey)-clustered layout each flag's groups
+    // certify through their own disjunct, so the scan prunes to the tails
+    // of BOTH selected flags' bands. Route `topk-composite`; an OR the
+    // certificate cannot absorb falls back to the declarative plan
+    // (TopKPruningSpec sweeps disjunct shapes × k × direction).
+    QueryDef(
+      "idx20_topk_filtered_in",
+      (s, dir) => lineitemComposite(s, dir)
+        .filter(col("l_returnflag").isin("R", "A"))
+        .orderBy(col("l_orderkey").desc, col("l_linenumber").desc,
+          col("l_quantity").desc)
+        .limit(10)
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_returnflag IN ('R', 'A')
+             |ORDER BY l_orderkey DESC, l_linenumber DESC, l_quantity DESC
+             |LIMIT 10""".stripMargin)),
+
     // N-dimensional z-order with rank-binning (sources/ZOrderLayout.writeN):
     // a 3-d BOX over the 3-col Morton layout, third dimension a FLOAT
     // (l_extendedprice) rank-binned to dense ints by one approx-quantile

@@ -3,7 +3,7 @@ package graft.plans
 import graft.prune.TopKPruning
 import graft.sources.{IndexedParquetFileIndex, PruneExecution, RowGroupSkipScan}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Descending, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, IsNotNull, LessThan, LessThanOrEqual, Literal, NullsFirst, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Descending, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IntegerLiteral, IsNotNull, LessThan, LessThanOrEqual, Literal, NullsFirst, Or, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Limit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
@@ -30,11 +30,14 @@ import org.apache.spark.sql.types.{DataType, DateType, DecimalType, StringType, 
   * from row groups whose stats prove every other-column conjunct
   * ALL-PASS (zero nulls, bounds inside the interval), so rows counted
   * toward k are guaranteed to survive the filter; groups that are not
-  * all-pass still compete as survivors. When no threshold can be
-  * certified this way, the declarative plan stands — over-scan, never
-  * wrong. Computed projections disqualify. Multi-key orderings prune on
-  * the LEADING key alone (lexicographic dominance). Kill switch:
-  * `spark.graft.topkPushdown=false`.
+  * all-pass still compete as survivors. One disjunctive conjunct — an
+  * `Or` of conjunct sets, an IN-list, or an `InSet` — is absorbed via
+  * the per-disjunct union ([[TopKPruning.pruneDisjunctive]]): a group
+  * certifies the threshold when it is all-pass for SOME disjunct. When
+  * no threshold can be certified this way, the declarative plan stands —
+  * over-scan, never wrong. Computed projections disqualify. Multi-key
+  * orderings prune on the LEADING key alone (lexicographic dominance).
+  * Kill switch: `spark.graft.topkPushdown=false`.
   *
   * The rewrite substitutes the [[LogicalRelation]] node IN PLACE (any
   * surrounding Filter/Project structure survives, so the filter is still
@@ -95,15 +98,19 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
         (TopKPruning.prune(idx, a.name, k.toLong, descending, nullsFirst),
           total, s"topk(${a.name})")
       case Some(c) =>
-        val (lo, hi, others) = parseBounds(c, a).getOrElse(return None)
+        val disjuncts = parseDisjuncts(c, a).getOrElse(return None)
         // the filter's own stats pruning is what the declarative plan
         // would get via listFiles — the baseline the rewrite must beat
         val statsPlans = idx.getFiles(c)
-        val tag = if (others.isEmpty) s"topk-filtered(${a.name})"
-                  else s"topk-composite(${a.name};${others.map(_.col).mkString(",")})"
-        (TopKPruning.pruneComposite(
+        val otherCols = disjuncts.flatMap(_.others.map(_.col)).distinct
+        val tag =
+          if (disjuncts.sizeIs == 1 && otherCols.isEmpty)
+            s"topk-filtered(${a.name})"
+          else if (otherCols.isEmpty) s"topk-composite(${a.name})"
+          else s"topk-composite(${a.name};${otherCols.mkString(",")})"
+        (TopKPruning.pruneDisjunctive(
             idx, a.name, k.toLong, descending, nullsFirst,
-            lo, hi, others, statsPlans),
+            disjuncts, statsPlans),
           statsPlans.map(_.scanRowGroups.size).sum,
           tag)
     }
@@ -138,78 +145,133 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
     })
   }
 
-  /** All of `cond`'s conjuncts as per-column bounds: the sort column `a`'s
-    * interval plus one [[TopKPruning.OtherColBounds]] per OTHER referenced
-    * column, or None if ANY conjunct is something else (non-comparison, a
-    * computed key, attr-to-attr). At most one bound per side per column
-    * (two lower bounds etc. bail — the inside-the-interval certificate
-    * needs the exact interval, and Spark collapses redundant bounds
-    * anyway). `IsNotNull` on the sort column is implied and ignored; on
-    * another column it still constrains rows, so it is recorded as a
-    * bound-less entry (all-pass then requires a certified zero null
-    * count). Literal values are bridged from Catalyst internal encoding to
-    * the catalog's storage encoding (identical for integrals / date days /
+  /** `cond` as a DISJUNCTION of per-column bound sets
+    * ([[TopKPruning.Disjunct]]): the top-level conjuncts may contain AT
+    * MOST ONE disjunctive member — an `Or` tree, an `In`, or an `InSet`
+    * — whose branches each parse as a conjunct set of bounds; every
+    * branch inherits the shared (non-disjunctive) conjuncts' bounds.
+    * A plain conjunction parses as a single disjunct. None if any
+    * conjunct is something else (non-comparison, a computed key,
+    * attr-to-attr), if a branch re-bounds a side a shared conjunct
+    * already set (the certificate needs the exact interval), or if
+    * nothing is bounded at all. At most one bound per side per column
+    * within a disjunct. `IsNotNull` on the sort column is implied and
+    * ignored; on another column it is recorded as a bound-less entry
+    * (all-pass then requires a certified zero null count). Literal
+    * values are bridged from Catalyst internal encoding to the
+    * catalog's storage encoding (identical for integrals / date days /
     * timestamp micros; UTF8String → String; Decimal → BigDecimal). */
-  private def parseBounds(cond: Expression, a: AttributeReference)
-      : Option[(Option[(Any, Boolean)], Option[(Any, Boolean)],
-                Seq[TopKPruning.OtherColBounds])] = {
+  private def parseDisjuncts(cond: Expression, a: AttributeReference)
+      : Option[Seq[TopKPruning.Disjunct]] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    def v(l: Literal): Option[Any] =
-      if (l.value == null) None
-      else Some(l.value match {
+    def branches(e: Expression): Seq[Expression] = e match {
+      case Or(l, r) => branches(l) ++ branches(r)
+      case x => Seq(x)
+    }
+    // Catalyst internal value → catalog storage encoding
+    def conv(value: Any): Option[Any] =
+      if (value == null) None
+      else Some(value match {
         case u: org.apache.spark.unsafe.types.UTF8String => u.toString
         case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
         case other => other
       })
-    // per-column accumulated bounds, insertion-ordered for a stable route tag
-    final case class B(var lo: Option[(Any, Boolean)] = None,
-                       var hi: Option[(Any, Boolean)] = None)
-    val byCol = scala.collection.mutable.LinkedHashMap.empty[String, B]
-    def bnd(ar: AttributeReference): B = byCol.getOrElseUpdate(ar.name, B())
-    def setLo(ar: AttributeReference, b: (Any, Boolean)): Boolean = {
-      val e = bnd(ar)
-      if (e.lo.isDefined) false else { e.lo = Some(b); true }
+    def v(l: Literal): Option[Any] = conv(l.value)
+
+    type BMap = scala.collection.mutable.LinkedHashMap[
+      String, (Option[(Any, Boolean)], Option[(Any, Boolean)])]
+    // fold plain comparison conjuncts into per-column bounds on top of a
+    // base map (cloned — each disjunct extends the shared bounds
+    // independently); None if a side is re-bound or a conjunct is foreign
+    def absorb(base: BMap, es: Seq[Expression]): Option[BMap] = {
+      val m = base.clone()
+      def setLo(ar: AttributeReference, b: (Any, Boolean)): Boolean = {
+        val (lo, hi) = m.getOrElse(ar.name, (None, None))
+        if (lo.isDefined) false else { m(ar.name) = (Some(b), hi); true }
+      }
+      def setHi(ar: AttributeReference, b: (Any, Boolean)): Boolean = {
+        val (lo, hi) = m.getOrElse(ar.name, (None, None))
+        if (hi.isDefined) false else { m(ar.name) = (lo, Some(b)); true }
+      }
+      es.foreach {
+        case IsNotNull(ar: AttributeReference) =>
+          if (ar.exprId != a.exprId && !m.contains(ar.name))
+            m(ar.name) = (None, None) // record: rows must be non-null
+        case GreaterThan(ar: AttributeReference, l: Literal) =>
+          if (!v(l).exists(b => setLo(ar, (b, false)))) return None
+        case GreaterThanOrEqual(ar: AttributeReference, l: Literal) =>
+          if (!v(l).exists(b => setLo(ar, (b, true)))) return None
+        case LessThan(ar: AttributeReference, l: Literal) =>
+          if (!v(l).exists(b => setHi(ar, (b, false)))) return None
+        case LessThanOrEqual(ar: AttributeReference, l: Literal) =>
+          if (!v(l).exists(b => setHi(ar, (b, true)))) return None
+        case GreaterThan(l: Literal, ar: AttributeReference) =>
+          if (!v(l).exists(b => setHi(ar, (b, false)))) return None
+        case GreaterThanOrEqual(l: Literal, ar: AttributeReference) =>
+          if (!v(l).exists(b => setHi(ar, (b, true)))) return None
+        case LessThan(l: Literal, ar: AttributeReference) =>
+          if (!v(l).exists(b => setLo(ar, (b, false)))) return None
+        case LessThanOrEqual(l: Literal, ar: AttributeReference) =>
+          if (!v(l).exists(b => setLo(ar, (b, true)))) return None
+        case EqualTo(ar: AttributeReference, l: Literal) =>
+          if (!v(l).exists(b => setLo(ar, (b, true)) && setHi(ar, (b, true))))
+            return None
+        case EqualTo(l: Literal, ar: AttributeReference) =>
+          if (!v(l).exists(b => setLo(ar, (b, true)) && setHi(ar, (b, true))))
+            return None
+        case _ => return None // a conjunct the certificate cannot absorb
+      }
+      Some(m)
     }
-    def setHi(ar: AttributeReference, b: (Any, Boolean)): Boolean = {
-      val e = bnd(ar)
-      if (e.hi.isDefined) false else { e.hi = Some(b); true }
+    def withEq(base: BMap, ar: AttributeReference, value: Any): Option[BMap] = {
+      val m = base.clone()
+      val (lo, hi) = m.getOrElse(ar.name, (None, None))
+      if (lo.isDefined || hi.isDefined) None
+      else { m(ar.name) = (Some((value, true)), Some((value, true))); Some(m) }
     }
-    conjuncts(cond).foreach {
-      case IsNotNull(ar: AttributeReference) =>
-        if (ar.exprId != a.exprId) bnd(ar) // record: rows must be non-null
-      case GreaterThan(ar: AttributeReference, l: Literal) =>
-        if (!v(l).exists(b => setLo(ar, (b, false)))) return None
-      case GreaterThanOrEqual(ar: AttributeReference, l: Literal) =>
-        if (!v(l).exists(b => setLo(ar, (b, true)))) return None
-      case LessThan(ar: AttributeReference, l: Literal) =>
-        if (!v(l).exists(b => setHi(ar, (b, false)))) return None
-      case LessThanOrEqual(ar: AttributeReference, l: Literal) =>
-        if (!v(l).exists(b => setHi(ar, (b, true)))) return None
-      case GreaterThan(l: Literal, ar: AttributeReference) =>
-        if (!v(l).exists(b => setHi(ar, (b, false)))) return None
-      case GreaterThanOrEqual(l: Literal, ar: AttributeReference) =>
-        if (!v(l).exists(b => setHi(ar, (b, true)))) return None
-      case LessThan(l: Literal, ar: AttributeReference) =>
-        if (!v(l).exists(b => setLo(ar, (b, false)))) return None
-      case LessThanOrEqual(l: Literal, ar: AttributeReference) =>
-        if (!v(l).exists(b => setLo(ar, (b, true)))) return None
-      case EqualTo(ar: AttributeReference, l: Literal) =>
-        if (!v(l).exists(b => setLo(ar, (b, true)) && setHi(ar, (b, true))))
-          return None
-      case EqualTo(l: Literal, ar: AttributeReference) =>
-        if (!v(l).exists(b => setLo(ar, (b, true)) && setHi(ar, (b, true))))
-          return None
-      case _ => return None // a conjunct the certificate cannot absorb
+
+    val conj = conjuncts(cond)
+    val (disjunctive, plain) = conj.partition {
+      case _: Or                         => true
+      case In(_: AttributeReference, _)  => true
+      case InSet(_: AttributeReference, _) => true
+      case _ => false
     }
-    val sortB = byCol.getOrElse(a.name, B())
-    val others = byCol.collect {
-      case (name, b) if name != a.name =>
-        TopKPruning.OtherColBounds(name, b.lo, b.hi)
-    }.toSeq
-    if (sortB.lo.isEmpty && sortB.hi.isEmpty && others.isEmpty) None
-    else Some((sortB.lo, sortB.hi, others))
+    if (disjunctive.sizeIs > 1) return None
+    val shared = absorb(new BMap, plain).getOrElse(return None)
+    val maps: Seq[BMap] = disjunctive.headOption match {
+      case None => Seq(shared)
+      case Some(In(ar: AttributeReference, list)) =>
+        if (list.isEmpty) return None
+        list.map {
+          case l: Literal =>
+            val value = v(l).getOrElse(return None)
+            withEq(shared, ar, value).getOrElse(return None)
+          case _ => return None
+        }
+      case Some(InSet(ar: AttributeReference, set)) =>
+        if (set.isEmpty) return None
+        set.toSeq.map { raw =>
+          val value = conv(raw).getOrElse(return None)
+          withEq(shared, ar, value).getOrElse(return None)
+        }
+      case Some(or: Or) =>
+        branches(or).map(b => absorb(shared, conjuncts(b)).getOrElse(return None))
+      case _ => return None
+    }
+    val result = maps.map { m =>
+      val (sLo, sHi) = m.getOrElse(a.name, (None, None))
+      val others = m.collect {
+        case (name, (lo, hi)) if name != a.name =>
+          TopKPruning.OtherColBounds(name, lo, hi)
+      }.toSeq
+      TopKPruning.Disjunct(sLo, sHi, others)
+    }
+    if (result.forall(d =>
+        d.sortLo.isEmpty && d.sortHi.isEmpty && d.others.isEmpty)) None
+    else Some(result)
   }
 }

@@ -267,6 +267,129 @@ object TopKPruning {
     }
   }
 
+  /** One disjunct of a DISJUNCTIVE filtered top-k (`WHERE D1 OR D2 …
+    * ORDER BY c LIMIT k`): its own sort-column interval plus its own
+    * other-column all-pass bounds. An IN-list is the canonical producer —
+    * `src IN ('a','b')` becomes one point-interval disjunct per value. */
+  final case class Disjunct(
+      sortLo: Option[(Any, Boolean)],
+      sortHi: Option[(Any, Boolean)],
+      others: Seq[OtherColBounds])
+
+  /** DISJUNCTIVE filtered top-k pruning — `WHERE <OR of conjunct sets>
+    * ORDER BY c LIMIT k`, e.g. the per-source-IN-latest-k shape
+    * `WHERE src IN ('web','app') ORDER BY ts DESC LIMIT k`. The
+    * [[pruneComposite]] certificate generalizes per DISJUNCT: a row
+    * group contributes its non-null-in-`c` row count to the threshold
+    * iff it is certified ALL-PASS for SOME disjunct — every row passing
+    * that disjunct passes the whole OR, so the counted rows all survive
+    * the filter and the accumulated threshold stays sound. Survivors are
+    * `statsPlans` (the filter's own stats pruning, which handles the OR
+    * conservatively on its own) minus groups whose best sort value is
+    * strictly worse than the threshold. Sort-column nulls may win only
+    * under `nullsFirst` AND some disjunct placing no bound on the sort
+    * column (a comparison rejects nulls, so a sort-bounded disjunct
+    * cannot pass them); certified all-null groups are pruned otherwise.
+    * Degrades to `statsPlans` unchanged whenever no per-disjunct
+    * certification covers k — over-scan, never wrong. */
+  def pruneDisjunctive(
+      index: StatsIndex,
+      colName: String,
+      k: Long,
+      descending: Boolean,
+      nullsFirst: Boolean,
+      disjuncts: Seq[Disjunct],
+      statsPlans: Seq[FileScanPlan]): Seq[FileScanPlan] = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    if (disjuncts.isEmpty) return statsPlans
+    if (disjuncts.sizeIs == 1) {
+      val d = disjuncts.head
+      return pruneComposite(index, colName, k, descending, nullsFirst,
+        d.sortLo, d.sortHi, d.others, statsPlans)
+    }
+    if (statsPlans.isEmpty) return statsPlans
+    val dt = index.indexedSchema.fields.find(_.name == colName)
+      .getOrElse(return statsPlans).dataType
+    val ord = ordering(dt).getOrElse(return statsPlans)
+    // catalog-side fast path: the per-disjunct-unioned threshold +
+    // survivor filter inside the store
+    index.topKSurvivorsDisjunctive(
+        colName, k, descending, nullsFirst, disjuncts) match {
+      case Some(survivors) =>
+        val byFile = survivors.map(p => p.fileName -> p.scanRowGroups).toMap
+        return statsPlans.flatMap { p =>
+          byFile.get(p.fileName)
+            .map(rgs => p.copy(scanRowGroups = p.scanRowGroups intersect rgs))
+            .filter(_.scanRowGroups.nonEmpty)
+        }
+      case None => () // fall through to the planner-side reference path
+    }
+    val sortStats = index.rowGroupStats(colName).getOrElse(return statsPlans)
+    val colsNeeded = disjuncts.flatMap(_.others.map(_.col)).distinct
+    val otherData = colsNeeded.map { c =>
+      val odt = index.indexedSchema.fields.find(_.name == c)
+        .getOrElse(return statsPlans).dataType
+      val oord = ordering(odt).getOrElse(return statsPlans)
+      val stats = index.rowGroupStats(c).getOrElse(return statsPlans)
+      c -> (oord, stats.map(s => (s.fileName, s.rowGroup) -> s).toMap)
+    }.toMap
+    def allPass(d: Disjunct, file: String, rg: Int): Boolean =
+      d.others.forall { ob =>
+        val (o, m) = otherData(ob.col)
+        m.get((file, rg)).exists { s =>
+          s.nullCount.contains(0L) &&
+            ob.lo.forall { case (b, inc) =>
+              s.min.exists(v => if (inc) o.gteq(v, b) else o.gt(v, b)) } &&
+            ob.hi.forall { case (b, inc) =>
+              s.max.exists(v => if (inc) o.lteq(v, b) else o.lt(v, b)) }
+        }
+      }
+    def insideSort(d: Disjunct, s: RowGroupStat): Boolean =
+      s.min.isDefined && s.max.isDefined && s.nullCount.isDefined &&
+        d.sortLo.forall { case (b, inc) =>
+          if (inc) ord.gteq(s.min.get, b) else ord.gt(s.min.get, b) } &&
+        d.sortHi.forall { case (b, inc) =>
+          if (inc) ord.lteq(s.max.get, b) else ord.lt(s.max.get, b) }
+    def guarantee(s: RowGroupStat): Option[Any] = if (descending) s.min else s.max
+    def best(s: RowGroupStat): Option[Any] = if (descending) s.max else s.min
+    val better: (Any, Any) => Boolean = if (descending) ord.gteq else ord.lteq
+
+    val certified = sortStats
+      .filter(s => disjuncts.exists(d =>
+        insideSort(d, s) && allPass(d, s.fileName, s.rowGroup)))
+      .sortBy(s => guarantee(s).get)(if (descending) ord.reverse else ord)
+    var covered = 0L
+    var threshold: Option[Any] = None
+    val it = certified.iterator
+    while (covered < k && it.hasNext) {
+      val s = it.next()
+      covered += s.rowCount - s.nullCount.get
+      if (covered >= k) threshold = guarantee(s)
+    }
+    // a sort-column null passes the OR only through a disjunct that puts
+    // no bound on the sort column
+    val nullMayPass = disjuncts.exists(d => d.sortLo.isEmpty && d.sortHi.isEmpty)
+    threshold match {
+      case None => statsPlans
+      case Some(t) =>
+        val pruned = sortStats.filter { s =>
+          val mayNullWin =
+            nullsFirst && nullMayPass && !s.nullCount.contains(0L)
+          val allNullGroup = s.nullCount.contains(s.rowCount)
+          if (mayNullWin) false
+          else if (allNullGroup) true
+          else best(s) match {
+            case Some(b) => !better(b, t)
+            case None    => false
+          }
+        }.map(s => (s.fileName, s.rowGroup)).toSet
+        statsPlans.flatMap { p =>
+          val rgs = p.scanRowGroups.filterNot(rg => pruned((p.fileName, rg)))
+          if (rgs.isEmpty) None else Some(p.copy(scanRowGroups = rgs))
+        }
+    }
+  }
+
   private val codePointOrdering: Ordering[Any] = new Ordering[Any] {
     def compare(a: Any, b: Any): Int = {
       val x = a.asInstanceOf[String]

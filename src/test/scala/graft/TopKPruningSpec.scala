@@ -313,6 +313,111 @@ class TopKPruningSpec extends SparkSpec {
     assert(anyNarrowed, "composite pruning never narrowed — fixture too easy")
   }
 
+  test("disjunctive IN-list top-k fires on the clustered layout (idx20 shape)") {
+    val dir = sf("sf0.001")
+    val df = graft.operators.Indexed.lineitemComposite(spark, dir)
+    val ord = Seq(col("l_orderkey").desc, col("l_linenumber").desc,
+      col("l_quantity").desc)
+    val got = df.filter(col("l_returnflag").isin("R", "A"))
+      .orderBy(ord: _*).limit(10)
+      .select("l_orderkey", "l_linenumber", "l_quantity").collect()
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_returnflag").isin("R", "A"))
+      .orderBy(ord: _*).limit(10)
+      .select("l_orderkey", "l_linenumber", "l_quantity").collect()
+    assert(got === want)
+    val exec = graft.operators.Indexed.lastCompositeExecution(spark, dir).get
+    assert(exec.route.exists(_.startsWith("topk-composite(l_orderkey")),
+      s"disjunctive rule did not fire: ${exec.route}")
+    assert(exec.scannedRowGroups < exec.totalRowGroups,
+      s"kept ${exec.scannedRowGroups} of ${exec.totalRowGroups}")
+  }
+
+  test("an OR of conjunct sets fires the disjunctive rule too") {
+    val dir = sf("sf0.001")
+    val df = graft.operators.Indexed.lineitemComposite(spark, dir)
+    val ord = Seq(col("l_orderkey").desc, col("l_linenumber").desc,
+      col("l_quantity").desc)
+    val pred = (col("l_returnflag") === "R" && col("l_orderkey") >= 100L) ||
+      (col("l_returnflag") === "A")
+    val got = df.filter(pred).orderBy(ord: _*).limit(10)
+      .select("l_orderkey", "l_linenumber", "l_quantity").collect()
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(pred).orderBy(ord: _*).limit(10)
+      .select("l_orderkey", "l_linenumber", "l_quantity").collect()
+    assert(got === want)
+    val exec = graft.operators.Indexed.lastCompositeExecution(spark, dir).get
+    assert(exec.route.exists(_.startsWith("topk-composite(l_orderkey")),
+      s"disjunctive rule did not fire on OR: ${exec.route}")
+  }
+
+  test("disjunctive pruning is sound across disjunct shapes × k × direction × null order") {
+    val (dir, index, schema) = fx
+    var anyNarrowed = false
+    // shapes: two disjoint other-col windows; overlapping windows; a
+    // window OR a bare sort-side disjunct (nulls may pass the OR)
+    val shapes: Seq[(org.apache.spark.sql.Column, Seq[TopKPruning.Disjunct])] = Seq(
+      (col("id").between(0L, 800L) || col("id").between(3200L, 3999L),
+        Seq(
+          TopKPruning.Disjunct(None, None, Seq(TopKPruning.OtherColBounds(
+            "id", Some((0L, true)), Some((800L, true))))),
+          TopKPruning.Disjunct(None, None, Seq(TopKPruning.OtherColBounds(
+            "id", Some((3200L, true)), Some((3999L, true))))))),
+      (col("id").between(0L, 2200L) || col("id").between(1800L, 3999L),
+        Seq(
+          TopKPruning.Disjunct(None, None, Seq(TopKPruning.OtherColBounds(
+            "id", Some((0L, true)), Some((2200L, true))))),
+          TopKPruning.Disjunct(None, None, Seq(TopKPruning.OtherColBounds(
+            "id", Some((1800L, true)), Some((3999L, true))))))),
+      (col("id").between(0L, 500L) || col("key") >= 1200L,
+        Seq(
+          TopKPruning.Disjunct(None, None, Seq(TopKPruning.OtherColBounds(
+            "id", Some((0L, true)), Some((500L, true))))),
+          TopKPruning.Disjunct(Some((1200L, true)), None, Nil))))
+    for {
+      (pred, disjuncts) <- shapes
+      k <- Seq(1, 16, 200)
+      descending <- Seq(true, false)
+      nullsFirst <- Seq(true, false)
+    } {
+      val resolved = RowGroupSkipScan.resolvePredicate(spark, schema, pred)
+      val statsPlans = index.getFiles(resolved)
+      val plans = TopKPruning.pruneDisjunctive(index, "key", k.toLong,
+        descending, nullsFirst, disjuncts, statsPlans)
+      // the Derby catalog serves the disjunctive fast path; the
+      // planner-side reference algorithm must produce the identical set
+      val viaPlanner = TopKPruning.pruneDisjunctive(plannerOnly(index), "key",
+        k.toLong, descending, nullsFirst, disjuncts, statsPlans)
+      assert(plans.map(p => p.fileName -> p.scanRowGroups).toMap ===
+        viaPlanner.map(p => p.fileName -> p.scanRowGroups).toMap,
+        s"$pred k=$k desc=$descending nf=$nullsFirst: " +
+          "catalog and planner disjunctive paths diverged")
+      val statsKept = statsPlans.map(_.scanRowGroups.size).sum
+      val kept = plans.map(_.scanRowGroups.size).sum
+      assert(kept <= statsKept)
+      if (kept < statsKept) anyNarrowed = true
+      val keyOrd = (descending, nullsFirst) match {
+        case (true, true)   => col("key").desc_nulls_first
+        case (true, false)  => col("key").desc_nulls_last
+        case (false, true)  => col("key").asc_nulls_first
+        case (false, false) => col("key").asc_nulls_last
+      }
+      val ord = Seq(keyOrd, col("id").asc)
+      val got =
+        if (plans.isEmpty) Seq.empty
+        else RowGroupSkipScan.scan(spark, dir, plans, schema)
+          .filter(pred).orderBy(ord: _*).limit(k).select("id", "key")
+          .collect().toSeq
+      val want = spark.read.parquet(dir)
+        .filter(pred).orderBy(ord: _*).limit(k).select("id", "key")
+        .collect().toSeq
+      assert(got === want,
+        s"$pred k=$k desc=$descending nf=$nullsFirst diverged " +
+          s"(kept $kept/$statsKept)")
+    }
+    assert(anyNarrowed, "disjunctive pruning never narrowed — fixture too easy")
+  }
+
   test("composite certification fails closed on an unclustered filter column") {
     val (_, index, schema) = fx
     // skey (s-<v%97>) varies inside every 50-row group — no group can be
