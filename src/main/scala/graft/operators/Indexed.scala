@@ -410,6 +410,29 @@ object Indexed {
              |ORDER BY l_orderkey DESC, l_linenumber DESC, l_quantity DESC
              |LIMIT 10""".stripMargin)),
 
+    // TWO-KEY lexicographic top-k through the automatic rule
+    // (prune/TopKPruning.pruneLex2): `ORDER BY a DESC, b DESC LIMIT k`
+    // over a TIE-HEAVY leading key — here l_returnflag, 3 distinct values
+    // — where leading-key-only pruning keeps every group of the top
+    // flag's whole band. The pair certificate (threshold on (flag,
+    // orderkey) pairs, certified from groups whose leading key is
+    // constant — the clustered layout's normal state) separates the tied
+    // groups and prunes to the band's tail. Route `topk-lex2`;
+    // TopKPruningSpec pins strictly fewer kept groups than leading-only
+    // on this fixture and sweeps directions × k × null order.
+    QueryDef(
+      "idx21_topk_2key",
+      (s, dir) => lineitemComposite(s, dir)
+        .orderBy(col("l_returnflag").desc, col("l_orderkey").desc,
+          col("l_linenumber").desc, col("l_quantity").desc)
+        .limit(10)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+             |FROM lineitem
+             |ORDER BY l_returnflag DESC, l_orderkey DESC, l_linenumber DESC,
+             |  l_quantity DESC
+             |LIMIT 10""".stripMargin)),
+
     // N-dimensional z-order with rank-binning (sources/ZOrderLayout.writeN):
     // a 3-d BOX over the 3-col Morton layout, third dimension a FLOAT
     // (l_extendedprice) rank-binned to dense ints by one approx-quantile

@@ -56,6 +56,18 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
         rewrite(k, order, child)
           .map(pruned => Limit(le, sort.copy(child = pruned)))
           .getOrElse(lim)
+      // PushProjectionThroughLimit leaves a column-REORDERING Project
+      // between the limit and the sort (an order-preserving one collapses
+      // below the Sort instead) — absorb it, it doesn't change the rows
+      // competing for the top k
+      case lim @ Limit(le @ IntegerLiteral(k),
+          proj @ Project(pl, sort @ Sort(order, true, child, _)))
+          if k > 0 && order.nonEmpty &&
+            pl.forall(_.isInstanceOf[AttributeReference]) =>
+        rewrite(k, order, child)
+          .map(pruned =>
+            Limit(le, proj.copy(child = sort.copy(child = pruned))))
+          .getOrElse(lim)
     }
   }
 
@@ -95,8 +107,28 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
     val (plans, baseline, routeTag) = cond match {
       case None =>
         val total = idx.allFiles().map(_.scanRowGroups.size).sum
-        (TopKPruning.prune(idx, a.name, k.toLong, descending, nullsFirst),
-          total, s"topk(${a.name})")
+        // 2-key lexicographic path: when the SECOND sort key is also an
+        // indexed attribute, the pair certificate separates groups tied
+        // on the leading key (never worse — pruneLex2 intersects with
+        // the leading-only plan set)
+        val second = order.drop(1).headOption.flatMap(_.child match {
+          case b: AttributeReference
+              if child.outputSet.contains(b) && b.name != a.name &&
+                idx.indexedSchema.fields.exists(f =>
+                  f.name == b.name && f.dataType == b.dataType) =>
+            Some((b, order(1).direction == Descending,
+              order(1).nullOrdering == NullsFirst))
+          case _ => None
+        })
+        second match {
+          case Some((b, descB, nfB)) =>
+            (TopKPruning.pruneLex2(idx, a.name, descending, nullsFirst,
+                b.name, descB, nfB, k.toLong),
+              total, s"topk-lex2(${a.name},${b.name})")
+          case None =>
+            (TopKPruning.prune(idx, a.name, k.toLong, descending, nullsFirst),
+              total, s"topk(${a.name})")
+        }
       case Some(c) =>
         val disjuncts = parseDisjuncts(c, a).getOrElse(return None)
         // the filter's own stats pruning is what the declarative plan

@@ -390,6 +390,143 @@ object TopKPruning {
     }
   }
 
+  /** TWO-KEY lexicographic top-k pruning — `ORDER BY a [DESC], b [DESC]
+    * LIMIT k` over a tie-heavy leading key, where leading-key-only
+    * pruning over-scans: with many groups sharing the leading threshold
+    * value, every one of them is kept even though the SECOND key already
+    * separates them. The threshold generalizes to a lexicographic PAIR:
+    *  - a group whose leading key is CONSTANT (stored min = max — the
+    *    normal state on a layout clustered by `a`; string truncation
+    *    cannot fake this: stored max is verbatim, so stored min = max
+    *    forces real min = max) guarantees its counted rows ≥lex
+    *    (a_const, b_guarantee) — every row shares the leading value and
+    *    its second key is bounded by the group's own b stats. Counted
+    *    rows exclude leading-key nulls always and second-key nulls when
+    *    they sort LAST (a null second key at the tied leading value then
+    *    loses to the pair; when second-key nulls sort FIRST they beat
+    *    any pair at the tie, so they count);
+    *  - any other group guarantees its non-null rows ≥lex
+    *    (a_guarantee, -∞) — sound, second key unknown (the
+    *    leading-key-only certificate).
+    * Walk pairs best-first, accumulate to k; survivors must have best
+    * pair not strictly lex-worse than the threshold: strictly-worse
+    * leading key prunes, a TIED leading key prunes when the group's best
+    * second key is strictly worse than the pair's (certified all-null
+    * second keys lose the tie under nulls-last). The result is
+    * INTERSECTED with leading-key-only pruning (both over-approximate
+    * independently), so this path is never worse than [[prune]].
+    * Degrades to [[prune]] outright when the second key's ordering is
+    * uncertified or its stats are unavailable. */
+  def pruneLex2(
+      index: StatsIndex,
+      colA: String, descA: Boolean, nullsFirstA: Boolean,
+      colB: String, descB: Boolean, nullsFirstB: Boolean,
+      k: Long): Seq[FileScanPlan] = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    def leadOnly = prune(index, colA, k, descA, nullsFirstA)
+    val dtA = index.indexedSchema.fields.find(_.name == colA)
+      .getOrElse(return index.allFiles()).dataType
+    val ordA = ordering(dtA).getOrElse(return index.allFiles())
+    val dtB = index.indexedSchema.fields.find(_.name == colB)
+      .getOrElse(return leadOnly).dataType
+    val ordB = ordering(dtB).getOrElse(return leadOnly)
+    val statsA = index.rowGroupStats(colA).getOrElse(return leadOnly)
+    val statsB = index.rowGroupStats(colB).getOrElse(return leadOnly)
+    val bByKey = statsB.map(s => (s.fileName, s.rowGroup) -> s).toMap
+
+    def guaranteeB(s: RowGroupStat): Option[Any] = if (descB) s.min else s.max
+    def bestB(s: RowGroupStat): Option[Any] = if (descB) s.max else s.min
+    val worseB: (Any, Any) => Boolean = if (descB) ordB.lt else ordB.gt
+
+    // per-group guarantee: (leading value, second bound | -∞, count)
+    val cand: Seq[(Any, Option[Any], Long)] = statsA.flatMap { s =>
+      for {
+        ga <- if (descA) s.min else s.max
+        na <- s.nullCount
+      } yield {
+        val constA = s.min.isDefined && s.max.isDefined &&
+          ordA.equiv(s.min.get, s.max.get)
+        bByKey.get((s.fileName, s.rowGroup)) match {
+          case Some(bs) if constA && bs.nullCount.isDefined &&
+              guaranteeB(bs).isDefined =>
+            val cnt = if (nullsFirstB) s.rowCount - na
+                      else s.rowCount - na - bs.nullCount.get
+            (ga, Some(guaranteeB(bs).get), math.max(cnt, 0L))
+          case _ => (ga, None, s.rowCount - na)
+        }
+      }
+    }
+    // best-first lex order: leading key first; at a tie a concrete second
+    // bound beats -∞ (None sorts last)
+    val pairOrd: Ordering[(Any, Option[Any])] = new Ordering[(Any, Option[Any])] {
+      private val oa = if (descA) ordA.reverse else ordA
+      private val ob = if (descB) ordB.reverse else ordB
+      def compare(x: (Any, Option[Any]), y: (Any, Option[Any])): Int = {
+        val c = oa.compare(x._1, y._1)
+        if (c != 0) c
+        else (x._2, y._2) match {
+          case (Some(a), Some(b)) => ob.compare(a, b)
+          case (Some(_), None)    => -1
+          case (None, Some(_))    => 1
+          case (None, None)       => 0
+        }
+      }
+    }
+    val walk = cand.sortBy(c => (c._1, c._2))(pairOrd)
+    var covered = 0L
+    var threshold: Option[(Any, Option[Any])] = None
+    val it = walk.iterator
+    while (covered < k && it.hasNext) {
+      val (ga, gb, cnt) = it.next()
+      covered += cnt
+      if (covered >= k) threshold = Some((ga, gb))
+    }
+    val (ta, tbOpt) = threshold.getOrElse(return leadOnly)
+
+    val strictlyBetterA: (Any, Any) => Boolean = if (descA) ordA.gt else ordA.lt
+    val strictlyWorseA: (Any, Any) => Boolean = if (descA) ordA.lt else ordA.gt
+    def keepAtTie(file: String, rg: Int): Boolean = tbOpt match {
+      case None => true // threshold's second component is -∞
+      case Some(tb) =>
+        bByKey.get((file, rg)) match {
+          case None => true
+          case Some(bs) =>
+            val mayNullWinB = nullsFirstB && !bs.nullCount.contains(0L)
+            if (mayNullWinB) true
+            else if (bs.nullCount.contains(bs.rowCount)) false // tie rows all null-b, nulls-last
+            else bestB(bs) match {
+              case Some(bb) => !worseB(bb, tb)
+              case None     => true
+            }
+        }
+    }
+    val pruned = statsA.filter { s =>
+      val mayNullWinA = nullsFirstA && !s.nullCount.contains(0L)
+      val allNullA = s.nullCount.contains(s.rowCount)
+      if (mayNullWinA) false
+      else if (allNullA) true
+      else (if (descA) s.max else s.min) match {
+        case None => false
+        case Some(ba) =>
+          if (strictlyWorseA(ba, ta)) true
+          else if (strictlyBetterA(ba, ta)) false
+          else !keepAtTie(s.fileName, s.rowGroup)
+      }
+    }.map(s => (s.fileName, s.rowGroup)).toSet
+    val pairPlans = index.allFiles().flatMap { p =>
+      val rgs = p.scanRowGroups.filterNot(rg => pruned((p.fileName, rg)))
+      if (rgs.isEmpty) None else Some(p.copy(scanRowGroups = rgs))
+    }
+    // never worse than the leading-key-only path: intersect the two
+    // independent over-approximations
+    val byFile = leadOnly.map(p => p.fileName -> p.scanRowGroups).toMap
+    pairPlans.flatMap { p =>
+      byFile.get(p.fileName)
+        .map(rgs => p.copy(scanRowGroups = p.scanRowGroups intersect rgs))
+        .filter(_.scanRowGroups.nonEmpty)
+    }
+  }
+
   private val codePointOrdering: Ordering[Any] = new Ordering[Any] {
     def compare(a: Any, b: Any): Int = {
       val x = a.asInstanceOf[String]

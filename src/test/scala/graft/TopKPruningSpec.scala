@@ -418,6 +418,94 @@ class TopKPruningSpec extends SparkSpec {
     assert(anyNarrowed, "disjunctive pruning never narrowed — fixture too easy")
   }
 
+  test("two-key lexicographic top-k fires and beats leading-key-only pruning") {
+    val dir = sf("sf0.001")
+    val df = graft.operators.Indexed.lineitemComposite(spark, dir)
+    val ord = Seq(col("l_returnflag").desc, col("l_orderkey").desc,
+      col("l_linenumber").desc, col("l_quantity").desc)
+    val got = df.orderBy(ord: _*).limit(10)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+      .collect()
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .orderBy(ord: _*).limit(10)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+      .collect()
+    assert(got === want)
+    val exec = graft.operators.Indexed.lastCompositeExecution(spark, dir).get
+    assert(exec.route === Seq("topk-lex2(l_returnflag,l_orderkey)"),
+      s"lex2 rule did not fire: ${exec.route}")
+    // the whole point: leading-key-only pruning keeps the top flag's
+    // ENTIRE band (l_returnflag is 3-valued — maximally tie-heavy); the
+    // pair certificate must keep strictly fewer groups
+    val (index, _, _) = graft.operators.Indexed.compositeFixture(spark, dir)
+    val leadKept = TopKPruning.prune(index, "l_returnflag", 10,
+      descending = true, nullsFirst = false).map(_.scanRowGroups.size).sum
+    assert(exec.scannedRowGroups < leadKept,
+      s"pair kept ${exec.scannedRowGroups}, leading-only kept $leadKept")
+  }
+
+  // tie-heavy two-key fixture: grp = i/500 (8 distinct values, constant
+  // within every 50-row group — boundaries align), key noisy/increasing
+  // with ~10% nulls, id unique
+  private lazy val fx2: (String, DerbyStatsIndex, StructType) = {
+    val base = Files.createTempDirectory("graft-topk2").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    (0 until 4000)
+      .map { i =>
+        val v = i.toLong + ((i.toLong * 2971L) % 500L)
+        (i.toLong / 500L, if (v % 10 == 0) None else Some(v / 3), i.toLong)
+      }
+      .toDF("grp", "key", "id")
+      .coalesce(1)
+      .write.option("parquet.block.row.count.limit", "50")
+      .mode("overwrite").parquet(dir)
+    val (index, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("grp", "key", "id"), s"$base/statsdb")
+    (dir, index.asInstanceOf[DerbyStatsIndex], schema)
+  }
+
+  test("two-key pruning is sound across directions × k × null order (tie-heavy fixture)") {
+    val (dir, index, schema) = fx2
+    var anyNarrower = false
+    for {
+      descA <- Seq(true, false)
+      descB <- Seq(true, false)
+      nfB <- Seq(true, false)
+      k <- Seq(1, 16, 200)
+    } {
+      val nfA = !descA // Spark default null ordering for the leading key
+      val plans = TopKPruning.pruneLex2(
+        index, "grp", descA, nfA, "key", descB, nfB, k.toLong)
+      val leadPlans = TopKPruning.prune(index, "grp", k.toLong, descA, nfA)
+      val kept = plans.map(_.scanRowGroups.size).sum
+      val leadKept = leadPlans.map(_.scanRowGroups.size).sum
+      assert(kept <= leadKept,
+        s"descA=$descA descB=$descB nfB=$nfB k=$k: pair kept $kept > leading $leadKept")
+      if (kept < leadKept) anyNarrower = true
+      val grpOrd = if (descA) col("grp").desc else col("grp").asc
+      val keyOrd = (descB, nfB) match {
+        case (true, true)   => col("key").desc_nulls_first
+        case (true, false)  => col("key").desc_nulls_last
+        case (false, true)  => col("key").asc_nulls_first
+        case (false, false) => col("key").asc_nulls_last
+      }
+      val ord = Seq(grpOrd, keyOrd, col("id").asc)
+      val got =
+        if (plans.isEmpty) Seq.empty
+        else RowGroupSkipScan.scan(spark, dir, plans, schema)
+          .orderBy(ord: _*).limit(k).select("grp", "key", "id")
+          .collect().toSeq
+      val want = spark.read.parquet(dir)
+        .orderBy(ord: _*).limit(k).select("grp", "key", "id")
+        .collect().toSeq
+      assert(got === want,
+        s"descA=$descA descB=$descB nfB=$nfB k=$k diverged (kept $kept/$leadKept)")
+    }
+    assert(anyNarrower,
+      "pair pruning never beat leading-only — fixture not tie-heavy enough")
+  }
+
   test("composite certification fails closed on an unclustered filter column") {
     val (_, index, schema) = fx
     // skey (s-<v%97>) varies inside every 50-row group — no group can be
