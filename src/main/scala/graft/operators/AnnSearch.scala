@@ -514,18 +514,21 @@ object AnnSearch {
     // ----- k-NN graph construction (emb5) -----------------------------------
     // The neighborhood graph SemDeDup-style pruning and graph-based
     // curation build as a preprocessing artifact: for EVERY vector, its
-    // top-KnnK cosine neighbors among candidates sharing its learned
-    // block (dd7's cell assignment with hot-cell LSH subdivision and the
-    // deterministic cap — bounded O(block²) tasks, never all-pairs). A
-    // blocked k-NN graph is the standard corpus-scale construction (an
-    // exact graph is quadratic by definition); recall follows the block
-    // recall dd7 documents. Directed: ranking is per SOURCE vector, so
-    // the pair join keeps both orientations (x ≠ y, not x < y). Scoring
-    // is the suite's integer-exact sign-preserving cos² as one double
-    // division — rankable cross-engine; ties break to the lower neighbor
-    // id. Scale: candidate generation is the same bounded block join dd7
-    // runs; the ranking is one source-keyed window over O(block²·blocks)
-    // scored edges.
+    // top-KnnK cosine neighbors among candidates in its top-KnnProbes
+    // learned cells (dd7's cell assignment with hot-cell LSH subdivision
+    // and the deterministic cap — bounded O(block²) tasks, never
+    // all-pairs). MULTI-PROBE on the SOURCE side (ann3's probing shape):
+    // each vector searches its top-2 cells, so a near-boundary vector
+    // still sees its true neighbors across the cell seam — candidates
+    // 2×, still block-bounded; the CORPUS side stays the single-
+    // assignment capped block table, so the join fan-out per source is
+    // ≤ KnnProbes × LshTables × MaxBlock. Directed: ranking is per
+    // SOURCE vector, so the pair join keeps both orientations (x ≠ y,
+    // not x < y). Scoring is the suite's integer-exact sign-preserving
+    // cos² as one double division — rankable cross-engine; ties break
+    // to the lower neighbor id. Scale: candidate generation is the same
+    // bounded block join dd7 runs; the ranking is one source-keyed
+    // window over O(probes·block²·blocks) scored edges.
     QueryDef(
       "emb5_knn_graph",
       (s, dir) => {
@@ -533,17 +536,36 @@ object AnnSearch {
         val q = quantized(s, dir)
         val cents = fitQuantizedCentroids(s, dir)
         Dedup.emb5Oracle = Some(Dedup.emb5Sql(cents))
+        val scoreArr = cellScoreArr(s, cents)
         val assigned = q.withColumn("cell",
-          -array_max(cellScoreArr(s, cents)).getField("i"))
+          -array_max(scoreArr).getField("i"))
         val blocks = Dedup.semanticBlocks(s, assigned)
-        val a = blocks.select(col("label"), col("vec_id").as("src"),
-          col("v").as("va"), col("nn").as("na"))
+        // source side: probe the top-KnnProbes cells; label assignment
+        // mirrors semanticBlocks per probed cell (cold cell → its one
+        // block; hot cell → the prober's own band buckets). Sources are
+        // never capped — the cap bounds the CORPUS block size, which is
+        // what bounds the join task.
+        val probes = slice(reverse(array_sort(scoreArr)), 1, KnnProbes)
+        val probed = q.select(col("vec_id"), col("v"), col("nn"),
+          explode(transform(probes, p => p.getField("i") * -1)).as("cell"))
+        val cellCnt = assigned.groupBy("cell").agg(count(lit(1)).as("cnt"))
+        val hotBands = array((0 until LshTables).map(t =>
+          struct(lit(t).as("band"), bucketKey(s, t, col("v")).as("sub"))): _*)
+        val coldBand = array(struct(lit(-1).as("band"), lit(0L).as("sub")))
+        val src = probed.join(cellCnt, Seq("cell"))
+          .select(col("vec_id").as("src"), col("v").as("va"),
+            col("nn").as("na"), col("cell"),
+            explode(when(col("cnt") <= Dedup.MaxBlock, coldBand)
+              .otherwise(hotBands)).as("bk"))
+          .withColumn("label",
+            concat_ws("|", col("cell"), col("bk.band"), col("bk.sub")))
+          .select("label", "src", "va", "na")
         val b = blocks.select(col("label"), col("vec_id").as("dst"),
           col("v").as("vb"), col("nn").as("nb"))
-        val scored = a.join(b, Seq("label")).where(col("src") =!= col("dst"))
+        val scored = src.join(b, Seq("label")).where(col("src") =!= col("dst"))
           .withColumn("d", dot(s)(col("va"), col("vb")))
           .withColumn("sc", score(col("d"), col("na"), col("nb")))
-          .select("src", "dst", "sc").distinct() // hot-cell multi-band dups
+          .select("src", "dst", "sc").distinct() // multi-probe/band dups
         val w = Window.partitionBy("src").orderBy(col("sc").desc, col("dst").asc)
         scored.withColumn("rank", row_number().over(w))
           .where(col("rank") <= KnnK)
@@ -555,6 +577,10 @@ object AnnSearch {
   )
 
   val KnnK = 3
+
+  /** Cells each SOURCE vector probes when building the k-NN graph
+    * (emb5); the corpus side stays single-assignment. */
+  val KnnProbes = 2
 
   val IvfCells = 16
   val IvfProbes = 2

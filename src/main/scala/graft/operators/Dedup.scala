@@ -416,11 +416,32 @@ object Dedup {
 
   @volatile private[graft] var emb5Oracle: Option[String] = None
 
-  private[graft] def emb5Sql(cents: Array[Array[Long]]): String =
+  private[graft] def emb5Sql(cents: Array[Array[Long]]): String = {
+    // source-side multi-probe labels: each vector's top-KnnProbes cells
+    // (rk already ranks every cell per vector), cold probe cell → its one
+    // block label, hot → the prober's own band buckets — the exact
+    // mirror of emb5's source-side construction; the dst side stays the
+    // capped corpus blocks
+    val srcHot = (0 until AnnSearch.LshTables).map { t =>
+      s"""  SELECT vec_id, v, nn, CAST(cell AS VARCHAR) || '|$t|' ||
+         |      CAST(${AnnSearch.sqlBucketKey(t, "v")} AS VARCHAR) AS label
+         |  FROM pc WHERE c > $MaxBlock""".stripMargin
+    }.mkString("\n  UNION ALL\n")
     s"""WITH ${blockedCtes(cents)},
+       |ccnt AS (SELECT cell, count(*) c FROM corpus GROUP BY cell),
+       |probe AS (SELECT rk.vec_id, rk.cell, n.v, n.nn
+       |  FROM rk JOIN n ON n.vec_id = rk.vec_id
+       |  WHERE rk.r <= ${AnnSearch.KnnProbes}),
+       |pc AS (SELECT p.vec_id, p.cell, p.v, p.nn, ccnt.c
+       |  FROM probe p JOIN ccnt ON ccnt.cell = p.cell),
+       |src AS (
+       |  SELECT vec_id, v, nn, CAST(cell AS VARCHAR) || '|-1|0' AS label
+       |  FROM pc WHERE c <= $MaxBlock
+       |  UNION ALL
+       |$srcHot),
        |p AS (SELECT x.vec_id src, y.vec_id dst, x.nn na, y.nn nb,
        |    list_sum(list_transform(list_zip(x.v, y.v), s -> s[1] * s[2])) d
-       |  FROM capped x JOIN capped y
+       |  FROM src x JOIN capped y
        |    ON x.label = y.label AND x.vec_id <> y.vec_id),
        |sd AS (SELECT DISTINCT src, dst,
        |    CAST(d * abs(d) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS sc FROM p)
@@ -429,6 +450,7 @@ object Dedup {
        |      PARTITION BY src ORDER BY sc DESC, dst ASC) rank
        |  FROM sd) t
        |WHERE rank <= ${AnnSearch.KnnK}""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -101,7 +101,7 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(ivfpq.forall { case (q, _) => ivf.exists(_._1 == q) })
   }
 
-  test("emb5 k-NN graph is EXACT within blocks and recalls globally (vs brute truth)") {
+  test("emb5 k-NN graph is EXACT within probed blocks and recalls globally (vs brute truth)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     import graft.operators.AnnSearch
@@ -113,8 +113,8 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(knn.nonEmpty)
     val q = AnnSearch.quantized(spark, dir)
     val cents = AnnSearch.fitQuantizedCentroids(spark, dir)
-    val assigned = q.withColumn("cell",
-      -array_max(AnnSearch.cellScoreArr(spark, cents)).getField("i"))
+    val scoreArr = AnnSearch.cellScoreArr(spark, cents)
+    val assigned = q.withColumn("cell", -array_max(scoreArr).getField("i"))
     def topPerSrc(pairs: org.apache.spark.sql.DataFrame) = {
       val d = graft.functions.VectorMath.dot(spark, col("va"), col("vb"))
       val sc = (d * abs(d)).cast("double") / (col("na") * col("nb")).cast("double")
@@ -126,27 +126,46 @@ class OperatorInvariantsSpec extends SparkSpec {
         .select("src", "dst").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     }
-    val a = assigned.select(col("cell"), col("vec_id").as("src"),
-      col("v").as("va"), col("nn").as("na"))
+    // source side mirrors the operator's MULTI-PROBE: each vector
+    // searches its top-KnnProbes cells; corpus side is the single
+    // top-1 assignment
+    val probes = slice(reverse(array_sort(scoreArr)), 1, AnnSearch.KnnProbes)
+    val a = q.select(col("vec_id").as("src"), col("v").as("va"),
+      col("nn").as("na"),
+      explode(transform(probes, p => p.getField("i") * -1)).as("cell"))
     val b = assigned.select(col("cell"), col("vec_id").as("dst"),
       col("v").as("vb"), col("nn").as("nb"))
-    // the construction's actual GUARANTEE: within a (cold) block,
-    // neighbors are exact — with no hot cells, the graph must EQUAL the
-    // within-cell exact top-K
+    val probedPairs = a.join(b, Seq("cell"))
+    // the construction's actual GUARANTEE: with no hot cells, the graph
+    // must EQUAL the exact top-K over the probed candidate set
     val hot = assigned.groupBy("cell").count()
       .agg(max("count")).collect().head.getLong(0) > graft.operators.Dedup.MaxBlock
-    val exactInCell = topPerSrc(a.join(b, Seq("cell")))
-    if (!hot) assert(knn === exactInCell,
-      "blocked k-NN diverged from the within-cell exact top-K")
-    else assert(knn.subsetOf(exactInCell),
-      "subdivided blocks emitted an edge outside its cell's exact top-K set")
-    // global recall context: cross-cell true neighbors are the accepted
-    // miss (random vectors are the adversarial case — near-dups, the
-    // operator's target, share cells by construction); require a floor
-    val exactGlobal = topPerSrc(
-      a.drop("cell").crossJoin(b.drop("cell")))
+    if (!hot) assert(knn === topPerSrc(probedPairs),
+      "blocked k-NN diverged from the probed-cells exact top-K")
+    else {
+      // subdivision can drop candidates, but every emitted edge must
+      // still connect a source to a member of one of its probed cells
+      val pairSet = probedPairs.where(col("src") =!= col("dst"))
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(knn.subsetOf(pairSet),
+        "an edge escaped the source's probed cells")
+    }
+    // global recall floor vs all-pairs brute truth (which the oracle
+    // never sees): random vectors are the adversarial case — near-dups,
+    // the operator's target, share cells by construction. The floor is
+    // set where SINGLE-probe construction fails: multi-probe must
+    // recover the cross-cell neighbors that motivated it.
+    val af = q.select(col("vec_id").as("src"), col("v").as("va"),
+      col("nn").as("na"))
+    val bf = q.select(col("vec_id").as("dst"), col("v").as("vb"),
+      col("nn").as("nb"))
+    val exactGlobal = topPerSrc(af.crossJoin(bf))
     val recalled = exactGlobal.intersect(knn).size
-    assert(recalled * 10 >= exactGlobal.size * 2,
+    // floor 1/3: on this fixture single-probe lands at 359/1500 (24%)
+    // and multi-probe at 604/1500 (40%) — a silent regression to
+    // single-probe fails this
+    assert(recalled * 3 >= exactGlobal.size,
       s"k-NN graph recalled only $recalled of ${exactGlobal.size} exact edges")
   }
 
