@@ -72,6 +72,62 @@ object DocumentStreams {
     s.table(sinkName).distinct()
   }
 
+  private val allFixture = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Once per sfDir: ALL documents re-materialized as 3 doc_id-range
+    * files so the file source feeds the corpus one micro-batch at a time
+    * — st6's continuous-ingestion fixture (the corpus is built from
+    * EMPTY through the maintaining sink; three batches prove the
+    * establish/merge/merge cadence). Ascending mtimes make batch
+    * boundaries deterministic run to run. */
+  private[graft] def allDocsStreamDir(s: SparkSession, sfDir: String): String =
+    allFixture.getOrElseUpdate(sfDir + "@" + s.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = new java.io.File(s"target/tmp/streamdocs/$safe/alldocs-v1").getAbsolutePath
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+        graft.Tables.load(s, sfDir, "documents")
+          .repartitionByRange(3, col("doc_id"))
+          .write.mode("overwrite").parquet(out)
+      }
+      val parts = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      out
+    })
+
+  /** `st6_stream_components`: continuous corpus ingestion through the
+    * maintaining sink — each micro-batch lands data + footer stats
+    * (IndexedSink) AND the dedup artifacts (band append + star-merged
+    * component labels, [[DedupMaintenance]]). The emitted frame is the
+    * maintained label table after the last batch; the oracle is dd6's
+    * full-graph recursive closure over the same documents, so the check
+    * IS the incremental-merge-equals-full-recompute claim, end to end
+    * through the streaming seam. Fresh temp dirs per run: the result is
+    * a pure function of the fixture, so re-runs (bench medians, verify)
+    * are deterministic. */
+  def streamComponentsQuery(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = allDocsStreamDir(s, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-st6").toString
+    val docsSchema = s.read.parquet(dir).schema
+    val idxSchema = org.apache.spark.sql.types.StructType(
+      docsSchema.filter(_.name == "doc_id"))
+    val index = new graft.index.DerbyStatsIndex(s"$base/db", idxSchema)
+    index.initialize(idxSchema)
+    try {
+      val src = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = IndexedSink.start(src, s"$base/data", index, Seq("doc_id"),
+        s"$base/ckpt", dedupArtifacts = Some(s"$base/art"))
+      try q.awaitTermination() finally q.stop()
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      DedupMaintenance.currentLabels(s, s"$base/art", hconf)
+    } finally index.close()
+  }
+
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef(
       "st5_stream_dedup_inc",
@@ -80,6 +136,25 @@ object DocumentStreams {
               |SELECT DISTINCT x.doc_id a, y.doc_id b
               |FROM bands x JOIN bands y
               |  ON x.band = y.band AND x.bkey = y.bkey
-              |WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0""".stripMargin))
+              |WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0""".stripMargin)),
+
+    graft.QueryDef(
+      "st6_stream_components",
+      (s, dir) => streamComponentsQuery(s, dir),
+      // dd6's full-closure oracle over ALL documents: the incremental
+      // star-merge must equal the full recompute
+      Some(s"""WITH RECURSIVE ${Dedup.mhBandsCtes},
+              |pairs AS (SELECT DISTINCT x.doc_id a, y.doc_id b
+              |  FROM bands x JOIN bands y
+              |    ON x.band = y.band AND x.bkey = y.bkey
+              |  WHERE x.doc_id < y.doc_id),
+              |ed AS (SELECT a s, b d FROM pairs
+              |       UNION ALL SELECT b, a FROM pairs),
+              |reach(src, dst) AS (
+              |  SELECT s, s FROM (SELECT DISTINCT s FROM ed)
+              |  UNION
+              |  SELECT r.src, e.d FROM reach r JOIN ed e ON e.s = r.dst)
+              |SELECT src AS doc_id, min(dst) AS component
+              |FROM reach GROUP BY src""".stripMargin))
   )
 }

@@ -40,7 +40,8 @@ object IndexedSink {
     * build per batch via `rebuildBlooms`). */
   def start(source: DataFrame, dataDir: String, index: StatsIndex,
       indexedCols: Seq[String], checkpointDir: String,
-      rowLevel: Map[String, String] = Map.empty): StreamingQuery = {
+      rowLevel: Map[String, String] = Map.empty,
+      dedupArtifacts: Option[String] = None): StreamingQuery = {
     val spark = source.sparkSession
     val hconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     source.writeStream
@@ -48,7 +49,8 @@ object IndexedSink {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch, batchId, dataDir, index, indexedCols, hconf, rowLevel)
+        commitBatch(batch, batchId, dataDir, index, indexedCols, hconf,
+          rowLevel, dedupArtifacts)
       }
       .start()
   }
@@ -60,7 +62,8 @@ object IndexedSink {
   private[graft] def commitBatch(batch: DataFrame, batchId: Long,
       dataDir: String, index: StatsIndex, indexedCols: Seq[String],
       hconf: SerializableConfiguration,
-      rowLevel: Map[String, String] = Map.empty): Unit = {
+      rowLevel: Map[String, String] = Map.empty,
+      dedupArtifacts: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val dirPath = new Path(dataDir)
     val fs = dirPath.getFileSystem(hconf.value)
@@ -122,6 +125,12 @@ object IndexedSink {
             spark, dataDir, newPlans, batch.schema, colName, idxDir)
         }
       }
+    }
+    // incremental dedup-artifact maintenance (band append + star-merge
+    // labels) for document batches — same exactly-once discipline, see
+    // [[DedupMaintenance]]
+    dedupArtifacts.foreach { artDir =>
+      DedupMaintenance.commitBatch(batch, batchId, artDir, hconf)
     }
     ()
   }

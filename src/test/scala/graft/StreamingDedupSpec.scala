@@ -1,0 +1,112 @@
+package graft
+
+import graft.streaming.DedupMaintenance
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
+
+import java.nio.file.Files
+
+/** Incremental dedup-artifact maintenance in the streaming sink (st6):
+  * per-batch band append + star-merged component labels.
+  *
+  *  - Merge-equals-recompute: after streaming the corpus batch by batch,
+  *    the maintained labels equal one connectedComponents run over the
+  *    full band pair graph (the CORRECTNESS row additionally proves this
+  *    against DuckDB's recursive closure).
+  *  - Replay idempotence: re-committing the last batch leaves labels and
+  *    band store identical — foreachBatch's at-least-once becomes
+  *    exactly-once.
+  *  - O(batch) per commit: a later batch never rewrites earlier batches'
+  *    band files, and the candidate join BROADCASTS the batch side so
+  *    the band store is never shuffled.
+  */
+class StreamingDedupSpec extends SparkSpec {
+
+  private def hconf =
+    new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+
+  private def labels(artDir: String): Map[Long, Long] =
+    DedupMaintenance.currentLabels(spark, artDir, hconf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def bandFiles(artDir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$artDir/bands"))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+  }
+
+  test("star-merged labels equal a full recompute; replay is idempotent; bands append-only") {
+    val dir = sf("sf0.001")
+    val art = Files.createTempDirectory("graft-dedup-maint").toString
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val batches = (0 until 3).map(i =>
+      docs.filter(col("doc_id") % 3 === i))
+
+    DedupMaintenance.commitBatch(batches(0), 0L, art, hconf)
+    DedupMaintenance.commitBatch(batches(1), 1L, art, hconf)
+    val bandsAfter1 = bandFiles(art)
+    DedupMaintenance.commitBatch(batches(2), 2L, art, hconf)
+
+    // earlier batches' band files untouched by batch 2 (append-only)
+    val bandsAfter2 = bandFiles(art)
+    bandsAfter1.foreach { case (p, mtime) =>
+      assert(bandsAfter2.get(p).contains(mtime),
+        s"batch 2 rewrote an earlier band file: $p")
+    }
+
+    // merge-equals-recompute, Spark-side (the oracle proves it vs DuckDB)
+    val merged = labels(art)
+    val allBands = graft.operators.Dedup.bandKeysMapOnly(docs)
+    val full = graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.bandPairs(allBands))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === full, "incremental star-merge diverged from full recompute")
+
+    // replay the LAST batch — labels and band store content-stable (the
+    // replayed batch REPLACES its own subdir; part-file names carry
+    // fresh UUIDs, so compare rows, not names)
+    val bandRows = spark.read.parquet(s"$art/bands/b*").collect()
+      .map(_.toString).sorted.toSeq
+    DedupMaintenance.commitBatch(batches(2), 2L, art, hconf)
+    assert(labels(art) === merged, "replayed batch changed the labels")
+    assert(spark.read.parquet(s"$art/bands/b*").collect()
+        .map(_.toString).sorted.toSeq === bandRows,
+      "replayed batch changed the band store content")
+    bandsAfter1.foreach { case (p, mtime) =>
+      assert(bandFiles(art).get(p).contains(mtime),
+        s"replay of batch 2 rewrote an earlier batch's band file: $p")
+    }
+  }
+
+  test("the candidate join broadcasts the batch side — the band store never shuffles") {
+    val dir = sf("sf0.001")
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val store = graft.operators.Dedup.bandKeysMapOnly(docs)
+    val batch = graft.operators.Dedup.bandKeysMapOnly(
+      docs.filter(col("doc_id") % 7 === 0))
+    val plan = DedupMaintenance.newPairs(store, batch)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate join is not broadcast:\n$plan")
+    // the store side must reach the join with no shuffle exchange on its
+    // branch: the only Exchange allowed in the whole plan is the
+    // broadcast one (the distinct() above the join aggregates PAIRS, not
+    // store rows — but it must not move the store before the join)
+    val beforeJoin = plan.substring(plan.indexOf("BroadcastHashJoin"))
+    assert(!beforeJoin.contains("Exchange hashpartitioning"),
+      s"the band store is shuffled below the join:\n$plan")
+  }
+
+  test("version retention keeps only the live label version") {
+    val dir = sf("sf0.001")
+    val art = Files.createTempDirectory("graft-dedup-retain").toString
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    DedupMaintenance.commitBatch(docs.filter(col("doc_id") % 2 === 0), 0L, art, hconf)
+    DedupMaintenance.commitBatch(docs.filter(col("doc_id") % 2 === 1), 1L, art, hconf)
+    val versions = new java.io.File(s"$art/labels").listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+")).map(_.getName)
+    assert(versions.toSeq === Seq("v1"), s"stale versions left: ${versions.toSeq}")
+  }
+}
