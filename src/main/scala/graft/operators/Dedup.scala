@@ -876,7 +876,95 @@ object Dedup {
              |  UNION
              |  SELECT r.src, e.d FROM reach r JOIN ed e ON e.s = r.dst)
              |SELECT src AS doc_id, min(dst) AS component
-             |FROM reach GROUP BY src""".stripMargin))
+             |FROM reach GROUP BY src""".stripMargin)),
+
+    // ----- END-TO-END curation pipeline -------------------------------------
+    // The suite's operators COMPOSED the way a real pipeline runs them:
+    // near-dup components (persisted label table) → per-cluster
+    // representative (dd12's arg-max) → leakage-safe split (dd11's
+    // component hash) → token packing (tx7's budgeted cumulative sums,
+    // per (split, shard)) — emitting the final (doc_id, split, seq_id)
+    // training manifest over the DEDUPED corpus. Each stage is green
+    // alone; this row proves the composition end to end against one
+    // composed oracle. Scale: the chain reuses the persisted component
+    // labels, adds one component-keyed agg + join (dd12's shape), a
+    // map-side split/shard assignment, and a (split, shard)-partitioned
+    // running sum — no stage is new shuffle topology.
+    QueryDef(
+      "pp1_pipeline",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val comp = s.table(componentTable(s, dir))
+        val toks = TextAnalysis.tokens(col("text"))
+        val nTok = size(toks)
+        val nStop = TextAnalysis.countIn(toks, TextAnalysis.stopwords)
+        val score = (col("n_chars") >= 100).cast("int") +
+          (nStop * 100 >= nTok * 2 && nStop * 100 <= nTok * 40).cast("int") +
+          (length(regexp_replace(col("text"), " ", "")) < nTok * 12).cast("int")
+        val labeled = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), score.as("score"),
+            nTok.cast("long").as("nt"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"),
+            col("score"), col("nt"))
+        val best = labeled.groupBy("component")
+          .agg(max(struct(col("score"), (-col("doc_id")).as("negid"))).as("b"))
+          .select(col("component"), (-col("b.negid")).as("keep_id"))
+        val kept = labeled.join(best, Seq("component"))
+          .where(col("doc_id") === col("keep_id"))
+          .withColumn("split",
+            when(pmod(col("component"), lit(10L)) === 0, lit("val"))
+              .otherwise(lit("train")))
+          .withColumn("shard",
+            substring(md5(col("doc_id").cast("string")), 1, 2))
+        val w = Window.partitionBy("split", "shard")
+          .orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        kept.withColumn("cum", sum(col("nt")).over(w))
+          .select(col("doc_id"), col("split"),
+            concat_ws("/", col("shard"),
+              ((col("cum") - col("nt")) / lit(512L)).cast("long")
+                .cast("string")).as("seq_id"))
+      },
+      Some {
+        val nTok = "len(string_split(d.text, ' '))"
+        val nStop = TextAnalysis.sqlCountIn(TextAnalysis.stopwords)
+        s"""WITH RECURSIVE $mhPairsCtes,
+           |ed AS (SELECT a s, b d FROM pairs
+           |       UNION ALL SELECT b, a FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT s, s FROM (SELECT DISTINCT s FROM ed)
+           |  UNION
+           |  SELECT r.src, e.d FROM reach r JOIN ed e ON e.s = r.dst),
+           |comp AS (SELECT src AS doc_id, min(dst) AS component
+           |         FROM reach GROUP BY src),
+           |lab AS (SELECT d.doc_id,
+           |    COALESCE(c.component, d.doc_id) AS component,
+           |    (CASE WHEN d.n_chars >= 100 THEN 1 ELSE 0 END) +
+           |    (CASE WHEN $nStop * 100 >= $nTok * 2
+           |               AND $nStop * 100 <= $nTok * 40 THEN 1 ELSE 0 END) +
+           |    (CASE WHEN length(replace(d.text, ' ', '')) < $nTok * 12
+           |          THEN 1 ELSE 0 END) AS score,
+           |    $nTok AS nt
+           |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+           |k AS (SELECT component, doc_id AS keep_id, row_number() OVER (
+           |        PARTITION BY component ORDER BY score DESC, doc_id ASC) rn
+           |      FROM lab),
+           |kept AS (SELECT l.doc_id, l.component, l.nt,
+           |    CASE WHEN l.component % 10 = 0 THEN 'val' ELSE 'train' END AS split,
+           |    substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 2) AS shard
+           |  FROM lab l JOIN (SELECT component, keep_id FROM k WHERE rn = 1) kk
+           |    ON l.component = kk.component AND l.doc_id = kk.keep_id),
+           |c2 AS (SELECT doc_id, split, shard, nt,
+           |    sum(nt) OVER (PARTITION BY split, shard ORDER BY doc_id
+           |                  ROWS UNBOUNDED PRECEDING) cum
+           |  FROM kept)
+           |SELECT doc_id, split,
+           |  shard || '/' || CAST(CAST((cum - nt) // 512 AS BIGINT) AS VARCHAR)
+           |    AS seq_id
+           |FROM c2""".stripMargin
+      })
   )
 
   private val pairStatsCache =
