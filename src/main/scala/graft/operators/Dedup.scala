@@ -58,7 +58,7 @@ object Dedup {
         transform(sequence(lit(0), size(w) - 3), piece _))).as("s"))
   }
 
-  private val shingleSql =
+  private[graft] val shingleSql =
     """words AS (SELECT doc_id, string_split(text, ' ') w FROM documents
       |          WHERE len(string_split(text, ' ')) >= 3),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') s

@@ -694,7 +694,42 @@ object TextAnalysis {
              |  FROM f JOIN wt USING (fid) GROUP BY doc_id)
              |SELECT d.doc_id, COALESCE(s.sw, 0) + 3 AS margin,
              |  COALESCE(s.sw, 0) + 3 >= 0 AS quality_pass
-             |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin))
+             |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin)),
+
+    // ----- BPE-shape regex token counting -----------------------------------
+    // Budgeting a training corpus needs token counts under the TRAINING
+    // tokenizer's segmentation, not whitespace: a GPT-2-style regex
+    // PRE-tokenizer (contraction suffixes | space?+letter run |
+    // space?+digit run | space?+punct run) is the standard first stage,
+    // and its match count is the budget estimate. The fixture text is
+    // bare lowercase words, so each document is first salted with a
+    // deterministic doc_id-derived tail carrying digits, punctuation and
+    // a contraction (tx13's injection pattern) — the regex classes are
+    // all exercised and the count provably differs from whitespace
+    // counting. regexp_count is codegen'd (no UDF); Java regex and
+    // DuckDB's RE2 both use leftmost-first alternation, so ordering
+    // contraction-first keeps the engines identical. Map-only, zero
+    // shuffles — the per-document budget column a packer (tx7) consumes.
+    QueryDef(
+      "tx19_bpe_count",
+      (s, dir) => {
+        val salted = concat(col("text"),
+          lit(" it's doc-"), col("doc_id").cast("string"),
+          lit(" rev "), (col("doc_id") * 7).cast("string"), lit("!"))
+        val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          (size(tokens(col("text"))) + 4).as("n_ws"),
+          regexp_count(salted, lit(pat)).as("n_bpe"))
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) + 4 AS n_ws,
+             |  CAST(len(regexp_extract_all(
+             |    text || ' it''s doc-' || CAST(doc_id AS VARCHAR) ||
+             |      ' rev ' || CAST(doc_id * 7 AS VARCHAR) || '!',
+             |    '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))
+             |    AS INTEGER) AS n_bpe
+             |FROM documents""".stripMargin))
   )
 
   /** Word n-grams of the materialized token array `w` as joined strings

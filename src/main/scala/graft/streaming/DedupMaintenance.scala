@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.Dedup
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.SerializableConfiguration
 
@@ -85,6 +85,126 @@ object DedupMaintenance {
         Seq("band", "bkey"))
       .where(col("a") =!= col("b"))
       .select("a", "b").distinct()
+
+  private def shRoot(artifactDir: String) = new Path(artifactDir, "shingles")
+  private def nsRoot(artifactDir: String) = new Path(artifactDir, "ns")
+  private def pdRoot(artifactDir: String) = new Path(artifactDir, "pairdeltas")
+
+  private def batchDirs(root: Path,
+      hconf: SerializableConfiguration): Seq[Path] = {
+    val fs = root.getFileSystem(hconf.value)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("b\\d+"))
+      .map(_.getPath)
+  }
+
+  /** Incremental PAIR-STATISTICS maintenance — dd2/dd9's shared overlap
+    * table (a, b, c = shared shingles, na, nb) kept fresh per batch
+    * instead of one inverted-index pass per corpus version. State is an
+    * LSM shape, all under batchId-deterministic locations:
+    *  - `shingles/b<id>`: the batch's hashed (doc_id, s) rows,
+    *    append-only (a doc's shingle set never changes after arrival);
+    *  - `ns/b<id>`: the batch docs' shingle-set sizes, append-only;
+    *  - `pairdeltas/b<id>`: signed pair-count deltas. Per affected
+    *    shingle bucket (only buckets the batch touches): if the grown
+    *    bucket stays within [[Dedup.MaxPosting]], +1 for every
+    *    (old × batch) and (batch × batch) pair — old-old pairs were
+    *    counted when THEY arrived; if the batch pushes it PAST the cap,
+    *    −1 for every old-old pair (the full semantics drop the whole
+    *    bucket, so its earlier contributions are RETRACTED); a bucket
+    *    already past the cap is dead and contributes nothing (postings
+    *    only grow, so death is permanent).
+    * The merged view sums deltas per pair and drops c <= 0 — equal to
+    * the full recompute by per-bucket accounting (each bucket nets +1
+    * per pair while alive, 0 after death — exactly `postings`' filter).
+    * Replay safety: the delta for batch N is computed against the store
+    * EXCLUDING `shingles/b<N>` (a half-landed own append cannot skew the
+    * old-bucket view), and all three writes overwrite their own subdir.
+    * Per-commit work: shingling is map-only over the batch; the prior
+    * store is semi-joined (broadcast batch shingle keys) so it is
+    * scanned, never shuffled; bucket state collects only AFFECTED
+    * buckets' members (the full path's posting collect, restricted to
+    * the batch's keys). A periodic compaction folding `pairdeltas/b*`
+    * into one base is the obvious maintenance hook; reads stay correct
+    * without it. */
+  private[graft] def commitPairStats(docs: DataFrame, batchId: Long,
+      artifactDir: String, hconf: SerializableConfiguration): Unit = {
+    val spark = docs.sparkSession
+    val cap = Dedup.MaxPosting
+    val sh = Dedup.shinglesOf(docs.select(col("doc_id"), col("text")),
+      hashed = true).persist()
+    try {
+      sh.write.mode("overwrite")
+        .parquet(new Path(shRoot(artifactDir), s"b$batchId").toString)
+      sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+        .write.mode("overwrite")
+        .parquet(new Path(nsRoot(artifactDir), s"b$batchId").toString)
+      val priorDirs = batchDirs(shRoot(artifactDir), hconf)
+        .filterNot(_.getName == s"b$batchId")
+      val batchBuckets = sh.groupBy("s")
+        .agg(sort_array(collect_set(col("doc_id"))).as("bs"))
+      val emptyOs = array().cast("array<bigint>")
+      val buckets = (if (priorDirs.isEmpty) batchBuckets.withColumn("os", emptyOs)
+        else {
+          val prior = spark.read.parquet(priorDirs.map(_.toString): _*)
+            .join(broadcast(sh.select("s").distinct()), Seq("s"))
+            .groupBy("s").agg(sort_array(collect_set(col("doc_id"))).as("os"))
+          batchBuckets.join(prior, Seq("s"), "left")
+            .withColumn("os", coalesce(col("os"), emptyOs))
+        })
+      def ordered(x: Column, y: Column) =
+        struct(least(x, y).as("a"), greatest(x, y).as("b"))
+      def combos(arr: Column) = flatten(transform(arr, (x, i) =>
+        transform(slice(arr, i + 2, size(arr)), y => ordered(x, y))))
+      def cross(xs: Column, ys: Column) = flatten(transform(xs, x =>
+        transform(ys, y => ordered(x, y))))
+      val o = size(col("os"))
+      val grown = o + size(col("bs"))
+      val deltas = buckets
+        .select(
+          when(grown <= cap,
+            transform(concat(cross(col("os"), col("bs")), combos(col("bs"))),
+              p => struct(p.getField("a").as("a"), p.getField("b").as("b"),
+                lit(1).as("dc"))))
+          .when(o >= 2 && o <= cap,
+            transform(combos(col("os")),
+              p => struct(p.getField("a").as("a"), p.getField("b").as("b"),
+                lit(-1).as("dc"))))
+          .otherwise(array().cast("array<struct<a:bigint,b:bigint,dc:int>>"))
+          .as("ps"))
+        .select(explode(col("ps")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("p.dc")).as("dc"))
+        .where(col("dc") =!= 0)
+      deltas.write.mode("overwrite")
+        .parquet(new Path(pdRoot(artifactDir), s"b$batchId").toString)
+    } finally sh.unpersist()
+    ()
+  }
+
+  /** The maintained pair-statistics view: deltas summed per pair, dead
+    * pairs dropped, doc sizes joined back — (a, b, c, na, nb), equal to
+    * [[Dedup]]'s full `pairStats` over every arrived document. */
+  def currentPairStats(spark: org.apache.spark.sql.SparkSession,
+      artifactDir: String, hconf: SerializableConfiguration): DataFrame = {
+    val pd = batchDirs(pdRoot(artifactDir), hconf)
+    val nsd = batchDirs(nsRoot(artifactDir), hconf)
+    if (pd.isEmpty || nsd.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("a", "b", "c", "na", "nb")
+    }
+    val ns = spark.read.parquet(nsd.map(_.toString): _*)
+    spark.read.parquet(pd.map(_.toString): _*)
+      .groupBy("a", "b").agg(sum(col("dc")).as("c"))
+      .where(col("c") > 0)
+      .join(ns.withColumnRenamed("doc_id", "a").withColumnRenamed("ns", "na"),
+        Seq("a"))
+      .join(ns.withColumnRenamed("doc_id", "b").withColumnRenamed("ns", "nb"),
+        Seq("b"))
+      .select("a", "b", "c", "na", "nb")
+  }
 
   /** One batch's artifact commit: band append + star-merge label update.
     * `docs` must carry (doc_id, text). Idempotent per (docs, batchId). */

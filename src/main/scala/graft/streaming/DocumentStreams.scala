@@ -130,6 +130,34 @@ object DocumentStreams {
     } finally index.close()
   }
 
+  /** `st7_stream_pairstats`: continuous pair-statistics maintenance —
+    * the sink keeps dd2/dd9's overlap table fresh per micro-batch
+    * ([[DedupMaintenance.commitPairStats]]: append-only shingle/size
+    * stores + signed pair-count deltas with cap-crossing retraction).
+    * The emitted frame is the merged delta view after the last batch;
+    * the oracle is the full inverted-index pass over every arrived
+    * document, so the check IS incremental-equals-full for the pair
+    * statistics, through the streaming seam. */
+  def streamPairStatsQuery(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = allDocsStreamDir(s, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-st7").toString
+    val docsSchema = s.read.parquet(dir).schema
+    val idxSchema = org.apache.spark.sql.types.StructType(
+      docsSchema.filter(_.name == "doc_id"))
+    val index = new graft.index.DerbyStatsIndex(s"$base/db", idxSchema)
+    index.initialize(idxSchema)
+    try {
+      val src = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = IndexedSink.start(src, s"$base/data", index, Seq("doc_id"),
+        s"$base/ckpt", pairStatsArtifacts = Some(s"$base/art"))
+      try q.awaitTermination() finally q.stop()
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      DedupMaintenance.currentPairStats(s, s"$base/art", hconf)
+    } finally index.close()
+  }
+
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef(
       "st5_stream_dedup_inc",
@@ -157,6 +185,25 @@ object DocumentStreams {
               |  UNION
               |  SELECT r.src, e.d FROM reach r JOIN ed e ON e.s = r.dst)
               |SELECT src AS doc_id, min(dst) AS component
-              |FROM reach GROUP BY src""".stripMargin))
+              |FROM reach GROUP BY src""".stripMargin)),
+
+    graft.QueryDef(
+      "st7_stream_pairstats",
+      (s, dir) => streamPairStatsQuery(s, dir),
+      // the full inverted-index pass over ALL documents: the merged
+      // deltas (with cap-crossing retraction) must equal it exactly
+      Some(s"""WITH ${Dedup.shingleSql},
+              |shh AS (SELECT DISTINCT doc_id,
+              |          CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) s FROM sh),
+              |n AS (SELECT doc_id, count(*) ns FROM shh GROUP BY doc_id),
+              |post AS (SELECT s FROM shh GROUP BY s
+              |         HAVING count(DISTINCT doc_id) > 1
+              |            AND count(DISTINCT doc_id) <= ${Dedup.MaxPosting}),
+              |p AS (SELECT x.doc_id a, y.doc_id b, count(*) c
+              |      FROM shh x JOIN shh y USING (s) JOIN post USING (s)
+              |      WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+              |SELECT a, b, c, na.ns AS na, nb.ns AS nb FROM p
+              |JOIN n na ON na.doc_id = p.a
+              |JOIN n nb ON nb.doc_id = p.b""".stripMargin))
   )
 }

@@ -41,7 +41,8 @@ object IndexedSink {
   def start(source: DataFrame, dataDir: String, index: StatsIndex,
       indexedCols: Seq[String], checkpointDir: String,
       rowLevel: Map[String, String] = Map.empty,
-      dedupArtifacts: Option[String] = None): StreamingQuery = {
+      dedupArtifacts: Option[String] = None,
+      pairStatsArtifacts: Option[String] = None): StreamingQuery = {
     val spark = source.sparkSession
     val hconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     source.writeStream
@@ -50,7 +51,7 @@ object IndexedSink {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitBatch(batch, batchId, dataDir, index, indexedCols, hconf,
-          rowLevel, dedupArtifacts)
+          rowLevel, dedupArtifacts, pairStatsArtifacts)
       }
       .start()
   }
@@ -63,7 +64,8 @@ object IndexedSink {
       dataDir: String, index: StatsIndex, indexedCols: Seq[String],
       hconf: SerializableConfiguration,
       rowLevel: Map[String, String] = Map.empty,
-      dedupArtifacts: Option[String] = None): Unit = {
+      dedupArtifacts: Option[String] = None,
+      pairStatsArtifacts: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val dirPath = new Path(dataDir)
     val fs = dirPath.getFileSystem(hconf.value)
@@ -127,10 +129,13 @@ object IndexedSink {
       }
     }
     // incremental dedup-artifact maintenance (band append + star-merge
-    // labels) for document batches — same exactly-once discipline, see
-    // [[DedupMaintenance]]
+    // labels; optionally pair statistics) for document batches — same
+    // exactly-once discipline, see [[DedupMaintenance]]
     dedupArtifacts.foreach { artDir =>
       DedupMaintenance.commitBatch(batch, batchId, artDir, hconf)
+    }
+    pairStatsArtifacts.foreach { artDir =>
+      DedupMaintenance.commitPairStats(batch, batchId, artDir, hconf)
     }
     ()
   }

@@ -99,6 +99,49 @@ class StreamingDedupSpec extends SparkSpec {
       s"the band store is shuffled below the join:\n$plan")
   }
 
+  test("pair-stats maintenance equals the full inverted-index pass; replay idempotent") {
+    val dir = sf("sf0.001")
+    val art = Files.createTempDirectory("graft-pairstats").toString
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val batches = (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DedupMaintenance.commitPairStats(b, i.toLong, art, hconf)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val merged = rows(DedupMaintenance.currentPairStats(spark, art, hconf))
+    val full = rows(graft.operators.Dedup.pairStats(spark, dir)
+      .select("a", "b", "c", "na", "nb"))
+    assert(merged === full, "incremental pair stats diverged from the full pass")
+    assert(merged.nonEmpty)
+    // replay the last batch — the delta overwrite leaves the view unchanged
+    DedupMaintenance.commitPairStats(batches(2), 2L, art, hconf)
+    assert(rows(DedupMaintenance.currentPairStats(spark, art, hconf)) === merged,
+      "replayed batch changed the pair statistics")
+  }
+
+  test("a bucket crossing the posting cap retracts its earlier pair contributions") {
+    // the fixture corpus never grows a bucket past MaxPosting (max ~7 of
+    // 64), so the oracle row cannot see a broken retraction — force the
+    // crossing: every doc shares the shingle 'alpha beta gamma'; its
+    // bucket holds 40 docs after batch 0 (alive — 780 pairs at c = 1)
+    // and 70 after batch 1 (dead — the full semantics drop the whole
+    // bucket, so the maintained view must retract to empty)
+    import spark.implicits._
+    val art = Files.createTempDirectory("graft-pairstats-cap").toString
+    def mk(ids: Seq[Long]) =
+      ids.map(i => (i, s"alpha beta gamma u$i v$i")).toDF("doc_id", "text")
+    DedupMaintenance.commitPairStats(mk(0L until 40L), 0L, art, hconf)
+    val mid = DedupMaintenance.currentPairStats(spark, art, hconf)
+    assert(mid.count() === 40L * 39 / 2)
+    assert(mid.agg(max(col("c")), max(col("na"))).collect().head ===
+      org.apache.spark.sql.Row(1L, 3L))
+    DedupMaintenance.commitPairStats(mk(40L until 70L), 1L, art, hconf)
+    assert(DedupMaintenance.currentPairStats(spark, art, hconf).count() === 0L,
+      "cap crossing did not retract the dead bucket's pairs")
+  }
+
   test("version retention keeps only the live label version") {
     val dir = sf("sf0.001")
     val art = Files.createTempDirectory("graft-dedup-retain").toString
