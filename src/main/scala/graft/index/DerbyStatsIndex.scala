@@ -611,6 +611,122 @@ final class DerbyStatsIndex(
     }
   }
 
+  /** Catalog-side TWO-KEY lexicographic top-k (the in-store face of
+    * [[graft.prune.TopKPruning.pruneLex2]]'s pair pass). The threshold
+    * walk reads, per row group with known leading guarantee + null
+    * count: the leading guarantee, whether a PAIR guarantee is
+    * certified (leading min = max — for strings on the hex shadows,
+    * where equality still implies real equality because stored maxima
+    * are verbatim — with the second key's bound and null count known),
+    * the second bound (NULL = −∞), and the guaranteed row count
+    * (second-key nulls subtracted when they sort last). Walk order is
+    * leading-best first, certified pairs before −∞ at a tie, second
+    * bound best-first, (file_id, row_group) tiebreakers for stable
+    * paging. The survivor query mirrors pruneLex2's keep logic: strict
+    * leading losers prune; leading TIES prune when the best second-key
+    * value is strictly worse than the pair threshold (certified
+    * all-null second keys lose the tie under nulls-last). Returns pair
+    * survivors only; the caller intersects with leading-only pruning. */
+  override def topKSurvivorsLex2(
+      colA: String, descA: Boolean, nullsFirstA: Boolean,
+      colB: String, descB: Boolean, nullsFirstB: Boolean,
+      k: Long): Option[Seq[FileScanPlan]] = conn.synchronized {
+    if (k <= 0 || !indexedCols.exists(_.name == colA) ||
+        !indexedCols.exists(_.name == colB)) return None
+    val (aMin, aMax, _) = colEncoding(colA).getOrElse(return None)
+    val (bMin, bMax, _) = colEncoding(colB).getOrElse(return None)
+    val guarA = if (descA) aMin else aMax
+    val bestA = if (descA) aMax else aMin
+    val guarB = if (descB) bMin else bMax
+    val bestB = if (descB) bMax else bMin
+    val dirA = if (descA) "DESC" else "ASC"
+    val dirB = if (descB) "DESC" else "ASC"
+    val aNc = s"rg.${colA}_null_count"
+    val bNc = s"rg.${colB}_null_count"
+    // pair certified: constant leading key + second bound/null count known
+    val certified =
+      s"""(rg.$aMin IS NOT NULL AND rg.$aMax IS NOT NULL
+         | AND rg.$aMin = rg.$aMax
+         | AND $bNc IS NOT NULL AND rg.$guarB IS NOT NULL)""".stripMargin
+    val cnt =
+      if (nullsFirstB)
+        s"rg.row_count - $aNc"
+      else
+        s"""CASE WHEN $certified THEN
+           |  (CASE WHEN rg.row_count - $aNc - $bNc < 0 THEN 0
+           |        ELSE rg.row_count - $aNc - $bNc END)
+           |ELSE rg.row_count - $aNc END""".stripMargin
+    try {
+      var covered = 0L
+      var ta: Option[Any] = None
+      var tb: Option[Any] = None
+      var found = false
+      var offset = 0
+      val page = 1024
+      while (!found) {
+        val st = conn.prepareStatement(
+          s"""SELECT rg.$guarA,
+             |  CASE WHEN $certified THEN 0 ELSE 1 END,
+             |  CASE WHEN $certified THEN rg.$guarB ELSE NULL END,
+             |  $cnt, rg.file_id, rg.row_group
+             |FROM row_group_statistics rg
+             |WHERE rg.$guarA IS NOT NULL AND $aNc IS NOT NULL
+             |ORDER BY 1 $dirA, 2 ASC, 3 $dirB, 5, 6
+             |OFFSET $offset ROWS FETCH NEXT $page ROWS ONLY""".stripMargin)
+        var n = 0
+        try {
+          val rs = st.executeQuery()
+          while (!found && rs.next()) {
+            n += 1
+            covered += rs.getLong(4)
+            if (covered >= k) {
+              ta = Some(rs.getObject(1))
+              tb = Option(rs.getObject(3))
+              found = true
+            }
+          }
+          rs.close()
+        } finally st.close()
+        if (!found) {
+          if (n < page) return None // guarantees never cover k
+          offset += page
+        }
+      }
+      def lit(v: Any, hexCol: String): String = v match {
+        case d: java.math.BigDecimal => d.toPlainString
+        case s: String if hexCol.endsWith("_hex") => "'" + s + "'"
+        case other => other.toString
+      }
+      val taSql = lit(ta.get, guarA)
+      val strictlyBetterA = if (descA) ">" else "<"
+      // at a leading-key tie: keep unless the second key provably loses
+      val tie = tb match {
+        case None => "(1=1)" // threshold second component is -inf
+        case Some(t) =>
+          val tbSql = lit(t, guarB)
+          val notWorseB = if (descB) ">=" else "<="
+          s"""((${if (nullsFirstB) "1=1" else "1=0"} AND ($bNc IS NULL OR $bNc > 0))
+             | OR (($bNc IS NULL OR $bNc <> rg.row_count)
+             |     AND (rg.$bestB IS NULL OR rg.$bestB $notWorseB $tbSql)))""".stripMargin
+      }
+      val cond =
+        s"""((${if (nullsFirstA) "1=1" else "1=0"} AND ($aNc IS NULL OR $aNc > 0))
+           | OR (($aNc IS NULL OR $aNc <> rg.row_count)
+           |     AND (rg.$bestA IS NULL
+           |          OR rg.$bestA $strictlyBetterA $taSql
+           |          OR (rg.$bestA = $taSql AND $tie))))""".stripMargin
+      Some(runPlanQuery(
+        s"""SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
+           |  rg.rg_start_bytes, rg.rg_compressed_bytes, rg.row_count
+           |FROM row_group_statistics rg
+           |JOIN file_statistics f ON rg.file_id = f.file_id
+           |WHERE $cond
+           |ORDER BY f.file_name, rg.row_group""".stripMargin))
+    } catch {
+      case _: java.sql.SQLException => None
+    }
+  }
+
   override def rowGroupStats(colName: String): Option[Seq[RowGroupStat]] =
     conn.synchronized {
       require(indexedCols.exists(_.name == colName), s"$colName is not indexed")

@@ -140,6 +140,20 @@ trait StatsIndex extends AutoCloseable {
       disjuncts: Seq[graft.prune.TopKPruning.Disjunct])
       : Option[Seq[FileScanPlan]] = None
 
+  /** Catalog-computed TWO-KEY lexicographic top-k survivors — the
+    * in-store face of [[graft.prune.TopKPruning.pruneLex2]]'s PAIR pass:
+    * the threshold walk accumulates (leading, second | −∞) pair
+    * guarantees (pairs only from constant-leading-key groups) and the
+    * survivor query prunes leading-key ties by their best second-key
+    * value. Returns the pair survivors ONLY — the caller intersects
+    * with leading-key-only pruning exactly like the planner path.
+    * Semantics must match `pruneLex2`'s planner-side algorithm exactly.
+    * None = cannot serve/certify → planner-side fallback. */
+  def topKSurvivorsLex2(
+      colA: String, descA: Boolean, nullsFirstA: Boolean,
+      colB: String, descB: Boolean, nullsFirstB: Boolean,
+      k: Long): Option[Seq[FileScanPlan]] = None
+
   /** Columns carrying per-row-group bloom filters in this catalog; empty =
     * no bloom support. Implementations with blooms override (a constructor
     * `val bloomCols` satisfies this directly). */

@@ -424,12 +424,30 @@ object TopKPruning {
       k: Long): Seq[FileScanPlan] = {
     require(k > 0, s"top-k needs k > 0, got $k")
     def leadOnly = prune(index, colA, k, descA, nullsFirstA)
+    // never worse than the leading-key-only path: intersect the two
+    // independent over-approximations
+    def intersectLead(pairPlans: Seq[FileScanPlan]): Seq[FileScanPlan] = {
+      val byFile = leadOnly.map(p => p.fileName -> p.scanRowGroups).toMap
+      pairPlans.flatMap { p =>
+        byFile.get(p.fileName)
+          .map(rgs => p.copy(scanRowGroups = p.scanRowGroups intersect rgs))
+          .filter(_.scanRowGroups.nonEmpty)
+      }
+    }
     val dtA = index.indexedSchema.fields.find(_.name == colA)
       .getOrElse(return index.allFiles()).dataType
     val ordA = ordering(dtA).getOrElse(return index.allFiles())
     val dtB = index.indexedSchema.fields.find(_.name == colB)
       .getOrElse(return leadOnly).dataType
     val ordB = ordering(dtB).getOrElse(return leadOnly)
+    // catalog-side fast path: pair-threshold walk + survivor filter
+    // inside the store, O(survivors) transfer instead of two O(index)
+    // rowGroupStats fetches
+    index.topKSurvivorsLex2(colA, descA, nullsFirstA,
+        colB, descB, nullsFirstB, k) match {
+      case Some(pairPlans) => return intersectLead(pairPlans)
+      case None => () // fall through to the planner-side reference path
+    }
     val statsA = index.rowGroupStats(colA).getOrElse(return leadOnly)
     val statsB = index.rowGroupStats(colB).getOrElse(return leadOnly)
     val bByKey = statsB.map(s => (s.fileName, s.rowGroup) -> s).toMap
@@ -517,14 +535,7 @@ object TopKPruning {
       val rgs = p.scanRowGroups.filterNot(rg => pruned((p.fileName, rg)))
       if (rgs.isEmpty) None else Some(p.copy(scanRowGroups = rgs))
     }
-    // never worse than the leading-key-only path: intersect the two
-    // independent over-approximations
-    val byFile = leadOnly.map(p => p.fileName -> p.scanRowGroups).toMap
-    pairPlans.flatMap { p =>
-      byFile.get(p.fileName)
-        .map(rgs => p.copy(scanRowGroups = p.scanRowGroups intersect rgs))
-        .filter(_.scanRowGroups.nonEmpty)
-    }
+    intersectLead(pairPlans)
   }
 
   private val codePointOrdering: Ordering[Any] = new Ordering[Any] {

@@ -99,6 +99,64 @@ object DedupMaintenance {
       .map(_.getPath)
   }
 
+  /** The live read set of an LSM store root: the highest fully-written
+    * `base-<m>` fold (if any) plus every per-batch `b<id>` dir with
+    * id > m. Batch dirs at or below the fold boundary are garbage a
+    * crashed compaction may leave behind — readers ignore them, the next
+    * compaction sweeps them. */
+  private def storeDirs(root: Path,
+      hconf: SerializableConfiguration): Seq[Path] = {
+    val fs = root.getFileSystem(hconf.value)
+    if (!fs.exists(root)) return Seq.empty
+    val all = fs.listStatus(root).toSeq.filter(_.isDirectory)
+    val baseM = all
+      .filter(st => st.getPath.getName.matches("base-\\d+") &&
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("base-").toLong)
+      .maxOption
+    val base = baseM.map(m => new Path(root, s"base-$m")).toSeq
+    base ++ all.map(_.getPath)
+      .filter(p => p.getName.matches("b\\d+") &&
+        baseM.forall(m => p.getName.drop(1).toLong > m))
+  }
+
+  /** LSM COMPACTION of the pair-statistics state: fold every per-batch
+    * dir except the NEWEST into one `base-<m>` dir per store (pair
+    * deltas sum-merged with dead pairs dropped; shingle and size rows
+    * rewritten verbatim). The newest batch dir is never folded — it is
+    * the only one foreachBatch can still replay (a replay would
+    * overwrite `b<N>` while its rows also sat in the base,
+    * double-counting); once batch N+1 has started, batch N is
+    * checkpoint-committed and folds safely. Crash-safe by versioned
+    * bases: the new `base-<m>` becomes live only when its `_SUCCESS`
+    * lands, after which the folded inputs are garbage (best-effort
+    * swept here, ignored by readers regardless). Reads stay correct
+    * with or without compaction; this bounds the per-read dir count on
+    * a long-running stream. */
+  def compactPairStats(spark: org.apache.spark.sql.SparkSession,
+      artifactDir: String, hconf: SerializableConfiguration): Unit = {
+    def compact(root: Path, fold: DataFrame => DataFrame): Unit = {
+      val fs = root.getFileSystem(hconf.value)
+      val live = storeDirs(root, hconf)
+      val batchIds = live.filter(_.getName.matches("b\\d+"))
+        .map(_.getName.drop(1).toLong).sorted
+      if (batchIds.size <= 1) return // nothing foldable below the newest
+      val foldable = batchIds.dropRight(1)
+      val m1 = foldable.max
+      val inputs = live.filterNot(_.getName == s"b${batchIds.last}")
+      val folded = fold(spark.read.parquet(inputs.map(_.toString): _*))
+      folded.write.mode("overwrite")
+        .parquet(new Path(root, s"base-$m1").toString)
+      // the fold is live; sweep its inputs (harmless if this crashes)
+      inputs.foreach(p => fs.delete(p, true))
+    }
+    compact(pdRoot(artifactDir), df =>
+      df.groupBy("a", "b").agg(sum(col("dc")).as("dc"))
+        .where(col("dc") =!= 0))
+    compact(shRoot(artifactDir), identity)
+    compact(nsRoot(artifactDir), identity)
+  }
+
   /** Incremental PAIR-STATISTICS maintenance — dd2/dd9's shared overlap
     * table (a, b, c = shared shingles, na, nb) kept fresh per batch
     * instead of one inverted-index pass per corpus version. State is an
@@ -140,7 +198,7 @@ object DedupMaintenance {
       sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
         .write.mode("overwrite")
         .parquet(new Path(nsRoot(artifactDir), s"b$batchId").toString)
-      val priorDirs = batchDirs(shRoot(artifactDir), hconf)
+      val priorDirs = storeDirs(shRoot(artifactDir), hconf)
         .filterNot(_.getName == s"b$batchId")
       val batchBuckets = sh.groupBy("s")
         .agg(sort_array(collect_set(col("doc_id"))).as("bs"))
@@ -188,8 +246,8 @@ object DedupMaintenance {
     * [[Dedup]]'s full `pairStats` over every arrived document. */
   def currentPairStats(spark: org.apache.spark.sql.SparkSession,
       artifactDir: String, hconf: SerializableConfiguration): DataFrame = {
-    val pd = batchDirs(pdRoot(artifactDir), hconf)
-    val nsd = batchDirs(nsRoot(artifactDir), hconf)
+    val pd = storeDirs(pdRoot(artifactDir), hconf)
+    val nsd = storeDirs(nsRoot(artifactDir), hconf)
     if (pd.isEmpty || nsd.isEmpty) {
       import spark.implicits._
       return Seq.empty[(Long, Long, Long, Long, Long)]

@@ -121,6 +121,33 @@ class StreamingDedupSpec extends SparkSpec {
       "replayed batch changed the pair statistics")
   }
 
+  test("pair-stats compaction folds old deltas, preserves the view, and stays replay-safe") {
+    val dir = sf("sf0.001")
+    val art = Files.createTempDirectory("graft-pairstats-compact").toString
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val batches = (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DedupMaintenance.commitPairStats(b, i.toLong, art, hconf)
+    }
+    def rows = DedupMaintenance.currentPairStats(spark, art, hconf)
+      .collect().map(_.toString).sorted.toSeq
+    val before = rows
+    DedupMaintenance.compactPairStats(spark, art, hconf)
+    assert(rows === before, "compaction changed the pair-stats view")
+    // folded state: one base (b0+b1) + the newest batch dir per store
+    Seq("pairdeltas", "shingles", "ns").foreach { store =>
+      val names = new java.io.File(s"$art/$store").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(names === Set("base-1", "b2"), s"$store after compaction: $names")
+    }
+    // the newest batch is never folded, so its replay stays idempotent
+    DedupMaintenance.commitPairStats(batches(2), 2L, art, hconf)
+    assert(rows === before, "replay after compaction changed the view")
+    // and later commits keep matching the full pass
+    DedupMaintenance.commitPairStats(docs.limit(0), 3L, art, hconf)
+    assert(rows === before)
+  }
+
   test("a bucket crossing the posting cap retracts its earlier pair contributions") {
     // the fixture corpus never grows a bucket past MaxPosting (max ~7 of
     // 64), so the oracle row cannot see a broken retraction — force the

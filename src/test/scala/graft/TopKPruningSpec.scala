@@ -477,6 +477,14 @@ class TopKPruningSpec extends SparkSpec {
       val nfA = !descA // Spark default null ordering for the leading key
       val plans = TopKPruning.pruneLex2(
         index, "grp", descA, nfA, "key", descB, nfB, k.toLong)
+      // the Derby catalog serves the lex2 fast path; the planner-side
+      // reference algorithm must produce the identical plan set
+      val viaPlanner = TopKPruning.pruneLex2(
+        plannerOnly(index), "grp", descA, nfA, "key", descB, nfB, k.toLong)
+      assert(plans.map(p => p.fileName -> p.scanRowGroups).toMap ===
+        viaPlanner.map(p => p.fileName -> p.scanRowGroups).toMap,
+        s"descA=$descA descB=$descB nfB=$nfB k=$k: " +
+          "catalog and planner lex2 paths diverged")
       val leadPlans = TopKPruning.prune(index, "grp", k.toLong, descA, nfA)
       val kept = plans.map(_.scanRowGroups.size).sum
       val leadKept = leadPlans.map(_.scanRowGroups.size).sum
