@@ -554,6 +554,49 @@ object Relational2 {
              |  SELECT sup.s_suppkey, c.depth + 1
              |  FROM supplier sup JOIN chain c ON sup.s_suppkey // 2 = c.s_suppkey
              |  WHERE sup.s_suppkey > 1)
-             |SELECT s_suppkey, depth FROM chain""".stripMargin))
+             |SELECT s_suppkey, depth FROM chain""".stripMargin)),
+
+    // ----- VALUE-RANGE window frames (rolling time windows) -----------------
+    // The trailing-31-day rolling aggregate — RANGE BETWEEN, not ROWS:
+    // the frame is bounded by ORDER-KEY VALUE distance, so every order
+    // on the same day is in or out together and the result is
+    // deterministic under ties (a ROWS frame would depend on intra-day
+    // order). Dates are bridged to integer day offsets from a fixed
+    // epoch so both engines frame over plain integers; the rolling sum
+    // runs over DECIMAL(18,4)-cast prices (exact, order-independent —
+    // the suite's standard FP discipline). Scale: one shuffle by the
+    // partition key, then a per-partition ordered pass with O(frame)
+    // sliding state — Spark's RANGE frame implementation never
+    // re-aggregates the window per row. (At 100 TB the partition key
+    // would be a higher-cardinality dimension; 5 priorities here keep
+    // the fixture's frames populated.)
+    QueryDef(
+      "q42_rolling_range",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderpriority").orderBy(col("d"))
+          .rangeBetween(-30, Window.currentRow)
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date")).as("d"),
+            col("o_totalprice").cast("decimal(18,4)").as("p"))
+          .withColumn("n31", count(lit(1)).over(w))
+          // the suite's decimal discipline: DECIMAL(38,4) intermediate,
+          // rendered as a fixed-scale string so decimal never reaches
+          // the driver-visible schema
+          .withColumn("sum31", sum(col("p")).over(w)
+            .cast("decimal(38,4)").cast("string"))
+          .select("o_orderkey", "d", "n31", "sum31")
+      },
+      Some("""SELECT o_orderkey,
+             |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+             |  count(*) OVER w AS n31,
+             |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w
+             |       AS DECIMAL(38,4)) AS VARCHAR) AS sum31
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |  ORDER BY date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+             |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin))
   )
 }
