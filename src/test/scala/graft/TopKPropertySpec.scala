@@ -198,6 +198,115 @@ class TopKPropertySpec extends AnyFunSuite {
     check(prop, 500)
   }
 
+  test("disjunctive pruning never loses a top-k value (2 disjuncts × k × direction × null order)") {
+    val genBound = Gen.option(Gen.zip(Gen.choose(0L, 20L), Gen.oneOf(true, false)))
+    // one disjunct: optional sort-column bounds + optionally a filter
+    // column constraint (absent = that disjunct doesn't touch f)
+    val genDisj = Gen.zip(genBound, genBound, Gen.oneOf(true, false), genBound, genBound)
+    val prop = Prop.forAll(
+      genGroups2, Gen.choose(1, 50), Gen.oneOf(true, false),
+      Gen.oneOf(true, false), Gen.zip(genDisj, genDisj)) {
+      (groups, k, descending, nullsFirst, ds) =>
+        val index = fakeIndex2(groups)
+        def mk(d: (Option[(Long, Boolean)], Option[(Long, Boolean)], Boolean,
+            Option[(Long, Boolean)], Option[(Long, Boolean)])) = {
+          val (kLo, kHi, hasF, fLo, fHi) = d
+          TopKPruning.Disjunct(
+            kLo.map { case (v, i) => (v: Any, i) },
+            kHi.map { case (v, i) => (v: Any, i) },
+            if (hasF) Seq(TopKPruning.OtherColBounds("f",
+              fLo.map { case (v, i) => (v: Any, i) },
+              fHi.map { case (v, i) => (v: Any, i) })) else Nil)
+        }
+        val disjuncts = Seq(mk(ds._1), mk(ds._2))
+        val kept = TopKPruning.pruneDisjunctive(
+            index, "k", k.toLong, descending, nullsFirst,
+            disjuncts, index.allFiles())
+          .map(_.fileName).toSet
+        def passesOne(kv: Option[Long], fv: Option[Long],
+            d: (Option[(Long, Boolean)], Option[(Long, Boolean)], Boolean,
+                Option[(Long, Boolean)], Option[(Long, Boolean)])): Boolean = {
+          val (kLo, kHi, hasF, fLo, fHi) = d
+          val kPass =
+            if (kLo.isEmpty && kHi.isEmpty) true // no comparison — nulls pass
+            else kv.exists { x =>
+              kLo.forall { case (b, inc) => if (inc) x >= b else x > b } &&
+              kHi.forall { case (b, inc) => if (inc) x <= b else x < b }
+            }
+          val fPass = !hasF || fv.exists { x =>
+            fLo.forall { case (b, inc) => if (inc) x >= b else x > b } &&
+            fHi.forall { case (b, inc) => if (inc) x <= b else x < b }
+          }
+          kPass && fPass
+        }
+        val all = groups.zipWithIndex.flatMap { case (rows, i) =>
+          rows.map { case (kv, fv) => (f"g$i%03d", kv, fv) } }
+        val passing = all.filter(r =>
+          passesOne(r._2, r._3, ds._1) || passesOne(r._2, r._3, ds._2))
+        val keptPassing = passing.filter(r => kept(r._1))
+        topValues(passing.map(_._2), k, descending, nullsFirst) ==
+          topValues(keptPassing.map(_._2), k, descending, nullsFirst)
+    }
+    check(prop, 500)
+  }
+
+  /** Lexicographic pair ordering for the two-key property: leading per
+    * (descA, nullsFirstA), second per (descB, nullsFirstB). */
+  private def pairOrdering(descA: Boolean, nfA: Boolean,
+      descB: Boolean, nfB: Boolean): Ordering[(Option[Long], Option[Long])] =
+    new Ordering[(Option[Long], Option[Long])] {
+      private def cmp(a: Option[Long], b: Option[Long],
+          desc: Boolean, nf: Boolean): Int = (a, b) match {
+        case (None, None) => 0
+        case (None, _)    => if (nf) -1 else 1
+        case (_, None)    => if (nf) 1 else -1
+        case (Some(x), Some(y)) =>
+          if (desc) java.lang.Long.compare(y, x)
+          else java.lang.Long.compare(x, y)
+      }
+      def compare(p: (Option[Long], Option[Long]),
+          q: (Option[Long], Option[Long])): Int = {
+        val c = cmp(p._1, q._1, descA, nfA)
+        if (c != 0) c else cmp(p._2, q._2, descB, nfB)
+      }
+    }
+
+  /** Groups biased toward CONSTANT leading keys over a tiny domain (the
+    * clustered-layout shape the pair certificate exists for), mixed with
+    * fully random groups; second key random with nulls. */
+  private val genLexGroups: Gen[List[List[(Option[Long], Option[Long])]]] = {
+    val second = Gen.frequency(
+      8 -> Gen.choose(0L, 20L).map(Some(_): Option[Long]),
+      2 -> Gen.const(None: Option[Long]))
+    val clustered = for {
+      a <- Gen.choose(0L, 5L)
+      rows <- Gen.listOf(second.map(b => (Some(a): Option[Long], b)))
+    } yield rows
+    val mixed = Gen.listOf(Gen.zip(
+      Gen.frequency(8 -> Gen.choose(0L, 5L).map(Some(_): Option[Long]),
+        2 -> Gen.const(None: Option[Long])),
+      second))
+    Gen.nonEmptyListOf(Gen.frequency(6 -> clustered, 4 -> mixed)).map(_.take(40))
+  }
+
+  test("two-key pruning never loses a top-k pair (directions × k × null orders)") {
+    val prop = Prop.forAll(
+      genLexGroups, Gen.choose(1, 50), Gen.oneOf(true, false),
+      Gen.oneOf(true, false), Gen.oneOf(true, false), Gen.oneOf(true, false)) {
+      (groups, k, descA, nfA, descB, nfB) =>
+        val index = fakeIndex2(groups)
+        val kept = TopKPruning.pruneLex2(
+            index, "k", descA, nfA, "f", descB, nfB, k.toLong)
+          .map(_.fileName).toSet
+        val ord = pairOrdering(descA, nfA, descB, nfB)
+        val all = groups.zipWithIndex.flatMap { case (rows, i) =>
+          rows.map { case (kv, fv) => (f"g$i%03d", (kv, fv)) } }
+        val keptRows = all.filter(r => kept(r._1)).map(_._2)
+        all.map(_._2).sorted(ord).take(k) == keptRows.sorted(ord).take(k)
+    }
+    check(prop, 500)
+  }
+
   test("hex shadow encoding is order-preserving for arbitrary unicode strings") {
     // the string catalog fast path rests on this invariant: lexicographic
     // comparison of hex(s) — ASCII-only, so Derby's UTF-16-code-unit
