@@ -613,13 +613,13 @@ final class DerbyStatsIndex(
 
   /** Catalog-side TWO-KEY lexicographic top-k (the in-store face of
     * [[graft.prune.TopKPruning.pruneLex2]]'s pair pass). The threshold
-    * walk reads, per row group with known leading guarantee + null
-    * count: the leading guarantee, whether a PAIR guarantee is
-    * certified (leading min = max — for strings on the hex shadows,
-    * where equality still implies real equality because stored maxima
-    * are verbatim — with the second key's bound and null count known),
-    * the second bound (NULL = −∞), and the guaranteed row count
-    * (second-key nulls subtracted when they sort last). Walk order is
+    * walk emits, per row group with known leading guarantee + null
+    * count, up to TWO rows (a UNION ALL): a PAIR row when the second
+    * key's bound and null count are known — ANY such group certifies
+    * (a_guarantee, b_guarantee), constant leading key or not (r10; see
+    * pruneLex2's scaladoc) — and a −∞ row for the remainder (the whole
+    * group when uncertified; the second-key-null rows under nulls-last,
+    * a disjoint set that only loses second-key ties). Walk order is
     * leading-best first, certified pairs before −∞ at a tie, second
     * bound best-first, (file_id, row_group) tiebreakers for stable
     * paging. The survivor query mirrors pruneLex2's keep logic: strict
@@ -643,19 +643,31 @@ final class DerbyStatsIndex(
     val dirB = if (descB) "DESC" else "ASC"
     val aNc = s"rg.${colA}_null_count"
     val bNc = s"rg.${colB}_null_count"
-    // pair certified: constant leading key + second bound/null count known
-    val certified =
-      s"""(rg.$aMin IS NOT NULL AND rg.$aMax IS NOT NULL
-         | AND rg.$aMin = rg.$aMax
-         | AND $bNc IS NOT NULL AND rg.$guarB IS NOT NULL)""".stripMargin
-    val cnt =
-      if (nullsFirstB)
-        s"rg.row_count - $aNc"
-      else
-        s"""CASE WHEN $certified THEN
-           |  (CASE WHEN rg.row_count - $aNc - $bNc < 0 THEN 0
-           |        ELSE rg.row_count - $aNc - $bNc END)
-           |ELSE rg.row_count - $aNc END""".stripMargin
+    // pair certified for ANY group with known second bound + null count
+    // (r10 — no constant-leading-key requirement; see pruneLex2's
+    // scaladoc for the soundness argument): rows strictly above the
+    // leading guarantee win on the first component alone, rows AT it
+    // are bounded by the group's own second-key stats
+    val certified = s"($bNc IS NOT NULL AND rg.$guarB IS NOT NULL)"
+    // non-null-a rows; clamped like the planner side
+    val baseCnt =
+      s"(CASE WHEN rg.row_count - $aNc < 0 THEN 0 ELSE rg.row_count - $aNc END)"
+    // rows certified at the pair under nulls-last: non-null in BOTH keys
+    // (conservative — joint nulls may double-subtract, never over-count)
+    val c1 =
+      s"""(CASE WHEN rg.row_count - $aNc - $bNc < 0 THEN 0
+         |      ELSE rg.row_count - $aNc - $bNc END)""".stripMargin
+    // certified groups emit one PAIR walk row; under nulls-last their
+    // second-key-null remainder ($baseCnt - $c1 rows, a disjoint set
+    // only certified at -inf) emits a second row; uncertified groups
+    // emit their whole non-null-a count at -inf
+    val cnt1 = if (nullsFirstB) baseCnt else c1
+    val branch2Where =
+      if (nullsFirstB) s"NOT $certified"
+      else s"(NOT $certified OR ($baseCnt - $c1) > 0)"
+    val cnt2 =
+      if (nullsFirstB) baseCnt
+      else s"(CASE WHEN $certified THEN ($baseCnt - $c1) ELSE $baseCnt END)"
     try {
       var covered = 0L
       var ta: Option[Any] = None
@@ -665,13 +677,19 @@ final class DerbyStatsIndex(
       val page = 1024
       while (!found) {
         val st = conn.prepareStatement(
-          s"""SELECT rg.$guarA,
-             |  CASE WHEN $certified THEN 0 ELSE 1 END,
-             |  CASE WHEN $certified THEN rg.$guarB ELSE NULL END,
-             |  $cnt, rg.file_id, rg.row_group
-             |FROM row_group_statistics rg
-             |WHERE rg.$guarA IS NOT NULL AND $aNc IS NOT NULL
-             |ORDER BY 1 $dirA, 2 ASC, 3 $dirB, 5, 6
+          s"""SELECT s1, s2, s3, cnt, fid, rgn FROM (
+             |  SELECT rg.$guarA AS s1, 0 AS s2, rg.$guarB AS s3,
+             |    $cnt1 AS cnt, rg.file_id AS fid, rg.row_group AS rgn
+             |  FROM row_group_statistics rg
+             |  WHERE rg.$guarA IS NOT NULL AND $aNc IS NOT NULL AND $certified
+             |  UNION ALL
+             |  SELECT rg.$guarA, 1,
+             |    CASE WHEN 1=0 THEN rg.$guarB ELSE NULL END,
+             |    $cnt2, rg.file_id, rg.row_group
+             |  FROM row_group_statistics rg
+             |  WHERE rg.$guarA IS NOT NULL AND $aNc IS NOT NULL AND $branch2Where
+             |) t
+             |ORDER BY s1 $dirA, s2 ASC, s3 $dirB, fid, rgn
              |OFFSET $offset ROWS FETCH NEXT $page ROWS ONLY""".stripMargin)
         var n = 0
         try {

@@ -394,20 +394,25 @@ object TopKPruning {
     * LIMIT k` over a tie-heavy leading key, where leading-key-only
     * pruning over-scans: with many groups sharing the leading threshold
     * value, every one of them is kept even though the SECOND key already
-    * separates them. The threshold generalizes to a lexicographic PAIR:
-    *  - a group whose leading key is CONSTANT (stored min = max — the
-    *    normal state on a layout clustered by `a`; string truncation
-    *    cannot fake this: stored max is verbatim, so stored min = max
-    *    forces real min = max) guarantees its counted rows ≥lex
-    *    (a_const, b_guarantee) — every row shares the leading value and
-    *    its second key is bounded by the group's own b stats. Counted
-    *    rows exclude leading-key nulls always and second-key nulls when
-    *    they sort LAST (a null second key at the tied leading value then
-    *    loses to the pair; when second-key nulls sort FIRST they beat
-    *    any pair at the tie, so they count);
-    *  - any other group guarantees its non-null rows ≥lex
-    *    (a_guarantee, -∞) — sound, second key unknown (the
-    *    leading-key-only certificate).
+    * separates them. The threshold generalizes to a lexicographic PAIR,
+    * and EVERY group with second-key stats certifies one (r10 — no
+    * constant-leading-key requirement): a non-null-a row either has
+    * a STRICTLY better leading value than the group's a-guarantee (the
+    * pair wins on the first component alone, whatever its b), or it
+    * sits AT the a-guarantee, where its b is bounded by the group's own
+    * b stats — so the group's counted rows are ≥lex
+    * (a_guarantee, b_guarantee). Near-constant groups (min ≠ max — band
+    * boundaries on a clustered layout, or mild disorder) thus certify
+    * pairs too, where the pre-r10 build fell back to (a_guarantee, -∞).
+    * Truncated string minima stay sound: a stored lower bound only
+    * weakens the guarantee. Counted rows exclude leading-key nulls
+    * always; second-key nulls are SPLIT OUT when they sort LAST (a
+    * null second key at the tied leading value loses to the pair, so
+    * those rows certify only (a_guarantee, -∞) — emitted as a second
+    * walk candidate over a disjoint row set; when second-key nulls sort
+    * FIRST they beat any pair at the tie, so they count with the pair).
+    * A group with no usable second-key stats certifies
+    * (a_guarantee, -∞) for all its non-null-a rows, as before.
     * Walk pairs best-first, accumulate to k; survivors must have best
     * pair not strictly lex-worse than the threshold: strictly-worse
     * leading key prunes, a TIED leading key prunes when the group's best
@@ -456,23 +461,31 @@ object TopKPruning {
     def bestB(s: RowGroupStat): Option[Any] = if (descB) s.max else s.min
     val worseB: (Any, Any) => Boolean = if (descB) ordB.lt else ordB.gt
 
-    // per-group guarantee: (leading value, second bound | -∞, count)
+    // per-group guarantees: (leading value, second bound | -∞, count),
+    // up to TWO disjoint candidates per group (see scaladoc). Counts are
+    // clamped conservative; the two counts sum to the group's
+    // non-null-a rows, each met by an assignment of distinct rows (a
+    // certified-pair row claimed by the -∞ candidate still satisfies it).
     val cand: Seq[(Any, Option[Any], Long)] = statsA.flatMap { s =>
-      for {
+      (for {
         ga <- if (descA) s.min else s.max
         na <- s.nullCount
       } yield {
-        val constA = s.min.isDefined && s.max.isDefined &&
-          ordA.equiv(s.min.get, s.max.get)
+        val base = math.max(s.rowCount - na, 0L)
         bByKey.get((s.fileName, s.rowGroup)) match {
-          case Some(bs) if constA && bs.nullCount.isDefined &&
+          case Some(bs) if bs.nullCount.isDefined &&
               guaranteeB(bs).isDefined =>
-            val cnt = if (nullsFirstB) s.rowCount - na
-                      else s.rowCount - na - bs.nullCount.get
-            (ga, Some(guaranteeB(bs).get), math.max(cnt, 0L))
-          case _ => (ga, None, s.rowCount - na)
+            val gb = Some(guaranteeB(bs).get)
+            if (nullsFirstB) Seq((ga, gb, base))
+            else {
+              val c1 = math.max(s.rowCount - na - bs.nullCount.get, 0L)
+              val c2 = base - c1
+              if (c2 > 0) Seq((ga, gb, c1), (ga, None, c2))
+              else Seq((ga, gb, c1))
+            }
+          case _ => Seq((ga, None, base))
         }
-      }
+      }).getOrElse(Seq.empty)
     }
     // best-first lex order: leading key first; at a tie a concrete second
     // bound beats -∞ (None sorts last)

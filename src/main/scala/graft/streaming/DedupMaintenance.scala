@@ -36,12 +36,30 @@ import org.apache.spark.util.SerializableConfiguration
   *
   * Scale, per commit: banding is map-only over the BATCH; the candidate
   * join BROADCASTS the batch's bands against the band store, so the
-  * corpus side is scanned (columnar, 3 narrow columns) but NEVER
-  * shuffled; the label merge runs over |labels| + |new pairs| star/pair
-  * edges — O(corpus docs + batch²-bounded pairs) edge rows, never the
-  * corpus pair graph. Earlier batches' band files are never rewritten.
+  * corpus side is NEVER shuffled — and (r10) the store is laid out in
+  * [[BandBuckets]] hash-bucket partition dirs, so the read is PRUNED to
+  * the buckets the batch's band keys hash into instead of columnar-
+  * scanning the whole store; the label merge runs over |labels| + |new
+  * pairs| star/pair edges — O(corpus docs + batch²-bounded pairs) edge
+  * rows, never the corpus pair graph. Earlier batches' band files are
+  * never rewritten, and [[compactPairStats]] folds old band dirs into a
+  * bucket-partitioned base so the per-read dir count stays bounded.
   */
 object DedupMaintenance {
+
+  /** Hash-bucket fanout of the band store's directory layout. Each
+    * batch's band keys land under `bucket=<pmod(hash(band,bkey),N)>`
+    * partition dirs, so the per-batch candidate join reads ONLY the
+    * buckets the arriving batch touches (standard partition pruning —
+    * the bucket is a pure function of the join key, so restricting the
+    * store to the batch's bucket set loses no matches). At 100 TB a
+    * small batch touches a handful of buckets and the read skips the
+    * rest of the store outright, instead of columnar-scanning all of
+    * it (the round-9 self-identified limit (c)). */
+  private[graft] val BandBuckets = 64
+
+  private def bandBucket: Column =
+    pmod(hash(col("band"), col("bkey")), lit(BandBuckets))
 
   private def bandsRoot(artifactDir: String) = new Path(artifactDir, "bands")
   private def labelsRoot(artifactDir: String) = new Path(artifactDir, "labels")
@@ -79,6 +97,33 @@ object DedupMaintenance {
     * batch's own bands are already in the store, this single join also
     * yields the batch-internal pairs; both orientations of those are
     * emitted and collapse in the label propagation's symmetrization. */
+  /** The band store restricted to the bucket partitions the batch's
+    * band keys hash into — a partition-PRUNED read (the plan's scan
+    * carries `PartitionFilters: bucket IN (...)`, pinned by
+    * StreamingDedupSpec), sound because the bucket is a pure function
+    * of the join key (band, bkey). Reads go through [[storeDirs]] so a
+    * compacted `base-<m>` fold participates like any batch dir. The
+    * bucket set is collected driver-side: ≤ [[BandBuckets]] values. */
+  /** The whole band store as one DataFrame: each live dir (batch dirs +
+    * optional compacted base) read separately — partition discovery
+    * must anchor per root, the dirs are siblings — and unioned. A
+    * filter above the union pushes into every branch's scan. */
+  private[graft] def bandStore(spark: org.apache.spark.sql.SparkSession,
+      artifactDir: String, hconf: SerializableConfiguration): DataFrame =
+    storeDirs(bandsRoot(artifactDir), hconf)
+      .map(d => spark.read.parquet(d.toString))
+      .reduce(_.unionByName(_))
+
+  private[graft] def prunedBandStore(spark: org.apache.spark.sql.SparkSession,
+      artifactDir: String, batchBands: DataFrame,
+      hconf: SerializableConfiguration): DataFrame = {
+    val buckets = batchBands.select(bandBucket.as("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    bandStore(spark, artifactDir, hconf)
+      .where(col("bucket").isin(buckets: _*))
+      .select("band", "bkey", "doc_id")
+  }
+
   private[graft] def newPairs(allBands: DataFrame, batchBands: DataFrame): DataFrame =
     allBands.withColumnRenamed("doc_id", "a")
       .join(broadcast(batchBands.withColumnRenamed("doc_id", "b")),
@@ -135,7 +180,8 @@ object DedupMaintenance {
     * a long-running stream. */
   def compactPairStats(spark: org.apache.spark.sql.SparkSession,
       artifactDir: String, hconf: SerializableConfiguration): Unit = {
-    def compact(root: Path, fold: DataFrame => DataFrame): Unit = {
+    def compact(root: Path, fold: DataFrame => DataFrame,
+        partitionCols: Seq[String] = Nil): Unit = {
       val fs = root.getFileSystem(hconf.value)
       val live = storeDirs(root, hconf)
       val batchIds = live.filter(_.getName.matches("b\\d+"))
@@ -144,8 +190,12 @@ object DedupMaintenance {
       val foldable = batchIds.dropRight(1)
       val m1 = foldable.max
       val inputs = live.filterNot(_.getName == s"b${batchIds.last}")
-      val folded = fold(spark.read.parquet(inputs.map(_.toString): _*))
-      folded.write.mode("overwrite")
+      // per-dir reads unioned: partitioned stores (bands) need their
+      // partition discovery anchored per root
+      val folded = fold(inputs.map(p => spark.read.parquet(p.toString))
+        .reduce(_.unionByName(_)))
+      val w = folded.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(new Path(root, s"base-$m1").toString)
       // the fold is live; sweep its inputs (harmless if this crashes)
       inputs.foreach(p => fs.delete(p, true))
@@ -155,6 +205,9 @@ object DedupMaintenance {
         .where(col("dc") =!= 0))
     compact(shRoot(artifactDir), identity)
     compact(nsRoot(artifactDir), identity)
+    // the band store folds too, preserving its bucket partitioning so
+    // the fold keeps pruning on later batches' candidate joins
+    compact(bandsRoot(artifactDir), identity, Seq("bucket"))
   }
 
   /** Incremental PAIR-STATISTICS maintenance — dd2/dd9's shared overlap
@@ -273,8 +326,9 @@ object DedupMaintenance {
     val batchBands = Dedup.bandKeysMapOnly(docs.select(col("doc_id"), col("text")))
       .persist()
     try {
-      // 1. idempotent band append
-      batchBands.write.mode("overwrite")
+      // 1. idempotent band append, hash-bucketed for read-side pruning
+      batchBands.withColumn("bucket", bandBucket)
+        .write.partitionBy("bucket").mode("overwrite")
         .parquet(new Path(bandsRoot(artifactDir), s"b$batchId").toString)
       // 2. star edges from the live labels (diameter-2 compression of
       // every already-merged component)
@@ -287,11 +341,11 @@ object DedupMaintenance {
           import spark.implicits._
           Seq.empty[(Long, Long)].toDF("a", "b")
       }
-      // 3. the batch's new candidate pairs against the whole band store
-      // (which now includes this batch's own bands)
-      val allBands = spark.read
-        .parquet(new Path(bandsRoot(artifactDir), "b*").toString)
-      val pairs = newPairs(allBands, batchBands)
+      // 3. the batch's new candidate pairs against the band store (which
+      // now includes this batch's own bands), bucket-pruned to the
+      // partitions the batch touches
+      val pairs = newPairs(prunedBandStore(spark, artifactDir, batchBands, hconf),
+        batchBands)
       // 4. merged labels — CC over star + new edges only; the version
       // becomes live the moment its _SUCCESS lands
       val merged = Dedup.connectedComponents(stars.union(pairs))

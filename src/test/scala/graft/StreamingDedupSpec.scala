@@ -67,12 +67,13 @@ class StreamingDedupSpec extends SparkSpec {
     // replay the LAST batch — labels and band store content-stable (the
     // replayed batch REPLACES its own subdir; part-file names carry
     // fresh UUIDs, so compare rows, not names)
-    val bandRows = spark.read.parquet(s"$art/bands/b*").collect()
-      .map(_.toString).sorted.toSeq
+    def storeRows() = DedupMaintenance.bandStore(spark, art, hconf)
+      .select("band", "bkey", "doc_id", "bucket")
+      .collect().map(_.toString).sorted.toSeq
+    val bandRows = storeRows()
     DedupMaintenance.commitBatch(batches(2), 2L, art, hconf)
     assert(labels(art) === merged, "replayed batch changed the labels")
-    assert(spark.read.parquet(s"$art/bands/b*").collect()
-        .map(_.toString).sorted.toSeq === bandRows,
+    assert(storeRows() === bandRows,
       "replayed batch changed the band store content")
     bandsAfter1.foreach { case (p, mtime) =>
       assert(bandFiles(art).get(p).contains(mtime),
@@ -97,6 +98,43 @@ class StreamingDedupSpec extends SparkSpec {
     val beforeJoin = plan.substring(plan.indexOf("BroadcastHashJoin"))
     assert(!beforeJoin.contains("Exchange hashpartitioning"),
       s"the band store is shuffled below the join:\n$plan")
+  }
+
+  test("the band store read is bucket-pruned to the batch's partitions") {
+    val dir = sf("sf0.001")
+    val art = Files.createTempDirectory("graft-bucket-prune").toString
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    // a sizable store (touches all buckets)…
+    DedupMaintenance.commitBatch(docs.filter(col("doc_id") < 400), 0L, art, hconf)
+    // …then a TINY batch: 2 docs → 8 band keys → ≤8 of 64 buckets
+    val tiny = docs.filter(col("doc_id").isin(401L, 402L))
+    DedupMaintenance.commitBatch(tiny, 1L, art, hconf)
+    val batchBands = graft.operators.Dedup.bandKeysMapOnly(tiny)
+    val store = DedupMaintenance.prunedBandStore(spark, art, batchBands, hconf)
+    val planStr = store.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("bucket"),
+      s"band-store scan carries no bucket partition filter:\n$planStr")
+    store.collect() // materialize so the scan metrics land
+    val scans = store.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val readFiles = scans.map(_.metrics("numFiles").value).sum
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val totalFiles = walk(new java.io.File(s"$art/bands"))
+      .count(_.getName.endsWith(".parquet"))
+    assert(readFiles < totalFiles,
+      s"bucket pruning read all $totalFiles band files")
+    // and the pruned read loses no candidate matches: pairs against the
+    // pruned store equal pairs against the full store
+    val full = DedupMaintenance.bandStore(spark, art, hconf)
+      .select("band", "bkey", "doc_id")
+    def pairSet(all: org.apache.spark.sql.DataFrame) =
+      DedupMaintenance.newPairs(all, batchBands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(store) === pairSet(full),
+      "bucket pruning changed the candidate pair set")
   }
 
   test("pair-stats maintenance equals the full inverted-index pass; replay idempotent") {
@@ -167,6 +205,34 @@ class StreamingDedupSpec extends SparkSpec {
     DedupMaintenance.commitPairStats(mk(40L until 70L), 1L, art, hconf)
     assert(DedupMaintenance.currentPairStats(spark, art, hconf).count() === 0L,
       "cap crossing did not retract the dead bucket's pairs")
+  }
+
+  test("band-store compaction folds into a bucketed base; later merges stay exact") {
+    val dir = sf("sf0.001")
+    val art = Files.createTempDirectory("graft-band-compact").toString
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val batches = (0 until 4).map(i => docs.filter(col("doc_id") % 4 === i))
+    (0 until 3).foreach(i =>
+      DedupMaintenance.commitBatch(batches(i), i.toLong, art, hconf))
+    DedupMaintenance.compactPairStats(spark, art, hconf)
+    val names = new java.io.File(s"$art/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(names === Set("base-1", "b2"), s"bands after compaction: $names")
+    // the base keeps the bucket partitioning (pruning still works on it)
+    val baseBuckets = new java.io.File(s"$art/bands/base-1").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(baseBuckets.nonEmpty && baseBuckets.forall(_.startsWith("bucket=")),
+      s"base fold lost the bucket layout: ${baseBuckets.toSeq}")
+    // a batch arriving AFTER compaction merges against base + tail dirs
+    // and still equals the full recompute
+    DedupMaintenance.commitBatch(batches(3), 3L, art, hconf)
+    val merged = labels(art)
+    val full = graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.bandPairs(
+          graft.operators.Dedup.bandKeysMapOnly(docs)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === full,
+      "post-compaction merge diverged from the full recompute")
   }
 
   test("version retention keeps only the live label version") {

@@ -514,6 +514,84 @@ class TopKPruningSpec extends SparkSpec {
       "pair pruning never beat leading-only — fixture not tie-heavy enough")
   }
 
+  // NEAR-constant two-key fixture (r10): same shape as fx2, but ONE row
+  // per 50-row group is perturbed to the adjacent grp value, so NO row
+  // group has a constant leading key (min ≠ max everywhere). The pre-r10
+  // build certified pairs only from constant-leading groups and fell
+  // back to leading-only here; the generalized certificate (every group
+  // guarantees ≥lex (a_guarantee, b_guarantee)) must still separate the
+  // tied bands.
+  private lazy val fx3: (String, DerbyStatsIndex, StructType) = {
+    val base = Files.createTempDirectory("graft-topk2nc").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    (0 until 4000)
+      .map { i =>
+        val g = i.toLong / 500L
+        val grp = if (i % 50 == 23) (if (g > 0) g - 1 else g + 1) else g
+        val v = i.toLong + ((i.toLong * 2971L) % 500L)
+        (grp, if (v % 10 == 0) None else Some(v / 3), i.toLong)
+      }
+      .toDF("grp", "key", "id")
+      .coalesce(1)
+      .write.option("parquet.block.row.count.limit", "50")
+      .mode("overwrite").parquet(dir)
+    val (index, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("grp", "key", "id"), s"$base/statsdb")
+    (dir, index.asInstanceOf[DerbyStatsIndex], schema)
+  }
+
+  test("near-constant leading key: pair pruning still beats leading-only (no constant groups)") {
+    val (dir, index, schema) = fx3
+    // precondition: the fixture really has NO constant-leading group
+    val statsA = index.rowGroupStats("grp").get
+    assert(statsA.forall(s => s.min != s.max),
+      "fixture broke: some row group has a constant leading key")
+    var anyNarrower = false
+    for {
+      descA <- Seq(true, false)
+      descB <- Seq(true, false)
+      nfB <- Seq(true, false)
+      k <- Seq(1, 16, 200)
+    } {
+      val nfA = !descA
+      val plans = TopKPruning.pruneLex2(
+        index, "grp", descA, nfA, "key", descB, nfB, k.toLong)
+      val viaPlanner = TopKPruning.pruneLex2(
+        plannerOnly(index), "grp", descA, nfA, "key", descB, nfB, k.toLong)
+      assert(plans.map(p => p.fileName -> p.scanRowGroups).toMap ===
+        viaPlanner.map(p => p.fileName -> p.scanRowGroups).toMap,
+        s"descA=$descA descB=$descB nfB=$nfB k=$k: " +
+          "catalog and planner lex2 paths diverged (near-constant fixture)")
+      val leadKept = TopKPruning.prune(index, "grp", k.toLong, descA, nfA)
+        .map(_.scanRowGroups.size).sum
+      val kept = plans.map(_.scanRowGroups.size).sum
+      assert(kept <= leadKept)
+      if (kept < leadKept) anyNarrower = true
+      val grpOrd = if (descA) col("grp").desc else col("grp").asc
+      val keyOrd = (descB, nfB) match {
+        case (true, true)   => col("key").desc_nulls_first
+        case (true, false)  => col("key").desc_nulls_last
+        case (false, true)  => col("key").asc_nulls_first
+        case (false, false) => col("key").asc_nulls_last
+      }
+      val ord = Seq(grpOrd, keyOrd, col("id").asc)
+      val got =
+        if (plans.isEmpty) Seq.empty
+        else RowGroupSkipScan.scan(spark, dir, plans, schema)
+          .orderBy(ord: _*).limit(k).select("grp", "key", "id")
+          .collect().toSeq
+      val want = spark.read.parquet(dir)
+        .orderBy(ord: _*).limit(k).select("grp", "key", "id")
+        .collect().toSeq
+      assert(got === want,
+        s"descA=$descA descB=$descB nfB=$nfB k=$k diverged (kept $kept/$leadKept)")
+    }
+    assert(anyNarrower,
+      "generalized pair certificate never beat leading-only on the " +
+        "near-constant fixture — the r10 generalization regressed")
+  }
+
   test("composite certification fails closed on an unclustered filter column") {
     val (_, index, schema) = fx
     // skey (s-<v%97>) varies inside every 50-row group — no group can be
