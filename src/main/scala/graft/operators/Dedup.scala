@@ -964,8 +964,66 @@ object Dedup {
            |  shard || '/' || CAST(CAST((cum - nt) // 512 AS BIGINT) AS VARCHAR)
            |    AS seq_id
            |FROM c2""".stripMargin
-      })
+      }),
+
+    // ----- SEGMENT-level exact dedup (dd14) ---------------------------------
+    // The C4/Dolma-shape SUB-document dedup: near-dup policies (dd2–dd13)
+    // drop whole documents, but web corpora repeat boilerplate SPANS
+    // inside otherwise-unique pages (headers, license blurbs, navigation)
+    // — C4 removed repeated three-sentence spans, Dolma dedups exact
+    // paragraphs. The fixture text has no paragraph marks, so the segment
+    // unit is a fixed window of 8 tokens; the semantics are Dolma's: an
+    // exact segment is kept only at its globally FIRST occurrence
+    // (ordered by doc_id, then position), every later occurrence is cut,
+    // and each document is reassembled from its surviving segments.
+    // Scale: segment construction is MAP-ONLY (slices over the token
+    // array — the text shuffles as segments exactly once, keyed by
+    // segment hash like dd1's digest group-by, uniform by construction);
+    // the first-occurrence choice is one row_number window per segment
+    // key; reassembly is one doc-keyed agg whose state is the document's
+    // own segments. No pair joins, no quadratic path at any size.
+    QueryDef(
+      "dd14_segment_dedup",
+      (s, dir) => segmentDedup(
+        Tables.load(s, dir, "documents").select("doc_id", "text")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |segs AS (
+             |  SELECT doc_id, i AS seg_idx,
+             |    array_to_string(w[i*8 + 1 : i*8 + 8], ' ') AS seg
+             |  FROM d, UNNEST(range(0, (len(w) + 7) // 8)) t(i)),
+             |r AS (
+             |  SELECT doc_id, seg_idx, seg,
+             |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+             |  FROM segs)
+             |SELECT doc_id, count(*) AS n_seg,
+             |  count(*) FILTER (WHERE rn = 1) AS n_kept,
+             |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+             |             FILTER (WHERE rn = 1), '') AS clean_text
+             |FROM r GROUP BY doc_id""".stripMargin))
   )
+
+  /** dd14's core: cut every exact 8-token segment that already occurred
+    * (globally first occurrence by (doc_id, position) survives) and
+    * reassemble each document from its surviving segments — see the
+    * QueryDef comment for the semantics and shuffle profile. Exposed so
+    * specs can drive synthetic corpora through the identical plan. */
+  private[graft] def segmentDedup(docs: DataFrame): DataFrame = {
+    val segsExpr = expr(
+      "transform(sequence(0, ((size(split(text, ' ')) + 7) div 8) - 1), " +
+        "i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '))")
+    val segRows = docs
+      .select(col("doc_id"), posexplode(segsExpr).as(Seq("seg_idx", "seg")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg").orderBy(col("doc_id").asc, col("seg_idx").asc)
+    segRows.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_seg"),
+        count(when(col("rn") === 1, lit(1))).as("n_kept"),
+        array_join(transform(array_sort(collect_list(when(col("rn") === 1,
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"))
+  }
 
   private val pairStatsCache =
     scala.collection.concurrent.TrieMap.empty[String, String]

@@ -94,6 +94,52 @@ object Sketches {
       Some("""SELECT DISTINCT doc_id FROM documents
              |WHERE contains(' ' || text || ' ', ' table scan ')""".stripMargin)),
 
+    // ----- ranked retrieval: rarity-weighted term frequency (ts3) -----------
+    // ts1 answers boolean search; real retrieval RANKS. The scorer is the
+    // tf–idf family with the idf replaced by its integer surrogate
+    // (N − df) — rarer terms weigh more, exactly idf's monotone shape —
+    // so the score Σ_t tf_t · (N − df_t) is BIGINT-exact and the oracle
+    // hash-matches (a float BM25's log/division would differ in ULPs
+    // between engines; the ranking structure — per-term posting scan,
+    // tf × weight join, doc-keyed sum, global top-k — is identical).
+    // Scale: the term filter reaches the scan so only the queried terms'
+    // postings materialize; df is an agg over those postings (O(terms)
+    // rows, broadcast back); the per-doc score is one map-side-combined
+    // agg; the final top-k is a TakeOrderedAndProject, never a global
+    // sort.
+    QueryDef(
+      "ts3_ranked_search",
+      (s, dir) => {
+        val terms = Seq("spark", "vector", "merge")
+        val docs = Tables.load(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").isin(terms: _*))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        tf.join(broadcast(df), Seq("w"))
+          .crossJoin(broadcast(n))
+          .groupBy("doc_id")
+          .agg(sum(col("tf") * (col("n") - col("df"))).as("score"))
+          .filter(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(15)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, t.w FROM documents,
+             |    UNNEST(string_split(text, ' ')) AS t(w)
+             |  WHERE t.w IN ('spark', 'vector', 'merge')),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents)
+             |SELECT tf.doc_id, CAST(sum(tf.tf * (n.n - df.df)) AS BIGINT) AS score
+             |FROM tf JOIN df USING (w) CROSS JOIN n
+             |GROUP BY tf.doc_id
+             |HAVING sum(tf.tf * (n.n - df.df)) > 0
+             |ORDER BY score DESC, doc_id
+             |LIMIT 15""".stripMargin)),
+
     // ----- mergeable sketches: HLL distinct + approximate quantiles ---------
     // A sketch's raw estimate is engine-specific by construction (Spark
     // HLL++ vs DuckDB's HLL use different hash functions and register

@@ -185,6 +185,35 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(joined == 1L)
   }
 
+  test("dd14: unique corpus reassembles verbatim; repeated segment cut at later docs only") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def words(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i")
+    val segA = words("a", 8).mkString(" ")     // doc 10's first segment
+    val uniq1 = words("u", 8).mkString(" ")
+    val uniq2 = words("v", 8).mkString(" ")
+    val uniq3 = words("w", 5).mkString(" ")    // short tail segment
+    val corpus = Seq(
+      (10L, s"$segA $uniq1"),                  // first occurrence of segA
+      (20L, s"$uniq2 $segA"),                  // later doc repeats it → cut
+      (30L, s"$uniq3")                         // unique short doc
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.segmentDedup(corpus)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(10L) === ((2L, 2L, s"$segA $uniq1")),
+      "globally-first doc must reassemble verbatim")
+    assert(out(20L) === ((2L, 1L, uniq2)),
+      "the repeated segment must be cut from the LATER doc only")
+    assert(out(30L) === ((1L, 1L, uniq3)),
+      "a short tail segment is a segment like any other")
+    // and on the real corpus: kept never exceeds total, totals add up
+    val real = run("dd14_segment_dedup")
+      .agg(sum("n_seg").cast("long"), sum("n_kept").cast("long"))
+      .collect().head
+    assert(real.getLong(1) <= real.getLong(0) && real.getLong(1) > 0)
+  }
+
   test("triangle attribution: per-node counts sum to 3x the triangle total") {
     import org.apache.spark.sql.functions._
     // the fixture graph has a KNOWN nonzero triangle count (degenerate

@@ -192,4 +192,23 @@ class PlanShapeSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("ts3: weight tables broadcast; top-k is TakeOrdered, not a global sort") {
+    val p = plan("ts3_ranked_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must avoid a full sort:\n${p.take(2000)}")
+    // df and N both broadcast back onto the postings; the only hash
+    // exchanges are the two aggregations (tf and the per-doc score)
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("dd14: segment construction is map-only; text shuffles as segments exactly once") {
+    val p = plan("dd14_segment_dedup")
+    // exchanges: the seg-keyed window and the doc-keyed reassembly agg —
+    // nothing below the posexplode (slicing is expression work)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, saw $exchanges:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
