@@ -597,6 +597,35 @@ object Relational2 {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_orderpriority
              |  ORDER BY date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
-             |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin))
+             |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ----- equi-depth bucketing via ntile (q43) -----------------------------
+    // The distribution-rank window family: ntile(k) deals each nation's
+    // customers into k near-equal account-balance quartiles (earlier
+    // buckets one row larger on remainders — the ANSI dealing both
+    // engines implement). The order is made TOTAL with the unique key as
+    // tiebreak, so bucket assignment is deterministic and hash-exact —
+    // ntile is the integer-valued member of the family (percent_rank /
+    // cume_dist are float ratios; their division is engine-identical IEEE
+    // but ntile is the one a pipeline actually partitions by). Scale: one
+    // hash exchange on the partition key, per-partition sort only —
+    // never a global sort.
+    QueryDef(
+      "q43_ntile",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            ntile(4).over(w).as("quartile"),
+            ntile(10).over(w).as("decile"))
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+             |  ntile(4) OVER w AS quartile,
+             |  ntile(10) OVER w AS decile
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey
+             |             ORDER BY c_acctbal, c_custkey)""".stripMargin))
   )
 }

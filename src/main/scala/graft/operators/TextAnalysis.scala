@@ -729,7 +729,42 @@ object TextAnalysis {
              |      ' rev ' || CAST(doc_id * 7 AS VARCHAR) || '!',
              |    '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))
              |    AS INTEGER) AS n_bpe
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ----- tokenizer fitting: merge-pair statistics (tx20) ------------------
+    // The statistic a BPE/WordPiece trainer computes each round: corpus-
+    // wide counts of ADJACENT symbol pairs, whose argmax is the next
+    // merge. One round over word-level symbols (the fixture text has no
+    // subword state to thread); the output is the top-20 merge
+    // candidates, integer-exact with a (count, pair) total order so the
+    // cut is deterministic. Scale: pair construction is map-only
+    // expression work over each document's own token array (pairs never
+    // cross documents); ONE map-side-combined agg keyed by the pair —
+    // state is O(vocab²-bounded distinct pairs), not corpus size — and
+    // the top-20 is a TakeOrderedAndProject. This is the exact shape a
+    // real tokenizer-fitting job runs per merge round at 100 TB.
+    QueryDef(
+      "tx20_bpe_pair_counts",
+      (s, dir) => {
+        val pairsExpr = expr(
+          "transform(sequence(1, size(split(text, ' ')) - 1), " +
+            "i -> struct(element_at(split(text, ' '), i) AS l, " +
+            "            element_at(split(text, ' '), i + 1) AS r))")
+        Tables.load(s, dir, "documents")
+          .where(size(split(col("text"), " ")) >= 2)
+          .select(explode(pairsExpr).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(20)
+      },
+      Some("""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents
+             |           WHERE len(string_split(text, ' ')) >= 2),
+             |p AS (SELECT w[i] AS l, w[i + 1] AS r
+             |      FROM d, UNNEST(range(1, len(w))) t(i))
+             |SELECT l, r, count(*) AS cnt FROM p GROUP BY 1, 2
+             |ORDER BY cnt DESC, l, r
+             |LIMIT 20""".stripMargin))
   )
 
   /** Word n-grams of the materialized token array `w` as joined strings

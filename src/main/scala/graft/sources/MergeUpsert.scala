@@ -342,5 +342,64 @@ object MergeUpsert {
       },
       Some("""SELECT o_orderstatus, count(*) AS n,
              |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS total
-             |FROM orders WHERE o_orderkey % 10 <> 4 GROUP BY 1""".stripMargin)))
+             |FROM orders WHERE o_orderkey % 10 <> 4 GROUP BY 1""".stripMargin)),
+
+    // ----- SCD2 dimension-history merge (up3) -------------------------------
+    // The versioned face of up1's merge: applying an update batch to a
+    // dimension keeps HISTORY — a changed row is CLOSED (valid_to = ts)
+    // and re-inserted (valid_from = ts, open-ended), an update that
+    // changes nothing is a no-op (the %10=7 slice proves changed-only
+    // semantics), untouched rows keep their open interval. Change
+    // detection joins the update batch against current rows; the update
+    // side of a dimension merge is small by nature, so the changed-key
+    // set BROADCASTS and the untouched bulk flows through one broadcast
+    // anti join — the dimension never shuffles and the work is
+    // O(changed), the same never-touch-the-bulk discipline as up1/up2.
+    graft.QueryDef(
+      "up3_scd2",
+      (s, dir) => {
+        val dim = graft.Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"))
+        val upd = dim
+          .filter(pmod(col("c_custkey"), lit(10L)).isin(3L, 7L))
+          .select(col("c_custkey"),
+            when(pmod(col("c_custkey"), lit(10L)) === 3L,
+              col("c_acctbal") + 100.0)
+              .otherwise(col("c_acctbal")).as("new_bal"))
+        val changed = upd.join(dim, "c_custkey")
+          .where(col("new_bal") =!= col("c_acctbal"))
+          .select(col("c_custkey"), col("new_bal"))
+        val changedKeys = broadcast(changed.select("c_custkey"))
+        val untouched = dim.join(changedKeys, Seq("c_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_acctbal").as("bal"),
+            lit(0L).as("valid_from"), lit(9999L).as("valid_to"))
+        val closed = dim.join(changedKeys, Seq("c_custkey"))
+          .select(col("c_custkey"), col("c_acctbal").as("bal"),
+            lit(0L).as("valid_from"), lit(1L).as("valid_to"))
+        val fresh = changed
+          .select(col("c_custkey"), col("new_bal").as("bal"),
+            lit(1L).as("valid_from"), lit(9999L).as("valid_to"))
+        untouched.union(closed).union(fresh)
+      },
+      Some("""WITH upd AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100.0
+             |         ELSE c_acctbal END AS new_bal
+             |  FROM customer WHERE c_custkey % 10 IN (3, 7)),
+             |chg AS (
+             |  SELECT u.c_custkey, u.new_bal
+             |  FROM upd u JOIN customer c USING (c_custkey)
+             |  WHERE u.new_bal <> c.c_acctbal)
+             |SELECT c.c_custkey, c.c_acctbal AS bal,
+             |  CAST(0 AS BIGINT) AS valid_from, CAST(9999 AS BIGINT) AS valid_to
+             |FROM customer c LEFT JOIN chg ON chg.c_custkey = c.c_custkey
+             |WHERE chg.c_custkey IS NULL
+             |UNION ALL
+             |SELECT c.c_custkey, c.c_acctbal,
+             |  CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+             |FROM customer c JOIN chg USING (c_custkey)
+             |UNION ALL
+             |SELECT c_custkey, new_bal,
+             |  CAST(1 AS BIGINT), CAST(9999 AS BIGINT)
+             |FROM chg""".stripMargin)))
 }

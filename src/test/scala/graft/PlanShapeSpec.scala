@@ -203,6 +203,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("tx20: pair counts combine map-side; top-20 is TakeOrdered") {
+    val p = plan("tx20_bpe_pair_counts")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"pair counting must be a single keyed agg:\n${p.take(3000)}")
+  }
+
+  test("up3: untouched dimension bulk flows through broadcast joins — never shuffled") {
+    val p = plan("up3_scd2")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the dimension side must not shuffle:\n${p.take(3000)}")
+  }
+
   test("dd14: segment construction is map-only; text shuffles as segments exactly once") {
     val p = plan("dd14_segment_dedup")
     // exchanges: the seg-keyed window and the doc-keyed reassembly agg —
