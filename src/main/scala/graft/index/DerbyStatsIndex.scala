@@ -611,102 +611,102 @@ final class DerbyStatsIndex(
     }
   }
 
-  /** Catalog-side TWO-KEY lexicographic top-k (the in-store face of
-    * [[graft.prune.TopKPruning.pruneLex2]]'s pair pass). The threshold
-    * walk emits, per row group with known leading guarantee + null
-    * count, up to TWO rows (a UNION ALL): a PAIR row when the second
-    * key's bound and null count are known — ANY such group certifies
-    * (a_guarantee, b_guarantee), constant leading key or not (r10; see
-    * pruneLex2's scaladoc) — and a −∞ row for the remainder (the whole
-    * group when uncertified; the second-key-null rows under nulls-last,
-    * a disjoint set that only loses second-key ties). Walk order is
-    * leading-best first, certified pairs before −∞ at a tie, second
-    * bound best-first, (file_id, row_group) tiebreakers for stable
-    * paging. The survivor query mirrors pruneLex2's keep logic: strict
-    * leading losers prune; leading TIES prune when the best second-key
-    * value is strictly worse than the pair threshold (certified
-    * all-null second keys lose the tie under nulls-last). Returns pair
-    * survivors only; the caller intersects with leading-only pruning. */
-  override def topKSurvivorsLex2(
-      colA: String, descA: Boolean, nullsFirstA: Boolean,
-      colB: String, descB: Boolean, nullsFirstB: Boolean,
-      k: Long): Option[Seq[FileScanPlan]] = conn.synchronized {
-    if (k <= 0 || !indexedCols.exists(_.name == colA) ||
-        !indexedCols.exists(_.name == colB)) return None
-    val (aMin, aMax, _) = colEncoding(colA).getOrElse(return None)
-    val (bMin, bMax, _) = colEncoding(colB).getOrElse(return None)
-    val guarA = if (descA) aMin else aMax
-    val bestA = if (descA) aMax else aMin
-    val guarB = if (descB) bMin else bMax
-    val bestB = if (descB) bMax else bMin
-    val dirA = if (descA) "DESC" else "ASC"
-    val dirB = if (descB) "DESC" else "ASC"
-    val aNc = s"rg.${colA}_null_count"
-    val bNc = s"rg.${colB}_null_count"
-    // pair certified for ANY group with known second bound + null count
-    // (r10 — no constant-leading-key requirement; see pruneLex2's
-    // scaladoc for the soundness argument): rows strictly above the
-    // leading guarantee win on the first component alone, rows AT it
-    // are bounded by the group's own second-key stats
-    val certified = s"($bNc IS NOT NULL AND rg.$guarB IS NOT NULL)"
-    // non-null-a rows; clamped like the planner side
+  /** Catalog-side N-KEY lexicographic top-k (the in-store face of
+    * [[graft.prune.TopKPruning.pruneLexN]]). The threshold walk emits,
+    * per row group with known leading guarantee + null count, up to TWO
+    * rows (a UNION ALL): a TUPLE row whose level-i value is the group's
+    * own bound when levels 2..i are all consecutively certified (bound +
+    * null count known — ANY such group certifies its prefix tuple,
+    * constant leading key or not), NULL below the certified prefix; and
+    * a leading-only remainder row (the whole group when level 2 is
+    * uncertified; the nulls-last deeper-key null remainder otherwise, a
+    * disjoint row set that only loses its tie). Walk order is leading-
+    * best first, concrete level values before -inf at every tie (the
+    * f_i flags), (file_id, row_group) tiebreakers for stable paging.
+    * The survivor query mirrors pruneLexN's keep logic: strict losers
+    * at a level prune, ties descend recursively (certified all-null
+    * keys lose their tie under nulls-last; possible nulls win it under
+    * nulls-first). Returns tuple survivors only; the caller intersects
+    * with the (N-1)-prefix pruning. */
+  override def topKSurvivorsLexN(
+      keys: Seq[graft.index.SortKeySpec], k: Long)
+      : Option[Seq[FileScanPlan]] = conn.synchronized {
+    if (k <= 0 || keys.sizeIs < 2 ||
+        keys.exists(key => !indexedCols.exists(_.name == key.col))) return None
+    val n = keys.size
+    val enc = keys.map(key => colEncoding(key.col).getOrElse(return None))
+    def guar(i: Int) = if (keys(i).desc) enc(i)._1 else enc(i)._2
+    def best(i: Int) = if (keys(i).desc) enc(i)._2 else enc(i)._1
+    def dir(i: Int) = if (keys(i).desc) "DESC" else "ASC"
+    def nc(i: Int) = s"rg.${keys(i).col}_null_count"
+    val aNc = nc(0)
+    // level i certified: bound + null count known (see pruneLexN's
+    // scaladoc for why ANY such group certifies, constant leading or not)
+    def cert(i: Int) = s"(${nc(i)} IS NOT NULL AND rg.${guar(i)} IS NOT NULL)"
+    def certUpTo(i: Int) = (1 to i).map(cert).mkString("(", " AND ", ")")
+    // non-null-leading rows; clamped like the planner side
     val baseCnt =
       s"(CASE WHEN rg.row_count - $aNc < 0 THEN 0 ELSE rg.row_count - $aNc END)"
-    // rows certified at the pair under nulls-last: non-null in BOTH keys
-    // (conservative — joint nulls may double-subtract, never over-count)
-    val c1 =
-      s"""(CASE WHEN rg.row_count - $aNc - $bNc < 0 THEN 0
-         |      ELSE rg.row_count - $aNc - $bNc END)""".stripMargin
-    // certified groups emit one PAIR walk row; under nulls-last their
-    // second-key-null remainder ($baseCnt - $c1 rows, a disjoint set
-    // only certified at -inf) emits a second row; uncertified groups
-    // emit their whole non-null-a count at -inf
-    val cnt1 = if (nullsFirstB) baseCnt else c1
-    val branch2Where =
-      if (nullsFirstB) s"NOT $certified"
-      else s"(NOT $certified OR ($baseCnt - $c1) > 0)"
+    // tuple-candidate count: subtract each nulls-last level's null count
+    // while the prefix reaches it (conservative -- joint nulls may
+    // double-subtract, never over-count)
+    val subs = (1 until n).filterNot(keys(_).nullsFirst)
+      .map(i => s" - (CASE WHEN ${certUpTo(i)} THEN ${nc(i)} ELSE 0 END)")
+    val rawFull = s"rg.row_count - $aNc" + subs.mkString
+    val cnt1 = s"(CASE WHEN ($rawFull) < 0 THEN 0 ELSE ($rawFull) END)"
     val cnt2 =
-      if (nullsFirstB) baseCnt
-      else s"(CASE WHEN $certified THEN ($baseCnt - $c1) ELSE $baseCnt END)"
+      s"(CASE WHEN ${cert(1)} THEN ($baseCnt - $cnt1) ELSE $baseCnt END)"
+    val branch2Where = s"(NOT ${cert(1)} OR ($baseCnt - $cnt1) > 0)"
+    // branch-1 level columns: flag 0 + bound while the prefix holds;
+    // branch-2: flag 1 + typed NULL at every deeper level
+    val sel1 = (1 until n).map(i =>
+      s"""CASE WHEN ${certUpTo(i)} THEN 0 ELSE 1 END AS f$i,
+         |    CASE WHEN ${certUpTo(i)} THEN rg.${guar(i)} ELSE NULL END AS s$i"""
+        .stripMargin).mkString(",\n    ")
+    val sel2 = (1 until n).map(i =>
+      s"1, CASE WHEN 1=0 THEN rg.${guar(i)} ELSE NULL END").mkString(",\n    ")
+    val outCols = (1 until n).flatMap(i => Seq(s"f$i", s"s$i")).mkString(", ")
+    val orderLvls = (1 until n)
+      .map(i => s"f$i ASC, s$i ${dir(i)}").mkString(", ")
     try {
       var covered = 0L
-      var ta: Option[Any] = None
-      var tb: Option[Any] = None
+      val thr = new Array[Option[Any]](n)
       var found = false
       var offset = 0
       val page = 1024
       while (!found) {
         val st = conn.prepareStatement(
-          s"""SELECT s1, s2, s3, cnt, fid, rgn FROM (
-             |  SELECT rg.$guarA AS s1, 0 AS s2, rg.$guarB AS s3,
+          s"""SELECT s0, $outCols, cnt, fid, rgn FROM (
+             |  SELECT rg.${guar(0)} AS s0,
+             |    $sel1,
              |    $cnt1 AS cnt, rg.file_id AS fid, rg.row_group AS rgn
              |  FROM row_group_statistics rg
-             |  WHERE rg.$guarA IS NOT NULL AND $aNc IS NOT NULL AND $certified
+             |  WHERE rg.${guar(0)} IS NOT NULL AND $aNc IS NOT NULL AND ${cert(1)}
              |  UNION ALL
-             |  SELECT rg.$guarA, 1,
-             |    CASE WHEN 1=0 THEN rg.$guarB ELSE NULL END,
+             |  SELECT rg.${guar(0)},
+             |    $sel2,
              |    $cnt2, rg.file_id, rg.row_group
              |  FROM row_group_statistics rg
-             |  WHERE rg.$guarA IS NOT NULL AND $aNc IS NOT NULL AND $branch2Where
+             |  WHERE rg.${guar(0)} IS NOT NULL AND $aNc IS NOT NULL AND $branch2Where
              |) t
-             |ORDER BY s1 $dirA, s2 ASC, s3 $dirB, fid, rgn
+             |ORDER BY s0 ${dir(0)}, $orderLvls, fid, rgn
              |OFFSET $offset ROWS FETCH NEXT $page ROWS ONLY""".stripMargin)
-        var n = 0
+        var nRows = 0
         try {
           val rs = st.executeQuery()
           while (!found && rs.next()) {
-            n += 1
-            covered += rs.getLong(4)
+            nRows += 1
+            covered += rs.getLong(2 * n)
             if (covered >= k) {
-              ta = Some(rs.getObject(1))
-              tb = Option(rs.getObject(3))
+              thr(0) = Some(rs.getObject(1))
+              (1 until n).foreach(i => thr(i) = Option(rs.getObject(2 * i + 1)))
               found = true
             }
           }
           rs.close()
         } finally st.close()
         if (!found) {
-          if (n < page) return None // guarantees never cover k
+          if (nRows < page) return None // guarantees never cover k
           offset += page
         }
       }
@@ -715,24 +715,28 @@ final class DerbyStatsIndex(
         case s: String if hexCol.endsWith("_hex") => "'" + s + "'"
         case other => other.toString
       }
-      val taSql = lit(ta.get, guarA)
-      val strictlyBetterA = if (descA) ">" else "<"
-      // at a leading-key tie: keep unless the second key provably loses
-      val tie = tb match {
-        case None => "(1=1)" // threshold second component is -inf
-        case Some(t) =>
-          val tbSql = lit(t, guarB)
-          val notWorseB = if (descB) ">=" else "<="
-          s"""((${if (nullsFirstB) "1=1" else "1=0"} AND ($bNc IS NULL OR $bNc > 0))
-             | OR (($bNc IS NULL OR $bNc <> rg.row_count)
-             |     AND (rg.$bestB IS NULL OR rg.$bestB $notWorseB $tbSql)))""".stripMargin
-      }
+      // survivor keep, built bottom-up: strict losers prune, ties descend
+      def tieExpr(i: Int): String =
+        if (i >= n) "(1=1)"
+        else thr(i) match {
+          case None => "(1=1)" // threshold is -inf from this level down
+          case Some(t) =>
+            val tSql = lit(t, guar(i))
+            val bi = s"rg.${best(i)}"
+            val strictlyBetter = if (keys(i).desc) ">" else "<"
+            s"""((${if (keys(i).nullsFirst) "1=1" else "1=0"} AND (${nc(i)} IS NULL OR ${nc(i)} > 0))
+               | OR ((${nc(i)} IS NULL OR ${nc(i)} <> rg.row_count)
+               |     AND ($bi IS NULL OR $bi $strictlyBetter $tSql
+               |          OR ($bi = $tSql AND ${tieExpr(i + 1)}))))""".stripMargin
+        }
+      val t0Sql = lit(thr(0).get, guar(0))
+      val sb0 = if (keys(0).desc) ">" else "<"
       val cond =
-        s"""((${if (nullsFirstA) "1=1" else "1=0"} AND ($aNc IS NULL OR $aNc > 0))
+        s"""((${if (keys(0).nullsFirst) "1=1" else "1=0"} AND ($aNc IS NULL OR $aNc > 0))
            | OR (($aNc IS NULL OR $aNc <> rg.row_count)
-           |     AND (rg.$bestA IS NULL
-           |          OR rg.$bestA $strictlyBetterA $taSql
-           |          OR (rg.$bestA = $taSql AND $tie))))""".stripMargin
+           |     AND (rg.${best(0)} IS NULL
+           |          OR rg.${best(0)} $sb0 $t0Sql
+           |          OR (rg.${best(0)} = $t0Sql AND ${tieExpr(1)}))))""".stripMargin
       Some(runPlanQuery(
         s"""SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
            |  rg.rg_start_bytes, rg.rg_compressed_bytes, rg.row_count

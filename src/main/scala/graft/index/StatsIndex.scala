@@ -38,6 +38,10 @@ final case class RowGroupStat(
     rowCount: Long,
     nullCount: Option[Long])
 
+/** One sort key of a lexicographic top-k: column, direction, null order
+  * (mirrors Catalyst's `SortOrder` in catalog terms). */
+final case class SortKeySpec(col: String, desc: Boolean, nullsFirst: Boolean)
+
 /** External secondary index over a directory of parquet files: per-file and
   * per-row-group min/max/null-count statistics held in an out-of-band
   * catalog store, consulted at planning time to prune files and row groups
@@ -140,19 +144,20 @@ trait StatsIndex extends AutoCloseable {
       disjuncts: Seq[graft.prune.TopKPruning.Disjunct])
       : Option[Seq[FileScanPlan]] = None
 
-  /** Catalog-computed TWO-KEY lexicographic top-k survivors — the
-    * in-store face of [[graft.prune.TopKPruning.pruneLex2]]'s PAIR pass:
-    * the threshold walk accumulates (leading, second | −∞) pair
-    * guarantees (pairs only from constant-leading-key groups) and the
-    * survivor query prunes leading-key ties by their best second-key
-    * value. Returns the pair survivors ONLY — the caller intersects
-    * with leading-key-only pruning exactly like the planner path.
-    * Semantics must match `pruneLex2`'s planner-side algorithm exactly.
-    * None = cannot serve/certify → planner-side fallback. */
-  def topKSurvivorsLex2(
-      colA: String, descA: Boolean, nullsFirstA: Boolean,
-      colB: String, descB: Boolean, nullsFirstB: Boolean,
-      k: Long): Option[Seq[FileScanPlan]] = None
+  /** Catalog-computed N-KEY lexicographic top-k survivors — the
+    * in-store face of [[graft.prune.TopKPruning.pruneLexN]]'s tuple
+    * pass: the threshold walk accumulates per-group guarantee TUPLES
+    * (the leading guarantee extended by every consecutively-certified
+    * deeper key's bound, −∞ below the certified prefix; second-key-null
+    * remainders under nulls-last split into a disjoint leading-only
+    * candidate) and the survivor query prunes ties by recursive descent
+    * through the keys' best values. Returns the tuple survivors ONLY —
+    * the caller intersects with the (N−1)-prefix pruning exactly like
+    * the planner path. Semantics must match `pruneLexN`'s planner-side
+    * algorithm exactly. None = cannot serve/certify → planner-side
+    * fallback. */
+  def topKSurvivorsLexN(
+      keys: Seq[SortKeySpec], k: Long): Option[Seq[FileScanPlan]] = None
 
   /** Columns carrying per-row-group bloom filters in this catalog; empty =
     * no bloom support. Implementations with blooms override (a constructor

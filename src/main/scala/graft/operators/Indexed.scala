@@ -433,6 +433,29 @@ object Indexed {
              |  l_quantity DESC
              |LIMIT 10""".stripMargin)),
 
+    // THREE-key lexicographic top-k through the automatic rule
+    // (prune/TopKPruning.pruneLexN): `ORDER BY a DESC, b DESC, c DESC
+    // LIMIT k` where the first TWO keys are tie-heavy (3 flags × 7 line
+    // numbers on the (flag, line, orderkey)-clustered layout) — the
+    // two-key certificate still keeps the whole top (flag, line) band;
+    // the THIRD key's tuple certificate separates it. Route
+    // `topk-lex3`; the fourth sort key (l_quantity, unindexed) is
+    // lexicographically dominated and ignored. TopKPruningSpec pins
+    // strictly fewer kept groups than the two-key prefix and sweeps
+    // directions × k × null order on a synthetic 3-key fixture.
+    QueryDef(
+      "idx22_topk_3key",
+      (s, dir) => lineitemComposite3(s, dir)
+        .orderBy(col("l_returnflag").desc, col("l_linenumber").desc,
+          col("l_orderkey").desc, col("l_quantity").desc)
+        .limit(10)
+        .select("l_returnflag", "l_linenumber", "l_orderkey", "l_quantity"),
+      Some("""SELECT l_returnflag, l_linenumber, l_orderkey, l_quantity
+             |FROM lineitem
+             |ORDER BY l_returnflag DESC, l_linenumber DESC, l_orderkey DESC,
+             |  l_quantity DESC
+             |LIMIT 10""".stripMargin)),
+
     // N-dimensional z-order with rank-binning (sources/ZOrderLayout.writeN):
     // a 3-d BOX over the 3-col Morton layout, third dimension a FLOAT
     // (l_extendedprice) rank-binned to dense ints by one approx-quantile
@@ -614,6 +637,48 @@ object Indexed {
       val (index, dataSchema) = IndexedParquet.buildIndex(
         spark, dataDir, Seq("l_returnflag", "l_orderkey"),
         s"$base/statsdb-comp-v2")
+      val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
+      Entry(df, fileIndex, dataDir, index, dataSchema)
+    })
+
+  private val comp3Cache = TrieMap.empty[String, Entry]
+
+  /** A THREE-key clustered layout: (l_returnflag, l_linenumber,
+    * l_orderkey) range-partitioned and sorted, all three indexed — the
+    * idx22 fixture. The first TWO keys are tie-heavy (3 flags × 7 line
+    * numbers), so even the two-key certificate keeps a whole
+    * (flag, line) band; the third key separates it. */
+  def lineitemComposite3(spark: SparkSession, sfDir: String): DataFrame =
+    comp3Entry(spark, sfDir).df
+
+  def lastComposite3Execution(spark: SparkSession, sfDir: String) =
+    comp3Entry(spark, sfDir).fileIndex.lastExecution
+
+  private[graft] def composite3Fixture(spark: SparkSession, sfDir: String)
+      : (graft.index.StatsIndex, org.apache.spark.sql.types.StructType, String) = {
+    val e = comp3Entry(spark, sfDir)
+    (e.index, e.dataSchema, e.dataDir)
+  }
+
+  private def comp3Entry(spark: SparkSession, sfDir: String): Entry =
+    comp3Cache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
+      val dataDir = s"$base/lineitem-comp3-v1"
+      if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
+        rmrf(new java.io.File(s"$base/statsdb-comp3-v1"))
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .repartitionByRange(8, col("l_returnflag"), col("l_linenumber"),
+            col("l_orderkey"))
+          .sortWithinPartitions("l_returnflag", "l_linenumber", "l_orderkey")
+          .write.mode("overwrite")
+          .option("parquet.block.row.count.limit", "2048")
+          .option("parquet.block.size", (1L * 1024 * 1024).toString)
+          .parquet(dataDir)
+      }
+      val (index, dataSchema) = IndexedParquet.buildIndex(
+        spark, dataDir, Seq("l_returnflag", "l_linenumber", "l_orderkey"),
+        s"$base/statsdb-comp3-v1")
       val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
       Entry(df, fileIndex, dataDir, index, dataSchema)
     })

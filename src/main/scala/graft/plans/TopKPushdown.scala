@@ -36,7 +36,9 @@ import org.apache.spark.sql.types.{DataType, DateType, DecimalType, StringType, 
   * certifies the threshold when it is all-pass for SOME disjunct. When
   * no threshold can be certified this way, the declarative plan stands —
   * over-scan, never wrong. Computed projections disqualify. Multi-key
-  * orderings prune on the LEADING key alone (lexicographic dominance).
+  * orderings prune on their maximal leading prefix of distinct indexed
+  * keys via the N-key tuple certificate ([[TopKPruning.pruneLexN]]);
+  * keys past the prefix are lexicographically dominated and ignored.
   * Kill switch: `spark.graft.topkPushdown=false`.
   *
   * The rewrite substitutes the [[LogicalRelation]] node IN PLACE (any
@@ -107,28 +109,36 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
     val (plans, baseline, routeTag) = cond match {
       case None =>
         val total = idx.allFiles().map(_.scanRowGroups.size).sum
-        // 2-key lexicographic path: when the SECOND sort key is also an
-        // indexed attribute, the pair certificate separates groups tied
-        // on the leading key (never worse — pruneLex2 intersects with
-        // the leading-only plan set)
-        val second = order.drop(1).headOption.flatMap(_.child match {
-          case b: AttributeReference
-              if child.outputSet.contains(b) && b.name != a.name &&
-                idx.indexedSchema.fields.exists(f =>
-                  f.name == b.name && f.dataType == b.dataType) =>
-            Some((b, order(1).direction == Descending,
-              order(1).nullOrdering == NullsFirst))
-          case _ => None
-        })
-        second match {
-          case Some((b, descB, nfB)) =>
-            (TopKPruning.pruneLex2(idx, a.name, descending, nullsFirst,
-                b.name, descB, nfB, k.toLong),
-              total, s"topk-lex2(${a.name},${b.name})")
-          case None =>
-            (TopKPruning.prune(idx, a.name, k.toLong, descending, nullsFirst),
-              total, s"topk(${a.name})")
+        // N-key lexicographic path: the maximal leading prefix of
+        // DISTINCT indexed attribute sort keys takes the tuple
+        // certificate — each added key separates groups still tied on
+        // the shallower ones (never worse — pruneLexN intersects every
+        // shorter prefix's plan set). The prefix stops at the first
+        // non-attribute, non-indexed, or repeated key.
+        val prefix = scala.collection.mutable.ArrayBuffer(
+          graft.index.SortKeySpec(a.name, descending, nullsFirst))
+        val it = order.drop(1).iterator
+        var extending = true
+        while (extending && it.hasNext) {
+          val so = it.next()
+          so.child match {
+            case b: AttributeReference
+                if child.outputSet.contains(b) &&
+                  !prefix.exists(_.col == b.name) &&
+                  idx.indexedSchema.fields.exists(f =>
+                    f.name == b.name && f.dataType == b.dataType) =>
+              prefix += graft.index.SortKeySpec(b.name,
+                so.direction == Descending, so.nullOrdering == NullsFirst)
+            case _ => extending = false
+          }
         }
+        if (prefix.sizeIs == 1)
+          (TopKPruning.prune(idx, a.name, k.toLong, descending, nullsFirst),
+            total, s"topk(${a.name})")
+        else
+          (TopKPruning.pruneLexN(idx, prefix.toSeq, k.toLong),
+            total,
+            s"topk-lex${prefix.size}(${prefix.map(_.col).mkString(",")})")
       case Some(c) =>
         val disjuncts = parseDisjuncts(c, a).getOrElse(return None)
         // the filter's own stats pruning is what the declarative plan

@@ -1,6 +1,6 @@
 package graft.prune
 
-import graft.index.{FileScanPlan, RowGroupStat, StatsIndex}
+import graft.index.{FileScanPlan, RowGroupStat, SortKeySpec, StatsIndex}
 import org.apache.spark.sql.types._
 
 /** Catalog-side TOP-K pruning: for `ORDER BY c LIMIT k`, row groups that
@@ -390,166 +390,207 @@ object TopKPruning {
     }
   }
 
-  /** TWO-KEY lexicographic top-k pruning — `ORDER BY a [DESC], b [DESC]
-    * LIMIT k` over a tie-heavy leading key, where leading-key-only
-    * pruning over-scans: with many groups sharing the leading threshold
-    * value, every one of them is kept even though the SECOND key already
-    * separates them. The threshold generalizes to a lexicographic PAIR,
-    * and EVERY group with second-key stats certifies one (r10 — no
-    * constant-leading-key requirement): a non-null-a row either has
-    * a STRICTLY better leading value than the group's a-guarantee (the
-    * pair wins on the first component alone, whatever its b), or it
-    * sits AT the a-guarantee, where its b is bounded by the group's own
-    * b stats — so the group's counted rows are ≥lex
-    * (a_guarantee, b_guarantee). Near-constant groups (min ≠ max — band
-    * boundaries on a clustered layout, or mild disorder) thus certify
-    * pairs too, where the pre-r10 build fell back to (a_guarantee, -∞).
-    * Truncated string minima stay sound: a stored lower bound only
-    * weakens the guarantee. Counted rows exclude leading-key nulls
-    * always; second-key nulls are SPLIT OUT when they sort LAST (a
-    * null second key at the tied leading value loses to the pair, so
-    * those rows certify only (a_guarantee, -∞) — emitted as a second
-    * walk candidate over a disjoint row set; when second-key nulls sort
-    * FIRST they beat any pair at the tie, so they count with the pair).
-    * A group with no usable second-key stats certifies
-    * (a_guarantee, -∞) for all its non-null-a rows, as before.
-    * Walk pairs best-first, accumulate to k; survivors must have best
-    * pair not strictly lex-worse than the threshold: strictly-worse
-    * leading key prunes, a TIED leading key prunes when the group's best
-    * second key is strictly worse than the pair's (certified all-null
-    * second keys lose the tie under nulls-last). The result is
-    * INTERSECTED with leading-key-only pruning (both over-approximate
-    * independently), so this path is never worse than [[prune]].
-    * Degrades to [[prune]] outright when the second key's ordering is
-    * uncertified or its stats are unavailable. */
-  def pruneLex2(
-      index: StatsIndex,
-      colA: String, descA: Boolean, nullsFirstA: Boolean,
-      colB: String, descB: Boolean, nullsFirstB: Boolean,
-      k: Long): Seq[FileScanPlan] = {
+  /** N-KEY lexicographic top-k pruning — `ORDER BY k1 [DESC], k2, …
+    * LIMIT k` over tie-heavy leading keys, where shorter-prefix pruning
+    * over-scans: with many groups tied on the leading keys, every one of
+    * them is kept even though a DEEPER key already separates them. The
+    * threshold generalizes to a lexicographic TUPLE, and EVERY group
+    * certifies one over its consecutively-certified key prefix (r10 — no
+    * constant-leading-key requirement): a row counted by the group either
+    * beats the guarantee tuple strictly at some level (whatever its
+    * deeper values), or ties every level down to one where its own value
+    * is bounded by the group's stats — so the group's counted rows are
+    * ≥lex (g1, g2, …, gp, −∞, …) where gi is the group's own bound for
+    * key i and p is the longest prefix with known bounds + null counts.
+    * Near-constant groups (leading min ≠ max — band boundaries on a
+    * clustered layout) certify full tuples too. Truncated string minima
+    * stay sound: a stored lower bound only weakens the guarantee.
+    * Counted rows exclude leading-key nulls always; rows null at a
+    * nulls-LAST deeper key within the prefix lose ties there, so their
+    * count (conservatively, the sum of those levels' null counts) SPLITS
+    * into a disjoint (g1, −∞, …) candidate; nulls-first nulls win their
+    * ties and count with the tuple.
+    * Walk tuples best-first, accumulate to k; survivors must have best
+    * tuple not strictly lex-worse than the threshold, decided by
+    * recursive descent: strictly worse at a level prunes, a tie descends
+    * (certified all-null keys lose their tie under nulls-last; possible
+    * nulls win it under nulls-first). The result is INTERSECTED with the
+    * (N−1)-prefix pruning — recursively, down to [[prune]] — so each
+    * added key can only narrow the plan set. Degrades to the longest
+    * usable prefix when a deeper key's ordering is uncertified or its
+    * stats are unavailable. */
+  def pruneLexN(
+      index: StatsIndex, keys: Seq[SortKeySpec], k: Long): Seq[FileScanPlan] = {
+    require(keys.nonEmpty, "lexicographic top-k needs at least one sort key")
     require(k > 0, s"top-k needs k > 0, got $k")
-    def leadOnly = prune(index, colA, k, descA, nullsFirstA)
-    // never worse than the leading-key-only path: intersect the two
-    // independent over-approximations
-    def intersectLead(pairPlans: Seq[FileScanPlan]): Seq[FileScanPlan] = {
-      val byFile = leadOnly.map(p => p.fileName -> p.scanRowGroups).toMap
-      pairPlans.flatMap { p =>
+    val head = keys.head
+    if (keys.sizeIs == 1)
+      return prune(index, head.col, k, head.desc, head.nullsFirst)
+    val n = keys.size
+    lazy val shorterPlans = pruneLexN(index, keys.init, k)
+    def intersectShorter(deeper: Seq[FileScanPlan]): Seq[FileScanPlan] = {
+      val byFile = shorterPlans.map(p => p.fileName -> p.scanRowGroups).toMap
+      deeper.flatMap { p =>
         byFile.get(p.fileName)
           .map(rgs => p.copy(scanRowGroups = p.scanRowGroups intersect rgs))
           .filter(_.scanRowGroups.nonEmpty)
       }
     }
-    val dtA = index.indexedSchema.fields.find(_.name == colA)
-      .getOrElse(return index.allFiles()).dataType
-    val ordA = ordering(dtA).getOrElse(return index.allFiles())
-    val dtB = index.indexedSchema.fields.find(_.name == colB)
-      .getOrElse(return leadOnly).dataType
-    val ordB = ordering(dtB).getOrElse(return leadOnly)
-    // catalog-side fast path: pair-threshold walk + survivor filter
-    // inside the store, O(survivors) transfer instead of two O(index)
+    // orderings per key; an uncertified key truncates to the prefix
+    val ords: IndexedSeq[Ordering[Any]] = keys.toIndexedSeq.zipWithIndex.map {
+      case (key, i) =>
+        index.indexedSchema.fields.find(_.name == key.col).map(_.dataType)
+          .flatMap(ordering) match {
+          case Some(o) => o
+          case None =>
+            return if (i == 0) index.allFiles()
+            else pruneLexN(index, keys.take(i), k)
+        }
+    }
+    // sort-order comparator at level i: smaller = earlier in the output
+    def cmpAt(i: Int, a: Any, b: Any): Int = {
+      val c = ords(i).compare(a, b)
+      if (keys(i).desc) -c else c
+    }
+    // catalog-side fast path: tuple-threshold walk + survivor filter
+    // inside the store, O(survivors) transfer instead of N O(index)
     // rowGroupStats fetches
-    index.topKSurvivorsLex2(colA, descA, nullsFirstA,
-        colB, descB, nullsFirstB, k) match {
-      case Some(pairPlans) => return intersectLead(pairPlans)
+    index.topKSurvivorsLexN(keys, k) match {
+      case Some(plans) => return intersectShorter(plans)
       case None => () // fall through to the planner-side reference path
     }
-    val statsA = index.rowGroupStats(colA).getOrElse(return leadOnly)
-    val statsB = index.rowGroupStats(colB).getOrElse(return leadOnly)
-    val bByKey = statsB.map(s => (s.fileName, s.rowGroup) -> s).toMap
-
-    def guaranteeB(s: RowGroupStat): Option[Any] = if (descB) s.min else s.max
-    def bestB(s: RowGroupStat): Option[Any] = if (descB) s.max else s.min
-    val worseB: (Any, Any) => Boolean = if (descB) ordB.lt else ordB.gt
-
-    // per-group guarantees: (leading value, second bound | -∞, count),
-    // up to TWO disjoint candidates per group (see scaladoc). Counts are
-    // clamped conservative; the two counts sum to the group's
-    // non-null-a rows, each met by an assignment of distinct rows (a
-    // certified-pair row claimed by the -∞ candidate still satisfies it).
-    val cand: Seq[(Any, Option[Any], Long)] = statsA.flatMap { s =>
-      (for {
-        ga <- if (descA) s.min else s.max
-        na <- s.nullCount
-      } yield {
-        val base = math.max(s.rowCount - na, 0L)
-        bByKey.get((s.fileName, s.rowGroup)) match {
-          case Some(bs) if bs.nullCount.isDefined &&
-              guaranteeB(bs).isDefined =>
-            val gb = Some(guaranteeB(bs).get)
-            if (nullsFirstB) Seq((ga, gb, base))
-            else {
-              val c1 = math.max(s.rowCount - na - bs.nullCount.get, 0L)
-              val c2 = base - c1
-              if (c2 > 0) Seq((ga, gb, c1), (ga, None, c2))
-              else Seq((ga, gb, c1))
-            }
-          case _ => Seq((ga, None, base))
+    val statsHead = index.rowGroupStats(head.col).getOrElse(return shorterPlans)
+    val tailStats: IndexedSeq[Map[(String, Int), RowGroupStat]] =
+      keys.toIndexedSeq.tail.zipWithIndex.map { case (key, i) =>
+        index.rowGroupStats(key.col) match {
+          case Some(st) => st.map(s => (s.fileName, s.rowGroup) -> s).toMap
+          case None => return pruneLexN(index, keys.take(i + 1), k)
         }
-      }).getOrElse(Seq.empty)
-    }
-    // best-first lex order: leading key first; at a tie a concrete second
-    // bound beats -∞ (None sorts last)
-    val pairOrd: Ordering[(Any, Option[Any])] = new Ordering[(Any, Option[Any])] {
-      private val oa = if (descA) ordA.reverse else ordA
-      private val ob = if (descB) ordB.reverse else ordB
-      def compare(x: (Any, Option[Any]), y: (Any, Option[Any])): Int = {
-        val c = oa.compare(x._1, y._1)
-        if (c != 0) c
-        else (x._2, y._2) match {
-          case (Some(a), Some(b)) => ob.compare(a, b)
-          case (Some(_), None)    => -1
-          case (None, Some(_))    => 1
-          case (None, None)       => 0
+      }
+    def guarOf(i: Int, st: RowGroupStat): Option[Any] =
+      if (keys(i).desc) st.min else st.max
+    def bestOf(i: Int, st: RowGroupStat): Option[Any] =
+      if (keys(i).desc) st.max else st.min
+
+    // per-group guarantees: (tuple, count), up to TWO disjoint candidates
+    // per group (see scaladoc). Counts are clamped conservative; the two
+    // counts sum to the group's non-null-leading rows, each met by an
+    // assignment of distinct rows.
+    type Tup = Vector[Option[Any]]
+    val cand = scala.collection.mutable.ArrayBuffer.empty[(Tup, Long)]
+    statsHead.foreach { s =>
+      for {
+        ga <- guarOf(0, s)
+        na <- s.nullCount
+      } {
+        val base = math.max(s.rowCount - na, 0L)
+        val gs = scala.collection.mutable.ArrayBuffer[Option[Any]](Some(ga))
+        var sub = 0L
+        var i = 1
+        var go = true
+        while (go && i < n) {
+          tailStats(i - 1).get((s.fileName, s.rowGroup)) match {
+            case Some(bs) if bs.nullCount.isDefined && guarOf(i, bs).isDefined =>
+              gs += Some(guarOf(i, bs).get)
+              if (!keys(i).nullsFirst) sub += bs.nullCount.get
+              i += 1
+            case _ => go = false
+          }
+        }
+        val tup: Tup = gs.toVector ++ Vector.fill(n - gs.size)(None)
+        if (gs.sizeIs == 1) cand += ((tup, base))
+        else {
+          val c1 = math.max(base - sub, 0L)
+          val c2 = base - c1
+          cand += ((tup, c1))
+          if (c2 > 0)
+            cand += ((Vector[Option[Any]](Some(ga)) ++
+              Vector.fill(n - 1)(None), c2))
         }
       }
     }
-    val walk = cand.sortBy(c => (c._1, c._2))(pairOrd)
+    // best-first lex order: concrete bounds before −∞ at every tie
+    val tupleOrd: Ordering[Tup] = new Ordering[Tup] {
+      def compare(x: Tup, y: Tup): Int = {
+        var i = 0
+        while (i < n) {
+          (x(i), y(i)) match {
+            case (Some(a), Some(b)) =>
+              val c = cmpAt(i, a, b); if (c != 0) return c
+            case (Some(_), None) => return -1
+            case (None, Some(_)) => return 1
+            case (None, None)    => return 0
+          }
+          i += 1
+        }
+        0
+      }
+    }
+    val walk = cand.sortBy(_._1)(tupleOrd)
     var covered = 0L
-    var threshold: Option[(Any, Option[Any])] = None
+    var threshold: Option[Tup] = None
     val it = walk.iterator
     while (covered < k && it.hasNext) {
-      val (ga, gb, cnt) = it.next()
+      val (t, cnt) = it.next()
       covered += cnt
-      if (covered >= k) threshold = Some((ga, gb))
+      if (covered >= k) threshold = Some(t)
     }
-    val (ta, tbOpt) = threshold.getOrElse(return leadOnly)
+    val thr = threshold.getOrElse(return shorterPlans)
 
-    val strictlyBetterA: (Any, Any) => Boolean = if (descA) ordA.gt else ordA.lt
-    val strictlyWorseA: (Any, Any) => Boolean = if (descA) ordA.lt else ordA.gt
-    def keepAtTie(file: String, rg: Int): Boolean = tbOpt match {
-      case None => true // threshold's second component is -∞
-      case Some(tb) =>
-        bByKey.get((file, rg)) match {
-          case None => true
-          case Some(bs) =>
-            val mayNullWinB = nullsFirstB && !bs.nullCount.contains(0L)
-            if (mayNullWinB) true
-            else if (bs.nullCount.contains(bs.rowCount)) false // tie rows all null-b, nulls-last
-            else bestB(bs) match {
-              case Some(bb) => !worseB(bb, tb)
-              case None     => true
-            }
-        }
-    }
-    val pruned = statsA.filter { s =>
-      val mayNullWinA = nullsFirstA && !s.nullCount.contains(0L)
-      val allNullA = s.nullCount.contains(s.rowCount)
-      if (mayNullWinA) false
-      else if (allNullA) true
-      else (if (descA) s.max else s.min) match {
-        case None => false
-        case Some(ba) =>
-          if (strictlyWorseA(ba, ta)) true
-          else if (strictlyBetterA(ba, ta)) false
-          else !keepAtTie(s.fileName, s.rowGroup)
+    // survivor: best tuple not strictly lex-worse than the threshold,
+    // by recursive descent through the levels
+    def atLevel(i: Int, s: RowGroupStat): Boolean = {
+      if (i >= n) return true
+      thr(i) match {
+        case None => true
+        case Some(ti) =>
+          tailStats(i - 1).get((s.fileName, s.rowGroup)) match {
+            case None => true
+            case Some(bs) =>
+              if (keys(i).nullsFirst && !bs.nullCount.contains(0L)) true
+              else if (bs.nullCount.contains(bs.rowCount)) false
+              else bestOf(i, bs) match {
+                case Some(bi) =>
+                  val c = cmpAt(i, bi, ti)
+                  if (c < 0) true else if (c > 0) false else atLevel(i + 1, s)
+                case None => true
+              }
+          }
       }
-    }.map(s => (s.fileName, s.rowGroup)).toSet
-    val pairPlans = index.allFiles().flatMap { p =>
-      val rgs = p.scanRowGroups.filterNot(rg => pruned((p.fileName, rg)))
+    }
+    def keep(s: RowGroupStat): Boolean = {
+      if (head.nullsFirst && !s.nullCount.contains(0L)) return true
+      if (s.nullCount.contains(s.rowCount)) return false
+      bestOf(0, s) match {
+        case None => true
+        case Some(b1) =>
+          thr(0) match {
+            case None => true
+            case Some(t1) =>
+              val c = cmpAt(0, b1, t1)
+              if (c < 0) true else if (c > 0) false else atLevel(1, s)
+          }
+      }
+    }
+    val prunedSet = statsHead.filterNot(keep)
+      .map(s => (s.fileName, s.rowGroup)).toSet
+    val lexPlans = index.allFiles().flatMap { p =>
+      val rgs = p.scanRowGroups.filterNot(rg => prunedSet((p.fileName, rg)))
       if (rgs.isEmpty) None else Some(p.copy(scanRowGroups = rgs))
     }
-    intersectLead(pairPlans)
+    intersectShorter(lexPlans)
   }
+
+  /** Two-key convenience face of [[pruneLexN]] (the r9 surface; specs
+    * and callers with exactly two keys use it unchanged). */
+  def pruneLex2(
+      index: StatsIndex,
+      colA: String, descA: Boolean, nullsFirstA: Boolean,
+      colB: String, descB: Boolean, nullsFirstB: Boolean,
+      k: Long): Seq[FileScanPlan] =
+    pruneLexN(index,
+      Seq(SortKeySpec(colA, descA, nullsFirstA),
+        SortKeySpec(colB, descB, nullsFirstB)), k)
 
   private val codePointOrdering: Ordering[Any] = new Ordering[Any] {
     def compare(a: Any, b: Any): Int = {

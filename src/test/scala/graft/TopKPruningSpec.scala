@@ -514,6 +514,114 @@ class TopKPruningSpec extends SparkSpec {
       "pair pruning never beat leading-only — fixture not tie-heavy enough")
   }
 
+  test("three-key lexicographic top-k fires and beats the two-key prefix") {
+    val dir = sf("sf0.001")
+    val df = graft.operators.Indexed.lineitemComposite3(spark, dir)
+    val ord = Seq(col("l_returnflag").desc, col("l_linenumber").desc,
+      col("l_orderkey").desc, col("l_quantity").desc)
+    val got = df.orderBy(ord: _*).limit(10)
+      .select("l_returnflag", "l_linenumber", "l_orderkey", "l_quantity")
+      .collect()
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .orderBy(ord: _*).limit(10)
+      .select("l_returnflag", "l_linenumber", "l_orderkey", "l_quantity")
+      .collect()
+    assert(got === want)
+    val exec = graft.operators.Indexed.lastComposite3Execution(spark, dir).get
+    assert(exec.route ===
+      Seq("topk-lex3(l_returnflag,l_linenumber,l_orderkey)"),
+      s"lex3 rule did not fire: ${exec.route}")
+    // never worse than the two-key prefix, and a real prune vs the full
+    // set (at sf0.001 the ~8-group layout is tight enough that lex2
+    // already reaches the floor — the STRICT lex3-vs-lex2 win is pinned
+    // on the many-group synthetic fixture below)
+    val (index, _, _) = graft.operators.Indexed.composite3Fixture(spark, dir)
+    import graft.index.SortKeySpec
+    val keys2 = Seq(SortKeySpec("l_returnflag", desc = true, nullsFirst = false),
+      SortKeySpec("l_linenumber", desc = true, nullsFirst = false))
+    val kept2 = TopKPruning.pruneLexN(index, keys2, 10)
+      .map(_.scanRowGroups.size).sum
+    val total = index.allFiles().map(_.scanRowGroups.size).sum
+    assert(exec.scannedRowGroups <= kept2,
+      s"lex3 kept ${exec.scannedRowGroups}, two-key prefix kept $kept2")
+    assert(exec.scannedRowGroups < total,
+      s"lex3 pruned nothing (kept ${exec.scannedRowGroups} of $total)")
+  }
+
+  // three-key fixture: grp1 = i/1000 (4 values), grp2 = (i/100)%5
+  // (changes every 100 rows — both tie-heavy, constant within most
+  // 50-row groups), key noisy/increasing with ~10% nulls, id unique
+  private lazy val fx4: (String, DerbyStatsIndex, StructType) = {
+    val base = Files.createTempDirectory("graft-topk3").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    (0 until 4000)
+      .map { i =>
+        val v = i.toLong + ((i.toLong * 2971L) % 500L)
+        (i.toLong / 1000L, (i.toLong / 100L) % 5L,
+          if (v % 10 == 0) None else Some(v / 3), i.toLong)
+      }
+      .toDF("grp1", "grp2", "key", "id")
+      .coalesce(1)
+      .write.option("parquet.block.row.count.limit", "50")
+      .mode("overwrite").parquet(dir)
+    val (index, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("grp1", "grp2", "key", "id"), s"$base/statsdb")
+    (dir, index.asInstanceOf[DerbyStatsIndex], schema)
+  }
+
+  test("three-key pruning is sound across directions × k × null order and never worse than prefixes") {
+    val (dir, index, schema) = fx4
+    import graft.index.SortKeySpec
+    var anyNarrower = false
+    for {
+      descA <- Seq(true, false)
+      descB <- Seq(true, false)
+      descC <- Seq(true, false)
+      nfC <- Seq(true, false)
+      k <- Seq(1, 16, 200)
+    } {
+      val keys = Seq(
+        SortKeySpec("grp1", descA, nullsFirst = !descA),
+        SortKeySpec("grp2", descB, nullsFirst = !descB),
+        SortKeySpec("key", descC, nfC))
+      val plans = TopKPruning.pruneLexN(index, keys, k.toLong)
+      val viaPlanner = TopKPruning.pruneLexN(plannerOnly(index), keys, k.toLong)
+      assert(plans.map(p => p.fileName -> p.scanRowGroups).toMap ===
+        viaPlanner.map(p => p.fileName -> p.scanRowGroups).toMap,
+        s"descA=$descA descB=$descB descC=$descC nfC=$nfC k=$k: " +
+          "catalog and planner lex3 paths diverged")
+      val kept = plans.map(_.scanRowGroups.size).sum
+      val kept2 = TopKPruning.pruneLexN(index, keys.init, k.toLong)
+        .map(_.scanRowGroups.size).sum
+      assert(kept <= kept2,
+        s"descA=$descA descB=$descB descC=$descC nfC=$nfC k=$k: " +
+          s"lex3 kept $kept > two-key prefix $kept2")
+      if (kept < kept2) anyNarrower = true
+      def keyOrd(c: String, desc: Boolean, nf: Boolean) = (desc, nf) match {
+        case (true, true)   => col(c).desc_nulls_first
+        case (true, false)  => col(c).desc_nulls_last
+        case (false, true)  => col(c).asc_nulls_first
+        case (false, false) => col(c).asc_nulls_last
+      }
+      val ord = Seq(keyOrd("grp1", descA, !descA), keyOrd("grp2", descB, !descB),
+        keyOrd("key", descC, nfC), col("id").asc)
+      val got =
+        if (plans.isEmpty) Seq.empty
+        else RowGroupSkipScan.scan(spark, dir, plans, schema)
+          .orderBy(ord: _*).limit(k).select("grp1", "grp2", "key", "id")
+          .collect().toSeq
+      val want = spark.read.parquet(dir)
+        .orderBy(ord: _*).limit(k).select("grp1", "grp2", "key", "id")
+        .collect().toSeq
+      assert(got === want,
+        s"descA=$descA descB=$descB descC=$descC nfC=$nfC k=$k diverged " +
+          s"(kept $kept/$kept2)")
+    }
+    assert(anyNarrower,
+      "three-key pruning never beat the two-key prefix — fixture not tie-heavy enough")
+  }
+
   // NEAR-constant two-key fixture (r10): same shape as fx2, but ONE row
   // per 50-row group is perturbed to the adjacent grp value, so NO row
   // group has a constant leading key (min ≠ max everywhere). The pre-r10
