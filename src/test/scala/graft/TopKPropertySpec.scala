@@ -307,6 +307,99 @@ class TopKPropertySpec extends AnyFunSuite {
     check(prop, 500)
   }
 
+  /** Three-column corpus for the N-key property: leading keys biased
+    * toward clustered (constant / near-constant within a group) shapes
+    * over tiny domains — where the tuple certificate actually fires —
+    * mixed with fully random groups; all keys nullable. */
+  private val genLexGroups3
+      : Gen[List[List[(Option[Long], Option[Long], Option[Long])]]] = {
+    def keyGen(dom: Long) = Gen.frequency(
+      8 -> Gen.choose(0L, dom).map(Some(_): Option[Long]),
+      2 -> Gen.const(None: Option[Long]))
+    val clustered = for {
+      a <- Gen.choose(0L, 3L)
+      b <- Gen.choose(0L, 3L)
+      rows <- Gen.listOf(keyGen(20L).map(c => (Some(a): Option[Long],
+        Some(b): Option[Long], c)))
+    } yield rows
+    val nearConst = for {
+      a <- Gen.choose(0L, 3L)
+      rows <- Gen.listOf(Gen.zip(
+        Gen.frequency(9 -> Gen.const(Some(a): Option[Long]),
+          1 -> Gen.choose(0L, 3L).map(Some(_): Option[Long])),
+        keyGen(3L), keyGen(20L)))
+    } yield rows
+    val mixed = Gen.listOf(Gen.zip(keyGen(3L), keyGen(3L), keyGen(20L)))
+    Gen.nonEmptyListOf(
+      Gen.frequency(4 -> clustered, 3 -> nearConst, 3 -> mixed)).map(_.take(40))
+  }
+
+  private def fakeIndex3(
+      groups: List[List[(Option[Long], Option[Long], Option[Long])]]): StatsIndex = {
+    val schema = StructType(Seq(StructField("a", LongType),
+      StructField("b", LongType), StructField("c", LongType)))
+    val plans = groups.indices.map(i =>
+      FileScanPlan(f"g$i%03d", 1024L, 1, SortedSet(0)))
+    def statsOf(sel: ((Option[Long], Option[Long], Option[Long])) => Option[Long]) =
+      groups.zipWithIndex.map { case (rows, i) =>
+        val defined = rows.map(sel).flatten
+        RowGroupStat(f"g$i%03d", 0,
+          defined.minOption, defined.maxOption,
+          rows.size.toLong, Some((rows.size - defined.size).toLong))
+      }
+    val byCol = Map("a" -> statsOf(_._1), "b" -> statsOf(_._2), "c" -> statsOf(_._3))
+    new StatsIndex {
+      def initialize(s: StructType): Unit = ()
+      def addFile(st: FileStats): Unit = ()
+      def retainOnly(f: Set[String]): Unit = ()
+      def removeFiles(f: Set[String]): Unit = ()
+      def getFiles(p: org.apache.spark.sql.catalyst.expressions.Expression) =
+        plans
+      def allFiles() = plans
+      def indexedSchema: StructType = schema
+      override def rowGroupStats(c: String) = Some(byCol(c))
+      def close(): Unit = ()
+    }
+  }
+
+  test("three-key pruning never loses a top-k tuple (directions × k × null orders)") {
+    val genFlags = Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false))
+    val prop = Prop.forAll(
+      genLexGroups3, Gen.choose(1, 50), genFlags, genFlags, genFlags) {
+      (groups, k, fa, fb, fc) =>
+        val index = fakeIndex3(groups)
+        import graft.index.SortKeySpec
+        val keys = Seq(SortKeySpec("a", fa._1, fa._2),
+          SortKeySpec("b", fb._1, fb._2), SortKeySpec("c", fc._1, fc._2))
+        val kept = TopKPruning.pruneLexN(index, keys, k.toLong)
+          .map(_.fileName).toSet
+        def cmp(a: Option[Long], b: Option[Long], desc: Boolean, nf: Boolean): Int =
+          (a, b) match {
+            case (None, None) => 0
+            case (None, _)    => if (nf) -1 else 1
+            case (_, None)    => if (nf) 1 else -1
+            case (Some(x), Some(y)) =>
+              if (desc) java.lang.Long.compare(y, x)
+              else java.lang.Long.compare(x, y)
+          }
+        val ord = new Ordering[(Option[Long], Option[Long], Option[Long])] {
+          def compare(p: (Option[Long], Option[Long], Option[Long]),
+              q: (Option[Long], Option[Long], Option[Long])): Int = {
+            val c1 = cmp(p._1, q._1, fa._1, fa._2)
+            if (c1 != 0) return c1
+            val c2 = cmp(p._2, q._2, fb._1, fb._2)
+            if (c2 != 0) return c2
+            cmp(p._3, q._3, fc._1, fc._2)
+          }
+        }
+        val all = groups.zipWithIndex.flatMap { case (rows, i) =>
+          rows.map(r => (f"g$i%03d", r)) }
+        val keptRows = all.filter(r => kept(r._1)).map(_._2)
+        all.map(_._2).sorted(ord).take(k) == keptRows.sorted(ord).take(k)
+    }
+    check(prop, 500)
+  }
+
   test("hex shadow encoding is order-preserving for arbitrary unicode strings") {
     // the string catalog fast path rests on this invariant: lexicographic
     // comparison of hex(s) — ASCII-only, so Derby's UTF-16-code-unit
