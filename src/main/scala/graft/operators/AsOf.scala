@@ -56,6 +56,53 @@ object AsOf {
              |FROM probe p ASOF LEFT JOIN ref r
              |  ON p.user_id = r.user_id AND p.us >= r.us""".stripMargin)),
 
+    // ----- as-of join with TOLERANCE ----------------------------------------
+    // ao1's pandas `merge_asof(tolerance=...)` / kdb `wj` variant: the
+    // most recent same-key reference at or before the probe COUNTS ONLY
+    // within a 5-minute window — staler references yield no match (the
+    // market-data and feature-store semantics: a quote/feature too old is
+    // no quote at all). Same single sort-within-key pass as ao1 — the
+    // window carries the candidate's (id, ts) struct and the tolerance is
+    // one codegen comparison after the pick, NEVER a range join (the
+    // nearest-at-or-before candidate is the only one that could be in
+    // window, so filtering after the pick is exact).
+    QueryDef(
+      "ao2_asof_tolerance",
+      (s, dir) => {
+        val tolUs = 300L * 1000 * 1000
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"))
+        val probe = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("us"), lit(1).as("side"))
+        val ref = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "us").agg(max(col("event_id")).as("ref_id"))
+          .select(col("ref_id").as("event_id"), col("user_id"), col("us"),
+            lit(0).as("side"))
+        val merged = probe
+          .withColumn("cand", lit(null).cast("struct<rid:long,rus:long>"))
+          .unionByName(ref.withColumn("cand",
+            struct(col("event_id").as("rid"), col("us").as("rus"))))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us").asc, col("side").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        merged
+          .withColumn("pick", last(col("cand"), ignoreNulls = true).over(w))
+          .where(col("side") === 1)
+          .select(col("event_id"), col("user_id"),
+            when(col("us") - col("pick.rus") <= tolUs, col("pick.rid"))
+              .as("asof_ref"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+             |    event_type FROM events),
+             |probe AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'click'),
+             |ref AS (SELECT user_id, us, max(event_id) AS ref_id FROM ev
+             |        WHERE event_type = 'view' GROUP BY user_id, us)
+             |SELECT p.event_id, p.user_id,
+             |  CASE WHEN p.us - r.us <= 300000000 THEN r.ref_id END AS asof_ref
+             |FROM probe p ASOF LEFT JOIN ref r
+             |  ON p.user_id = r.user_id AND p.us >= r.us""".stripMargin)),
+
     // ----- bucketed range join ----------------------------------------------
     // For each purchase, the number of clicks by the same user in the
     // preceding 10 minutes. A naive range join is a per-key cross product;

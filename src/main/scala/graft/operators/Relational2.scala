@@ -626,6 +626,32 @@ object Relational2 {
              |  ntile(10) OVER w AS decile
              |FROM customer
              |WINDOW w AS (PARTITION BY c_nationkey
-             |             ORDER BY c_acctbal, c_custkey)""".stripMargin))
+             |             ORDER BY c_acctbal, c_custkey)""".stripMargin)),
+
+    // ----- correlated LATERAL subquery (q44) --------------------------------
+    // The SQL-standard lateral join through Spark 4's SQL surface: per
+    // outer row (nation), a correlated derived table — here the nation's
+    // top-2 customers by account balance, the canonical per-group top-N
+    // written as LATERAL instead of a window. Catalyst decorrelates this
+    // into the window/aggregate shape (no per-row re-execution, no
+    // driver loop); the unique-key tiebreak makes the LIMIT 2 cut
+    // deterministic and hash-exact. DuckDB runs the identical statement.
+    QueryDef(
+      "q44_lateral",
+      (s, dir) => {
+        Tables.register(s, dir, "nation", "customer")
+        s.sql("""SELECT n.n_name, t.c_custkey, t.c_acctbal
+                |FROM nation n,
+                |LATERAL (
+                |  SELECT c_custkey, c_acctbal FROM customer
+                |  WHERE c_nationkey = n.n_nationkey
+                |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+      },
+      Some("""SELECT n.n_name, t.c_custkey, t.c_acctbal
+             |FROM nation n,
+             |LATERAL (
+             |  SELECT c_custkey, c_acctbal FROM customer
+             |  WHERE c_nationkey = n.n_nationkey
+             |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin))
   )
 }

@@ -220,6 +220,24 @@ class PlanShapeSpec extends SparkSpec {
       s"the dimension side must not shuffle:\n${p.take(3000)}")
   }
 
+  test("q44: lateral decorrelates to WindowGroupLimit — no per-row re-execution") {
+    val p = plan("q44_lateral")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-group top-N must keep a bounded heap:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral must not plan as a nested loop:\n${p.take(3000)}")
+  }
+
+  test("ao2: tolerance as-of stays one sort-within-key pass — no range join") {
+    val p = plan("ao2_asof_tolerance")
+    // ao1's shape: the ref-side (user, ts) dedupe agg + the user-keyed
+    // window — and NO join anywhere (a range join would explode pairs)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected the dedupe + window exchanges only:\n${p.take(3000)}")
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n${p.take(3000)}")
+  }
+
   test("dd14: segment construction is map-only; text shuffles as segments exactly once") {
     val p = plan("dd14_segment_dedup")
     // exchanges: the seg-keyed window and the doc-keyed reassembly agg —
