@@ -96,7 +96,12 @@ final class DerbyStatsIndex(
         // per-row-group bloom, attached post-ingest by BloomIndex.build;
         // NULL until then ("unknown ⇒ might match" like every other stat)
         (if (bloomCols.contains(f.name))
-           Seq(s"${f.name}_bloom VARCHAR(32672) FOR BIT DATA") else Nil)
+           Seq(s"${f.name}_bloom VARCHAR(32672) FOR BIT DATA") else Nil) ++
+        // value-frequency shadow (rows at the real min / max), attached
+        // post-ingest by FreqShadow.build; NULL until then
+        (if (FreqShadow.supported(f.dataType))
+           Seq(s"${f.name}_min_freq BIGINT", s"${f.name}_max_freq BIGINT")
+         else Nil)
     }
     createIfMissing(
       s"""CREATE TABLE row_group_statistics (
@@ -123,6 +128,14 @@ final class DerbyStatsIndex(
           |RETURNS INTEGER LANGUAGE JAVA PARAMETER STYLE JAVA NO SQL DETERMINISTIC
           |RETURNS NULL ON NULL INPUT
           |EXTERNAL NAME 'graft.index.BloomProbe.mightContainString'""".stripMargin)
+    }
+    // upgrade path: freq shadow columns on a catalog created before they
+    // existed (X0Y32 = column already there — the normal case)
+    indexedCols.filter(f => FreqShadow.supported(f.dataType)).foreach { f =>
+      Seq(s"${f.name}_min_freq BIGINT", s"${f.name}_max_freq BIGINT").foreach { c =>
+        try st.execute(s"ALTER TABLE row_group_statistics ADD COLUMN $c")
+        catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      }
     }
     st.close()
   }
@@ -617,10 +630,14 @@ final class DerbyStatsIndex(
     * rows (a UNION ALL): a TUPLE row whose level-i value is the group's
     * own bound when levels 2..i are all consecutively certified (bound +
     * null count known — ANY such group certifies its prefix tuple,
-    * constant leading key or not), NULL below the certified prefix; and
-    * a leading-only remainder row (the whole group when level 2 is
+    * constant leading key or not), NULL below the certified prefix; a
+    * leading-only remainder row (the whole group when level 2 is
     * uncertified; the nulls-last deeper-key null remainder otherwise, a
-    * disjoint row set that only loses its tie). Walk order is leading-
+    * disjoint row set that only loses its tie); and, when the
+    * [[FreqShadow]] is built and the stored extreme is verbatim-exact,
+    * a DOMINANT-slice row certifying the rows AT the leading best value
+    * at that value itself (branch 3 — the three counts split the
+    * group's non-null-leading rows disjointly). Walk order is leading-
     * best first, concrete level values before -inf at every tie (the
     * f_i flags), (file_id, row_group) tiebreakers for stable paging.
     * The survivor query mirrors pruneLexN's keep logic: strict losers
@@ -647,16 +664,36 @@ final class DerbyStatsIndex(
     // non-null-leading rows; clamped like the planner side
     val baseCnt =
       s"(CASE WHEN rg.row_count - $aNc < 0 THEN 0 ELSE rg.row_count - $aNc END)"
-    // tuple-candidate count: subtract each nulls-last level's null count
-    // while the prefix reaches it (conservative -- joint nulls may
-    // double-subtract, never over-count)
-    val subs = (1 until n).filterNot(keys(_).nullsFirst)
-      .map(i => s" - (CASE WHEN ${certUpTo(i)} THEN ${nc(i)} ELSE 0 END)")
-    val rawFull = s"rg.row_count - $aNc" + subs.mkString
-    val cnt1 = s"(CASE WHEN ($rawFull) < 0 THEN 0 ELSE ($rawFull) END)"
+    // nulls-last deeper levels' null counts, summed while the prefix
+    // reaches them (conservative -- joint nulls may double-subtract,
+    // never over-count)
+    val sTerms = (1 until n).filterNot(keys(_).nullsFirst)
+      .map(i => s"(CASE WHEN ${certUpTo(i)} THEN ${nc(i)} ELSE 0 END)")
+    val sExpr = if (sTerms.isEmpty) "0" else sTerms.mkString("(", " + ", ")")
+    // DOMINANT-slice count from the FreqShadow (0 when unbuilt or when
+    // the stored extreme is not verbatim-exact — string minima): rows at
+    // the leading best value, minus the nulls-last remainder, clamped
+    val headField = indexedCols.find(_.name == keys(0).col)
+    val headIsString = headField.exists(_.dataType == StringType)
+    val freqUsable = headField.exists(f => FreqShadow.supported(f.dataType)) &&
+      (!headIsString || keys(0).desc)
+    val cntB =
+      if (!freqUsable) "0"
+      else {
+        val fq =
+          if (keys(0).desc) s"rg.${keys(0).col}_max_freq"
+          else s"rg.${keys(0).col}_min_freq"
+        val capped = s"(CASE WHEN $fq > $baseCnt THEN $baseCnt ELSE $fq END)"
+        s"""(CASE WHEN $fq IS NULL THEN 0
+           |      WHEN ($capped - $sExpr) < 0 THEN 0
+           |      ELSE ($capped - $sExpr) END)""".stripMargin
+      }
+    val rawFull = s"($baseCnt - $sExpr - $cntB)"
+    val cnt1 = s"(CASE WHEN $rawFull < 0 THEN 0 ELSE $rawFull END)"
     val cnt2 =
-      s"(CASE WHEN ${cert(1)} THEN ($baseCnt - $cnt1) ELSE $baseCnt END)"
-    val branch2Where = s"(NOT ${cert(1)} OR ($baseCnt - $cnt1) > 0)"
+      s"""(CASE WHEN ${cert(1)} THEN ($baseCnt - $cntB - $cnt1)
+         |      ELSE ($baseCnt - $cntB) END)""".stripMargin
+    val branch2Where = s"(NOT ${cert(1)} OR ($baseCnt - $cntB - $cnt1) > 0)"
     // branch-1 level columns: flag 0 + bound while the prefix holds;
     // branch-2: flag 1 + typed NULL at every deeper level
     val sel1 = (1 until n).map(i =>
@@ -676,20 +713,27 @@ final class DerbyStatsIndex(
       val page = 1024
       while (!found) {
         val st = conn.prepareStatement(
-          s"""SELECT s0, $outCols, cnt, fid, rgn FROM (
+          s"""SELECT s0, $outCols, cnt, fid, rgn, bno FROM (
              |  SELECT rg.${guar(0)} AS s0,
              |    $sel1,
-             |    $cnt1 AS cnt, rg.file_id AS fid, rg.row_group AS rgn
+             |    $cnt1 AS cnt, rg.file_id AS fid, rg.row_group AS rgn, 1 AS bno
              |  FROM row_group_statistics rg
              |  WHERE rg.${guar(0)} IS NOT NULL AND $aNc IS NOT NULL AND ${cert(1)}
              |  UNION ALL
              |  SELECT rg.${guar(0)},
              |    $sel2,
-             |    $cnt2, rg.file_id, rg.row_group
+             |    $cnt2, rg.file_id, rg.row_group, 2
              |  FROM row_group_statistics rg
              |  WHERE rg.${guar(0)} IS NOT NULL AND $aNc IS NOT NULL AND $branch2Where
+             |  UNION ALL
+             |  SELECT rg.${best(0)},
+             |    $sel1,
+             |    $cntB, rg.file_id, rg.row_group, 3
+             |  FROM row_group_statistics rg
+             |  WHERE rg.${best(0)} IS NOT NULL AND rg.${guar(0)} IS NOT NULL
+             |    AND $aNc IS NOT NULL AND $cntB > 0
              |) t
-             |ORDER BY s0 ${dir(0)}, $orderLvls, fid, rgn
+             |ORDER BY s0 ${dir(0)}, $orderLvls, fid, rgn, bno
              |OFFSET $offset ROWS FETCH NEXT $page ROWS ONLY""".stripMargin)
         var nRows = 0
         try {
@@ -757,10 +801,14 @@ final class DerbyStatsIndex(
       if (indexedCols.exists(f => f.name == colName && f.dataType == BinaryType))
         return None
       val st = conn.createStatement()
-      try {
+      val withFreq = indexedCols.exists(f =>
+        f.name == colName && FreqShadow.supported(f.dataType))
+      def query(freq: Boolean): Seq[RowGroupStat] = {
+        val freqSel =
+          if (freq) s", rg.${colName}_min_freq, rg.${colName}_max_freq" else ""
         val rs = st.executeQuery(
           s"""SELECT f.file_name, rg.row_group, rg.${colName}_min,
-             |  rg.${colName}_max, rg.row_count, rg.${colName}_null_count
+             |  rg.${colName}_max, rg.row_count, rg.${colName}_null_count$freqSel
              |FROM row_group_statistics rg
              |JOIN file_statistics f ON rg.file_id = f.file_id""".stripMargin)
         val buf = mutable.ArrayBuffer.empty[RowGroupStat]
@@ -769,11 +817,22 @@ final class DerbyStatsIndex(
           val mx = Option(rs.getObject(4))
           val rows = rs.getLong(5)
           val nulls = { val n = rs.getLong(6); if (rs.wasNull()) None else Some(n) }
-          buf += RowGroupStat(rs.getString(1), rs.getInt(2), mn, mx, rows, nulls)
+          def optLong(i: Int): Option[Long] =
+            if (!freq) None
+            else { val v = rs.getLong(i); if (rs.wasNull()) None else Some(v) }
+          buf += RowGroupStat(rs.getString(1), rs.getInt(2), mn, mx, rows, nulls,
+            optLong(7), optLong(8))
         }
         rs.close()
-        Some(buf.toSeq)
-      } catch {
+        buf.toSeq
+      }
+      try Some(query(withFreq))
+      catch {
+        case _: java.sql.SQLException if withFreq =>
+          // a catalog created before the freq shadow existed and never
+          // re-initialized: read without it rather than degrading outright
+          try Some(query(freq = false))
+          catch { case _: java.sql.SQLException => None }
         case _: java.sql.SQLException => None
       } finally st.close()
     }

@@ -36,7 +36,18 @@ final case class RowGroupStat(
     min: Option[Any],
     max: Option[Any],
     rowCount: Long,
-    nullCount: Option[Long])
+    nullCount: Option[Long],
+    // VALUE-FREQUENCY shadow (optional, data-scan ingest via
+    // [[FreqShadow.build]]): count of rows equal to the column's real
+    // minimum / maximum in this row group. NULL until built. Lets the
+    // lexicographic top-k walk certify a DOMINANT-value group's best
+    // slice at the extreme itself instead of the whole group at its
+    // weaker guarantee bound. Sound pairing with the STORED extreme
+    // requires the stored value to be verbatim-exact — integrals always,
+    // strings only on the max side (minima may be truncated), which is
+    // exactly the rule [[graft.prune.TopKPruning.pruneLexN]] applies.
+    minFreq: Option[Long] = None,
+    maxFreq: Option[Long] = None)
 
 /** One sort key of a lexicographic top-k: column, direction, null order
   * (mirrors Catalyst's `SortOrder` in catalog terms). */

@@ -456,6 +456,28 @@ object Indexed {
              |  l_quantity DESC
              |LIMIT 10""".stripMargin)),
 
+    // Two-key top-k over the FREQ-SHADOW fixture (idx23): same query
+    // shape as idx21, but the catalog additionally carries per-group
+    // value frequencies (index/FreqShadow — a data-scan build step like
+    // blooms), so band-boundary row groups certify their DOMINANT slice
+    // at the band value itself instead of the whole group at its weaker
+    // min/max bound. Same topk-lex2 route; the walk's third (dominant-
+    // slice) branch is what fires — TopKPruningSpec pins the strict
+    // narrowing on a dominant-value fixture and catalog==planner parity
+    // with frequencies live.
+    QueryDef(
+      "idx23_topk_freq",
+      (s, dir) => lineitemCompositeFreq(s, dir)
+        .orderBy(col("l_returnflag").desc, col("l_orderkey").desc,
+          col("l_linenumber").desc, col("l_quantity").desc)
+        .limit(10)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+             |FROM lineitem
+             |ORDER BY l_returnflag DESC, l_orderkey DESC, l_linenumber DESC,
+             |  l_quantity DESC
+             |LIMIT 10""".stripMargin)),
+
     // N-dimensional z-order with rank-binning (sources/ZOrderLayout.writeN):
     // a 3-d BOX over the 3-col Morton layout, third dimension a FLOAT
     // (l_extendedprice) rank-binned to dense ints by one approx-quantile
@@ -637,6 +659,49 @@ object Indexed {
       val (index, dataSchema) = IndexedParquet.buildIndex(
         spark, dataDir, Seq("l_returnflag", "l_orderkey"),
         s"$base/statsdb-comp-v2")
+      val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
+      Entry(df, fileIndex, dataDir, index, dataSchema)
+    })
+
+  private val compFreqCache = TrieMap.empty[String, Entry]
+
+  /** The (l_returnflag, l_orderkey) clustered layout of
+    * [[lineitemComposite]] with the VALUE-FREQUENCY shadow built on both
+    * keys (graft.index.FreqShadow — one data-scan task per row group,
+    * counting rows at each group's real extremes). Band-boundary groups
+    * then certify their dominant slice AT the band value instead of the
+    * whole group at the weaker bound — the idx23 fixture. */
+  def lineitemCompositeFreq(spark: SparkSession, sfDir: String): DataFrame =
+    compFreqEntry(spark, sfDir).df
+
+  def lastCompositeFreqExecution(spark: SparkSession, sfDir: String) =
+    compFreqEntry(spark, sfDir).fileIndex.lastExecution
+
+  private def compFreqEntry(spark: SparkSession, sfDir: String): Entry =
+    compFreqCache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
+      val dataDir = s"$base/lineitem-compfreq-v1"
+      val db = s"$base/statsdb-compfreq-v1"
+      val fresh = !Files.exists(Paths.get(dataDir, "_SUCCESS"))
+      if (fresh) {
+        rmrf(new java.io.File(db))
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .repartitionByRange(8, col("l_returnflag"), col("l_orderkey"))
+          .sortWithinPartitions("l_returnflag", "l_orderkey")
+          .write.mode("overwrite")
+          .option("parquet.block.row.count.limit", "2048")
+          .option("parquet.block.size", (1L * 1024 * 1024).toString)
+          .parquet(dataDir)
+      }
+      val (index, dataSchema) = IndexedParquet.buildIndex(
+        spark, dataDir, Seq("l_returnflag", "l_orderkey"), db)
+      // idempotent per session (the cache above): a catalog carried over
+      // from an earlier session gets its frequencies (re)attached too
+      graft.index.FreqShadow.build(spark, dataDir, index.allFiles(),
+        dataSchema, "l_returnflag", db)
+      graft.index.FreqShadow.build(spark, dataDir, index.allFiles(),
+        dataSchema, "l_orderkey", db)
       val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
       Entry(df, fileIndex, dataDir, index, dataSchema)
     })

@@ -409,7 +409,13 @@ object TopKPruning {
     * nulls-LAST deeper key within the prefix lose ties there, so their
     * count (conservatively, the sum of those levels' null counts) SPLITS
     * into a disjoint (g1, −∞, …) candidate; nulls-first nulls win their
-    * ties and count with the tuple.
+    * ties and count with the tuple. When the [[graft.index.FreqShadow]]
+    * is built, a third disjoint candidate certifies the group's
+    * DOMINANT slice — the rows AT the leading key's stored best value —
+    * at (best, g2, …) itself, lifting near-constant groups whose
+    * guarantee bound is far below where most of their rows sit (only
+    * where the stored extreme is verbatim-exact: integrals always,
+    * strings on the max side).
     * Walk tuples best-first, accumulate to k; survivors must have best
     * tuple not strictly lex-worse than the threshold, decided by
     * recursive descent: strictly worse at a level prunes, a tie descends
@@ -473,10 +479,21 @@ object TopKPruning {
       if (keys(i).desc) st.max else st.min
 
     // per-group guarantees: (tuple, count), up to TWO disjoint candidates
-    // per group (see scaladoc). Counts are clamped conservative; the two
-    // counts sum to the group's non-null-leading rows, each met by an
-    // assignment of distinct rows.
+    // per group (see scaladoc), plus — when the FreqShadow is built — a
+    // DOMINANT-slice candidate: the rows sitting AT the leading key's
+    // stored best value certify (best, g2, …) outright. Counts are
+    // clamped conservative; the (up to three) counts sum to the group's
+    // non-null-leading rows, each met by an assignment of distinct rows
+    // (a row claimed by a weaker candidate that actually satisfies a
+    // stronger one still satisfies the weaker claim).
     type Tup = Vector[Option[Any]]
+    // a frequency pairs soundly with the STORED extreme only when that
+    // extreme is verbatim-exact: integrals always; strings only on the
+    // max side (stored minima may be truncated — pairing a count with a
+    // LOWER bound would claim rows at a better value than they hold)
+    val headIsString = index.indexedSchema.fields
+      .find(_.name == head.col).exists(_.dataType == StringType)
+    val freqUsable = !headIsString || head.desc
     val cand = scala.collection.mutable.ArrayBuffer.empty[(Tup, Long)]
     statsHead.foreach { s =>
       for {
@@ -497,16 +514,21 @@ object TopKPruning {
             case _ => go = false
           }
         }
-        val tup: Tup = gs.toVector ++ Vector.fill(n - gs.size)(None)
-        if (gs.sizeIs == 1) cand += ((tup, base))
-        else {
-          val c1 = math.max(base - sub, 0L)
-          val c2 = base - c1
-          cand += ((tup, c1))
-          if (c2 > 0)
-            cand += ((Vector[Option[Any]](Some(ga)) ++
-              Vector.fill(n - 1)(None), c2))
+        val bestVal = bestOf(0, s)
+        val fbRaw: Long = (if (head.desc) s.maxFreq else s.minFreq) match {
+          case Some(f) if freqUsable && bestVal.isDefined => math.min(f, base)
+          case _ => 0L
         }
+        val fb = math.max(fbRaw - sub, 0L)
+        val c1 = math.max(base - sub - fb, 0L)
+        val c2 = base - fb - c1
+        if (fb > 0)
+          cand += ((Vector(bestVal) ++ gs.toVector.tail ++
+            Vector.fill(n - gs.size)(None), fb))
+        cand += ((gs.toVector ++ Vector.fill(n - gs.size)(None), c1))
+        if (c2 > 0)
+          cand += ((Vector[Option[Any]](Some(ga)) ++
+            Vector.fill(n - 1)(None), c2))
       }
     }
     // best-first lex order: concrete bounds before −∞ at every tie

@@ -135,9 +135,13 @@ class TopKPropertySpec extends AnyFunSuite {
     def statsOf(sel: ((Option[Long], Option[Long])) => Option[Long]) =
       groups.zipWithIndex.map { case (rows, i) =>
         val defined = rows.map(sel).flatten
+        // exact value frequencies: the lex walks' FreqShadow branch runs
+        // on every generated case where the extremes exist
         RowGroupStat(f"g$i%03d", 0,
           defined.minOption, defined.maxOption,
-          rows.size.toLong, Some((rows.size - defined.size).toLong))
+          rows.size.toLong, Some((rows.size - defined.size).toLong),
+          defined.minOption.map(m => defined.count(_ == m).toLong),
+          defined.maxOption.map(m => defined.count(_ == m).toLong))
       }
     val kStats = statsOf(_._1)
     val fStats = statsOf(_._2)
@@ -343,9 +347,12 @@ class TopKPropertySpec extends AnyFunSuite {
     def statsOf(sel: ((Option[Long], Option[Long], Option[Long])) => Option[Long]) =
       groups.zipWithIndex.map { case (rows, i) =>
         val defined = rows.map(sel).flatten
+        // exact value frequencies — exercises the dominant-slice branch
         RowGroupStat(f"g$i%03d", 0,
           defined.minOption, defined.maxOption,
-          rows.size.toLong, Some((rows.size - defined.size).toLong))
+          rows.size.toLong, Some((rows.size - defined.size).toLong),
+          defined.minOption.map(m => defined.count(_ == m).toLong),
+          defined.maxOption.map(m => defined.count(_ == m).toLong))
       }
     val byCol = Map("a" -> statsOf(_._1), "b" -> statsOf(_._2), "c" -> statsOf(_._3))
     new StatsIndex {

@@ -700,6 +700,79 @@ class TopKPruningSpec extends SparkSpec {
         "near-constant fixture — the r10 generalization regressed")
   }
 
+  // DOMINANT-value fixture (late r10): every 50-row group holds 40 rows
+  // of its own band and 10 bled from the PREVIOUS one (min = band-1
+  // freq 10, max = band freq 40) — the shape where the generalized
+  // certificate still anchors at the weak min guarantee but the
+  // FreqShadow can certify the dominant slice AT the max
+  private lazy val fx5: (String, DerbyStatsIndex, StructType, String) = {
+    val base = Files.createTempDirectory("graft-topk-freq").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    (0 until 4000)
+      .map { i =>
+        val band = i.toLong / 500L
+        val grp = if (i % 50 < 10 && band > 0) band - 1 else band
+        val v = i.toLong + ((i.toLong * 2971L) % 500L)
+        (grp, if (v % 10 == 0) None else Some(v / 3), i.toLong)
+      }
+      .toDF("grp", "key", "id")
+      .coalesce(1)
+      .write.option("parquet.block.row.count.limit", "50")
+      .mode("overwrite").parquet(dir)
+    val db = s"$base/statsdb"
+    val (index, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("grp", "key", "id"), db)
+    (dir, index.asInstanceOf[DerbyStatsIndex], schema, db)
+  }
+
+  test("freq shadow certifies dominant slices — strictly fewer groups, still sound") {
+    val (dir, index, schema, db) = fx5
+    import graft.index.{FreqShadow, SortKeySpec}
+    val keys = Seq(SortKeySpec("grp", desc = true, nullsFirst = false),
+      SortKeySpec("key", desc = true, nullsFirst = false))
+    val keptBefore = TopKPruning.pruneLexN(index, keys, 16L)
+      .map(_.scanRowGroups.size).sum
+    FreqShadow.build(spark, dir, index.allFiles(), schema, "grp", db)
+    val keptAfter = TopKPruning.pruneLexN(index, keys, 16L)
+      .map(_.scanRowGroups.size).sum
+    assert(keptAfter < keptBefore,
+      s"freq shadow did not narrow: $keptAfter vs $keptBefore")
+    // soundness + catalog==planner parity across directions and ks,
+    // with the shadow live
+    var anyNarrower = false
+    for {
+      descA <- Seq(true, false)
+      descB <- Seq(true, false)
+      k <- Seq(1, 16, 200)
+    } {
+      val ks = Seq(SortKeySpec("grp", descA, !descA),
+        SortKeySpec("key", descB, nullsFirst = false))
+      val plans = TopKPruning.pruneLexN(index, ks, k.toLong)
+      val viaPlanner = TopKPruning.pruneLexN(plannerOnly(index), ks, k.toLong)
+      assert(plans.map(p => p.fileName -> p.scanRowGroups).toMap ===
+        viaPlanner.map(p => p.fileName -> p.scanRowGroups).toMap,
+        s"descA=$descA descB=$descB k=$k: catalog and planner diverged with freqs")
+      if (plans.map(_.scanRowGroups.size).sum <
+          TopKPruning.prune(index, "grp", k.toLong, descA, !descA)
+            .map(_.scanRowGroups.size).sum) anyNarrower = true
+      val ord = Seq(
+        if (descA) col("grp").desc else col("grp").asc,
+        if (descB) col("key").desc_nulls_last else col("key").asc_nulls_last,
+        col("id").asc)
+      val got =
+        if (plans.isEmpty) Seq.empty
+        else RowGroupSkipScan.scan(spark, dir, plans, schema)
+          .orderBy(ord: _*).limit(k).select("grp", "key", "id")
+          .collect().toSeq
+      val want = spark.read.parquet(dir)
+        .orderBy(ord: _*).limit(k).select("grp", "key", "id")
+        .collect().toSeq
+      assert(got === want, s"descA=$descA descB=$descB k=$k diverged with freqs")
+    }
+    assert(anyNarrower)
+  }
+
   test("composite certification fails closed on an unclustered filter column") {
     val (_, index, schema) = fx
     // skey (s-<v%97>) varies inside every 50-row group — no group can be
