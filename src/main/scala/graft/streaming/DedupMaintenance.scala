@@ -56,7 +56,7 @@ object DedupMaintenance {
     * small batch touches a handful of buckets and the read skips the
     * rest of the store outright, instead of columnar-scanning all of
     * it (the round-9 self-identified limit (c)). */
-  private[graft] val BandBuckets = 64
+  private[graft] val BandBuckets = 32
 
   private def bandBucket: Column =
     pmod(hash(col("band"), col("bkey")), lit(BandBuckets))
@@ -91,19 +91,6 @@ object DedupMaintenance {
         Seq.empty[(Long, Long)].toDF("doc_id", "component")
     }
 
-  /** Candidate pairs the arriving batch adds: every (store doc, batch
-    * doc) sharing a band bucket — the batch side BROADCAST so the band
-    * store never shuffles (the spec pins the plan shape). Because the
-    * batch's own bands are already in the store, this single join also
-    * yields the batch-internal pairs; both orientations of those are
-    * emitted and collapse in the label propagation's symmetrization. */
-  /** The band store restricted to the bucket partitions the batch's
-    * band keys hash into — a partition-PRUNED read (the plan's scan
-    * carries `PartitionFilters: bucket IN (...)`, pinned by
-    * StreamingDedupSpec), sound because the bucket is a pure function
-    * of the join key (band, bkey). Reads go through [[storeDirs]] so a
-    * compacted `base-<m>` fold participates like any batch dir. The
-    * bucket set is collected driver-side: ≤ [[BandBuckets]] values. */
   /** The whole band store as one DataFrame: each live dir (batch dirs +
     * optional compacted base) read separately — partition discovery
     * must anchor per root, the dirs are siblings — and unioned. A
@@ -114,6 +101,13 @@ object DedupMaintenance {
       .map(d => spark.read.parquet(d.toString))
       .reduce(_.unionByName(_))
 
+  /** The band store restricted to the bucket partitions the batch's
+    * band keys hash into — a partition-PRUNED read (the plan's scan
+    * carries `PartitionFilters: bucket IN (...)`, pinned by
+    * StreamingDedupSpec), sound because the bucket is a pure function
+    * of the join key (band, bkey). Reads go through [[storeDirs]] so a
+    * compacted `base-<m>` fold participates like any batch dir. The
+    * bucket set is collected driver-side: ≤ [[BandBuckets]] values. */
   private[graft] def prunedBandStore(spark: org.apache.spark.sql.SparkSession,
       artifactDir: String, batchBands: DataFrame,
       hconf: SerializableConfiguration): DataFrame = {
@@ -124,6 +118,12 @@ object DedupMaintenance {
       .select("band", "bkey", "doc_id")
   }
 
+  /** Candidate pairs the arriving batch adds: every (store doc, batch
+    * doc) sharing a band bucket — the batch side BROADCAST so the band
+    * store never shuffles (the spec pins the plan shape). Because the
+    * batch's own bands are already in the store, this single join also
+    * yields the batch-internal pairs; both orientations of those are
+    * emitted and collapse in the label propagation's symmetrization. */
   private[graft] def newPairs(allBands: DataFrame, batchBands: DataFrame): DataFrame =
     allBands.withColumnRenamed("doc_id", "a")
       .join(broadcast(batchBands.withColumnRenamed("doc_id", "b")),
@@ -194,7 +194,12 @@ object DedupMaintenance {
       // partition discovery anchored per root
       val folded = fold(inputs.map(p => spark.read.parquet(p.toString))
         .reduce(_.unionByName(_)))
-      val w = folded.write.mode("overwrite")
+      // one file per partition value in the fold (see commitBatch's
+      // band-write note on the tasks × values fan-out)
+      val arranged =
+        if (partitionCols.nonEmpty) folded.repartition(partitionCols.map(col): _*)
+        else folded
+      val w = arranged.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(new Path(root, s"base-$m1").toString)
       // the fold is live; sweep its inputs (harmless if this crashes)
@@ -326,8 +331,14 @@ object DedupMaintenance {
     val batchBands = Dedup.bandKeysMapOnly(docs.select(col("doc_id"), col("text")))
       .persist()
     try {
-      // 1. idempotent band append, hash-bucketed for read-side pruning
+      // 1. idempotent band append, hash-bucketed for read-side pruning.
+      // Repartition BY the bucket first: partitionBy writes one file per
+      // (task × bucket-value) pair, so without it every shuffle task
+      // fans out into every bucket dir — O(tasks × buckets) small files
+      // per batch; with it each bucket's rows sit in one task and the
+      // batch adds at most BandBuckets files
       batchBands.withColumn("bucket", bandBucket)
+        .repartition(col("bucket"))
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(new Path(bandsRoot(artifactDir), s"b$batchId").toString)
       // 2. star edges from the live labels (diameter-2 compression of
