@@ -648,6 +648,56 @@ final class DerbyStatsIndex(
   override def topKSurvivorsLexN(
       keys: Seq[graft.index.SortKeySpec], k: Long)
       : Option[Seq[FileScanPlan]] = conn.synchronized {
+    lexWalk(keys, k, certSql = "",
+      headNullsMayWin = keys.headOption.exists(_.nullsFirst))
+  }
+
+  /** Catalog-side FILTERED N-key lexicographic top-k (the in-store face
+    * of [[graft.prune.TopKPruning.pruneDisjunctiveLex]]): the
+    * [[topKSurvivorsLexN]] tuple walk with every branch gated by the
+    * disjunctive all-pass certificate (sort interval on the stored
+    * bounds + every other filter column all-pass for SOME disjunct),
+    * and the survivor head-null rule per that certificate (nulls may
+    * win only under nulls-first AND a sort-bound-free disjunct). */
+  override def topKSurvivorsDisjunctiveLexN(
+      keys: Seq[graft.index.SortKeySpec],
+      disjuncts: Seq[graft.prune.TopKPruning.Disjunct],
+      k: Long): Option[Seq[FileScanPlan]] = conn.synchronized {
+    if (disjuncts.isEmpty || keys.isEmpty) return None
+    val (minC, maxC, _) = colEncoding(keys.head.col).getOrElse(return None)
+    val disjSql = disjuncts.map { d =>
+      val parts = Seq.newBuilder[String]
+      d.sortLo.foreach { case (v, inc) =>
+        val r = colEncoding(keys.head.col).get._3
+        parts += s"rg.$minC ${if (inc) ">=" else ">"} ${r(v)}" }
+      d.sortHi.foreach { case (v, inc) =>
+        val r = colEncoding(keys.head.col).get._3
+        parts += s"rg.$maxC ${if (inc) "<=" else "<"} ${r(v)}" }
+      d.others.foreach { ob =>
+        if (!indexedCols.exists(_.name == ob.col)) return None
+        val (omin, omax, orender) = colEncoding(ob.col).getOrElse(return None)
+        parts += s"rg.${ob.col}_null_count = 0"
+        ob.lo.foreach { case (v, inc) =>
+          parts += s"rg.$omin ${if (inc) ">=" else ">"} ${orender(v)}" }
+        ob.hi.foreach { case (v, inc) =>
+          parts += s"rg.$omax ${if (inc) "<=" else "<"} ${orender(v)}" }
+      }
+      val ps = parts.result()
+      if (ps.isEmpty) "(1=1)" else ps.mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
+    val nullMayPass = disjuncts.exists(d => d.sortLo.isEmpty && d.sortHi.isEmpty)
+    lexWalk(keys, k,
+      certSql = s" AND rg.$minC IS NOT NULL AND rg.$maxC IS NOT NULL AND $disjSql",
+      headNullsMayWin = keys.head.nullsFirst && nullMayPass)
+  }
+
+  /** Shared tuple-walk core of the two methods above. `certSql` is
+    * appended to every walk branch's WHERE (empty = unfiltered);
+    * `headNullsMayWin` parameterizes the survivor head-null rule. */
+  private def lexWalk(
+      keys: Seq[graft.index.SortKeySpec], k: Long,
+      certSql: String, headNullsMayWin: Boolean)
+      : Option[Seq[FileScanPlan]] = {
     if (k <= 0 || keys.sizeIs < 2 ||
         keys.exists(key => !indexedCols.exists(_.name == key.col))) return None
     val n = keys.size
@@ -718,20 +768,20 @@ final class DerbyStatsIndex(
              |    $sel1,
              |    $cnt1 AS cnt, rg.file_id AS fid, rg.row_group AS rgn, 1 AS bno
              |  FROM row_group_statistics rg
-             |  WHERE rg.${guar(0)} IS NOT NULL AND $aNc IS NOT NULL AND ${cert(1)}
+             |  WHERE rg.${guar(0)} IS NOT NULL AND $aNc IS NOT NULL AND ${cert(1)}$certSql
              |  UNION ALL
              |  SELECT rg.${guar(0)},
              |    $sel2,
              |    $cnt2, rg.file_id, rg.row_group, 2
              |  FROM row_group_statistics rg
-             |  WHERE rg.${guar(0)} IS NOT NULL AND $aNc IS NOT NULL AND $branch2Where
+             |  WHERE rg.${guar(0)} IS NOT NULL AND $aNc IS NOT NULL AND $branch2Where$certSql
              |  UNION ALL
              |  SELECT rg.${best(0)},
              |    $sel1,
              |    $cntB, rg.file_id, rg.row_group, 3
              |  FROM row_group_statistics rg
              |  WHERE rg.${best(0)} IS NOT NULL AND rg.${guar(0)} IS NOT NULL
-             |    AND $aNc IS NOT NULL AND $cntB > 0
+             |    AND $aNc IS NOT NULL AND $cntB > 0$certSql
              |) t
              |ORDER BY s0 ${dir(0)}, $orderLvls, fid, rgn, bno
              |OFFSET $offset ROWS FETCH NEXT $page ROWS ONLY""".stripMargin)
@@ -776,7 +826,7 @@ final class DerbyStatsIndex(
       val t0Sql = lit(thr(0).get, guar(0))
       val sb0 = if (keys(0).desc) ">" else "<"
       val cond =
-        s"""((${if (keys(0).nullsFirst) "1=1" else "1=0"} AND ($aNc IS NULL OR $aNc > 0))
+        s"""((${if (headNullsMayWin) "1=1" else "1=0"} AND ($aNc IS NULL OR $aNc > 0))
            | OR (($aNc IS NULL OR $aNc <> rg.row_count)
            |     AND (rg.${best(0)} IS NULL
            |          OR rg.${best(0)} $sb0 $t0Sql

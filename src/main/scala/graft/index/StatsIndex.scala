@@ -170,6 +170,21 @@ trait StatsIndex extends AutoCloseable {
   def topKSurvivorsLexN(
       keys: Seq[SortKeySpec], k: Long): Option[Seq[FileScanPlan]] = None
 
+  /** Catalog-computed FILTERED N-key lexicographic top-k survivors — the
+    * in-store face of [[graft.prune.TopKPruning.pruneDisjunctiveLex]]:
+    * the tuple walk of [[topKSurvivorsLexN]], gated by the disjunctive
+    * all-pass certificate of [[topKSurvivorsDisjunctive]] (a group emits
+    * candidates only when certified for SOME disjunct), with the
+    * survivor tie descent null-aware per that certificate. Returns the
+    * keep-set only; the caller intersects with the filter's stats plans
+    * and the (N−1)-prefix pruning. Semantics must match
+    * `pruneDisjunctiveLex`'s planner-side algorithm exactly. None =
+    * cannot serve/certify → planner-side fallback. */
+  def topKSurvivorsDisjunctiveLexN(
+      keys: Seq[SortKeySpec],
+      disjuncts: Seq[graft.prune.TopKPruning.Disjunct],
+      k: Long): Option[Seq[FileScanPlan]] = None
+
   /** Columns carrying per-row-group bloom filters in this catalog; empty =
     * no bloom support. Implementations with blooms override (a constructor
     * `val bloomCols` satisfies this directly). */

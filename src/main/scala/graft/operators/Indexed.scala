@@ -456,6 +456,29 @@ object Indexed {
              |  l_quantity DESC
              |LIMIT 10""".stripMargin)),
 
+    // FILTERED two-key lexicographic top-k (idx24) — the composition of
+    // the composite all-pass certificate with the tuple threshold
+    // (prune/TopKPruning.pruneDisjunctiveLex): `WHERE flag = 'R'
+    // ORDER BY line DESC, okey DESC LIMIT k` on the (flag, line, okey)
+    // clustered layout. The flag filter certifies whole bands all-pass;
+    // within them the leading sort key (7-valued l_linenumber) is still
+    // tie-heavy, so the single-key composite threshold keeps the whole
+    // top (R, 7) band — the second key's tuple certificate separates it.
+    // Route `topk-composite-lex2`; TopKPruningSpec sweeps the shape on a
+    // synthetic fixture with catalog==planner parity.
+    QueryDef(
+      "idx24_topk_filtered_lex2",
+      (s, dir) => lineitemComposite3(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .orderBy(col("l_linenumber").desc, col("l_orderkey").desc,
+          col("l_quantity").desc)
+        .limit(10)
+        .select("l_linenumber", "l_orderkey", "l_quantity"),
+      Some("""SELECT l_linenumber, l_orderkey, l_quantity FROM lineitem
+             |WHERE l_returnflag = 'R'
+             |ORDER BY l_linenumber DESC, l_orderkey DESC, l_quantity DESC
+             |LIMIT 10""".stripMargin)),
+
     // Two-key top-k over the FREQ-SHADOW fixture (idx23): same query
     // shape as idx21, but the catalog additionally carries per-group
     // value frequencies (index/FreqShadow — a data-scan build step like
@@ -729,21 +752,24 @@ object Indexed {
     comp3Cache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
       val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
       val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
-      val dataDir = s"$base/lineitem-comp3-v1"
+      val dataDir = s"$base/lineitem-comp3-v2"
       if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
-        rmrf(new java.io.File(s"$base/statsdb-comp3-v1"))
+        rmrf(new java.io.File(s"$base/statsdb-comp3-v2"))
         spark.read.parquet(s"$sfDir/lineitem.parquet")
           .repartitionByRange(8, col("l_returnflag"), col("l_linenumber"),
             col("l_orderkey"))
           .sortWithinPartitions("l_returnflag", "l_linenumber", "l_orderkey")
           .write.mode("overwrite")
-          .option("parquet.block.row.count.limit", "2048")
+          // finer-grained than the 2-key fixture: the (flag, line)
+          // sub-bands must span MULTIPLE row groups for the deeper-key
+          // certificates to have anything to separate at sf0.001
+          .option("parquet.block.row.count.limit", "512")
           .option("parquet.block.size", (1L * 1024 * 1024).toString)
           .parquet(dataDir)
       }
       val (index, dataSchema) = IndexedParquet.buildIndex(
         spark, dataDir, Seq("l_returnflag", "l_linenumber", "l_orderkey"),
-        s"$base/statsdb-comp3-v1")
+        s"$base/statsdb-comp3-v2")
       val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
       Entry(df, fileIndex, dataDir, index, dataSchema)
     })

@@ -106,32 +106,32 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
     val descending = order.head.direction == Descending
     val nullsFirst = order.head.nullOrdering == NullsFirst
 
+    // N-key lexicographic prefix: the maximal leading prefix of DISTINCT
+    // indexed attribute sort keys takes the tuple certificate — each
+    // added key separates groups still tied on the shallower ones
+    // (never worse — the lex pruners intersect every shorter prefix's
+    // plan set). The prefix stops at the first non-attribute,
+    // non-indexed, or repeated key.
+    val prefix = scala.collection.mutable.ArrayBuffer(
+      graft.index.SortKeySpec(a.name, descending, nullsFirst))
+    val pit = order.drop(1).iterator
+    var extending = true
+    while (extending && pit.hasNext) {
+      val so = pit.next()
+      so.child match {
+        case b: AttributeReference
+            if child.outputSet.contains(b) &&
+              !prefix.exists(_.col == b.name) &&
+              idx.indexedSchema.fields.exists(f =>
+                f.name == b.name && f.dataType == b.dataType) =>
+          prefix += graft.index.SortKeySpec(b.name,
+            so.direction == Descending, so.nullOrdering == NullsFirst)
+        case _ => extending = false
+      }
+    }
     val (plans, baseline, routeTag) = cond match {
       case None =>
         val total = idx.allFiles().map(_.scanRowGroups.size).sum
-        // N-key lexicographic path: the maximal leading prefix of
-        // DISTINCT indexed attribute sort keys takes the tuple
-        // certificate — each added key separates groups still tied on
-        // the shallower ones (never worse — pruneLexN intersects every
-        // shorter prefix's plan set). The prefix stops at the first
-        // non-attribute, non-indexed, or repeated key.
-        val prefix = scala.collection.mutable.ArrayBuffer(
-          graft.index.SortKeySpec(a.name, descending, nullsFirst))
-        val it = order.drop(1).iterator
-        var extending = true
-        while (extending && it.hasNext) {
-          val so = it.next()
-          so.child match {
-            case b: AttributeReference
-                if child.outputSet.contains(b) &&
-                  !prefix.exists(_.col == b.name) &&
-                  idx.indexedSchema.fields.exists(f =>
-                    f.name == b.name && f.dataType == b.dataType) =>
-              prefix += graft.index.SortKeySpec(b.name,
-                so.direction == Descending, so.nullOrdering == NullsFirst)
-            case _ => extending = false
-          }
-        }
         if (prefix.sizeIs == 1)
           (TopKPruning.prune(idx, a.name, k.toLong, descending, nullsFirst),
             total, s"topk(${a.name})")
@@ -145,16 +145,25 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
         // would get via listFiles — the baseline the rewrite must beat
         val statsPlans = idx.getFiles(c)
         val otherCols = disjuncts.flatMap(_.others.map(_.col)).distinct
-        val tag =
-          if (disjuncts.sizeIs == 1 && otherCols.isEmpty)
-            s"topk-filtered(${a.name})"
-          else if (otherCols.isEmpty) s"topk-composite(${a.name})"
-          else s"topk-composite(${a.name};${otherCols.mkString(",")})"
-        (TopKPruning.pruneDisjunctive(
-            idx, a.name, k.toLong, descending, nullsFirst,
-            disjuncts, statsPlans),
-          statsPlans.map(_.scanRowGroups.size).sum,
-          tag)
+        val shape =
+          if (disjuncts.sizeIs == 1 && otherCols.isEmpty) "filtered"
+          else "composite"
+        val suffix = if (otherCols.isEmpty) "" else ";" + otherCols.mkString(",")
+        if (prefix.sizeIs == 1)
+          (TopKPruning.pruneDisjunctive(
+              idx, a.name, k.toLong, descending, nullsFirst,
+              disjuncts, statsPlans),
+            statsPlans.map(_.scanRowGroups.size).sum,
+            s"topk-$shape(${a.name}$suffix)")
+        else
+          // FILTERED lexicographic: the disjunctive all-pass certificate
+          // composed with the tuple threshold — deeper sort keys
+          // separate groups tied on the leading key inside the window
+          (TopKPruning.pruneDisjunctiveLex(
+              idx, prefix.toSeq, k.toLong, disjuncts, statsPlans),
+            statsPlans.map(_.scanRowGroups.size).sum,
+            s"topk-$shape-lex${prefix.size}(" +
+              s"${prefix.map(_.col).mkString(",")}$suffix)")
     }
     val kept = plans.map(_.scanRowGroups.size).sum
     if (kept >= baseline) return None // no narrowing beyond the stats path

@@ -426,22 +426,64 @@ object TopKPruning {
     * usable prefix when a deeper key's ordering is uncertified or its
     * stats are unavailable. */
   def pruneLexN(
-      index: StatsIndex, keys: Seq[SortKeySpec], k: Long): Seq[FileScanPlan] = {
+      index: StatsIndex, keys: Seq[SortKeySpec], k: Long): Seq[FileScanPlan] =
+    pruneLexImpl(index, keys, k, None)
+
+  /** FILTERED N-key lexicographic top-k — the composition of the
+    * disjunctive/composite filter certificate with the tuple threshold:
+    * `WHERE <OR of conjunct sets> ORDER BY k1, k2, … LIMIT k`. Only row
+    * groups certified ALL-PASS for SOME disjunct (sort interval on the
+    * stored bounds + every other filter column all-pass — exactly
+    * [[pruneDisjunctive]]'s certificate) contribute walk candidates,
+    * but each contributes its full TUPLE guarantee (with the nulls-last
+    * split and the FreqShadow dominant slice), so groups tied on the
+    * leading sort key inside the filter window are separated by the
+    * deeper keys. Survivors come from `statsPlans` via the recursive
+    * tie descent; sort-column nulls may win only under nulls-first AND
+    * a disjunct placing no sort bound. The result intersects the
+    * (N−1)-prefix filtered pruning recursively down to
+    * [[pruneDisjunctive]], so each added key only narrows. */
+  def pruneDisjunctiveLex(
+      index: StatsIndex, keys: Seq[SortKeySpec], k: Long,
+      disjuncts: Seq[Disjunct],
+      statsPlans: Seq[FileScanPlan]): Seq[FileScanPlan] = {
+    require(keys.nonEmpty, "lexicographic top-k needs at least one sort key")
+    if (disjuncts.isEmpty) return statsPlans
+    if (keys.sizeIs == 1)
+      return pruneDisjunctive(index, keys.head.col, k, keys.head.desc,
+        keys.head.nullsFirst, disjuncts, statsPlans)
+    pruneLexImpl(index, keys, k, Some((disjuncts, statsPlans)))
+  }
+
+  private def pruneLexImpl(
+      index: StatsIndex, keys: Seq[SortKeySpec], k: Long,
+      filter: Option[(Seq[Disjunct], Seq[FileScanPlan])]): Seq[FileScanPlan] = {
     require(keys.nonEmpty, "lexicographic top-k needs at least one sort key")
     require(k > 0, s"top-k needs k > 0, got $k")
     val head = keys.head
+    val universe: Seq[FileScanPlan] =
+      filter.map(_._2).getOrElse(index.allFiles())
     if (keys.sizeIs == 1)
-      return prune(index, head.col, k, head.desc, head.nullsFirst)
+      return filter match {
+        case Some((ds, sp)) =>
+          pruneDisjunctive(index, head.col, k, head.desc, head.nullsFirst, ds, sp)
+        case None => prune(index, head.col, k, head.desc, head.nullsFirst)
+      }
     val n = keys.size
-    lazy val shorterPlans = pruneLexN(index, keys.init, k)
-    def intersectShorter(deeper: Seq[FileScanPlan]): Seq[FileScanPlan] = {
-      val byFile = shorterPlans.map(p => p.fileName -> p.scanRowGroups).toMap
-      deeper.flatMap { p =>
+    lazy val shorterPlans = filter match {
+      case Some((ds, sp)) => pruneDisjunctiveLex(index, keys.init, k, ds, sp)
+      case None           => pruneLexN(index, keys.init, k)
+    }
+    def intersect(a: Seq[FileScanPlan], b: Seq[FileScanPlan]): Seq[FileScanPlan] = {
+      val byFile = b.map(p => p.fileName -> p.scanRowGroups).toMap
+      a.flatMap { p =>
         byFile.get(p.fileName)
           .map(rgs => p.copy(scanRowGroups = p.scanRowGroups intersect rgs))
           .filter(_.scanRowGroups.nonEmpty)
       }
     }
+    def intersectShorter(deeper: Seq[FileScanPlan]): Seq[FileScanPlan] =
+      intersect(deeper, shorterPlans)
     // orderings per key; an uncertified key truncates to the prefix
     val ords: IndexedSeq[Ordering[Any]] = keys.toIndexedSeq.zipWithIndex.map {
       case (key, i) =>
@@ -449,8 +491,8 @@ object TopKPruning {
           .flatMap(ordering) match {
           case Some(o) => o
           case None =>
-            return if (i == 0) index.allFiles()
-            else pruneLexN(index, keys.take(i), k)
+            return if (i == 0) universe
+            else pruneLexImpl(index, keys.take(i), k, filter)
         }
     }
     // sort-order comparator at level i: smaller = earlier in the output
@@ -461,8 +503,11 @@ object TopKPruning {
     // catalog-side fast path: tuple-threshold walk + survivor filter
     // inside the store, O(survivors) transfer instead of N O(index)
     // rowGroupStats fetches
-    index.topKSurvivorsLexN(keys, k) match {
-      case Some(plans) => return intersectShorter(plans)
+    (filter match {
+      case Some((ds, _)) => index.topKSurvivorsDisjunctiveLexN(keys, ds, k)
+      case None          => index.topKSurvivorsLexN(keys, k)
+    }) match {
+      case Some(plans) => return intersectShorter(intersect(plans, universe))
       case None => () // fall through to the planner-side reference path
     }
     val statsHead = index.rowGroupStats(head.col).getOrElse(return shorterPlans)
@@ -470,7 +515,7 @@ object TopKPruning {
       keys.toIndexedSeq.tail.zipWithIndex.map { case (key, i) =>
         index.rowGroupStats(key.col) match {
           case Some(st) => st.map(s => (s.fileName, s.rowGroup) -> s).toMap
-          case None => return pruneLexN(index, keys.take(i + 1), k)
+          case None => return pruneLexImpl(index, keys.take(i + 1), k, filter)
         }
       }
     def guarOf(i: Int, st: RowGroupStat): Option[Any] =
@@ -478,14 +523,48 @@ object TopKPruning {
     def bestOf(i: Int, st: RowGroupStat): Option[Any] =
       if (keys(i).desc) st.max else st.min
 
-    // per-group guarantees: (tuple, count), up to TWO disjoint candidates
-    // per group (see scaladoc), plus — when the FreqShadow is built — a
-    // DOMINANT-slice candidate: the rows sitting AT the leading key's
-    // stored best value certify (best, g2, …) outright. Counts are
-    // clamped conservative; the (up to three) counts sum to the group's
-    // non-null-leading rows, each met by an assignment of distinct rows
-    // (a row claimed by a weaker candidate that actually satisfies a
-    // stronger one still satisfies the weaker claim).
+    // filter certificate (pruneDisjunctive's): for SOME disjunct, the
+    // sort interval holds on the stored bounds AND every other filter
+    // column certifies all-pass. Unfiltered mode certifies every group.
+    val certify: RowGroupStat => Boolean = filter match {
+      case None => _ => true
+      case Some((ds, _)) =>
+        val otherData = ds.flatMap(_.others.map(_.col)).distinct.map { c =>
+          val odt = index.indexedSchema.fields.find(_.name == c)
+            .getOrElse(return shorterPlans).dataType
+          val oord = ordering(odt).getOrElse(return shorterPlans)
+          val stats = index.rowGroupStats(c).getOrElse(return shorterPlans)
+          c -> ((oord, stats.map(s => (s.fileName, s.rowGroup) -> s).toMap))
+        }.toMap
+        val ord0 = ords(0)
+        def insideSort(d: Disjunct, s: RowGroupStat): Boolean =
+          s.min.isDefined && s.max.isDefined && s.nullCount.isDefined &&
+            d.sortLo.forall { case (b, inc) =>
+              if (inc) ord0.gteq(s.min.get, b) else ord0.gt(s.min.get, b) } &&
+            d.sortHi.forall { case (b, inc) =>
+              if (inc) ord0.lteq(s.max.get, b) else ord0.lt(s.max.get, b) }
+        def allPass(d: Disjunct, file: String, rg: Int): Boolean =
+          d.others.forall { ob =>
+            val (o, m) = otherData(ob.col)
+            m.get((file, rg)).exists { s =>
+              s.nullCount.contains(0L) &&
+                ob.lo.forall { case (b, inc) =>
+                  s.min.exists(v => if (inc) o.gteq(v, b) else o.gt(v, b)) } &&
+                ob.hi.forall { case (b, inc) =>
+                  s.max.exists(v => if (inc) o.lteq(v, b) else o.lt(v, b)) }
+            }
+          }
+        s => ds.exists(d => insideSort(d, s) && allPass(d, s.fileName, s.rowGroup))
+    }
+    // sort-column nulls can win only when nulls sort first AND (for a
+    // filtered query) some disjunct places no sort bound
+    val headNullsMayWin = head.nullsFirst &&
+      filter.forall(_._1.exists(d => d.sortLo.isEmpty && d.sortHi.isEmpty))
+
+    // per-group guarantees: (tuple, count), up to THREE disjoint
+    // candidates per certified group (see pruneLexN's scaladoc). Counts
+    // are clamped conservative; they sum to the group's non-null-leading
+    // rows, each claim met by an assignment of distinct rows.
     type Tup = Vector[Option[Any]]
     // a frequency pairs soundly with the STORED extreme only when that
     // extreme is verbatim-exact: integrals always; strings only on the
@@ -496,7 +575,7 @@ object TopKPruning {
     val freqUsable = !headIsString || head.desc
     val cand = scala.collection.mutable.ArrayBuffer.empty[(Tup, Long)]
     statsHead.foreach { s =>
-      for {
+      if (certify(s)) for {
         ga <- guarOf(0, s)
         na <- s.nullCount
       } {
@@ -581,7 +660,7 @@ object TopKPruning {
       }
     }
     def keep(s: RowGroupStat): Boolean = {
-      if (head.nullsFirst && !s.nullCount.contains(0L)) return true
+      if (headNullsMayWin && !s.nullCount.contains(0L)) return true
       if (s.nullCount.contains(s.rowCount)) return false
       bestOf(0, s) match {
         case None => true
@@ -596,7 +675,7 @@ object TopKPruning {
     }
     val prunedSet = statsHead.filterNot(keep)
       .map(s => (s.fileName, s.rowGroup)).toSet
-    val lexPlans = index.allFiles().flatMap { p =>
+    val lexPlans = universe.flatMap { p =>
       val rgs = p.scanRowGroups.filterNot(rg => prunedSet((p.fileName, rg)))
       if (rgs.isEmpty) None else Some(p.copy(scanRowGroups = rgs))
     }

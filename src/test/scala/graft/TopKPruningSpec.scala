@@ -700,6 +700,83 @@ class TopKPruningSpec extends SparkSpec {
         "near-constant fixture — the r10 generalization regressed")
   }
 
+  test("filtered two-key top-k fires (idx24) and result matches the declarative plan") {
+    val dir = sf("sf0.001")
+    val q = SparkEntry.registry.find(_.name == "idx24_topk_filtered_lex2").get
+    val got = q.fn(spark, dir).collect()
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_returnflag") === "R")
+      .orderBy(col("l_linenumber").desc, col("l_orderkey").desc,
+        col("l_quantity").desc)
+      .limit(10)
+      .select("l_linenumber", "l_orderkey", "l_quantity")
+      .collect()
+    assert(got === want)
+    val exec = graft.operators.Indexed.lastComposite3Execution(spark, dir).get
+    assert(exec.route ===
+      Seq("topk-composite-lex2(l_linenumber,l_orderkey;l_returnflag)"),
+      s"filtered lex2 rule did not fire: ${exec.route}")
+  }
+
+  test("filtered lex pruning is sound, catalog==planner, never worse than single-key (fx4)") {
+    val (dir, index, schema) = fx4
+    import graft.index.SortKeySpec
+    var anyNarrower = false
+    for {
+      descB <- Seq(true, false)
+      descC <- Seq(true, false)
+      nfC <- Seq(true, false)
+      filterVal <- Seq(0L, 3L)
+      k <- Seq(1, 16, 120)
+    } {
+      val keys = Seq(SortKeySpec("grp2", descB, nullsFirst = !descB),
+        SortKeySpec("key", descC, nfC))
+      val disjuncts = Seq(TopKPruning.Disjunct(None, None,
+        Seq(TopKPruning.OtherColBounds("grp1",
+          Some((filterVal, true)), Some((filterVal, true))))))
+      val pred = col("grp1") === filterVal
+      val resolved = RowGroupSkipScan.resolvePredicate(spark, schema, pred)
+      val statsPlans = index.getFiles(resolved)
+      val plans = TopKPruning.pruneDisjunctiveLex(
+        index, keys, k.toLong, disjuncts, statsPlans)
+      val viaPlanner = TopKPruning.pruneDisjunctiveLex(
+        plannerOnly(index), keys, k.toLong, disjuncts, statsPlans)
+      assert(plans.map(p => p.fileName -> p.scanRowGroups).toMap ===
+        viaPlanner.map(p => p.fileName -> p.scanRowGroups).toMap,
+        s"descB=$descB descC=$descC nfC=$nfC f=$filterVal k=$k: " +
+          "catalog and planner filtered-lex paths diverged")
+      val singleKey = TopKPruning.pruneDisjunctive(index, "grp2", k.toLong,
+        descB, !descB, disjuncts, statsPlans)
+      val kept = plans.map(_.scanRowGroups.size).sum
+      val keptSingle = singleKey.map(_.scanRowGroups.size).sum
+      assert(kept <= keptSingle,
+        s"descB=$descB descC=$descC nfC=$nfC f=$filterVal k=$k: " +
+          s"filtered lex kept $kept > single-key $keptSingle")
+      if (kept < keptSingle) anyNarrower = true
+      val g2Ord = if (descB) col("grp2").desc else col("grp2").asc
+      val keyOrd = (descC, nfC) match {
+        case (true, true)   => col("key").desc_nulls_first
+        case (true, false)  => col("key").desc_nulls_last
+        case (false, true)  => col("key").asc_nulls_first
+        case (false, false) => col("key").asc_nulls_last
+      }
+      val ord = Seq(g2Ord, keyOrd, col("id").asc)
+      val got =
+        if (plans.isEmpty) Seq.empty
+        else RowGroupSkipScan.scan(spark, dir, plans, schema)
+          .filter(pred).orderBy(ord: _*).limit(k)
+          .select("grp2", "key", "id").collect().toSeq
+      val want = spark.read.parquet(dir)
+        .filter(pred).orderBy(ord: _*).limit(k)
+        .select("grp2", "key", "id").collect().toSeq
+      assert(got === want,
+        s"descB=$descB descC=$descC nfC=$nfC f=$filterVal k=$k diverged " +
+          s"(kept $kept/$keptSingle)")
+    }
+    assert(anyNarrower,
+      "filtered lex pruning never beat the single-key composite — fixture too easy")
+  }
+
   // DOMINANT-value fixture (late r10): every 50-row group holds 40 rows
   // of its own band and 10 bled from the PREVIOUS one (min = band-1
   // freq 10, max = band freq 40) — the shape where the generalized
