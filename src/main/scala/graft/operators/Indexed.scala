@@ -456,6 +456,30 @@ object Indexed {
              |  l_quantity DESC
              |LIMIT 10""".stripMargin)),
 
+    // GROUP BY answered from the catalog (idx25 —
+    // plans/StatsAggPushdown.groupByRewrite): on the value-aligned
+    // layout every row group is CONSTANT in l_returnflag, so
+    // `GROUP BY l_returnflag` with COUNT(*)/COUNT(g)/MIN(g)/MAX(g)
+    // folds to a LocalRelation of per-value footer row-count sums — one
+    // O(index) stats fetch, ZERO data scanned (the metadata-only
+    // aggregation every lakehouse engine special-cases, generalized to
+    // any value-aligned layout). One straddling row group fails the
+    // certification closed; StatsAggPushdownSpec pins the folded plan,
+    // the fail-closed degrade on the range-clustered fixture, and the
+    // kill switch.
+    QueryDef(
+      "idx25_groupby_pushdown",
+      (s, dir) => lineitemValueAligned(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          count(col("l_returnflag")).as("nn"),
+          min(col("l_returnflag")).as("mn"),
+          max(col("l_returnflag")).as("mx")),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  count(l_returnflag) AS nn,
+             |  min(l_returnflag) AS mn, max(l_returnflag) AS mx
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // FILTERED two-key lexicographic top-k (idx24) — the composition of
     // the composite all-pass certificate with the tuple threshold
     // (prune/TopKPruning.pruneDisjunctiveLex): `WHERE flag = 'R'
@@ -682,6 +706,42 @@ object Indexed {
       val (index, dataSchema) = IndexedParquet.buildIndex(
         spark, dataDir, Seq("l_returnflag", "l_orderkey"),
         s"$base/statsdb-comp-v2")
+      val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
+      Entry(df, fileIndex, dataDir, index, dataSchema)
+    })
+
+  private val alignedCache = TrieMap.empty[String, Entry]
+
+  /** A VALUE-ALIGNED layout: one file set per l_returnflag value (the
+    * layout value-partitioned ingestion — per-source, per-day, per-label
+    * file sets — produces naturally), so every row group is CONSTANT in
+    * the flag. `GROUP BY l_returnflag` over it is then answerable from
+    * footer row counts alone — the idx25 fixture. */
+  def lineitemValueAligned(spark: SparkSession, sfDir: String): DataFrame =
+    alignedEntry(spark, sfDir).df
+
+  private def alignedEntry(spark: SparkSession, sfDir: String): Entry =
+    alignedCache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
+      val dataDir = s"$base/lineitem-aligned-v1"
+      if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
+        rmrf(new java.io.File(s"$base/statsdb-aligned-v1"))
+        val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val flags = src.select("l_returnflag").distinct()
+          .collect().map(_.getString(0)).sorted
+        flags.zipWithIndex.foreach { case (f, i) =>
+          src.filter(col("l_returnflag") === f)
+            .repartitionByRange(2, col("l_orderkey"))
+            .write.mode(if (i == 0) "overwrite" else "append")
+            .option("parquet.block.row.count.limit", "2048")
+            .option("parquet.block.size", (1L * 1024 * 1024).toString)
+            .parquet(dataDir)
+        }
+      }
+      val (index, dataSchema) = IndexedParquet.buildIndex(
+        spark, dataDir, Seq("l_returnflag", "l_orderkey"),
+        s"$base/statsdb-aligned-v1")
       val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
       Entry(df, fileIndex, dataDir, index, dataSchema)
     })

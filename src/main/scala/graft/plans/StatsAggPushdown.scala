@@ -17,7 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * optimizer rule over the engine's V1 index-backed relation: a global
   * (no GROUP BY, no filter) `MIN` / `MAX` / `COUNT` over indexed columns
   * is answered entirely from the catalog — one O(index) JDBC round trip,
-  * zero data scanned — by folding the plan to a [[LocalRelation]].
+  * zero data scanned — by folding the plan to a [[LocalRelation]]. On a
+  * value-aligned layout, single-column `GROUP BY` folds the same way
+  * ([[groupByRewrite]] below).
   *
   * This gives the reference's design seam ("the provider consults the
   * index", /root/reference/sqlx-sqlite/src/main.rs:256-305) its aggregate
@@ -61,7 +63,90 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
             else distinctRewrite(agg, idx).getOrElse(agg)
           case None => agg
         }
+      case agg: Aggregate if agg.groupingExpressions.nonEmpty =>
+        fileIndexOf(agg.child) match {
+          case Some(idx) => groupByRewrite(agg, idx).getOrElse(agg)
+          case None      => agg
+        }
     }
+  }
+
+  /** GROUP BY answered from the catalog — metadata-only aggregation on a
+    * VALUE-ALIGNED layout: when every row group is CONSTANT in the
+    * grouping column among its non-null rows (stored min = stored max;
+    * for strings a truncated stored min equal to the verbatim max forces
+    * real constancy, the lex2 argument), the per-value counts are sums
+    * of footer row counts and `GROUP BY g` folds to a [[LocalRelation]]
+    * — one O(index) stats fetch, zero data scanned. This is the layout a
+    * value-partitioned ingestion produces naturally (one file set per
+    * source/day/label); ONE straddling row group fails the whole
+    * certification closed and the declarative plan stands.
+    *
+    * Certified outputs: the grouping attribute itself, `COUNT(*)` (the
+    * value's non-null rows; row-group null slices accumulate into the
+    * NULL group), `COUNT(g)` (0 for the NULL group), and `MIN(g)` /
+    * `MAX(g)` (the value itself; NULL for the NULL group). Any other
+    * aggregate, a second grouping column, DISTINCT, or an agg filter
+    * disqualifies. Consistency with a scan holds because the relation's
+    * listing IS the catalog (see COUNT(*) note above). Kill switch:
+    * `spark.graft.groupByAggPushdown=false`. */
+  private def groupByRewrite(
+      agg: Aggregate, idx: IndexedParquetFileIndex): Option[LogicalPlan] = {
+    if (session.conf.get("spark.graft.groupByAggPushdown", "true") != "true")
+      return None
+    val g = agg.groupingExpressions match {
+      case Seq(a: AttributeReference)
+          if indexed(idx.statsIndex, a) && ordered(a.dataType) => a
+      case _ => return None
+    }
+    val stats = idx.statsIndex.rowGroupStats(g.name).getOrElse(return None)
+    // per-value (non-null) row counts + the NULL group's row count
+    val byValue = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+    var nullRows = 0L
+    stats.foreach { s =>
+      val nc = s.nullCount.getOrElse(return None)
+      nullRows += nc
+      if (nc != s.rowCount) {
+        val mn = s.min.getOrElse(return None)
+        val mx = s.max.getOrElse(return None)
+        if (mn != mx) return None // a straddling group: fail closed
+        byValue.updateWith(mx) {
+          case Some(n) => Some(n + (s.rowCount - nc))
+          case None    => Some(s.rowCount - nc)
+        }
+      }
+    }
+    // one output cell per (aggregate expression, group): value groups get
+    // (value, count); the NULL group exists iff null rows exist
+    def cell(ne: NamedExpression, value: Option[Any], rows: Long): Option[Any] =
+      ne match {
+        case a: AttributeReference if a.exprId == g.exprId =>
+          Some(value.flatMap(internal(_, g.dataType)).orNull)
+        case Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
+          Some(value.flatMap(internal(_, g.dataType)).orNull)
+        case Alias(ae: AggregateExpression, _)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Count(Seq(l: Literal)) if l.value != null => Some(rows)
+            case Count(Seq(a: AttributeReference)) if a.exprId == g.exprId =>
+              Some(if (value.isDefined) rows else 0L)
+            case Min(a: AttributeReference) if a.exprId == g.exprId =>
+              Some(value.flatMap(internal(_, g.dataType)).orNull)
+            case Max(a: AttributeReference) if a.exprId == g.exprId =>
+              Some(value.flatMap(internal(_, g.dataType)).orNull)
+            case _ => None
+          }
+        case _ => None
+      }
+    val groups: Seq[(Option[Any], Long)] =
+      byValue.toSeq.map { case (v, n) => (Some(v), n) } ++
+        (if (nullRows > 0) Seq((None, nullRows)) else Nil)
+    val rows = groups.map { case (v, n) =>
+      val cells = agg.aggregateExpressions.map(cell(_, v, n))
+      if (cells.exists(_.isEmpty)) return None
+      InternalRow.fromSeq(cells.map(_.get))
+    }
+    Some(LocalRelation(agg.output, rows))
   }
 
   /** COUNT(DISTINCT key) answered from the row-level POSTING index: the

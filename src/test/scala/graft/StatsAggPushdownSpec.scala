@@ -61,6 +61,71 @@ class StatsAggPushdownSpec extends SparkSpec {
     assert(r.getLong(5) === 2000L - 667L) // 667 nulls: i%3==0 for 0..1999
   }
 
+  // value-aligned grouping fixture: g = i/500 is constant within every
+  // 50-row group (boundaries align), null every 7th row so the NULL
+  // group and mixed null/value groups are genuinely exercised
+  private lazy val fxg: (DataFrame, DataFrame) = {
+    val base = Files.createTempDirectory("graft-aggpush-g").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    (0 until 2000)
+      .map(i => (i.toLong,
+        if (i % 7 == 0) None else Some(i.toLong / 500L)))
+      .toDF("k", "g")
+      .coalesce(1)
+      .write.option("parquet.block.row.count.limit", "50")
+      .mode("overwrite").parquet(dir)
+    val (index, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("k", "g"), s"$base/statsdb")
+    val (df, _) = IndexedParquet.read(spark, dir, index, schema)
+    (df, spark.read.parquet(dir))
+  }
+
+  test("GROUP BY on a value-aligned column folds to catalog row-count sums") {
+    def shape(df: DataFrame) = df
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), count(col("g")).as("ng"),
+        min(col("g")).as("mn"), max(col("g")).as("mx"))
+    val agg = shape(fxg._1)
+    assert(folded(agg), agg.queryExecution.optimizedPlan.toString)
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val got = agg.collect().map(key).toMap
+    val want = shape(fxg._2).collect().map(key).toMap
+    assert(got === want, s"catalog group-by diverged\ngot  $got\nwant $want")
+    // the NULL group is present (i%7 nulls) and count(g) there is 0
+    assert(got(None)._2 === 0L)
+  }
+
+  test("GROUP BY fails closed on a straddling column and on disqualifying aggregates") {
+    // k is sequential — every row group straddles values: no fold
+    val byK = fxg._1.groupBy("k").agg(count(lit(1)).as("n"))
+    assert(!folded(byK))
+    // sum(k) is not a certified aggregate even on the aligned column
+    val sumAgg = fxg._1.groupBy("g").agg(sum(col("k")).as("sk"))
+    assert(!folded(sumAgg))
+    // two grouping columns disqualify
+    val two = fxg._1.groupBy("g", "k").agg(count(lit(1)).as("n"))
+    assert(!folded(two))
+    // kill switch restores the scan
+    spark.conf.set("spark.graft.groupByAggPushdown", "false")
+    try {
+      val off = fxg._1.groupBy("g").agg(count(lit(1)).as("n"))
+      assert(!folded(off))
+    } finally spark.conf.unset("spark.graft.groupByAggPushdown")
+  }
+
+  test("idx25: the registered group-by query folds (no scan in the plan)") {
+    val q = SparkEntry.registry.find(_.name == "idx25_groupby_pushdown").get
+    val df = q.fn(spark, sf("sf0.001"))
+    assert(folded(df), df.queryExecution.optimizedPlan.toString)
+    val rows = df.collect()
+    assert(rows.length === 3) // A / N / R, no null flags
+  }
+
   test("catalog answers equal the scan answers (kill switch off = ground truth)") {
     def row() = indexed.agg(
       min(col("k")), max(col("k")), min(col("s")), max(col("s")),
