@@ -158,6 +158,34 @@ object DocumentStreams {
     } finally index.close()
   }
 
+  /** `st8_stream_search`: continuous search-index maintenance — the sink
+    * keeps ts3's term statistics fresh per micro-batch
+    * ([[SearchMaintenance.commitBatch]]: append-only postings + doc
+    * counts under batchId-deterministic subdirs). The emitted frame is
+    * ts3's ranked retrieval served FROM the maintained store after the
+    * last batch; the oracle is the full corpus pass, so the check IS
+    * incremental-equals-full for the search index, through the
+    * streaming seam. */
+  def streamSearchQuery(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = allDocsStreamDir(s, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-st8").toString
+    val docsSchema = s.read.parquet(dir).schema
+    val src = s.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SearchMaintenance.commitBatch(
+          batch.select("doc_id", "text"), batchId, s"$base/art")
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    SearchMaintenance.rankedSearch(s, s"$base/art",
+      Seq("spark", "vector", "merge"), 15)
+  }
+
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef(
       "st5_stream_dedup_inc",
@@ -204,6 +232,25 @@ object DocumentStreams {
               |      WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
               |SELECT a, b, c, na.ns AS na, nb.ns AS nb FROM p
               |JOIN n na ON na.doc_id = p.a
-              |JOIN n nb ON nb.doc_id = p.b""".stripMargin))
+              |JOIN n nb ON nb.doc_id = p.b""".stripMargin)),
+
+    graft.QueryDef(
+      "st8_stream_search",
+      (s, dir) => streamSearchQuery(s, dir),
+      // ts3's oracle verbatim: the maintained index must serve the
+      // identical ranked answer as the full corpus pass
+      Some("""WITH toks AS (
+             |  SELECT doc_id, t.w FROM documents,
+             |    UNNEST(string_split(text, ' ')) AS t(w)
+             |  WHERE t.w IN ('spark', 'vector', 'merge')),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents)
+             |SELECT tf.doc_id, CAST(sum(tf.tf * (n.n - df.df)) AS BIGINT) AS score
+             |FROM tf JOIN df USING (w) CROSS JOIN n
+             |GROUP BY tf.doc_id
+             |HAVING sum(tf.tf * (n.n - df.df)) > 0
+             |ORDER BY score DESC, doc_id
+             |LIMIT 15""".stripMargin))
   )
 }

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of the RANKED-RETRIEVAL index from the
+  * streaming sink — ts3's term statistics kept fresh per micro-batch,
+  * completing the continuously-maintained artifact family (footer
+  * stats, blooms, row-level postings, dedup bands/labels, pair
+  * statistics — and now the search index). Documents are immutable
+  * after arrival, so the state is PURELY append-only LSM batches
+  * under batchId-deterministic subdirs (no deltas, no retraction —
+  * the simplest member of the family):
+  *  - `postings/b<id>`: the batch's (doc_id, w, tf) term frequencies —
+  *    a doc's postings never change after arrival;
+  *  - `docn/b<id>`: the batch's document count (N's summand — kept
+  *    separate so a query's read can stay restricted to ITS terms'
+  *    postings instead of scanning the store for a distinct count).
+  * A replayed batch OVERWRITES its own subdirs with identical content
+  * (both are pure functions of the batch rows), so foreachBatch's
+  * at-least-once is exactly-once by construction.
+  *
+  * Query-side: [[rankedSearch]] is ts3's scorer verbatim — BIGINT-exact
+  * Σ tf·(N − df) — served from the maintained store: the term filter
+  * pushes into the postings scan (only the queried terms' rows read —
+  * pinned by StreamingSearchSpec), df is an aggregate over those same
+  * rows (each (doc, term) pair exists in exactly one batch, so the
+  * cross-batch count is exact), N is the sum of the per-batch counts,
+  * and the top-k is a TakeOrderedAndProject. Incremental equals the
+  * full corpus pass by construction — the st8 oracle checks exactly
+  * that through the streaming seam. */
+object SearchMaintenance {
+
+  private def postRoot(artifactDir: String) = new Path(artifactDir, "postings")
+  private def nRoot(artifactDir: String) = new Path(artifactDir, "docn")
+
+  /** One batch's idempotent commit: map-only tokenization, one
+    * batch-sized (doc, term) agg, two overwrite writes. O(batch). */
+  private[graft] def commitBatch(docs: DataFrame, batchId: Long,
+      artifactDir: String): Unit = {
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite")
+      .parquet(new Path(postRoot(artifactDir), s"b$batchId").toString)
+    docs.agg(count(lit(1)).as("n"))
+      .write.mode("overwrite")
+      .parquet(new Path(nRoot(artifactDir), s"b$batchId").toString)
+  }
+
+  /** ts3's rarity-weighted ranked retrieval over the maintained store. */
+  def rankedSearch(spark: SparkSession, artifactDir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val post = spark.read
+      .parquet(new Path(postRoot(artifactDir), "b*").toString)
+      .where(col("w").isin(terms: _*))
+    val n = spark.read.parquet(new Path(nRoot(artifactDir), "b*").toString)
+      .agg(sum(col("n")).as("n"))
+    val df = post.groupBy("w").agg(count(lit(1)).as("df"))
+    post.join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * (col("n") - col("df"))).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}
