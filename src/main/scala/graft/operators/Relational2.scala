@@ -652,6 +652,29 @@ object Relational2 {
              |LATERAL (
              |  SELECT c_custkey, c_acctbal FROM customer
              |  WHERE c_nationkey = n.n_nationkey
-             |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin))
+             |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)),
+
+    // ----- bitwise / boolean aggregate family (q45) -------------------------
+    // bit_and/bit_or/bit_xor over a key column (the bitmap-index and
+    // feature-flag aggregation primitives — xor doubles as a cheap
+    // set-digest) and bool_and/bool_or over predicates (ANSI EVERY/ANY).
+    // All integer/boolean-exact and order-insensitive, so the hash
+    // compare is trivial; one map-side-combined agg, scalars only.
+    QueryDef(
+      "q45_bitwise_bool_agg",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("bit_and(l_orderkey)").as("band"),
+          expr("bit_or(l_orderkey)").as("bor"),
+          expr("bit_xor(l_orderkey)").as("bxor"),
+          expr("bool_and(l_quantity > 25.0)").as("ba"),
+          expr("bool_or(l_quantity > 49.0)").as("bo")),
+      Some("""SELECT l_returnflag,
+             |  bit_and(l_orderkey) AS band, bit_or(l_orderkey) AS bor,
+             |  bit_xor(l_orderkey) AS bxor,
+             |  bool_and(l_quantity > 25.0) AS ba,
+             |  bool_or(l_quantity > 49.0) AS bo
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
   )
 }
