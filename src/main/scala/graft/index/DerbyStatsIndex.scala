@@ -878,9 +878,13 @@ final class DerbyStatsIndex(
       }
       try Some(query(withFreq))
       catch {
-        case _: java.sql.SQLException if withFreq =>
-          // a catalog created before the freq shadow existed and never
-          // re-initialized: read without it rather than degrading outright
+        // 42X04 = column does not exist: a catalog created before the
+        // freq shadow and never re-initialized — read without it rather
+        // than degrading outright. Any OTHER failure degrades to None
+        // as before (masking a real error behind a silent freq-less
+        // retry would quietly disable the dominant-slice certificate).
+        case e: java.sql.SQLException
+            if withFreq && e.getSQLState == "42X04" =>
           try Some(query(freq = false))
           catch { case _: java.sql.SQLException => None }
         case _: java.sql.SQLException => None

@@ -779,12 +779,17 @@ object Indexed {
       }
       val (index, dataSchema) = IndexedParquet.buildIndex(
         spark, dataDir, Seq("l_returnflag", "l_orderkey"), db)
-      // idempotent per session (the cache above): a catalog carried over
-      // from an earlier session gets its frequencies (re)attached too
-      graft.index.FreqShadow.build(spark, dataDir, index.allFiles(),
-        dataSchema, "l_returnflag", db)
-      graft.index.FreqShadow.build(spark, dataDir, index.allFiles(),
-        dataSchema, "l_orderkey", db)
+      // attach frequencies unless the (possibly carried-over) catalog
+      // already has them — one O(index) stats probe instead of two
+      // redundant data scans per session
+      val hasFreq = index.rowGroupStats("l_returnflag")
+        .exists(_.exists(_.maxFreq.isDefined))
+      if (!hasFreq) {
+        graft.index.FreqShadow.build(spark, dataDir, index.allFiles(),
+          dataSchema, "l_returnflag", db)
+        graft.index.FreqShadow.build(spark, dataDir, index.allFiles(),
+          dataSchema, "l_orderkey", db)
+      }
       val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
       Entry(df, fileIndex, dataDir, index, dataSchema)
     })

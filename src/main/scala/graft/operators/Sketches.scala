@@ -116,15 +116,9 @@ object Sketches {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .filter(col("w").isin(terms: _*))
           .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n"))
-        tf.join(broadcast(df), Seq("w"))
-          .crossJoin(broadcast(n))
-          .groupBy("doc_id")
-          .agg(sum(col("tf") * (col("n") - col("df"))).as("score"))
-          .filter(col("score") > 0)
-          .orderBy(col("score").desc, col("doc_id").asc)
-          .limit(15)
+        // the ONE scorer, shared with st8's maintained-store query
+        graft.streaming.SearchMaintenance.rankedScore(tf, n, 15)
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, t.w FROM documents,

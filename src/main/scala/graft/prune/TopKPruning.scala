@@ -425,9 +425,56 @@ object TopKPruning {
     * added key can only narrow the plan set. Degrades to the longest
     * usable prefix when a deeper key's ordering is uncertified or its
     * stats are unavailable. */
+  /** Per-query memo over a [[StatsIndex]]: the planner-fallback prefix
+    * recursion intersects every shorter prefix, re-reading the same
+    * per-column stats (and file listing) at every depth without this —
+    * O(N²) whole-index fetches for an N-key order. Everything else
+    * delegates, fast paths included. */
+  private final class MemoStatsIndex(u: StatsIndex) extends StatsIndex {
+    private val statsMemo =
+      scala.collection.mutable.HashMap.empty[String, Option[Seq[RowGroupStat]]]
+    private lazy val allMemo = u.allFiles()
+    override def rowGroupStats(c: String): Option[Seq[RowGroupStat]] =
+      statsMemo.getOrElseUpdate(c, u.rowGroupStats(c))
+    override def allFiles(): Seq[FileScanPlan] = allMemo
+    def initialize(s: org.apache.spark.sql.types.StructType): Unit = u.initialize(s)
+    def addFile(st: graft.index.FileStats): Unit = u.addFile(st)
+    def retainOnly(f: Set[String]): Unit = u.retainOnly(f)
+    def removeFiles(f: Set[String]): Unit = u.removeFiles(f)
+    def getFiles(p: org.apache.spark.sql.catalyst.expressions.Expression) =
+      u.getFiles(p)
+    def indexedSchema: org.apache.spark.sql.types.StructType = u.indexedSchema
+    override def topKSurvivors(c: String, k: Long, d: Boolean, nf: Boolean,
+        lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)]) =
+      u.topKSurvivors(c, k, d, nf, lo, hi)
+    override def topKSurvivorsComposite(c: String, k: Long, d: Boolean,
+        nf: Boolean, lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)],
+        others: Seq[OtherColBounds]) =
+      u.topKSurvivorsComposite(c, k, d, nf, lo, hi, others)
+    override def topKSurvivorsDisjunctive(c: String, k: Long, d: Boolean,
+        nf: Boolean, ds: Seq[Disjunct]) =
+      u.topKSurvivorsDisjunctive(c, k, d, nf, ds)
+    override def topKSurvivorsLexN(keys: Seq[SortKeySpec], k: Long) =
+      u.topKSurvivorsLexN(keys, k)
+    override def topKSurvivorsDisjunctiveLexN(
+        keys: Seq[SortKeySpec], ds: Seq[Disjunct], k: Long) =
+      u.topKSurvivorsDisjunctiveLexN(keys, ds, k)
+    override def bloomCols: Set[String] = u.bloomCols
+    override def minIndexedValue(c: String): Option[Any] = u.minIndexedValue(c)
+    override def maxIndexedValue(c: String): Option[Any] = u.maxIndexedValue(c)
+    override def totalRowCount(): Option[Long] = u.totalRowCount()
+    override def nonNullCount(c: String): Option[Long] = u.nonNullCount(c)
+    def close(): Unit = u.close()
+  }
+
+  private def memo(index: StatsIndex): StatsIndex = index match {
+    case m: MemoStatsIndex => m
+    case other => new MemoStatsIndex(other)
+  }
+
   def pruneLexN(
       index: StatsIndex, keys: Seq[SortKeySpec], k: Long): Seq[FileScanPlan] =
-    pruneLexImpl(index, keys, k, None)
+    pruneLexImpl(memo(index), keys, k, None)
 
   /** FILTERED N-key lexicographic top-k — the composition of the
     * disjunctive/composite filter certificate with the tuple threshold:
@@ -452,7 +499,7 @@ object TopKPruning {
     if (keys.sizeIs == 1)
       return pruneDisjunctive(index, keys.head.col, k, keys.head.desc,
         keys.head.nullsFirst, disjuncts, statsPlans)
-    pruneLexImpl(index, keys, k, Some((disjuncts, statsPlans)))
+    pruneLexImpl(memo(index), keys, k, Some((disjuncts, statsPlans)))
   }
 
   private def pruneLexImpl(

@@ -93,28 +93,35 @@ object DedupMaintenance {
 
   /** The whole band store as one DataFrame: each live dir (batch dirs +
     * optional compacted base) read separately — partition discovery
-    * must anchor per root, the dirs are siblings — and unioned. A
-    * filter above the union pushes into every branch's scan. */
+    * must anchor per root, the dirs are siblings — and unioned with
+    * missing columns allowed, so a store written BEFORE the bucket
+    * layout (plain 3-column dirs) still reads: its rows surface with
+    * `bucket` NULL and are simply never pruned. A filter above the
+    * union pushes into every branch's scan. Empty — e.g. a store whose
+    * only batches were empty — is the caller's case to handle. */
   private[graft] def bandStore(spark: org.apache.spark.sql.SparkSession,
       artifactDir: String, hconf: SerializableConfiguration): DataFrame =
     storeDirs(bandsRoot(artifactDir), hconf)
       .map(d => spark.read.parquet(d.toString))
-      .reduce(_.unionByName(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** The band store restricted to the bucket partitions the batch's
     * band keys hash into — a partition-PRUNED read (the plan's scan
-    * carries `PartitionFilters: bucket IN (...)`, pinned by
-    * StreamingDedupSpec), sound because the bucket is a pure function
-    * of the join key (band, bkey). Reads go through [[storeDirs]] so a
+    * carries `PartitionFilters`, pinned by StreamingDedupSpec), sound
+    * because the bucket is a pure function of the join key (band,
+    * bkey); legacy pre-bucket rows (bucket NULL) are always kept —
+    * unpruned, never lost. Reads go through [[storeDirs]] so a
     * compacted `base-<m>` fold participates like any batch dir. The
     * bucket set is collected driver-side: ≤ [[BandBuckets]] values. */
   private[graft] def prunedBandStore(spark: org.apache.spark.sql.SparkSession,
       artifactDir: String, batchBands: DataFrame,
       hconf: SerializableConfiguration): DataFrame = {
+    if (storeDirs(bandsRoot(artifactDir), hconf).isEmpty)
+      return batchBands.limit(0).select("band", "bkey", "doc_id")
     val buckets = batchBands.select(bandBucket.as("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     bandStore(spark, artifactDir, hconf)
-      .where(col("bucket").isin(buckets: _*))
+      .where(col("bucket").isNull || col("bucket").isin(buckets: _*))
       .select("band", "bkey", "doc_id")
   }
 
@@ -149,6 +156,19 @@ object DedupMaintenance {
     * id > m. Batch dirs at or below the fold boundary are garbage a
     * crashed compaction may leave behind — readers ignore them, the next
     * compaction sweeps them. */
+  /** True iff the dir holds at least one parquet part (recursively —
+    * bucket partition subdirs included). An EMPTY micro-batch's write
+    * leaves a `b<id>` dir with only `_SUCCESS`; per-dir reads cannot
+    * infer a schema from it, so such dirs are invisible to readers and
+    * compaction (they contribute no rows by definition). */
+  private def containsParquet(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Boolean = {
+    val it = fs.listFiles(p, true)
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    false
+  }
+
   private def storeDirs(root: Path,
       hconf: SerializableConfiguration): Seq[Path] = {
     val fs = root.getFileSystem(hconf.value)
@@ -160,9 +180,10 @@ object DedupMaintenance {
       .map(_.getPath.getName.stripPrefix("base-").toLong)
       .maxOption
     val base = baseM.map(m => new Path(root, s"base-$m")).toSeq
-    base ++ all.map(_.getPath)
+    (base ++ all.map(_.getPath)
       .filter(p => p.getName.matches("b\\d+") &&
-        baseM.forall(m => p.getName.drop(1).toLong > m))
+        baseM.forall(m => p.getName.drop(1).toLong > m)))
+      .filter(containsParquet(fs, _))
   }
 
   /** LSM COMPACTION of the pair-statistics state: fold every per-batch
@@ -191,9 +212,10 @@ object DedupMaintenance {
       val m1 = foldable.max
       val inputs = live.filterNot(_.getName == s"b${batchIds.last}")
       // per-dir reads unioned: partitioned stores (bands) need their
-      // partition discovery anchored per root
+      // partition discovery anchored per root; missing columns allowed
+      // so pre-bucket-layout band dirs fold too (bucket NULL)
       val folded = fold(inputs.map(p => spark.read.parquet(p.toString))
-        .reduce(_.unionByName(_)))
+        .reduce(_.unionByName(_, allowMissingColumns = true)))
       // one file per partition value in the fold (see commitBatch's
       // band-write note on the tasks × values fan-out)
       val arranged =

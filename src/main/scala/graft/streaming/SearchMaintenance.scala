@@ -48,6 +48,22 @@ object SearchMaintenance {
       .parquet(new Path(nRoot(artifactDir), s"b$batchId").toString)
   }
 
+  /** THE rarity-weighted scorer — the one implementation ts3, the
+    * maintained-store query, and the specs all share (so the three can
+    * never drift apart): Σ tf·(N − df) per doc over the given
+    * (doc_id, w, tf) postings, df derived from those same rows, score
+    * > 0, top-k by (score DESC, doc_id). BIGINT-exact throughout. */
+  private[graft] def rankedScore(tf: DataFrame, n: DataFrame, k: Int): DataFrame = {
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * (col("n") - col("df"))).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** ts3's rarity-weighted ranked retrieval over the maintained store. */
   def rankedSearch(spark: SparkSession, artifactDir: String,
       terms: Seq[String], k: Int): DataFrame = {
@@ -56,13 +72,6 @@ object SearchMaintenance {
       .where(col("w").isin(terms: _*))
     val n = spark.read.parquet(new Path(nRoot(artifactDir), "b*").toString)
       .agg(sum(col("n")).as("n"))
-    val df = post.groupBy("w").agg(count(lit(1)).as("df"))
-    post.join(broadcast(df), Seq("w"))
-      .crossJoin(broadcast(n))
-      .groupBy("doc_id")
-      .agg(sum(col("tf") * (col("n") - col("df"))).as("score"))
-      .filter(col("score") > 0)
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
+    rankedScore(post, n, k)
   }
 }

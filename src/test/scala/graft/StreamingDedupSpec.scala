@@ -235,6 +235,25 @@ class StreamingDedupSpec extends SparkSpec {
       "post-compaction merge diverged from the full recompute")
   }
 
+  test("an EMPTY micro-batch commits harmlessly (no-parquet dirs stay invisible)") {
+    val dir = sf("sf0.001")
+    val art = Files.createTempDirectory("graft-dedup-empty").toString
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    DedupMaintenance.commitBatch(docs.filter(col("doc_id") % 2 === 0), 0L, art, hconf)
+    // the empty batch: writes a b1 dir holding only _SUCCESS
+    DedupMaintenance.commitBatch(docs.limit(0), 1L, art, hconf)
+    // later commits, reads, and compaction must all still work
+    DedupMaintenance.commitBatch(docs.filter(col("doc_id") % 2 === 1), 2L, art, hconf)
+    DedupMaintenance.compactPairStats(spark, art, hconf)
+    val merged = labels(art)
+    val full = graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.bandPairs(
+          graft.operators.Dedup.bandKeysMapOnly(docs)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === full,
+      "labels diverged after an empty micro-batch in the stream")
+  }
+
   test("version retention keeps only the live label version") {
     val dir = sf("sf0.001")
     val art = Files.createTempDirectory("graft-dedup-retain").toString
