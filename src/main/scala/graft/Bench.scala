@@ -47,6 +47,35 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** IO-capacity probe (round 10): fixed fsync-heavy work — 64 × 256 KB
+    * files written with an fsync each, then deleted — the pattern
+    * streaming checkpoints and store commits hammer. The round-10
+    * adjudication showed `cal`/`calp` are blind to SHARED-DISK latency
+    * drift: two same-code runs ~25 minutes apart measured the
+    * streaming gates ~1.7× apart while all four CPU probe values were
+    * identical — the run's durable-write latency had drifted, not its
+    * compute. Emitted as `"calio":[a,b]`; compare ends and rounds the
+    * same way as `calp` (a ballooned calio means the fsync-heavy st*
+    * entries are inflated by the sandbox, not the code). */
+  private def calibrateIo(): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-calio")
+    val buf = new Array[Byte](256 * 1024)
+    java.util.Arrays.fill(buf, 0x5a.toByte)
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 64) {
+      val out = new java.io.FileOutputStream(dir.resolve(s"c$i").toFile)
+      out.write(buf)
+      out.getFD.sync()
+      out.close()
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    (0 until 64).foreach(i => dir.resolve(s"c$i").toFile.delete())
+    dir.toFile.delete()
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Canonical bench config is local[32] (BASELINE.md "Canonical bench
@@ -73,6 +102,7 @@ object Bench {
     catch { case _: Throwable => () }
     val calStart = calibrate()
     val calpStart = calibrateParallel(cpus)
+    val calioStart = calibrateIo()
     // steady-state timing: one untimed warmup run per query (JIT + codegen
     // compilation of each query's generated classes), then the MEDIAN of 3
     // measured runs — a single GC/contention burst in this shared sandbox
@@ -104,6 +134,7 @@ object Bench {
     }
     val calEnd = calibrate()
     val calpEnd = calibrateParallel(cpus)
+    val calioEnd = calibrateIo()
     // JSON must be locale-independent: f"" interpolators use the JVM
     // default locale and a comma-decimal locale would emit invalid JSON.
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
@@ -113,7 +144,8 @@ object Bench {
       System.err.println(s"[bench] ${n.padTo(24, ' ')} ${fmt3(v)} s")
     }
     System.err.println(s"[bench] cal ${fmt3(calStart)} / ${fmt3(calEnd)} s, " +
-      s"calp ${fmt3(calpStart)} / ${fmt3(calpEnd)} s ($cpus threads)")
+      s"calp ${fmt3(calpStart)} / ${fmt3(calpEnd)} s ($cpus threads), " +
+      s"calio ${fmt3(calioStart)} / ${fmt3(calioEnd)} s")
     // The harness capturing this output keeps only the last ~2000 bytes of
     // stdout, and the build tool appends a ~75-byte success line after us —
     // so the whole JSON line must fit in ~1900 bytes or its head is cut and
@@ -128,7 +160,8 @@ object Bench {
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
       val omit = if (omitted > 0) s""","fast_omitted":$omitted""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cal":[${fmt(calStart)},${fmt(calEnd)}],""" +
-        s""""calp":[${fmt(calpStart)},${fmt(calpEnd)}],"cpus":$cpus,""" +
+        s""""calp":[${fmt(calpStart)},${fmt(calpEnd)}],""" +
+        s""""calio":[${fmt(calioStart)},${fmt(calioEnd)}],"cpus":$cpus,""" +
         s""""queries":$qs,"failures":${failures.mkString("[", ",", "]")}$omit,"sf":"$sfDir"}"""
     }
     // if the full map overflows, drop the single fastest (noise-level)
