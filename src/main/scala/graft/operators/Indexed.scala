@@ -474,10 +474,15 @@ object Indexed {
         .agg(count(lit(1)).as("n"),
           count(col("l_returnflag")).as("nn"),
           min(col("l_returnflag")).as("mn"),
-          max(col("l_returnflag")).as("mx")),
+          max(col("l_returnflag")).as("mx"),
+          // per-group extremes of ANOTHER column, also from the catalog
+          // (certifiable here: zero flag nulls, integral key)
+          min(col("l_orderkey")).as("okmin"),
+          max(col("l_orderkey")).as("okmax")),
       Some("""SELECT l_returnflag, count(*) AS n,
              |  count(l_returnflag) AS nn,
-             |  min(l_returnflag) AS mn, max(l_returnflag) AS mx
+             |  min(l_returnflag) AS mn, max(l_returnflag) AS mx,
+             |  min(l_orderkey) AS okmin, max(l_orderkey) AS okmax
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // FILTERED two-key lexicographic top-k (idx24) — the composition of

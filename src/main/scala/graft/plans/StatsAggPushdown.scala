@@ -84,12 +84,17 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     *
     * Certified outputs: the grouping attribute itself, `COUNT(*)` (the
     * value's non-null rows; row-group null slices accumulate into the
-    * NULL group), `COUNT(g)` (0 for the NULL group), and `MIN(g)` /
-    * `MAX(g)` (the value itself; NULL for the NULL group). Any other
-    * aggregate, a second grouping column, DISTINCT, or an agg filter
-    * disqualifies. Consistency with a scan holds because the relation's
-    * listing IS the catalog (see COUNT(*) note above). Kill switch:
-    * `spark.graft.groupByAggPushdown=false`. */
+    * NULL group), `COUNT(g)` (0 for the NULL group), `MIN(g)` /
+    * `MAX(g)` (the value itself; NULL for the NULL group), and
+    * `MIN`/`MAX` of OTHER indexed integral/date/timestamp columns —
+    * merged per group from row-group extremes, certifiable only when NO
+    * row group holds grouping-column nulls (a null-g row's value would
+    * leak into the wrong group's extreme) and refused for strings
+    * (truncated minima are bounds, not answers) and floats (NaN
+    * comparator hazard). Any other aggregate, a second grouping column,
+    * DISTINCT, or an agg filter disqualifies. Consistency with a scan
+    * holds because the relation's listing IS the catalog (see COUNT(*)
+    * note above). Kill switch: `spark.graft.groupByAggPushdown=false`. */
   private def groupByRewrite(
       agg: Aggregate, idx: IndexedParquetFileIndex): Option[LogicalPlan] = {
     if (session.conf.get("spark.graft.groupByAggPushdown", "true") != "true")
@@ -100,8 +105,10 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       case _ => return None
     }
     val stats = idx.statsIndex.rowGroupStats(g.name).getOrElse(return None)
-    // per-value (non-null) row counts + the NULL group's row count
+    // per-value (non-null) row counts + the NULL group's row count; also
+    // each row group's value, for the other-column extremes below
     val byValue = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+    val rgValue = scala.collection.mutable.HashMap.empty[(String, Int), Any]
     var nullRows = 0L
     stats.foreach { s =>
       val nc = s.nullCount.getOrElse(return None)
@@ -110,12 +117,67 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         val mn = s.min.getOrElse(return None)
         val mx = s.max.getOrElse(return None)
         if (mn != mx) return None // a straddling group: fail closed
+        rgValue((s.fileName, s.rowGroup)) = mx
         byValue.updateWith(mx) {
           case Some(n) => Some(n + (s.rowCount - nc))
           case None    => Some(s.rowCount - nc)
         }
       }
     }
+    // per-group MIN/MAX of OTHER indexed columns: certifiable only when
+    // NO row group holds grouping-column nulls (a null-g row's other
+    // value would otherwise leak into the wrong group's extreme — null-g
+    // rows share row groups with value rows, and column stats cover the
+    // whole group) and the other column's stored extremes are
+    // verbatim-exact VALUES: integrals/date/timestamp only (string
+    // minima may be truncated — fine as bounds, wrong as answers;
+    // floats carry the NaN comparator hazard)
+    def exactOther(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+          TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val otherAggCols = agg.aggregateExpressions.flatMap {
+      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Min(a: AttributeReference) if a.exprId != g.exprId => Seq(a)
+          case Max(a: AttributeReference) if a.exprId != g.exprId => Seq(a)
+          case _ => Nil
+        }
+      case _ => Nil
+    }.distinctBy(_.exprId)
+    // value -> (min, max) per other column, merged over its row groups
+    val otherExtremes: Map[String, scala.collection.Map[Any, (Option[Any], Option[Any])]] =
+      if (otherAggCols.isEmpty) Map.empty
+      else {
+        if (nullRows > 0) return None
+        otherAggCols.map { a =>
+          if (!indexed(idx.statsIndex, a) || !exactOther(a.dataType)) return None
+          val os = idx.statsIndex.rowGroupStats(a.name).getOrElse(return None)
+          val acc = scala.collection.mutable.HashMap
+            .empty[Any, (Option[Any], Option[Any])]
+          os.foreach { s =>
+            val v = rgValue.get((s.fileName, s.rowGroup)) match {
+              case Some(v) => v
+              case None => return None // a group the g pass didn't certify
+            }
+            val nc = s.nullCount.getOrElse(return None)
+            if (nc != s.rowCount) { // all-null groups contribute no extreme
+              val mn = s.min.getOrElse(return None)
+              val mx = s.max.getOrElse(return None)
+              def lt(x: Any, y: Any) =
+                x.asInstanceOf[Number].longValue < y.asInstanceOf[Number].longValue
+              acc.updateWith(v) {
+                case Some((pmn, pmx)) => Some((
+                  Some(if (pmn.forall(p => lt(mn, p))) mn else pmn.get),
+                  Some(if (pmx.forall(p => lt(p, mx))) mx else pmx.get)))
+                case None => Some((Some(mn), Some(mx)))
+              }
+            } else acc.getOrElseUpdate(v, (None, None))
+          }
+          a.name -> acc
+        }.toMap
+      }
     // one output cell per (aggregate expression, group): value groups get
     // (value, count); the NULL group exists iff null rows exist
     def cell(ne: NamedExpression, value: Option[Any], rows: Long): Option[Any] =
@@ -134,6 +196,14 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
               Some(value.flatMap(internal(_, g.dataType)).orNull)
             case Max(a: AttributeReference) if a.exprId == g.exprId =>
               Some(value.flatMap(internal(_, g.dataType)).orNull)
+            case Min(a: AttributeReference) if otherExtremes.contains(a.name) =>
+              Some(value
+                .flatMap(v => otherExtremes(a.name).getOrElse(v, (None, None))._1)
+                .flatMap(internal(_, a.dataType)).orNull)
+            case Max(a: AttributeReference) if otherExtremes.contains(a.name) =>
+              Some(value
+                .flatMap(v => otherExtremes(a.name).getOrElse(v, (None, None))._2)
+                .flatMap(internal(_, a.dataType)).orNull)
             case _ => None
           }
         case _ => None

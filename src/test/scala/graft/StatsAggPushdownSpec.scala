@@ -100,6 +100,34 @@ class StatsAggPushdownSpec extends SparkSpec {
     assert(got(None)._2 === 0L)
   }
 
+  test("GROUP BY per-group extremes of another column fold — only without grouping nulls") {
+    // fxg's g HAS nulls: min(k) per group must NOT fold (a null-g row's
+    // k could leak into the wrong group's extreme)
+    val withNulls = fxg._1.groupBy("g").agg(min(col("k")).as("mk"))
+    assert(!folded(withNulls))
+    // a null-free aligned fixture: min/max of the other column fold and
+    // match ground truth
+    val base = Files.createTempDirectory("graft-aggpush-g2").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    (0 until 2000).map(i => (i.toLong, i.toLong / 500L))
+      .toDF("k", "g").coalesce(1)
+      .write.option("parquet.block.row.count.limit", "50")
+      .mode("overwrite").parquet(dir)
+    val (index, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("k", "g"), s"$base/statsdb")
+    val (df, _) = IndexedParquet.read(spark, dir, index, schema)
+    def shape(d: DataFrame) = d.groupBy("g")
+      .agg(min(col("k")).as("mk"), max(col("k")).as("xk"),
+        count(lit(1)).as("n"))
+    val agg = shape(df)
+    assert(folded(agg), agg.queryExecution.optimizedPlan.toString)
+    val key = (r: org.apache.spark.sql.Row) =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(agg.collect().map(key).toMap ===
+      shape(spark.read.parquet(dir)).collect().map(key).toMap)
+  }
+
   test("GROUP BY fails closed on a straddling column and on disqualifying aggregates") {
     // k is sequential — every row group straddles values: no fold
     val byK = fxg._1.groupBy("k").agg(count(lit(1)).as("n"))
