@@ -734,7 +734,13 @@ final class DerbyStatsIndex(
           if (keys(0).desc) s"rg.${keys(0).col}_max_freq"
           else s"rg.${keys(0).col}_min_freq"
         val capped = s"(CASE WHEN $fq > $baseCnt THEN $baseCnt ELSE $fq END)"
-        s"""(CASE WHEN $fq IS NULL THEN 0
+        // the stored best extreme must be non-NULL for the frequency to
+        // be usable: branch 3 (which claims these rows at that value)
+        // requires it, and the planner zeroes fb when bestVal is
+        // undefined — counting the slice toward NO candidate here would
+        // let catalog and planner thresholds diverge (both sound, but
+        // the catalog==planner parity contract pins them equal)
+        s"""(CASE WHEN $fq IS NULL OR rg.${best(0)} IS NULL THEN 0
            |      WHEN ($capped - $sExpr) < 0 THEN 0
            |      ELSE ($capped - $sExpr) END)""".stripMargin
       }

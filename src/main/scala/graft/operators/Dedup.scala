@@ -780,13 +780,16 @@ object Dedup {
     // — and emit (doc_id, component, kept) for EVERY doc so downstream
     // can either filter kept=true (the deduped corpus) or audit what was
     // dropped and why it lost. Scale: quality scoring is map-only; the
-    // arg-max is one component-keyed hash aggregate (max of a (score,
-    // -doc_id) struct — lexicographic, so the tie-break costs nothing)
-    // plus one component-keyed join back — the same shuffle shape dd11
-    // already pays, nothing quadratic, nothing collected.
+    // arg-max is one component-partitioned WINDOW max of a (score,
+    // -doc_id) struct (lexicographic, so the tie-break costs nothing) —
+    // r11: one exchange and ONE documents scan, where the former
+    // agg + join-back shape paid two exchanges and re-read the table
+    // for the join side. Window partitions are near-dup clusters —
+    // LSH-bounded, so no partition outgrows its task.
     QueryDef(
       "dd12_representative",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val comp = s.table(componentTable(s, dir))
         val toks = TextAnalysis.tokens(col("text"))
         val nTok = size(toks)
@@ -800,12 +803,10 @@ object Dedup {
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("component"),
             col("score"))
-        val best = labeled.groupBy("component")
-          .agg(max(struct(col("score"), (-col("doc_id")).as("negid"))).as("b"))
-          .select(col("component"), (-col("b.negid")).as("keep_id"))
-        labeled.join(best, Seq("component"))
-          .select(col("doc_id"), col("component"),
-            (col("doc_id") === col("keep_id")).as("kept"))
+        val b = max(struct(col("score"), (-col("doc_id")).as("negid")))
+          .over(Window.partitionBy("component"))
+        labeled.select(col("doc_id"), col("component"),
+          (col("doc_id") === -b.getField("negid")).as("kept"))
       },
       Some {
         val nTok = "len(string_split(d.text, ' '))"
@@ -887,9 +888,12 @@ object Dedup {
     // training manifest over the DEDUPED corpus. Each stage is green
     // alone; this row proves the composition end to end against one
     // composed oracle. Scale: the chain reuses the persisted component
-    // labels, adds one component-keyed agg + join (dd12's shape), a
-    // map-side split/shard assignment, and a (split, shard)-partitioned
-    // running sum — no stage is new shuffle topology.
+    // labels, adds one component-partitioned window arg-max (dd12's
+    // r11 shape — ONE documents scan computes score and token count in
+    // the same projection, where the former agg + join-back re-read
+    // the table), a map-side split/shard assignment, and a
+    // (split, shard)-partitioned running sum — no stage is new shuffle
+    // topology.
     QueryDef(
       "pp1_pipeline",
       (s, dir) => {
@@ -908,10 +912,10 @@ object Dedup {
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("component"),
             col("score"), col("nt"))
-        val best = labeled.groupBy("component")
-          .agg(max(struct(col("score"), (-col("doc_id")).as("negid"))).as("b"))
-          .select(col("component"), (-col("b.negid")).as("keep_id"))
-        val kept = labeled.join(best, Seq("component"))
+        val b = max(struct(col("score"), (-col("doc_id")).as("negid")))
+          .over(Window.partitionBy("component"))
+        val kept = labeled
+          .withColumn("keep_id", -b.getField("negid"))
           .where(col("doc_id") === col("keep_id"))
           .withColumn("split",
             when(pmod(col("component"), lit(10L)) === 0, lit("val"))

@@ -39,9 +39,13 @@ import org.apache.spark.util.SerializableConfiguration
   * corpus side is NEVER shuffled — and (r10) the store is laid out in
   * [[BandBuckets]] hash-bucket partition dirs, so the read is PRUNED to
   * the buckets the batch's band keys hash into instead of columnar-
-  * scanning the whole store; the label merge runs over |labels| + |new
-  * pairs| star/pair edges — O(corpus docs + batch²-bounded pairs) edge
-  * rows, never the corpus pair graph. Earlier batches' band files are
+  * scanning the whole store; the label merge (r11) runs CC over ONLY
+  * the new pairs plus the star edges of components ADJACENT to them —
+  * O(batch + affected components), with every untouched label carried
+  * forward verbatim through a broadcast anti-join, so neither the
+  * corpus pair graph NOR the corpus star set is shuffled per batch
+  * (the label table is scanned through broadcast joins, never moved).
+  * Earlier batches' band files are
   * never rewritten, and [[compactPairStats]] folds old band dirs into a
   * bucket-partitioned base so the per-read dir count stays bounded.
   */
@@ -169,7 +173,7 @@ object DedupMaintenance {
     false
   }
 
-  private def storeDirs(root: Path,
+  private[streaming] def storeDirs(root: Path,
       hconf: SerializableConfiguration): Seq[Path] = {
     val fs = root.getFileSystem(hconf.value)
     if (!fs.exists(root)) return Seq.empty
@@ -199,34 +203,44 @@ object DedupMaintenance {
     * swept here, ignored by readers regardless). Reads stay correct
     * with or without compaction; this bounds the per-read dir count on
     * a long-running stream. */
+  /** Fold ONE LSM store root's live dirs (all but the newest batch dir)
+    * into a `base-<m>` dir — the shared core of [[compactPairStats]]
+    * and [[SearchMaintenance.compact]]. See compactPairStats for the
+    * newest-dir and crash-safety rationale. */
+  private[streaming] def compactStore(spark: org.apache.spark.sql.SparkSession,
+      root: Path, hconf: SerializableConfiguration,
+      fold: DataFrame => DataFrame,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val fs = root.getFileSystem(hconf.value)
+    val live = storeDirs(root, hconf)
+    val batchIds = live.filter(_.getName.matches("b\\d+"))
+      .map(_.getName.drop(1).toLong).sorted
+    if (batchIds.size <= 1) return // nothing foldable below the newest
+    val foldable = batchIds.dropRight(1)
+    val m1 = foldable.max
+    val inputs = live.filterNot(_.getName == s"b${batchIds.last}")
+    // per-dir reads unioned: partitioned stores (bands) need their
+    // partition discovery anchored per root; missing columns allowed
+    // so pre-bucket-layout band dirs fold too (bucket NULL)
+    val folded = fold(inputs.map(p => spark.read.parquet(p.toString))
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
+    // one file per partition value in the fold (see commitBatch's
+    // band-write note on the tasks × values fan-out)
+    val arranged =
+      if (partitionCols.nonEmpty) folded.repartition(partitionCols.map(col): _*)
+      else folded
+    val w = arranged.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(new Path(root, s"base-$m1").toString)
+    // the fold is live; sweep its inputs (harmless if this crashes)
+    inputs.foreach(p => fs.delete(p, true))
+  }
+
   def compactPairStats(spark: org.apache.spark.sql.SparkSession,
       artifactDir: String, hconf: SerializableConfiguration): Unit = {
     def compact(root: Path, fold: DataFrame => DataFrame,
-        partitionCols: Seq[String] = Nil): Unit = {
-      val fs = root.getFileSystem(hconf.value)
-      val live = storeDirs(root, hconf)
-      val batchIds = live.filter(_.getName.matches("b\\d+"))
-        .map(_.getName.drop(1).toLong).sorted
-      if (batchIds.size <= 1) return // nothing foldable below the newest
-      val foldable = batchIds.dropRight(1)
-      val m1 = foldable.max
-      val inputs = live.filterNot(_.getName == s"b${batchIds.last}")
-      // per-dir reads unioned: partitioned stores (bands) need their
-      // partition discovery anchored per root; missing columns allowed
-      // so pre-bucket-layout band dirs fold too (bucket NULL)
-      val folded = fold(inputs.map(p => spark.read.parquet(p.toString))
-        .reduce(_.unionByName(_, allowMissingColumns = true)))
-      // one file per partition value in the fold (see commitBatch's
-      // band-write note on the tasks × values fan-out)
-      val arranged =
-        if (partitionCols.nonEmpty) folded.repartition(partitionCols.map(col): _*)
-        else folded
-      val w = arranged.write.mode("overwrite")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(new Path(root, s"base-$m1").toString)
-      // the fold is live; sweep its inputs (harmless if this crashes)
-      inputs.foreach(p => fs.delete(p, true))
-    }
+        partitionCols: Seq[String] = Nil): Unit =
+      compactStore(spark, root, hconf, fold, partitionCols)
     compact(pdRoot(artifactDir), df =>
       df.groupBy("a", "b").agg(sum(col("dc")).as("dc"))
         .where(col("dc") =!= 0))
@@ -344,6 +358,51 @@ object DedupMaintenance {
       .select("a", "b", "c", "na", "nb")
   }
 
+  /** The slice of the live label table the batch's new pairs can
+    * possibly change, as (affected component ids, their star edges).
+    * `affected` = the distinct labels of pair endpoints that are
+    * already labelled — components ADJACENT to the batch (the label
+    * table carries a self row for every root, so a pair landing on a
+    * root finds its component too). The star edges of exactly those
+    * components are the only live edges a merge can traverse: a pair
+    * between two docs of untouched components does not exist by
+    * construction (pairs all touch the batch), so every component the
+    * merge can relabel is in `affected`. The label table is consulted
+    * through BROADCAST joins only (endpoints and affected are
+    * pair-bounded) — it is scanned, never shuffled, and the CC input is
+    * O(|new pairs| + |affected components' members|), not O(corpus). */
+  private[graft] def affectedSlice(liveLabels: DataFrame,
+      pairs: DataFrame): (DataFrame, DataFrame) = {
+    val endpoints = pairs.select(col("a").as("v"))
+      .union(pairs.select(col("b").as("v"))).distinct()
+    val affected = liveLabels.join(broadcast(endpoints), Seq("v"))
+      .select("l").distinct().localCheckpoint()
+    val stars = liveLabels.join(broadcast(affected), Seq("l"))
+      .where(col("l") =!= col("v"))
+      .select(col("l").as("a"), col("v").as("b"))
+    (affected, stars)
+  }
+
+  /** Merge the batch's new pairs into the live labels touching ONLY the
+    * affected components: CC runs over the new pairs plus the star
+    * edges of components adjacent to them ([[affectedSlice]]); every
+    * other label row is carried forward VERBATIM (broadcast anti-join —
+    * no shuffle, no recompute). Equal to CC over ALL stars ∪ pairs: an
+    * untouched component's stars alone re-converge to its existing
+    * min-vertex labels, and an affected component's full membership is
+    * in the slice (root via its self row, members via their stars), so
+    * the merged min is taken over exactly the union a full pass would
+    * see. */
+  private[graft] def mergeLabels(liveLabels: DataFrame,
+      pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.localCheckpoint()
+    val (affected, stars) = affectedSlice(liveLabels, pairs)
+    val merged = Dedup.connectedComponents(stars.union(pairs))
+    liveLabels.join(broadcast(affected), Seq("l"), "left_anti")
+      .select("v", "l")
+      .union(merged.select("v", "l"))
+  }
+
   /** One batch's artifact commit: band append + star-merge label update.
     * `docs` must carry (doc_id, text). Idempotent per (docs, batchId). */
   private[graft] def commitBatch(docs: DataFrame, batchId: Long,
@@ -363,25 +422,31 @@ object DedupMaintenance {
         .repartition(col("bucket"))
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(new Path(bandsRoot(artifactDir), s"b$batchId").toString)
-      // 2. star edges from the live labels (diameter-2 compression of
-      // every already-merged component)
-      val stars = latestVersion(artifactDir, hconf) match {
+      // 2. the live labels (stored (v, l) rows; empty before the first
+      // commit)
+      val liveV = latestVersion(artifactDir, hconf)
+      val live = liveV match {
         case Some(v) =>
           spark.read.parquet(new Path(labelsRoot(artifactDir), s"v$v").toString)
-            .where(col("l") =!= col("v"))
-            .select(col("l").as("a"), col("v").as("b"))
+            .select("v", "l")
         case None =>
           import spark.implicits._
-          Seq.empty[(Long, Long)].toDF("a", "b")
+          Seq.empty[(Long, Long)].toDF("v", "l")
       }
       // 3. the batch's new candidate pairs against the band store (which
       // now includes this batch's own bands), bucket-pruned to the
       // partitions the batch touches
       val pairs = newPairs(prunedBandStore(spark, artifactDir, batchBands, hconf),
         batchBands)
-      // 4. merged labels — CC over star + new edges only; the version
-      // becomes live the moment its _SUCCESS lands
-      val merged = Dedup.connectedComponents(stars.union(pairs))
+      // 4. merged labels — CC over the AFFECTED slice only (O(batch +
+      // affected components), never O(corpus) star edges); untouched
+      // labels carried forward verbatim. The version becomes live the
+      // moment its _SUCCESS lands. On REPLAY the live version IS this
+      // batch's own dir and the untouched branch lazily reads what the
+      // write below overwrites — materialize first in exactly that case
+      val merged0 = mergeLabels(live, pairs)
+      val merged =
+        if (liveV.contains(batchId)) merged0.localCheckpoint() else merged0
       merged.write.mode("overwrite")
         .parquet(new Path(labelsRoot(artifactDir), s"v$batchId").toString)
       // 5. retention: once this version is live, older ones are never

@@ -100,6 +100,18 @@ object DocumentStreams {
       out
     })
 
+  /** Recursive delete of a per-run temp dir, AFTER the result frame is
+    * materialized (localCheckpoint) — without this each bench/verify
+    * pass leaks a full copy of the run's artifact stores on disk. */
+  private def rmrf(p: String): Unit = {
+    def del(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(del)
+      f.delete(); ()
+    }
+    del(new java.io.File(p))
+  }
+
   /** `st6_stream_components`: continuous corpus ingestion through the
     * maintaining sink — each micro-batch lands data + footer stats
     * (IndexedSink) AND the dedup artifacts (band append + star-merged
@@ -107,9 +119,9 @@ object DocumentStreams {
     * maintained label table after the last batch; the oracle is dd6's
     * full-graph recursive closure over the same documents, so the check
     * IS the incremental-merge-equals-full-recompute claim, end to end
-    * through the streaming seam. Fresh temp dirs per run: the result is
-    * a pure function of the fixture, so re-runs (bench medians, verify)
-    * are deterministic. */
+    * through the streaming seam. Fresh temp dirs per run (removed once
+    * the result is materialized): the result is a pure function of the
+    * fixture, so re-runs (bench medians, verify) are deterministic. */
   def streamComponentsQuery(s: SparkSession, sfDir: String): DataFrame = {
     val dir = allDocsStreamDir(s, sfDir)
     val base = java.nio.file.Files.createTempDirectory("graft-st6").toString
@@ -118,16 +130,23 @@ object DocumentStreams {
       docsSchema.filter(_.name == "doc_id"))
     val index = new graft.index.DerbyStatsIndex(s"$base/db", idxSchema)
     index.initialize(idxSchema)
-    try {
-      val src = s.readStream.schema(docsSchema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-      val q = IndexedSink.start(src, s"$base/data", index, Seq("doc_id"),
-        s"$base/ckpt", dedupArtifacts = Some(s"$base/art"))
-      try q.awaitTermination() finally q.stop()
-      val hconf = new org.apache.spark.util.SerializableConfiguration(
-        s.sparkContext.hadoopConfiguration)
-      DedupMaintenance.currentLabels(s, s"$base/art", hconf)
-    } finally index.close()
+    val out =
+      try {
+        val src = s.readStream.schema(docsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        // compactEvery = 1: the 2-batch gate exercises the scheduled
+        // compaction path (batch 1 folds batch 0's artifacts) and the
+        // oracle proves the folded store still serves exactly
+        val q = IndexedSink.start(src, s"$base/data", index, Seq("doc_id"),
+          s"$base/ckpt", dedupArtifacts = Some(s"$base/art"),
+          compactEvery = 1)
+        try q.awaitTermination() finally q.stop()
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration)
+        DedupMaintenance.currentLabels(s, s"$base/art", hconf).localCheckpoint()
+      } finally index.close()
+    rmrf(base)
+    out
   }
 
   /** `st7_stream_pairstats`: continuous pair-statistics maintenance —
@@ -146,16 +165,23 @@ object DocumentStreams {
       docsSchema.filter(_.name == "doc_id"))
     val index = new graft.index.DerbyStatsIndex(s"$base/db", idxSchema)
     index.initialize(idxSchema)
-    try {
-      val src = s.readStream.schema(docsSchema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-      val q = IndexedSink.start(src, s"$base/data", index, Seq("doc_id"),
-        s"$base/ckpt", pairStatsArtifacts = Some(s"$base/art"))
-      try q.awaitTermination() finally q.stop()
-      val hconf = new org.apache.spark.util.SerializableConfiguration(
-        s.sparkContext.hadoopConfiguration)
-      DedupMaintenance.currentPairStats(s, s"$base/art", hconf)
-    } finally index.close()
+    val out =
+      try {
+        val src = s.readStream.schema(docsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        // compactEvery = 1: see streamComponentsQuery — the gate proves
+        // the scheduled fold preserves the maintained view
+        val q = IndexedSink.start(src, s"$base/data", index, Seq("doc_id"),
+          s"$base/ckpt", pairStatsArtifacts = Some(s"$base/art"),
+          compactEvery = 1)
+        try q.awaitTermination() finally q.stop()
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration)
+        DedupMaintenance.currentPairStats(s, s"$base/art", hconf)
+          .localCheckpoint()
+      } finally index.close()
+    rmrf(base)
+    out
   }
 
   /** `st8_stream_search`: continuous search-index maintenance — the sink
@@ -179,11 +205,20 @@ object DocumentStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         SearchMaintenance.commitBatch(
           batch.select("doc_id", "text"), batchId, s"$base/art")
+        // scheduled search-store compaction, same discipline as the
+        // dedup artifacts: the newest dir (this batch) is never folded
+        if (batchId > 0) {
+          val hc = new org.apache.spark.util.SerializableConfiguration(
+            batch.sparkSession.sparkContext.hadoopConfiguration)
+          SearchMaintenance.compact(batch.sparkSession, s"$base/art", hc)
+        }
       }
       .start()
     try q.awaitTermination() finally q.stop()
-    SearchMaintenance.rankedSearch(s, s"$base/art",
-      Seq("spark", "vector", "merge"), 15)
+    val out = SearchMaintenance.rankedSearch(s, s"$base/art",
+      Seq("spark", "vector", "merge"), 15).localCheckpoint()
+    rmrf(base)
+    out
   }
 
   val defs: Seq[graft.QueryDef] = Seq(

@@ -37,12 +37,17 @@ object IndexedSink {
     * per batch, so automatic routing on the growing table stays PRECISE
     * instead of degrading on the staleness guard. An index with bloom
     * columns likewise gets each batch's blooms attached (O(new files)
-    * build per batch via `rebuildBlooms`). */
+    * build per batch via `rebuildBlooms`). `compactEvery` (N > 0) runs
+    * [[DedupMaintenance.compactPairStats]] on the artifact stores every
+    * N batches, so a LONG-RUNNING stream's per-read dir count (and the
+    * planning-time listing behind it) stays bounded at base + N instead
+    * of growing one dir per batch forever. */
   def start(source: DataFrame, dataDir: String, index: StatsIndex,
       indexedCols: Seq[String], checkpointDir: String,
       rowLevel: Map[String, String] = Map.empty,
       dedupArtifacts: Option[String] = None,
-      pairStatsArtifacts: Option[String] = None): StreamingQuery = {
+      pairStatsArtifacts: Option[String] = None,
+      compactEvery: Int = 0): StreamingQuery = {
     val spark = source.sparkSession
     val hconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     source.writeStream
@@ -51,7 +56,7 @@ object IndexedSink {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitBatch(batch, batchId, dataDir, index, indexedCols, hconf,
-          rowLevel, dedupArtifacts, pairStatsArtifacts)
+          rowLevel, dedupArtifacts, pairStatsArtifacts, compactEvery)
       }
       .start()
   }
@@ -65,7 +70,8 @@ object IndexedSink {
       hconf: SerializableConfiguration,
       rowLevel: Map[String, String] = Map.empty,
       dedupArtifacts: Option[String] = None,
-      pairStatsArtifacts: Option[String] = None): Unit = {
+      pairStatsArtifacts: Option[String] = None,
+      compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     val dirPath = new Path(dataDir)
     val fs = dirPath.getFileSystem(hconf.value)
@@ -137,6 +143,14 @@ object IndexedSink {
     pairStatsArtifacts.foreach { artDir =>
       DedupMaintenance.commitPairStats(batch, batchId, artDir, hconf)
     }
+    // scheduled LSM compaction: every N batches, fold all artifact dirs
+    // below the NEWEST (this batch — still replayable, never folded)
+    // into a base. Running it here is safe: every older batch is
+    // checkpoint-committed the moment this one started, and a crash
+    // between compaction and this batch's commit replays only b<batchId>
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      (dedupArtifacts.toSeq ++ pairStatsArtifacts).distinct.foreach(artDir =>
+        DedupMaintenance.compactPairStats(spark, artDir, hconf))
     ()
   }
 }

@@ -64,13 +64,31 @@ object SearchMaintenance {
       .limit(k)
   }
 
-  /** ts3's rarity-weighted ranked retrieval over the maintained store. */
+  /** Scheduled LSM compaction of the search store: fold every postings /
+    * docn batch dir below the newest into a `base-<m>` dir (content
+    * rewritten verbatim — the store is append-only, so the fold is the
+    * identity; docn additionally pre-sums to one row). Bounds the
+    * per-query dir count (and the planning-time listing behind it) on a
+    * long-running stream; reads stay correct with or without it. */
+  private[graft] def compact(spark: SparkSession, artifactDir: String,
+      hconf: org.apache.spark.util.SerializableConfiguration): Unit = {
+    DedupMaintenance.compactStore(spark, postRoot(artifactDir), hconf, identity)
+    DedupMaintenance.compactStore(spark, nRoot(artifactDir), hconf,
+      df => df.agg(sum(col("n")).as("n")))
+  }
+
+  /** ts3's rarity-weighted ranked retrieval over the maintained store —
+    * read through the LSM live-set discovery (base fold + tail batch
+    * dirs), so it serves identically before and after [[compact]]. */
   def rankedSearch(spark: SparkSession, artifactDir: String,
       terms: Seq[String], k: Int): DataFrame = {
-    val post = spark.read
-      .parquet(new Path(postRoot(artifactDir), "b*").toString)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    def dirs(root: Path) =
+      DedupMaintenance.storeDirs(root, hconf).map(_.toString)
+    val post = spark.read.parquet(dirs(postRoot(artifactDir)): _*)
       .where(col("w").isin(terms: _*))
-    val n = spark.read.parquet(new Path(nRoot(artifactDir), "b*").toString)
+    val n = spark.read.parquet(dirs(nRoot(artifactDir)): _*)
       .agg(sum(col("n")).as("n"))
     rankedScore(post, n, k)
   }

@@ -106,7 +106,7 @@ class StreamingDedupSpec extends SparkSpec {
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
     // a sizable store (touches all buckets)…
     DedupMaintenance.commitBatch(docs.filter(col("doc_id") < 400), 0L, art, hconf)
-    // …then a TINY batch: 2 docs → 8 band keys → ≤8 of 64 buckets
+    // …then a TINY batch: 2 docs → 8 band keys → ≤8 of BandBuckets (32)
     val tiny = docs.filter(col("doc_id").isin(401L, 402L))
     DedupMaintenance.commitBatch(tiny, 1L, art, hconf)
     val batchBands = graft.operators.Dedup.bandKeysMapOnly(tiny)
@@ -252,6 +252,84 @@ class StreamingDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(merged === full,
       "labels diverged after an empty micro-batch in the stream")
+  }
+
+  test("label merge touches only AFFECTED components (zero cross-pairs → zero star edges)") {
+    import spark.implicits._
+    // live: comp 1 = {1,2,3}, comp 10 = {10,11}, comp 20 = {20,21,22}
+    val live = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L), (22L, 20L)).toDF("v", "l")
+    val liveMap = live.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a batch whose pairs touch nothing live: ZERO star edges enter the CC
+    val freshPairs = Seq((100L, 101L), (101L, 102L)).toDF("a", "b")
+    val (aff0, stars0) = DedupMaintenance.affectedSlice(live, freshPairs)
+    assert(aff0.isEmpty, "no live component is adjacent to a fresh-docs batch")
+    assert(stars0.isEmpty, "zero cross-pairs must slice zero star edges")
+    val m0 = DedupMaintenance.mergeLabels(live, freshPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m0 === liveMap ++ Map(100L -> 100L, 101L -> 100L, 102L -> 100L))
+    // a pair landing on comp 10's ROOT: only comp 10's one star is sliced
+    val rootPair = Seq((10L, 200L)).toDF("a", "b")
+    val (aff1, stars1) = DedupMaintenance.affectedSlice(live, rootPair)
+    assert(aff1.collect().map(_.getLong(0)).toSet === Set(10L))
+    assert(stars1.count() === 1L, "comps 1 and 20 must contribute no stars")
+    val m1 = DedupMaintenance.mergeLabels(live, rootPair)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 === liveMap ++ Map(200L -> 10L))
+    // pairs BRIDGING comps 1 and 20 through a new doc: both slices join,
+    // comp 10 is untouched and carried forward VERBATIM
+    val bridge = Seq((3L, 300L), (300L, 22L)).toDF("a", "b")
+    val (aff2, stars2) = DedupMaintenance.affectedSlice(live, bridge)
+    assert(aff2.collect().map(_.getLong(0)).toSet === Set(1L, 20L))
+    assert(stars2.count() === 4L, "exactly comps 1 and 20's stars (2 + 2)")
+    val m2 = DedupMaintenance.mergeLabels(live, bridge)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 300L -> 1L, 20L -> 1L,
+      21L -> 1L, 22L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("the sink's scheduled compaction bounds a 10-batch stream to base + newest per store") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sched-compact").toString
+    val dir = sf("sf0.001")
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val schema = org.apache.spark.sql.types.StructType(
+      docs.schema.filter(_.name == "doc_id"))
+    val index = new graft.index.DerbyStatsIndex(s"$base/db", schema)
+    index.initialize(schema)
+    try {
+      // 10 batches through the SINK's commit with compactEvery = 3
+      // (folds at batches 3, 6, 9 — the last one right after the final
+      // batch's artifacts land, so the stream ENDS at base + newest)
+      (0 until 10).foreach { b =>
+        graft.streaming.IndexedSink.commitBatch(
+          docs.filter(col("doc_id") % 10 === b), b.toLong, s"$base/data",
+          index, Seq("doc_id"), hconf,
+          dedupArtifacts = Some(s"$base/dd"),
+          pairStatsArtifacts = Some(s"$base/ps"),
+          compactEvery = 3)
+      }
+      Seq(s"$base/dd/bands", s"$base/ps/pairdeltas", s"$base/ps/shingles",
+          s"$base/ps/ns").foreach { store =>
+        val names = new java.io.File(store).listFiles()
+          .filter(_.isDirectory).map(_.getName).toSet
+        assert(names === Set("base-8", "b9"),
+          s"$store not bounded after the 10-batch stream: $names")
+      }
+      // and the folded stores still serve exactly
+      val full = graft.operators.Dedup.connectedComponents(
+          graft.operators.Dedup.bandPairs(
+            graft.operators.Dedup.bandKeysMapOnly(docs)))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels(s"$base/dd") === full,
+        "scheduled compaction diverged the maintained labels")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      assert(rows(DedupMaintenance.currentPairStats(spark, s"$base/ps", hconf)) ===
+        rows(graft.operators.Dedup.pairStats(spark, dir)
+          .select("a", "b", "c", "na", "nb")),
+        "scheduled compaction diverged the maintained pair statistics")
+    } finally index.close()
   }
 
   test("version retention keeps only the live label version") {

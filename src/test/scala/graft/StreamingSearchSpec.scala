@@ -53,5 +53,19 @@ class StreamingSearchSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("In(w,"),
       s"term filter not pushed into the postings scan:\n${plan.take(3000)}")
+
+    // scheduled compaction: folds all but the newest batch dir, the
+    // ranked answer is unchanged, and the replayable newest dir survives
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    SearchMaintenance.compact(spark, art, hconf)
+    Seq("postings", "docn").foreach { store =>
+      val names = new java.io.File(s"$art/$store").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(names === Set("base-1", "b2"), s"$store after compaction: $names")
+    }
+    assert(ranked() === got, "compaction changed the ranked answer")
+    SearchMaintenance.commitBatch(batches(2), 2L, art)
+    assert(ranked() === got, "replay after compaction changed the ranked answer")
   }
 }
