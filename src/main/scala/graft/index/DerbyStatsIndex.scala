@@ -92,7 +92,14 @@ final class DerbyStatsIndex(
         // top-k fast path for string sort keys (topKSurvivors)
         (if (f.dataType == StringType)
            Seq(s"${f.name}_min_hex VARCHAR(${DerbyStatsIndex.MaxHexLen})",
-             s"${f.name}_max_hex VARCHAR(${DerbyStatsIndex.MaxHexLen})") else Nil) ++
+             s"${f.name}_max_hex VARCHAR(${DerbyStatsIndex.MaxHexLen})",
+             // min-is-exact marker (r11): 1 = the stored min is the VERBATIM
+             // footer minimum, 0 = truncated to a lower bound. Maxima need
+             // no marker (over-long ones are dropped to NULL, so any stored
+             // max is verbatim by construction). Lets the ASC-side
+             // frequency certificate pair a count with the stored min on
+             // exactly the groups where that is sound.
+             s"${f.name}_min_exact SMALLINT") else Nil) ++
         // per-row-group bloom, attached post-ingest by BloomIndex.build;
         // NULL until then ("unknown ⇒ might match" like every other stat)
         (if (bloomCols.contains(f.name))
@@ -129,10 +136,17 @@ final class DerbyStatsIndex(
           |RETURNS NULL ON NULL INPUT
           |EXTERNAL NAME 'graft.index.BloomProbe.mightContainString'""".stripMargin)
     }
-    // upgrade path: freq shadow columns on a catalog created before they
-    // existed (X0Y32 = column already there — the normal case)
-    indexedCols.filter(f => FreqShadow.supported(f.dataType)).foreach { f =>
-      Seq(s"${f.name}_min_freq BIGINT", s"${f.name}_max_freq BIGINT").foreach { c =>
+    // upgrade path: freq shadow / min-exact columns on a catalog created
+    // before they existed (X0Y32 = column already there — the normal
+    // case). A pre-upgrade catalog's NULL markers read as "unknown ⇒
+    // unusable", which is the sound default for rows ingested before the
+    // marker was recorded.
+    indexedCols.foreach { f =>
+      ((if (FreqShadow.supported(f.dataType))
+          Seq(s"${f.name}_min_freq BIGINT", s"${f.name}_max_freq BIGINT")
+        else Nil) ++
+        (if (f.dataType == StringType)
+          Seq(s"${f.name}_min_exact SMALLINT") else Nil)).foreach { c =>
         try st.execute(s"ALTER TABLE row_group_statistics ADD COLUMN $c")
         catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
       }
@@ -524,7 +538,14 @@ final class DerbyStatsIndex(
     * otherwise). Returns the keep-set; the caller intersects with the
     * filter's own stats plans. One threshold walk + one survivor query —
     * O(survivors) shipped, independent of how many disjuncts or columns
-    * the filter carries. */
+    * the filter carries.
+    *
+    * Implemented as [[lexWalk]] at N = 1 (r11): one threshold-walk
+    * implementation serves every certificate family — at a single key
+    * the tuple degenerates to the plain guarantee bound, branch 2 (the
+    * deeper-key remainder) and branch 3 (the FreqShadow dominant slice)
+    * vanish, and the survivor tie descent bottoms out at "ties keep",
+    * which is exactly pruneDisjunctive's `best >= t` keep. */
   override def topKSurvivorsDisjunctive(
       colName: String,
       k: Long,
@@ -532,13 +553,26 @@ final class DerbyStatsIndex(
       nullsFirst: Boolean,
       disjuncts: Seq[graft.prune.TopKPruning.Disjunct])
       : Option[Seq[FileScanPlan]] = conn.synchronized {
-    if (k <= 0 || disjuncts.isEmpty ||
-        !indexedCols.exists(_.name == colName)) return None
+    if (disjuncts.isEmpty || !indexedCols.exists(_.name == colName)) return None
+    val (minCol, maxCol, _) = colEncoding(colName).getOrElse(return None)
+    val disjSql = disjunctsSql(colName, disjuncts).getOrElse(return None)
+    val nullMayPass = disjuncts.exists(d => d.sortLo.isEmpty && d.sortHi.isEmpty)
+    lexWalk(Seq(graft.index.SortKeySpec(colName, descending, nullsFirst)), k,
+      certSql = s" AND rg.$minCol IS NOT NULL AND rg.$maxCol IS NOT NULL AND $disjSql",
+      headNullsMayWin = nullsFirst && nullMayPass)
+  }
+
+  /** The per-disjunct ALL-PASS certificate as one Derby predicate over a
+    * row group's stats: for SOME disjunct, the sort interval holds on
+    * `colName`'s stored bounds AND every other filter column certifies
+    * zero nulls with stored bounds inside its interval. A bound-free
+    * disjunct certifies any group (its rows pass the OR trivially).
+    * None when any referenced column is unindexed or ordering-uncertified. */
+  private def disjunctsSql(
+      colName: String,
+      disjuncts: Seq[graft.prune.TopKPruning.Disjunct]): Option[String] = {
     val (minCol, maxCol, render) = colEncoding(colName).getOrElse(return None)
-    // per-disjunct certificate: sort interval on the stored bounds AND
-    // every other column all-pass; a bound-free disjunct certifies any
-    // group (its rows pass the OR trivially)
-    val disjSql = disjuncts.map { d =>
+    Some(disjuncts.map { d =>
       val parts = Seq.newBuilder[String]
       d.sortLo.foreach { case (v, inc) =>
         parts += s"rg.$minCol ${if (inc) ">=" else ">"} ${render(v)}" }
@@ -555,73 +589,7 @@ final class DerbyStatsIndex(
       }
       val ps = parts.result()
       if (ps.isEmpty) "(1=1)" else ps.mkString("(", " AND ", ")")
-    }.mkString("(", " OR ", ")")
-    val guar = if (descending) minCol else maxCol
-    val best = if (descending) maxCol else minCol
-    val dir = if (descending) "DESC" else "ASC"
-    // pruneDisjunctive's certificate: min, max AND null count known, and
-    // some disjunct fully satisfied
-    val inside =
-      s" AND rg.$minCol IS NOT NULL AND rg.$maxCol IS NOT NULL AND $disjSql"
-    try {
-      var covered = 0L
-      var threshold: Option[Any] = None
-      var offset = 0
-      val page = 1024
-      while (threshold.isEmpty) {
-        // (file_id, row_group) tiebreakers keep the OFFSET walk
-        // total-ordered across per-page re-executions
-        val st = conn.prepareStatement(
-          s"""SELECT $guar, rg.row_count, rg.${colName}_null_count
-             |FROM row_group_statistics rg
-             |WHERE $guar IS NOT NULL AND rg.${colName}_null_count IS NOT NULL
-             |  $inside
-             |ORDER BY $guar $dir, rg.file_id, rg.row_group
-             |OFFSET $offset ROWS FETCH NEXT $page ROWS ONLY""".stripMargin)
-        var n = 0
-        try {
-          val rs = st.executeQuery()
-          while (threshold.isEmpty && rs.next()) {
-            n += 1
-            covered += rs.getLong(2) - rs.getLong(3)
-            if (covered >= k) threshold = Some(rs.getObject(1))
-          }
-          rs.close()
-        } finally st.close()
-        if (threshold.isEmpty) {
-          if (n < page) return None // guarantees never cover k
-          offset += page
-        }
-      }
-      val t = threshold.get match {
-        case d: java.math.BigDecimal => d.toPlainString
-        case s: String if minCol.endsWith("_hex") => "'" + s + "'"
-        case other => other.toString
-      }
-      val cmp = if (descending) ">=" else "<="
-      // keep = mayNullWin OR (NOT certified-all-null AND best could beat t);
-      // a sort-column null passes the OR only through a disjunct with no
-      // sort bound
-      val nullMayPass = disjuncts.exists(d => d.sortLo.isEmpty && d.sortHi.isEmpty)
-      val keepNull =
-        if (nullsFirst && nullMayPass)
-          s""" OR rg.${colName}_null_count IS NULL
-             | OR rg.${colName}_null_count > 0""".stripMargin
-        else ""
-      val cond =
-        s"""(((rg.$best $cmp $t OR rg.$best IS NULL)
-           |  AND (rg.${colName}_null_count IS NULL
-           |       OR rg.${colName}_null_count <> rg.row_count))$keepNull)""".stripMargin
-      Some(runPlanQuery(
-        s"""SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
-           |  rg.rg_start_bytes, rg.rg_compressed_bytes, rg.row_count
-           |FROM row_group_statistics rg
-           |JOIN file_statistics f ON rg.file_id = f.file_id
-           |WHERE $cond
-           |ORDER BY f.file_name, rg.row_group""".stripMargin))
-    } catch {
-      case _: java.sql.SQLException => None
-    }
+    }.mkString("(", " OR ", ")"))
   }
 
   /** Catalog-side N-KEY lexicographic top-k (the in-store face of
@@ -665,40 +633,24 @@ final class DerbyStatsIndex(
       k: Long): Option[Seq[FileScanPlan]] = conn.synchronized {
     if (disjuncts.isEmpty || keys.isEmpty) return None
     val (minC, maxC, _) = colEncoding(keys.head.col).getOrElse(return None)
-    val disjSql = disjuncts.map { d =>
-      val parts = Seq.newBuilder[String]
-      d.sortLo.foreach { case (v, inc) =>
-        val r = colEncoding(keys.head.col).get._3
-        parts += s"rg.$minC ${if (inc) ">=" else ">"} ${r(v)}" }
-      d.sortHi.foreach { case (v, inc) =>
-        val r = colEncoding(keys.head.col).get._3
-        parts += s"rg.$maxC ${if (inc) "<=" else "<"} ${r(v)}" }
-      d.others.foreach { ob =>
-        if (!indexedCols.exists(_.name == ob.col)) return None
-        val (omin, omax, orender) = colEncoding(ob.col).getOrElse(return None)
-        parts += s"rg.${ob.col}_null_count = 0"
-        ob.lo.foreach { case (v, inc) =>
-          parts += s"rg.$omin ${if (inc) ">=" else ">"} ${orender(v)}" }
-        ob.hi.foreach { case (v, inc) =>
-          parts += s"rg.$omax ${if (inc) "<=" else "<"} ${orender(v)}" }
-      }
-      val ps = parts.result()
-      if (ps.isEmpty) "(1=1)" else ps.mkString("(", " AND ", ")")
-    }.mkString("(", " OR ", ")")
+    val disjSql = disjunctsSql(keys.head.col, disjuncts).getOrElse(return None)
     val nullMayPass = disjuncts.exists(d => d.sortLo.isEmpty && d.sortHi.isEmpty)
     lexWalk(keys, k,
       certSql = s" AND rg.$minC IS NOT NULL AND rg.$maxC IS NOT NULL AND $disjSql",
       headNullsMayWin = keys.head.nullsFirst && nullMayPass)
   }
 
-  /** Shared tuple-walk core of the two methods above. `certSql` is
-    * appended to every walk branch's WHERE (empty = unfiltered);
+  /** Shared threshold-walk core of every disjunctive/lexicographic fast
+    * path (r11: including the single-key disjunctive one — at N = 1 the
+    * tuple degenerates to the plain guarantee bound, branches 2/3
+    * vanish, and the tie descent bottoms out at "ties keep"). `certSql`
+    * is appended to every walk branch's WHERE (empty = unfiltered);
     * `headNullsMayWin` parameterizes the survivor head-null rule. */
   private def lexWalk(
       keys: Seq[graft.index.SortKeySpec], k: Long,
       certSql: String, headNullsMayWin: Boolean)
       : Option[Seq[FileScanPlan]] = {
-    if (k <= 0 || keys.sizeIs < 2 ||
+    if (k <= 0 || keys.isEmpty ||
         keys.exists(key => !indexedCols.exists(_.name == key.col))) return None
     val n = keys.size
     val enc = keys.map(key => colEncoding(key.col).getOrElse(return None))
@@ -722,11 +674,14 @@ final class DerbyStatsIndex(
     val sExpr = if (sTerms.isEmpty) "0" else sTerms.mkString("(", " + ", ")")
     // DOMINANT-slice count from the FreqShadow (0 when unbuilt or when
     // the stored extreme is not verbatim-exact — string minima): rows at
-    // the leading best value, minus the nulls-last remainder, clamped
+    // the leading best value, minus the nulls-last remainder, clamped.
+    // Single-key walks never use it: the planner reference algorithms
+    // (prune / pruneDisjunctive) carry no frequency candidates, and
+    // catalog==planner parity pins the two sides equal.
     val headField = indexedCols.find(_.name == keys(0).col)
     val headIsString = headField.exists(_.dataType == StringType)
-    val freqUsable = headField.exists(f => FreqShadow.supported(f.dataType)) &&
-      (!headIsString || keys(0).desc)
+    val freqUsable = n >= 2 &&
+      headField.exists(f => FreqShadow.supported(f.dataType))
     val cntB =
       if (!freqUsable) "0"
       else {
@@ -739,28 +694,63 @@ final class DerbyStatsIndex(
         // requires it, and the planner zeroes fb when bestVal is
         // undefined — counting the slice toward NO candidate here would
         // let catalog and planner thresholds diverge (both sound, but
-        // the catalog==planner parity contract pins them equal)
-        s"""(CASE WHEN $fq IS NULL OR rg.${best(0)} IS NULL THEN 0
+        // the catalog==planner parity contract pins them equal).
+        // String ASC additionally needs the min-is-exact marker (r11): a
+        // truncated stored min is a lower BOUND — pairing a count with it
+        // would claim rows at a better value than they hold. Matches the
+        // planner's per-group minExact gate exactly.
+        val exactGuard =
+          if (headIsString && !keys(0).desc)
+            s""" OR rg.${keys(0).col}_min_exact IS NULL
+               | OR rg.${keys(0).col}_min_exact = 0""".stripMargin
+          else ""
+        s"""(CASE WHEN $fq IS NULL OR rg.${best(0)} IS NULL$exactGuard THEN 0
            |      WHEN ($capped - $sExpr) < 0 THEN 0
            |      ELSE ($capped - $sExpr) END)""".stripMargin
       }
     val rawFull = s"($baseCnt - $sExpr - $cntB)"
     val cnt1 = s"(CASE WHEN $rawFull < 0 THEN 0 ELSE $rawFull END)"
-    val cnt2 =
-      s"""(CASE WHEN ${cert(1)} THEN ($baseCnt - $cntB - $cnt1)
-         |      ELSE ($baseCnt - $cntB) END)""".stripMargin
-    val branch2Where = s"(NOT ${cert(1)} OR ($baseCnt - $cntB - $cnt1) > 0)"
     // branch-1 level columns: flag 0 + bound while the prefix holds;
-    // branch-2: flag 1 + typed NULL at every deeper level
+    // branch-2: flag 1 + typed NULL at every deeper level. At N = 1
+    // there are no deeper levels: every group IS its branch-1 row
+    // (no level-1 certification gate), and branches 2/3 don't exist.
     val sel1 = (1 until n).map(i =>
       s"""CASE WHEN ${certUpTo(i)} THEN 0 ELSE 1 END AS f$i,
          |    CASE WHEN ${certUpTo(i)} THEN rg.${guar(i)} ELSE NULL END AS s$i"""
         .stripMargin).mkString(",\n    ")
-    val sel2 = (1 until n).map(i =>
-      s"1, CASE WHEN 1=0 THEN rg.${guar(i)} ELSE NULL END").mkString(",\n    ")
-    val outCols = (1 until n).flatMap(i => Seq(s"f$i", s"s$i")).mkString(", ")
-    val orderLvls = (1 until n)
-      .map(i => s"f$i ASC, s$i ${dir(i)}").mkString(", ")
+    val sel1Frag = if (n == 1) "" else s"\n    $sel1,"
+    val outFrag = if (n == 1) "" else
+      (1 until n).flatMap(i => Seq(s"f$i", s"s$i")).mkString("", ", ", ", ")
+    val ordFrag = if (n == 1) "" else
+      (1 until n).map(i => s"f$i ASC, s$i ${dir(i)}").mkString("", ", ", ", ")
+    val branch1Cert = if (n == 1) "" else s" AND ${cert(1)}"
+    val branch2 =
+      if (n == 1) ""
+      else {
+        val sel2 = (1 until n).map(i =>
+          s"1, CASE WHEN 1=0 THEN rg.${guar(i)} ELSE NULL END")
+          .mkString(",\n    ")
+        val cnt2 =
+          s"""(CASE WHEN ${cert(1)} THEN ($baseCnt - $cntB - $cnt1)
+             |      ELSE ($baseCnt - $cntB) END)""".stripMargin
+        val branch2Where = s"(NOT ${cert(1)} OR ($baseCnt - $cntB - $cnt1) > 0)"
+        s"""
+           |  UNION ALL
+           |  SELECT rg.${guar(0)},
+           |    $sel2,
+           |    $cnt2, rg.file_id, rg.row_group, 2
+           |  FROM row_group_statistics rg
+           |  WHERE rg.${guar(0)} IS NOT NULL AND $aNc IS NOT NULL AND $branch2Where$certSql""".stripMargin
+      }
+    val branch3 =
+      if (!freqUsable) ""
+      else s"""
+         |  UNION ALL
+         |  SELECT rg.${best(0)},$sel1Frag
+         |    $cntB, rg.file_id, rg.row_group, 3
+         |  FROM row_group_statistics rg
+         |  WHERE rg.${best(0)} IS NOT NULL AND rg.${guar(0)} IS NOT NULL
+         |    AND $aNc IS NOT NULL AND $cntB > 0$certSql""".stripMargin
     try {
       var covered = 0L
       val thr = new Array[Option[Any]](n)
@@ -769,27 +759,13 @@ final class DerbyStatsIndex(
       val page = 1024
       while (!found) {
         val st = conn.prepareStatement(
-          s"""SELECT s0, $outCols, cnt, fid, rgn, bno FROM (
-             |  SELECT rg.${guar(0)} AS s0,
-             |    $sel1,
+          s"""SELECT s0, ${outFrag}cnt, fid, rgn, bno FROM (
+             |  SELECT rg.${guar(0)} AS s0,$sel1Frag
              |    $cnt1 AS cnt, rg.file_id AS fid, rg.row_group AS rgn, 1 AS bno
              |  FROM row_group_statistics rg
-             |  WHERE rg.${guar(0)} IS NOT NULL AND $aNc IS NOT NULL AND ${cert(1)}$certSql
-             |  UNION ALL
-             |  SELECT rg.${guar(0)},
-             |    $sel2,
-             |    $cnt2, rg.file_id, rg.row_group, 2
-             |  FROM row_group_statistics rg
-             |  WHERE rg.${guar(0)} IS NOT NULL AND $aNc IS NOT NULL AND $branch2Where$certSql
-             |  UNION ALL
-             |  SELECT rg.${best(0)},
-             |    $sel1,
-             |    $cntB, rg.file_id, rg.row_group, 3
-             |  FROM row_group_statistics rg
-             |  WHERE rg.${best(0)} IS NOT NULL AND rg.${guar(0)} IS NOT NULL
-             |    AND $aNc IS NOT NULL AND $cntB > 0$certSql
+             |  WHERE rg.${guar(0)} IS NOT NULL AND $aNc IS NOT NULL$branch1Cert$certSql$branch2$branch3
              |) t
-             |ORDER BY s0 ${dir(0)}, $orderLvls, fid, rgn, bno
+             |ORDER BY s0 ${dir(0)}, ${ordFrag}fid, rgn, bno
              |OFFSET $offset ROWS FETCH NEXT $page ROWS ONLY""".stripMargin)
         var nRows = 0
         try {
@@ -859,12 +835,17 @@ final class DerbyStatsIndex(
       val st = conn.createStatement()
       val withFreq = indexedCols.exists(f =>
         f.name == colName && FreqShadow.supported(f.dataType))
-      def query(freq: Boolean): Seq[RowGroupStat] = {
+      val isString = indexedCols.exists(f =>
+        f.name == colName && f.dataType == StringType)
+      def query(extra: Boolean): Seq[RowGroupStat] = {
         val freqSel =
-          if (freq) s", rg.${colName}_min_freq, rg.${colName}_max_freq" else ""
+          if (extra && withFreq)
+            s", rg.${colName}_min_freq, rg.${colName}_max_freq" else ""
+        val exactSel =
+          if (extra && isString) s", rg.${colName}_min_exact" else ""
         val rs = st.executeQuery(
           s"""SELECT f.file_name, rg.row_group, rg.${colName}_min,
-             |  rg.${colName}_max, rg.row_count, rg.${colName}_null_count$freqSel
+             |  rg.${colName}_max, rg.row_count, rg.${colName}_null_count$freqSel$exactSel
              |FROM row_group_statistics rg
              |JOIN file_statistics f ON rg.file_id = f.file_id""".stripMargin)
         val buf = mutable.ArrayBuffer.empty[RowGroupStat]
@@ -874,24 +855,28 @@ final class DerbyStatsIndex(
           val rows = rs.getLong(5)
           val nulls = { val n = rs.getLong(6); if (rs.wasNull()) None else Some(n) }
           def optLong(i: Int): Option[Long] =
-            if (!freq) None
+            if (!(extra && withFreq)) None
             else { val v = rs.getLong(i); if (rs.wasNull()) None else Some(v) }
+          val exact =
+            if (!(extra && isString)) None
+            else { val v = rs.getInt(9); if (rs.wasNull()) None else Some(v == 1) }
           buf += RowGroupStat(rs.getString(1), rs.getInt(2), mn, mx, rows, nulls,
-            optLong(7), optLong(8))
+            optLong(7), optLong(8), exact)
         }
         rs.close()
         buf.toSeq
       }
-      try Some(query(withFreq))
+      try Some(query(extra = true))
       catch {
         // 42X04 = column does not exist: a catalog created before the
-        // freq shadow and never re-initialized — read without it rather
-        // than degrading outright. Any OTHER failure degrades to None
-        // as before (masking a real error behind a silent freq-less
-        // retry would quietly disable the dominant-slice certificate).
+        // freq shadow / min-exact marker and never re-initialized — read
+        // without them rather than degrading outright. Any OTHER failure
+        // degrades to None as before (masking a real error behind a
+        // silent retry would quietly disable the dominant-slice
+        // certificate).
         case e: java.sql.SQLException
-            if withFreq && e.getSQLState == "42X04" =>
-          try Some(query(freq = false))
+            if (withFreq || isString) && e.getSQLState == "42X04" =>
+          try Some(query(extra = false))
           catch { case _: java.sql.SQLException => None }
         case _: java.sql.SQLException => None
       } finally st.close()
@@ -1061,7 +1046,8 @@ object DerbyStatsIndex {
         indexedCols.flatMap(f =>
           Seq(s"${f.name}_null_count", s"${f.name}_min", s"${f.name}_max") ++
             (if (f.dataType == StringType)
-               Seq(s"${f.name}_min_hex", s"${f.name}_max_hex") else Nil))
+               Seq(s"${f.name}_min_hex", s"${f.name}_max_hex",
+                 s"${f.name}_min_exact") else Nil))
       val ins = conn.prepareStatement(
         s"""INSERT INTO row_group_statistics (${cols.mkString(", ")})
            |VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin)
@@ -1088,7 +1074,12 @@ object DerbyStatsIndex {
               case s: String if s.length <= MaxStringLen => s }
             setNullable(ins, i, mn.map(hex), java.sql.Types.VARCHAR)
             setNullable(ins, i + 1, mx.map(hex), java.sql.Types.VARCHAR)
-            i += 2
+            // min-is-exact marker: recorded at the ONLY point that knows
+            // whether truncation happened (NULL when no min was stored)
+            val exact = cs.flatMap(_.min).collect { case s: String =>
+              java.lang.Integer.valueOf(if (s.length <= MaxStringLen) 1 else 0) }
+            setNullable(ins, i + 2, exact, java.sql.Types.SMALLINT)
+            i += 3
           }
         }
         ins.addBatch()

@@ -28,12 +28,15 @@ import java.sql.DriverManager
   *
   * Supported types are the ones whose STORED extremes are verbatim-exact
   * so a frequency can be soundly paired with them: integrals (and
-  * date/timestamp, stored as their integer encodings) always; strings
-  * on both sides here, but the PLANNER only pairs a string frequency
-  * with the max side (stored minima may be truncated — pairing a
-  * frequency with a lower bound would claim rows at a better value than
-  * they hold). Float/double are excluded like everywhere else in the
-  * ordering-certified family (NaN comparator hazards).
+  * date/timestamp, stored as their integer encodings) always; strings on
+  * both sides here, with the PLANNER pairing a string frequency with the
+  * max side unconditionally (over-long maxima are dropped to NULL at
+  * ingest, so any stored max is verbatim) and with the min side per
+  * group, exactly when the r11 min-is-exact marker certifies the stored
+  * min untruncated (a truncated lower bound paired with a frequency
+  * would claim rows at a better value than they hold). Float/double are
+  * excluded like everywhere else in the ordering-certified family (NaN
+  * comparator hazards).
   */
 object FreqShadow {
 

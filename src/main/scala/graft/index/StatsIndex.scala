@@ -47,7 +47,16 @@ final case class RowGroupStat(
     // strings only on the max side (minima may be truncated), which is
     // exactly the rule [[graft.prune.TopKPruning.pruneLexN]] applies.
     minFreq: Option[Long] = None,
-    maxFreq: Option[Long] = None)
+    maxFreq: Option[Long] = None,
+    // min-is-exact marker (r11, string columns only): Some(true) = the
+    // stored min is the VERBATIM footer minimum, Some(false) = truncated
+    // to a lower bound, None = unknown (non-string column, or a catalog
+    // row ingested before the marker existed). Extends the dominant-slice
+    // pairing rule to string ASC: a min-side frequency may pair with the
+    // stored min exactly when the marker certifies it verbatim. Maxima
+    // need no marker — over-long string maxima are dropped to NULL at
+    // ingest, so any stored max is verbatim by construction.
+    minExact: Option[Boolean] = None)
 
 /** One sort key of a lexicographic top-k: column, direction, null order
   * (mirrors Catalyst's `SortOrder` in catalog terms). */

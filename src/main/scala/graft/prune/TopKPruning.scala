@@ -415,7 +415,8 @@ object TopKPruning {
     * at (best, g2, …) itself, lifting near-constant groups whose
     * guarantee bound is far below where most of their rows sit (only
     * where the stored extreme is verbatim-exact: integrals always,
-    * strings on the max side).
+    * strings on the max side by construction, string minima per group
+    * when the r11 min-is-exact marker certifies them untruncated).
     * Walk tuples best-first, accumulate to k; survivors must have best
     * tuple not strictly lex-worse than the threshold, decided by
     * recursive descent: strictly worse at a level prunes, a tie descends
@@ -614,12 +615,16 @@ object TopKPruning {
     // rows, each claim met by an assignment of distinct rows.
     type Tup = Vector[Option[Any]]
     // a frequency pairs soundly with the STORED extreme only when that
-    // extreme is verbatim-exact: integrals always; strings only on the
-    // max side (stored minima may be truncated — pairing a count with a
-    // LOWER bound would claim rows at a better value than they hold)
+    // extreme is verbatim-exact: integrals always; string maxima by
+    // construction (over-long ones are dropped to NULL at ingest);
+    // string MINIMA per group, exactly when the min-is-exact marker
+    // (r11, RowGroupStat.minExact) certifies the stored min untruncated
+    // — a truncated lower bound paired with a count would claim rows at
+    // a better value than they hold
     val headIsString = index.indexedSchema.fields
       .find(_.name == head.col).exists(_.dataType == StringType)
-    val freqUsable = !headIsString || head.desc
+    def freqUsable(s: RowGroupStat): Boolean =
+      !headIsString || head.desc || s.minExact.contains(true)
     val cand = scala.collection.mutable.ArrayBuffer.empty[(Tup, Long)]
     statsHead.foreach { s =>
       if (certify(s)) for {
@@ -642,7 +647,7 @@ object TopKPruning {
         }
         val bestVal = bestOf(0, s)
         val fbRaw: Long = (if (head.desc) s.maxFreq else s.minFreq) match {
-          case Some(f) if freqUsable && bestVal.isDefined => math.min(f, base)
+          case Some(f) if freqUsable(s) && bestVal.isDefined => math.min(f, base)
           case _ => 0L
         }
         val fb = math.max(fbRaw - sub, 0L)

@@ -850,6 +850,94 @@ class TopKPruningSpec extends SparkSpec {
     assert(anyNarrower)
   }
 
+  // STRING-headed dominant-value fixture (r11): fx5's shape MIRRORED —
+  // each 50-row group holds 40 rows of its own band (the group MIN) and
+  // 10 bled from the NEXT one (the max), with the band key a zero-padded
+  // string (lex order == numeric order). The ASC-side dominant slice must
+  // then pair a frequency with the stored MIN — sound only where the
+  // min-is-exact marker certifies it verbatim.
+  private lazy val fx6: (String, DerbyStatsIndex, StructType, String) = {
+    val base = Files.createTempDirectory("graft-topk-freq-str").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    (0 until 4000)
+      .map { i =>
+        val band = i.toLong / 500L
+        val grp = if (i % 50 >= 40 && band < 7) band + 1 else band
+        val v = i.toLong + ((i.toLong * 2971L) % 500L)
+        (f"g$grp%03d", if (v % 10 == 0) None else Some(v / 3), i.toLong)
+      }
+      .toDF("grp", "key", "id")
+      .coalesce(1)
+      .write.option("parquet.block.row.count.limit", "50")
+      .mode("overwrite").parquet(dir)
+    val db = s"$base/statsdb"
+    val (index, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("grp", "key", "id"), db)
+    (dir, index.asInstanceOf[DerbyStatsIndex], schema, db)
+  }
+
+  test("string-ASC freq certificates fire under the min-is-exact marker") {
+    val (dir, index, schema, db) = fx6
+    import graft.index.{FreqShadow, SortKeySpec}
+    // short stored minima ⇒ the ingest recorded every marker as exact
+    assert(index.rowGroupStats("grp").get.forall(_.minExact.contains(true)),
+      "ingest did not record min-is-exact markers")
+    val keys = Seq(SortKeySpec("grp", desc = false, nullsFirst = false),
+      SortKeySpec("key", desc = true, nullsFirst = false))
+    val keptBefore = TopKPruning.pruneLexN(index, keys, 16L)
+      .map(_.scanRowGroups.size).sum
+    FreqShadow.build(spark, dir, index.allFiles(), schema, "grp", db)
+    val keptAfter = TopKPruning.pruneLexN(index, keys, 16L)
+      .map(_.scanRowGroups.size).sum
+    assert(keptAfter < keptBefore,
+      s"string-ASC freq did not narrow: $keptAfter vs $keptBefore")
+    // soundness + catalog==planner parity with the marker live
+    for {
+      descB <- Seq(true, false)
+      k <- Seq(1, 16, 200)
+    } {
+      val ks = Seq(SortKeySpec("grp", desc = false, nullsFirst = false),
+        SortKeySpec("key", descB, nullsFirst = false))
+      val plans = TopKPruning.pruneLexN(index, ks, k.toLong)
+      val viaPlanner = TopKPruning.pruneLexN(plannerOnly(index), ks, k.toLong)
+      assert(plans.map(p => p.fileName -> p.scanRowGroups).toMap ===
+        viaPlanner.map(p => p.fileName -> p.scanRowGroups).toMap,
+        s"descB=$descB k=$k: catalog and planner diverged (string-ASC freq)")
+      val ord = Seq(col("grp").asc_nulls_last,
+        if (descB) col("key").desc_nulls_last else col("key").asc_nulls_last,
+        col("id").asc)
+      val got =
+        if (plans.isEmpty) Seq.empty
+        else RowGroupSkipScan.scan(spark, dir, plans, schema)
+          .orderBy(ord: _*).limit(k).select("grp", "key", "id")
+          .collect().toSeq
+      val want = spark.read.parquet(dir)
+        .orderBy(ord: _*).limit(k).select("grp", "key", "id")
+        .collect().toSeq
+      assert(got === want, s"descB=$descB k=$k diverged (string-ASC freq)")
+    }
+    // negative pin: clear the markers (what a truncated stored min records
+    // at ingest) — BOTH sides must stop pairing min frequencies, restoring
+    // exactly the pre-shadow plan set, and must stay equal
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db")
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("UPDATE row_group_statistics SET grp_min_exact = 0")
+      st.close()
+    } finally conn.close()
+    assert(index.rowGroupStats("grp").get.forall(_.minExact.contains(false)))
+    val keptNeg = TopKPruning.pruneLexN(index, keys, 16L)
+      .map(_.scanRowGroups.size).sum
+    assert(keptNeg === keptBefore,
+      s"an inexact marker must disable the min-side pairing ($keptNeg vs $keptBefore)")
+    val viaPlannerNeg = TopKPruning.pruneLexN(plannerOnly(index), keys, 16L)
+      .map(p => p.fileName -> p.scanRowGroups).toMap
+    assert(TopKPruning.pruneLexN(index, keys, 16L)
+      .map(p => p.fileName -> p.scanRowGroups).toMap === viaPlannerNeg,
+      "catalog and planner diverged after the markers were cleared")
+  }
+
   test("composite certification fails closed on an unclustered filter column") {
     val (_, index, schema) = fx
     // skey (s-<v%97>) varies inside every 50-row group — no group can be
