@@ -632,6 +632,12 @@ final class DerbyStatsIndex(
       disjuncts: Seq[graft.prune.TopKPruning.Disjunct],
       k: Long): Option[Seq[FileScanPlan]] = conn.synchronized {
     if (disjuncts.isEmpty || keys.isEmpty) return None
+    // an IMAGE head cannot compare raw-value sort bounds in image space —
+    // same refusal as the planner (TopKPushdown remaps such bounds into
+    // other-column all-pass entries before they reach either side)
+    if (keys.head.image.isDefined &&
+        disjuncts.exists(d => d.sortLo.isDefined || d.sortHi.isDefined))
+      return None
     val (minC, maxC, _) = colEncoding(keys.head.col).getOrElse(return None)
     val disjSql = disjunctsSql(keys.head.col, disjuncts).getOrElse(return None)
     val nullMayPass = disjuncts.exists(d => d.sortLo.isEmpty && d.sortHi.isEmpty)
@@ -654,13 +660,32 @@ final class DerbyStatsIndex(
         keys.exists(key => !indexedCols.exists(_.name == key.col))) return None
     val n = keys.size
     val enc = keys.map(key => colEncoding(key.col).getOrElse(return None))
+    // IMAGE keys (r11): the walk reads image(stat) instead of the stat —
+    // each key's stored min/max expression is wrapped in the image's SQL
+    // rendering. Unrenderable images, an input-type mismatch, or an image
+    // over the hex shadow encoding (the arithmetic would wrap hex text)
+    // fall back to the planner path, which derives the stats instead.
+    val wrap: IndexedSeq[String => String] =
+      keys.toIndexedSeq.zipWithIndex.map { case (key, i) =>
+        key.image match {
+          case None => identity[String] _
+          case Some(img) =>
+            if (!indexedCols.exists(f =>
+                f.name == key.col && img.acceptsInput(f.dataType)) ||
+                enc(i)._1.endsWith("_hex")) return None
+            img.derbySql.getOrElse(return None)
+        }
+      }
     def guar(i: Int) = if (keys(i).desc) enc(i)._1 else enc(i)._2
     def best(i: Int) = if (keys(i).desc) enc(i)._2 else enc(i)._1
+    def guarE(i: Int) = wrap(i)(s"rg.${guar(i)}")
+    def bestE(i: Int) = wrap(i)(s"rg.${best(i)}")
     def dir(i: Int) = if (keys(i).desc) "DESC" else "ASC"
     def nc(i: Int) = s"rg.${keys(i).col}_null_count"
     val aNc = nc(0)
     // level i certified: bound + null count known (see pruneLexN's
-    // scaladoc for why ANY such group certifies, constant leading or not)
+    // scaladoc for why ANY such group certifies, constant leading or not;
+    // an image preserves NULLs, so the raw column's nullness decides)
     def cert(i: Int) = s"(${nc(i)} IS NOT NULL AND rg.${guar(i)} IS NOT NULL)"
     def certUpTo(i: Int) = (1 to i).map(cert).mkString("(", " AND ", ")")
     // non-null-leading rows; clamped like the planner side
@@ -704,7 +729,7 @@ final class DerbyStatsIndex(
             s""" OR rg.${keys(0).col}_min_exact IS NULL
                | OR rg.${keys(0).col}_min_exact = 0""".stripMargin
           else ""
-        s"""(CASE WHEN $fq IS NULL OR rg.${best(0)} IS NULL$exactGuard THEN 0
+        s"""(CASE WHEN $fq IS NULL OR ${bestE(0)} IS NULL$exactGuard THEN 0
            |      WHEN ($capped - $sExpr) < 0 THEN 0
            |      ELSE ($capped - $sExpr) END)""".stripMargin
       }
@@ -716,7 +741,7 @@ final class DerbyStatsIndex(
     // (no level-1 certification gate), and branches 2/3 don't exist.
     val sel1 = (1 until n).map(i =>
       s"""CASE WHEN ${certUpTo(i)} THEN 0 ELSE 1 END AS f$i,
-         |    CASE WHEN ${certUpTo(i)} THEN rg.${guar(i)} ELSE NULL END AS s$i"""
+         |    CASE WHEN ${certUpTo(i)} THEN ${guarE(i)} ELSE NULL END AS s$i"""
         .stripMargin).mkString(",\n    ")
     val sel1Frag = if (n == 1) "" else s"\n    $sel1,"
     val outFrag = if (n == 1) "" else
@@ -728,7 +753,7 @@ final class DerbyStatsIndex(
       if (n == 1) ""
       else {
         val sel2 = (1 until n).map(i =>
-          s"1, CASE WHEN 1=0 THEN rg.${guar(i)} ELSE NULL END")
+          s"1, CASE WHEN 1=0 THEN ${guarE(i)} ELSE NULL END")
           .mkString(",\n    ")
         val cnt2 =
           s"""(CASE WHEN ${cert(1)} THEN ($baseCnt - $cntB - $cnt1)
@@ -736,20 +761,20 @@ final class DerbyStatsIndex(
         val branch2Where = s"(NOT ${cert(1)} OR ($baseCnt - $cntB - $cnt1) > 0)"
         s"""
            |  UNION ALL
-           |  SELECT rg.${guar(0)},
+           |  SELECT ${guarE(0)},
            |    $sel2,
            |    $cnt2, rg.file_id, rg.row_group, 2
            |  FROM row_group_statistics rg
-           |  WHERE rg.${guar(0)} IS NOT NULL AND $aNc IS NOT NULL AND $branch2Where$certSql""".stripMargin
+           |  WHERE ${guarE(0)} IS NOT NULL AND $aNc IS NOT NULL AND $branch2Where$certSql""".stripMargin
       }
     val branch3 =
       if (!freqUsable) ""
       else s"""
          |  UNION ALL
-         |  SELECT rg.${best(0)},$sel1Frag
+         |  SELECT ${bestE(0)},$sel1Frag
          |    $cntB, rg.file_id, rg.row_group, 3
          |  FROM row_group_statistics rg
-         |  WHERE rg.${best(0)} IS NOT NULL AND rg.${guar(0)} IS NOT NULL
+         |  WHERE ${bestE(0)} IS NOT NULL AND ${guarE(0)} IS NOT NULL
          |    AND $aNc IS NOT NULL AND $cntB > 0$certSql""".stripMargin
     try {
       var covered = 0L
@@ -760,10 +785,10 @@ final class DerbyStatsIndex(
       while (!found) {
         val st = conn.prepareStatement(
           s"""SELECT s0, ${outFrag}cnt, fid, rgn, bno FROM (
-             |  SELECT rg.${guar(0)} AS s0,$sel1Frag
+             |  SELECT ${guarE(0)} AS s0,$sel1Frag
              |    $cnt1 AS cnt, rg.file_id AS fid, rg.row_group AS rgn, 1 AS bno
              |  FROM row_group_statistics rg
-             |  WHERE rg.${guar(0)} IS NOT NULL AND $aNc IS NOT NULL$branch1Cert$certSql$branch2$branch3
+             |  WHERE ${guarE(0)} IS NOT NULL AND $aNc IS NOT NULL$branch1Cert$certSql$branch2$branch3
              |) t
              |ORDER BY s0 ${dir(0)}, ${ordFrag}fid, rgn, bno
              |OFFSET $offset ROWS FETCH NEXT $page ROWS ONLY""".stripMargin)
@@ -798,7 +823,7 @@ final class DerbyStatsIndex(
           case None => "(1=1)" // threshold is -inf from this level down
           case Some(t) =>
             val tSql = lit(t, guar(i))
-            val bi = s"rg.${best(i)}"
+            val bi = bestE(i)
             val strictlyBetter = if (keys(i).desc) ">" else "<"
             s"""((${if (keys(i).nullsFirst) "1=1" else "1=0"} AND (${nc(i)} IS NULL OR ${nc(i)} > 0))
                | OR ((${nc(i)} IS NULL OR ${nc(i)} <> rg.row_count)
@@ -810,9 +835,9 @@ final class DerbyStatsIndex(
       val cond =
         s"""((${if (headNullsMayWin) "1=1" else "1=0"} AND ($aNc IS NULL OR $aNc > 0))
            | OR (($aNc IS NULL OR $aNc <> rg.row_count)
-           |     AND (rg.${best(0)} IS NULL
-           |          OR rg.${best(0)} $sb0 $t0Sql
-           |          OR (rg.${best(0)} = $t0Sql AND ${tieExpr(1)}))))""".stripMargin
+           |     AND (${bestE(0)} IS NULL
+           |          OR ${bestE(0)} $sb0 $t0Sql
+           |          OR (${bestE(0)} = $t0Sql AND ${tieExpr(1)}))))""".stripMargin
       Some(runPlanQuery(
         s"""SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
            |  rg.rg_start_bytes, rg.rg_compressed_bytes, rg.row_count

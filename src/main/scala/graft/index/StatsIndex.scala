@@ -56,11 +56,24 @@ final case class RowGroupStat(
     // stored min exactly when the marker certifies it verbatim. Maxima
     // need no marker — over-long string maxima are dropped to NULL at
     // ingest, so any stored max is verbatim by construction.
-    minExact: Option[Boolean] = None)
+    minExact: Option[Boolean] = None,
+    // per-row-group SUM shadow (r11, integral columns only, data-scan
+    // ingest via [[SumShadow.build]]): the exact sum of the column's
+    // non-null values in this row group — 0 for an all-null group (the
+    // additive identity; SUM's NULL-on-empty is decided from the null
+    // counts), None until built or when the group's sum overflows Long.
+    // Lets catalog-answered GROUP BY serve SUM aggregates as sums of
+    // per-group row-group sums.
+    sumVal: Option[Long] = None)
 
 /** One sort key of a lexicographic top-k: column, direction, null order
-  * (mirrors Catalyst's `SortOrder` in catalog terms). */
-final case class SortKeySpec(col: String, desc: Boolean, nullsFirst: Boolean)
+  * (mirrors Catalyst's `SortOrder` in catalog terms). `image` (r11) makes
+  * this a COMPUTED key — sort on `image(col)` rather than `col` — whose
+  * per-row-group stats are derived from the column's through the
+  * monotone [[KeyImage]] (min ↦ image(min), max ↦ image(max), null count
+  * unchanged). */
+final case class SortKeySpec(col: String, desc: Boolean, nullsFirst: Boolean,
+    image: Option[KeyImage] = None)
 
 /** External secondary index over a directory of parquet files: per-file and
   * per-row-group min/max/null-count statistics held in an out-of-band

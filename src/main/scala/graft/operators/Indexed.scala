@@ -59,11 +59,14 @@ object Indexed {
       // absolute: a relative Derby path would resolve under derby.system.home,
       // detaching the stats DB from the data dir it describes
       val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
-      // -v4: the materialization gained the derived l_ukey column
-      val dataDir = s"$base/lineitem-v4"
+      // -v5 (r11): timestamps written as TIMESTAMP_MICROS — Spark's INT96
+      // default carries NO footer min/max, silently degrading every
+      // l_shipdate stats decision to "keep" (sound but blind)
+      val dataDir = s"$base/lineitem-v5"
       if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
         // stale stats DB describes the previous materialization — drop it
-        rmrf(new java.io.File(s"$base/statsdb-v5"))
+        rmrf(new java.io.File(s"$base/statsdb-v6"))
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         spark.read.parquet(s"$sfDir/lineitem.parquet")
           // l_ukey: a high-cardinality key (md5 of the row identity) that
           // is UNCORRELATED with the l_orderkey range clustering — the
@@ -79,9 +82,9 @@ object Indexed {
           .option("parquet.block.size", (4L * 1024 * 1024).toString)
           .parquet(dataDir)
       }
-      // -v4: schema grew (l_ukey stats + bloom column) — a stale pre-v4
+      // -v6: schema grew across versions (l_ukey stats + bloom column) — a stale pre-v4
       // DB would reject inserts; versioning the path sidesteps migration
-      val dbPath = s"$base/statsdb-v5"
+      val dbPath = s"$base/statsdb-v6"
       val (index, dataSchema) = IndexedParquet.buildIndex(
         spark, dataDir,
         Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate", "l_ukey"),
@@ -530,6 +533,31 @@ object Indexed {
              |  l_quantity DESC
              |LIMIT 10""".stripMargin)),
 
+    // EXPRESSION-KEY top-k through the automatic rule (idx26, r11 —
+    // index/KeyImage + prune/TopKPruning image keys): `ORDER BY
+    // date_trunc('day', ts) DESC, id DESC LIMIT k`, the time-bucketed
+    // latest-k every event store serves constantly. The sort head is a
+    // COMPUTED key the catalog has no stats for — but date_trunc is
+    // monotone under the UTC session, so its per-row-group stats are
+    // DERIVED at plan time (min ↦ trunc(min), max ↦ trunc(max)) and the
+    // tuple certificate prunes past the computed key to the deeper raw
+    // keys. Route `topk-lex2(day(l_shipdate),l_orderkey)`; a non-UTC
+    // session or an unindexed timestamp degrades to the declarative
+    // plan (TopKPruningSpec pins both plus catalog==planner parity).
+    QueryDef(
+      "idx26_topk_datetrunc",
+      (s, dir) => lineitemTime(s, dir)
+        .orderBy(date_trunc("day", col("l_shipdate")).desc,
+          col("l_orderkey").desc, col("l_linenumber").desc,
+          col("l_quantity").desc, col("l_shipdate").desc)
+        .limit(10)
+        .select("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_shipdate, l_orderkey, l_linenumber, l_quantity
+             |FROM lineitem
+             |ORDER BY date_trunc('day', l_shipdate) DESC, l_orderkey DESC,
+             |  l_linenumber DESC, l_quantity DESC, l_shipdate DESC
+             |LIMIT 10""".stripMargin)),
+
     // N-dimensional z-order with rank-binning (sources/ZOrderLayout.writeN):
     // a 3-d BOX over the 3-col Morton layout, third dimension a FLOAT
     // (l_extendedprice) rank-binned to dense ints by one approx-quantile
@@ -840,6 +868,45 @@ object Indexed {
       val (index, dataSchema) = IndexedParquet.buildIndex(
         spark, dataDir, Seq("l_returnflag", "l_linenumber", "l_orderkey"),
         s"$base/statsdb-comp3-v2")
+      val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
+      Entry(df, fileIndex, dataDir, index, dataSchema)
+    })
+
+  private val timeCache = TrieMap.empty[String, Entry]
+
+  /** A TIME-clustered layout: lineitem range-partitioned and sorted on
+    * (l_shipdate, l_orderkey), both indexed — the idx26 fixture. The
+    * shape every event/log table has at 100 TB, where the time-bucketed
+    * latest-k (`ORDER BY date_trunc('day', ts) DESC, id DESC LIMIT k`)
+    * must read the newest row groups, not sort the table. */
+  def lineitemTime(spark: SparkSession, sfDir: String): DataFrame =
+    timeEntry(spark, sfDir).df
+
+  def lastTimeExecution(spark: SparkSession, sfDir: String) =
+    timeEntry(spark, sfDir).fileIndex.lastExecution
+
+  private def timeEntry(spark: SparkSession, sfDir: String): Entry =
+    timeCache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
+      // -v2: TIMESTAMP_MICROS (INT96 carries no footer stats — see the
+      // main fixture's -v5 note; a blind l_shipdate column would reduce
+      // idx26 to a full scan)
+      val dataDir = s"$base/lineitem-time-v2"
+      if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
+        rmrf(new java.io.File(s"$base/statsdb-time-v2"))
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
+          .sortWithinPartitions("l_shipdate", "l_orderkey")
+          .write.mode("overwrite")
+          .option("parquet.block.row.count.limit", "2048")
+          .option("parquet.block.size", (1L * 1024 * 1024).toString)
+          .parquet(dataDir)
+      }
+      val (index, dataSchema) = IndexedParquet.buildIndex(
+        spark, dataDir, Seq("l_shipdate", "l_orderkey"),
+        s"$base/statsdb-time-v2")
       val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
       Entry(df, fileIndex, dataDir, index, dataSchema)
     })

@@ -3,7 +3,7 @@ package graft.plans
 import graft.prune.TopKPruning
 import graft.sources.{IndexedParquetFileIndex, PruneExecution, RowGroupSkipScan}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Descending, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IntegerLiteral, IsNotNull, LessThan, LessThanOrEqual, Literal, NullsFirst, Or, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Descending, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IntegerLiteral, IsNotNull, LessThan, LessThanOrEqual, Literal, NullsFirst, Or, SortOrder, TruncTimestamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Limit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
@@ -95,52 +95,56 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
       case fi: IndexedParquetFileIndex => fi
       case _ => return None
     }
-    val a = order.head.child match {
-      case ar: AttributeReference if child.outputSet.contains(ar) => ar
-      case _ => return None
-    }
     val idx = fi.statsIndex
-    if (!idx.indexedSchema.fields.exists(f =>
-        f.name == a.name && f.dataType == a.dataType)) return None
-
-    val descending = order.head.direction == Descending
-    val nullsFirst = order.head.nullOrdering == NullsFirst
+    val (a, headSpec) = asKeySpec(order.head, child, idx).getOrElse(return None)
+    val descending = headSpec.desc
+    val nullsFirst = headSpec.nullsFirst
 
     // N-key lexicographic prefix: the maximal leading prefix of DISTINCT
-    // indexed attribute sort keys takes the tuple certificate — each
-    // added key separates groups still tied on the shallower ones
-    // (never worse — the lex pruners intersect every shorter prefix's
-    // plan set). The prefix stops at the first non-attribute,
-    // non-indexed, or repeated key.
-    val prefix = scala.collection.mutable.ArrayBuffer(
-      graft.index.SortKeySpec(a.name, descending, nullsFirst))
+    // indexed sort keys takes the tuple certificate — each added key
+    // separates groups still tied on the shallower ones (never worse —
+    // the lex pruners intersect every shorter prefix's plan set). A key
+    // may be a plain indexed attribute or (r11) a certified monotone
+    // IMAGE of one (`date_trunc(unit, ts)` under a UTC session); the
+    // prefix stops at the first unrecognized, unindexed, or repeated
+    // (column, image) key — `date_trunc('day', ts), ts` is two DISTINCT
+    // keys (the raw value refines its own day bucket).
+    val prefix = scala.collection.mutable.ArrayBuffer(headSpec)
     val pit = order.drop(1).iterator
     var extending = true
     while (extending && pit.hasNext) {
-      val so = pit.next()
-      so.child match {
-        case b: AttributeReference
-            if child.outputSet.contains(b) &&
-              !prefix.exists(_.col == b.name) &&
-              idx.indexedSchema.fields.exists(f =>
-                f.name == b.name && f.dataType == b.dataType) =>
-          prefix += graft.index.SortKeySpec(b.name,
-            so.direction == Descending, so.nullOrdering == NullsFirst)
+      asKeySpec(pit.next(), child, idx) match {
+        case Some((_, spec))
+            if !prefix.exists(p => p.col == spec.col && p.image == spec.image) =>
+          prefix += spec
         case _ => extending = false
       }
     }
+    def keyTag(p: graft.index.SortKeySpec): String =
+      p.image.fold(p.col)(img => s"${img.id}(${p.col})")
+    val headTag = keyTag(headSpec)
     val (plans, baseline, routeTag) = cond match {
       case None =>
         val total = idx.allFiles().map(_.scanRowGroups.size).sum
-        if (prefix.sizeIs == 1)
+        if (prefix.sizeIs == 1 && headSpec.image.isEmpty)
           (TopKPruning.prune(idx, a.name, k.toLong, descending, nullsFirst),
-            total, s"topk(${a.name})")
+            total, s"topk($headTag)")
         else
           (TopKPruning.pruneLexN(idx, prefix.toSeq, k.toLong),
             total,
-            s"topk-lex${prefix.size}(${prefix.map(_.col).mkString(",")})")
+            s"topk-lex${prefix.size}(${prefix.map(keyTag).mkString(",")})")
       case Some(c) =>
-        val disjuncts = parseDisjuncts(c, a).getOrElse(return None)
+        val disjunctsRaw = parseDisjuncts(c, a).getOrElse(return None)
+        // a computed head key cannot compare RAW-value sort bounds in
+        // image space — carry them as other-column all-pass bounds on the
+        // underlying column instead (same certificate, still sound)
+        val disjuncts =
+          if (headSpec.image.isEmpty) disjunctsRaw
+          else disjunctsRaw.map { d =>
+            if (d.sortLo.isEmpty && d.sortHi.isEmpty) d
+            else TopKPruning.Disjunct(None, None,
+              d.others :+ TopKPruning.OtherColBounds(a.name, d.sortLo, d.sortHi))
+          }
         // the filter's own stats pruning is what the declarative plan
         // would get via listFiles — the baseline the rewrite must beat
         val statsPlans = idx.getFiles(c)
@@ -149,12 +153,12 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
           if (disjuncts.sizeIs == 1 && otherCols.isEmpty) "filtered"
           else "composite"
         val suffix = if (otherCols.isEmpty) "" else ";" + otherCols.mkString(",")
-        if (prefix.sizeIs == 1)
+        if (prefix.sizeIs == 1 && headSpec.image.isEmpty)
           (TopKPruning.pruneDisjunctive(
               idx, a.name, k.toLong, descending, nullsFirst,
               disjuncts, statsPlans),
             statsPlans.map(_.scanRowGroups.size).sum,
-            s"topk-$shape(${a.name}$suffix)")
+            s"topk-$shape($headTag$suffix)")
         else
           // FILTERED lexicographic: the disjunctive all-pass certificate
           // composed with the tuple threshold — deeper sort keys
@@ -163,7 +167,7 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
               idx, prefix.toSeq, k.toLong, disjuncts, statsPlans),
             statsPlans.map(_.scanRowGroups.size).sum,
             s"topk-$shape-lex${prefix.size}(" +
-              s"${prefix.map(_.col).mkString(",")}$suffix)")
+              s"${prefix.map(keyTag).mkString(",")}$suffix)")
     }
     val kept = plans.map(_.scanRowGroups.size).sum
     if (kept >= baseline) return None // no narrowing beyond the stats path
@@ -194,6 +198,65 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
     Some(child.transformUp {
       case l: LogicalRelation if l eq rel => remap
     })
+  }
+
+  /** One SortOrder → (underlying attribute, catalog sort-key spec), or
+    * None when the certificate family cannot serve it. Recognized keys:
+    * a plain indexed attribute, and (r11) `date_trunc(unit, ts)` over an
+    * indexed timestamp attribute — certified MONOTONE only under a
+    * fixed-offset-zero session timezone (UTC has no DST fold where local
+    * wall time runs backward), so any other zone degrades to the
+    * declarative plan rather than risking a mis-ordered image. */
+  private def asKeySpec(
+      so: SortOrder, child: LogicalPlan, idx: graft.index.StatsIndex)
+      : Option[(AttributeReference, graft.index.SortKeySpec)] = {
+    def indexedAs(ar: AttributeReference, dt: DataType): Boolean =
+      child.outputSet.contains(ar) &&
+        idx.indexedSchema.fields.exists(f => f.name == ar.name && f.dataType == dt)
+    val desc = so.direction == Descending
+    val nf = so.nullOrdering == NullsFirst
+    so.child match {
+      case ar: AttributeReference if indexedAs(ar, ar.dataType) =>
+        Some((ar, graft.index.SortKeySpec(ar.name, desc, nf)))
+      case t: TruncTimestamp =>
+        // the timestamp operand: a TimestampType attribute directly, or a
+        // TIMESTAMP_NTZ attribute under the analyzer's implicit cast — an
+        // NTZ value's micros are its UTC wall micros, so under the UTC
+        // session precondition the cast is identity on the very micros
+        // the catalog stores
+        val tsAttr = t.timestamp match {
+          case ar: AttributeReference if ar.dataType == TimestampType => Some(ar)
+          case c: org.apache.spark.sql.catalyst.expressions.Cast
+              if c.dataType == TimestampType && utcZone(c.timeZoneId) =>
+            c.child match {
+              case ar: AttributeReference if ar.dataType == TimestampNTZType =>
+                Some(ar)
+              case _ => None
+            }
+          case _ => None
+        }
+        (t.format, tsAttr) match {
+          case (Literal(fmt: org.apache.spark.unsafe.types.UTF8String, StringType),
+              Some(ar))
+              if fmt != null && indexedAs(ar, ar.dataType) &&
+                utcZone(t.timeZoneId) =>
+            graft.index.TruncTimestampImage.forUnit(fmt.toString).map(img =>
+              (ar, graft.index.SortKeySpec(ar.name, desc, nf, Some(img))))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** The analyzer-resolved timezone is a zero fixed offset (UTC/GMT/Z and
+    * aliases) — the precondition for `date_trunc`'s monotonicity. */
+  private def utcZone(tzOpt: Option[String]): Boolean = tzOpt.exists { tz =>
+    try {
+      val rules =
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(tz).getRules
+      rules.isFixedOffset &&
+        rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+    } catch { case scala.util.control.NonFatal(_) => false }
   }
 
   /** `cond` as a DISJUNCTION of per-column bound sets

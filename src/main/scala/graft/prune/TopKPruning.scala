@@ -41,7 +41,7 @@ object TopKPruning {
     * their UTF-8 bytes, which is what Spark's UTF8String sort uses (Java's
     * String.compareTo is UTF-16 code-UNIT order and disagrees above
     * U+E000, so it would mis-prune). */
-  private def ordering(dt: DataType): Option[Ordering[Any]] = dt match {
+  private[graft] def ordering(dt: DataType): Option[Ordering[Any]] = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType | TimestampNTZType =>
       Some(Ordering.by((v: Any) => v.asInstanceOf[Number].longValue))
@@ -497,7 +497,7 @@ object TopKPruning {
       statsPlans: Seq[FileScanPlan]): Seq[FileScanPlan] = {
     require(keys.nonEmpty, "lexicographic top-k needs at least one sort key")
     if (disjuncts.isEmpty) return statsPlans
-    if (keys.sizeIs == 1)
+    if (keys.sizeIs == 1 && keys.head.image.isEmpty)
       return pruneDisjunctive(index, keys.head.col, k, keys.head.desc,
         keys.head.nullsFirst, disjuncts, statsPlans)
     pruneLexImpl(memo(index), keys, k, Some((disjuncts, statsPlans)))
@@ -511,17 +511,22 @@ object TopKPruning {
     val head = keys.head
     val universe: Seq[FileScanPlan] =
       filter.map(_._2).getOrElse(index.allFiles())
-    if (keys.sizeIs == 1)
+    // a plain single key delegates to the reference single-key algorithms;
+    // an IMAGE single key runs the generic body at n = 1 (those algorithms
+    // know nothing of computed keys)
+    if (keys.sizeIs == 1 && head.image.isEmpty)
       return filter match {
         case Some((ds, sp)) =>
           pruneDisjunctive(index, head.col, k, head.desc, head.nullsFirst, ds, sp)
         case None => prune(index, head.col, k, head.desc, head.nullsFirst)
       }
     val n = keys.size
-    lazy val shorterPlans = filter match {
-      case Some((ds, sp)) => pruneDisjunctiveLex(index, keys.init, k, ds, sp)
-      case None           => pruneLexN(index, keys.init, k)
-    }
+    lazy val shorterPlans =
+      if (n == 1) universe
+      else filter match {
+        case Some((ds, sp)) => pruneDisjunctiveLex(index, keys.init, k, ds, sp)
+        case None           => pruneLexN(index, keys.init, k)
+      }
     def intersect(a: Seq[FileScanPlan], b: Seq[FileScanPlan]): Seq[FileScanPlan] = {
       val byFile = b.map(p => p.fileName -> p.scanRowGroups).toMap
       a.flatMap { p =>
@@ -532,11 +537,20 @@ object TopKPruning {
     }
     def intersectShorter(deeper: Seq[FileScanPlan]): Seq[FileScanPlan] =
       intersect(deeper, shorterPlans)
-    // orderings per key; an uncertified key truncates to the prefix
+    // orderings per key (an IMAGE key orders by its result type, and its
+    // declared input type must match the indexed column's — else the
+    // derived stats would be nonsense); an uncertified key truncates to
+    // the prefix
     val ords: IndexedSeq[Ordering[Any]] = keys.toIndexedSeq.zipWithIndex.map {
       case (key, i) =>
-        index.indexedSchema.fields.find(_.name == key.col).map(_.dataType)
-          .flatMap(ordering) match {
+        val fieldType =
+          index.indexedSchema.fields.find(_.name == key.col).map(_.dataType)
+        val keyType = (fieldType, key.image) match {
+          case (Some(ft), Some(img)) if img.acceptsInput(ft) => Some(img.resultType)
+          case (Some(ft), None)                              => Some(ft)
+          case _                                             => None
+        }
+        keyType.flatMap(ordering) match {
           case Some(o) => o
           case None =>
             return if (i == 0) universe
@@ -558,11 +572,22 @@ object TopKPruning {
       case Some(plans) => return intersectShorter(intersect(plans, universe))
       case None => () // fall through to the planner-side reference path
     }
-    val statsHead = index.rowGroupStats(head.col).getOrElse(return shorterPlans)
+    // computed keys: per-group stats DERIVED through the monotone image
+    // (min ↦ image(min), max ↦ image(max); null count and frequencies
+    // carry over — every row at the raw extreme maps to the image
+    // extreme, so a raw frequency is a sound lower bound there)
+    def imaged(key: SortKeySpec, s: RowGroupStat): RowGroupStat =
+      key.image match {
+        case None    => s
+        case Some(f) => s.copy(min = s.min.map(f.apply), max = s.max.map(f.apply))
+      }
+    val statsHead = index.rowGroupStats(head.col)
+      .getOrElse(return shorterPlans).map(imaged(head, _))
     val tailStats: IndexedSeq[Map[(String, Int), RowGroupStat]] =
       keys.toIndexedSeq.tail.zipWithIndex.map { case (key, i) =>
         index.rowGroupStats(key.col) match {
-          case Some(st) => st.map(s => (s.fileName, s.rowGroup) -> s).toMap
+          case Some(st) =>
+            st.map(s => (s.fileName, s.rowGroup) -> imaged(key, s)).toMap
           case None => return pruneLexImpl(index, keys.take(i + 1), k, filter)
         }
       }
@@ -577,6 +602,13 @@ object TopKPruning {
     val certify: RowGroupStat => Boolean = filter match {
       case None => _ => true
       case Some((ds, _)) =>
+        // a computed head key cannot compare RAW-value sort bounds in
+        // image space — callers (TopKPushdown) carry such bounds as
+        // other-column all-pass entries instead; refuse direct API calls
+        // that mix the two (degrade, never mis-compare)
+        if (head.image.isDefined &&
+            ds.exists(d => d.sortLo.isDefined || d.sortHi.isDefined))
+          return shorterPlans
         val otherData = ds.flatMap(_.others.map(_.col)).distinct.map { c =>
           val odt = index.indexedSchema.fields.find(_.name == c)
             .getOrElse(return shorterPlans).dataType
@@ -623,8 +655,10 @@ object TopKPruning {
     // a better value than they hold
     val headIsString = index.indexedSchema.fields
       .find(_.name == head.col).exists(_.dataType == StringType)
+    // (n >= 2: single-key walks — reachable here only via an image head —
+    // carry no frequency candidates, matching the catalog's lexWalk gate)
     def freqUsable(s: RowGroupStat): Boolean =
-      !headIsString || head.desc || s.minExact.contains(true)
+      n >= 2 && (!headIsString || head.desc || s.minExact.contains(true))
     val cand = scala.collection.mutable.ArrayBuffer.empty[(Tup, Long)]
     statsHead.foreach { s =>
       if (certify(s)) for {

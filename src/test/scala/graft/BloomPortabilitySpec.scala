@@ -141,11 +141,11 @@ class BloomPortabilitySpec extends SparkSpec {
     val probe = inCat.minIndexedValue("l_ukey").get.asInstanceOf[String]
     val pred = RowGroupSkipScan.resolvePredicate(
       spark, spark.read.parquet(dataDir).schema, col("l_ukey") === probe)
-    // a second handle on the SAME catalog (the fixture's statsdb-v5 —
+    // a second handle on the SAME catalog (the fixture's statsdb-v6 —
     // keep in lockstep with Indexed.fixture's dbPath), probing
     // planner-side
     val planner = new DerbyStatsIndex(
-      dataDir.replace("lineitem-v4", "statsdb-v5"), inCat.indexedSchema,
+      dataDir.replace("lineitem-v5", "statsdb-v6"), inCat.indexedSchema,
       Set("l_ukey"), plannerSideBloomProbe = true)
     try {
       val a = inCat.getFiles(pred).map(p => p.fileName -> p.scanRowGroups).toMap

@@ -938,6 +938,95 @@ class TopKPruningSpec extends SparkSpec {
       "catalog and planner diverged after the markers were cleared")
   }
 
+  // TIMESTAMP fixture for IMAGE keys (r11): ~55 days of 20-minute events,
+  // time-clustered with local noise, ~5% null timestamps, 50-row groups —
+  // the shape where `ORDER BY date_trunc(unit, ts), id LIMIT k` must
+  // prune via stats DERIVED through the monotone image.
+  private lazy val fx7: (String, DerbyStatsIndex, StructType) = {
+    val base = Files.createTempDirectory("graft-topk-img").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    // INT96 (Spark's default) carries no footer min/max for timestamps
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    (0 until 4000)
+      .map { i =>
+        val millis = i.toLong * 1200000L + ((i.toLong * 2971L) % 500L) * 1000L
+        (if (i % 20 == 0) None else Some(new java.sql.Timestamp(millis)),
+          i.toLong)
+      }
+      .toDF("ts", "id")
+      .coalesce(1)
+      .write.option("parquet.block.row.count.limit", "50")
+      .mode("overwrite").parquet(dir)
+    val (index, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("ts", "id"), s"$base/statsdb")
+    (dir, index.asInstanceOf[DerbyStatsIndex], schema)
+  }
+
+  test("image keys (date_trunc) prune soundly with catalog==planner parity") {
+    val (dir, index, schema) = fx7
+    import graft.index.{SortKeySpec, TruncTimestampImage}
+    val total = index.allFiles().map(_.scanRowGroups.size).sum
+    var anyNarrower = false
+    for {
+      unit <- Seq("day", "hour", "week", "month") // month: planner-only render
+      desc <- Seq(true, false)
+      k <- Seq(1, 16, 300)
+      prefixLen <- Seq(1, 2)
+    } {
+      val img = TruncTimestampImage.forUnit(unit).get
+      val keys = Seq(SortKeySpec("ts", desc, !desc, Some(img)))
+        .take(prefixLen) ++
+        (if (prefixLen == 2)
+          Seq(SortKeySpec("id", desc = false, nullsFirst = true)) else Nil)
+      val plans = TopKPruning.pruneLexN(index, keys, k.toLong)
+      val viaPlanner = TopKPruning.pruneLexN(plannerOnly(index), keys, k.toLong)
+      assert(plans.map(p => p.fileName -> p.scanRowGroups).toMap ===
+        viaPlanner.map(p => p.fileName -> p.scanRowGroups).toMap,
+        s"unit=$unit desc=$desc k=$k len=$prefixLen: catalog/planner diverged")
+      val kept = plans.map(_.scanRowGroups.size).sum
+      if (kept < total) anyNarrower = true
+      val trunc = date_trunc(unit, col("ts"))
+      val ord = Seq(if (desc) trunc.desc else trunc.asc, col("id").asc)
+      val got =
+        if (plans.isEmpty) Seq.empty
+        else RowGroupSkipScan.scan(spark, dir, plans, schema)
+          .orderBy(ord: _*).limit(k)
+          .select(trunc.as("b"), col("id")).collect().toSeq
+      val want = spark.read.parquet(dir)
+        .orderBy(ord: _*).limit(k)
+        .select(trunc.as("b"), col("id")).collect().toSeq
+      assert(got === want, s"unit=$unit desc=$desc k=$k len=$prefixLen diverged")
+    }
+    assert(anyNarrower, "image-key pruning never narrowed — fixture too easy")
+  }
+
+  test("date_trunc latest-k fires the automatic image-key rule (idx26)") {
+    val dir = sf("sf0.001")
+    val q = SparkEntry.registry.find(_.name == "idx26_topk_datetrunc").get
+    val rows = q.fn(spark, dir).collect()
+    assert(rows.length === 10)
+    val exec = graft.operators.Indexed.lastTimeExecution(spark, dir).get
+    assert(exec.route === Seq("topk-lex2(day(l_shipdate),l_orderkey)"),
+      s"route: ${exec.route}")
+    assert(exec.scannedRowGroups < exec.totalRowGroups,
+      s"kept ${exec.scannedRowGroups} of ${exec.totalRowGroups}")
+  }
+
+  test("a non-UTC session keeps the declarative plan for date_trunc keys") {
+    val dir = sf("sf0.001")
+    val df = graft.operators.Indexed.lineitemTime(spark, dir)
+    // a DST zone has no monotonicity certificate — the rule must not fire
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val plan = df.orderBy(date_trunc("day", col("l_shipdate")).desc,
+          col("l_orderkey").desc)
+        .limit(5).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("RowGroupScan"),
+        s"image rule fired under a DST timezone:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("composite certification fails closed on an unclustered filter column") {
     val (_, index, schema) = fx
     // skey (s-<v%97>) varies inside every 50-row group — no group can be
