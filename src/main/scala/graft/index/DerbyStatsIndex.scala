@@ -108,7 +108,11 @@ final class DerbyStatsIndex(
         // post-ingest by FreqShadow.build; NULL until then
         (if (FreqShadow.supported(f.dataType))
            Seq(s"${f.name}_min_freq BIGINT", s"${f.name}_max_freq BIGINT")
-         else Nil)
+         else Nil) ++
+        // per-row-group sum shadow, attached post-ingest by
+        // SumShadow.build; NULL until then
+        (if (SumShadow.supported(f.dataType))
+           Seq(s"${f.name}_sum BIGINT") else Nil)
     }
     createIfMissing(
       s"""CREATE TABLE row_group_statistics (
@@ -146,7 +150,9 @@ final class DerbyStatsIndex(
           Seq(s"${f.name}_min_freq BIGINT", s"${f.name}_max_freq BIGINT")
         else Nil) ++
         (if (f.dataType == StringType)
-          Seq(s"${f.name}_min_exact SMALLINT") else Nil)).foreach { c =>
+          Seq(s"${f.name}_min_exact SMALLINT") else Nil) ++
+        (if (SumShadow.supported(f.dataType))
+          Seq(s"${f.name}_sum BIGINT") else Nil)).foreach { c =>
         try st.execute(s"ALTER TABLE row_group_statistics ADD COLUMN $c")
         catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
       }
@@ -862,15 +868,23 @@ final class DerbyStatsIndex(
         f.name == colName && FreqShadow.supported(f.dataType))
       val isString = indexedCols.exists(f =>
         f.name == colName && f.dataType == StringType)
+      val withSum = indexedCols.exists(f =>
+        f.name == colName && SumShadow.supported(f.dataType))
       def query(extra: Boolean): Seq[RowGroupStat] = {
+        // optional shadow columns appended in a FIXED order; their result
+        // positions follow the 6 core columns
         val freqSel =
           if (extra && withFreq)
             s", rg.${colName}_min_freq, rg.${colName}_max_freq" else ""
         val exactSel =
           if (extra && isString) s", rg.${colName}_min_exact" else ""
+        val sumSel =
+          if (extra && withSum) s", rg.${colName}_sum" else ""
+        val exactPos = 7 + (if (extra && withFreq) 2 else 0)
+        val sumPos = exactPos + (if (extra && isString) 1 else 0)
         val rs = st.executeQuery(
           s"""SELECT f.file_name, rg.row_group, rg.${colName}_min,
-             |  rg.${colName}_max, rg.row_count, rg.${colName}_null_count$freqSel$exactSel
+             |  rg.${colName}_max, rg.row_count, rg.${colName}_null_count$freqSel$exactSel$sumSel
              |FROM row_group_statistics rg
              |JOIN file_statistics f ON rg.file_id = f.file_id""".stripMargin)
         val buf = mutable.ArrayBuffer.empty[RowGroupStat]
@@ -879,14 +893,17 @@ final class DerbyStatsIndex(
           val mx = Option(rs.getObject(4))
           val rows = rs.getLong(5)
           val nulls = { val n = rs.getLong(6); if (rs.wasNull()) None else Some(n) }
-          def optLong(i: Int): Option[Long] =
-            if (!(extra && withFreq)) None
+          def optLong(on: Boolean, i: Int): Option[Long] =
+            if (!on) None
             else { val v = rs.getLong(i); if (rs.wasNull()) None else Some(v) }
           val exact =
             if (!(extra && isString)) None
-            else { val v = rs.getInt(9); if (rs.wasNull()) None else Some(v == 1) }
+            else {
+              val v = rs.getInt(exactPos); if (rs.wasNull()) None else Some(v == 1)
+            }
           buf += RowGroupStat(rs.getString(1), rs.getInt(2), mn, mx, rows, nulls,
-            optLong(7), optLong(8), exact)
+            optLong(extra && withFreq, 7), optLong(extra && withFreq, 8),
+            exact, optLong(extra && withSum, sumPos))
         }
         rs.close()
         buf.toSeq
@@ -900,7 +917,7 @@ final class DerbyStatsIndex(
         // silent retry would quietly disable the dominant-slice
         // certificate).
         case e: java.sql.SQLException
-            if (withFreq || isString) && e.getSQLState == "42X04" =>
+            if (withFreq || isString || withSum) && e.getSQLState == "42X04" =>
           try Some(query(extra = false))
           catch { case _: java.sql.SQLException => None }
         case _: java.sql.SQLException => None

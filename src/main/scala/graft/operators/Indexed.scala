@@ -533,6 +533,46 @@ object Indexed {
              |  l_quantity DESC
              |LIMIT 10""".stripMargin)),
 
+    // FILTERED catalog GROUP BY (idx27, r11 —
+    // plans/StatsAggPushdown.allPassFilter): the same metadata-only
+    // aggregation as idx25, under a WHERE the stats certify ALL-PASS —
+    // every conjunct provably true for every row (zero nulls, stored
+    // bounds inside the interval), so the filter drops nothing and the
+    // fold still stands. The common shape is a pipeline-template guard
+    // (`WHERE qty >= 0`) over a table whose stats prove it vacuous; a
+    // filter that actually bites fails the certificate closed
+    // (StatsAggPushdownSpec pins both).
+    QueryDef(
+      "idx27_groupby_filtered",
+      (s, dir) => lineitemValueAligned(s, dir)
+        .filter(col("l_orderkey") >= 0L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("okmin"),
+          max(col("l_orderkey")).as("okmax")),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  min(l_orderkey) AS okmin, max(l_orderkey) AS okmax
+             |FROM lineitem WHERE l_orderkey >= 0
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // catalog GROUP BY with SUM/COUNT of another column (idx28, r11 —
+    // index/SumShadow + StatsAggPushdown): per-row-group exact sums are
+    // attached at ingest (a data-scan build step like blooms/freqs), so
+    // `GROUP BY g` answers SUM(x) as the sum of each group's row-group
+    // sums and COUNT(x) from the null counts — one O(index) fetch, zero
+    // data scanned. Overflow at build or merge fails closed; unbuilt
+    // sums decline to the declarative plan (StatsAggPushdownSpec pins
+    // the fold, the decline, and exactness vs the scan).
+    QueryDef(
+      "idx28_groupby_sum",
+      (s, dir) => lineitemValueAligned(s, dir)
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_orderkey")).as("sok"),
+          count(col("l_orderkey")).as("nok")),
+      Some("""SELECT l_returnflag, CAST(sum(l_orderkey) AS BIGINT) AS sok,
+             |  count(l_orderkey) AS nok
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // EXPRESSION-KEY top-k through the automatic rule (idx26, r11 —
     // index/KeyImage + prune/TopKPruning image keys): `ORDER BY
     // date_trunc('day', ts) DESC, id DESC LIMIT k`, the time-bucketed
@@ -775,6 +815,13 @@ object Indexed {
       val (index, dataSchema) = IndexedParquet.buildIndex(
         spark, dataDir, Seq("l_returnflag", "l_orderkey"),
         s"$base/statsdb-aligned-v1")
+      // attach the per-row-group SUM ledger (idx28) unless the carried-
+      // over catalog already has it — one O(index) probe per session
+      val hasSums = index.rowGroupStats("l_orderkey")
+        .exists(_.exists(_.sumVal.isDefined))
+      if (!hasSums)
+        graft.index.SumShadow.build(spark, dataDir, index.allFiles(),
+          dataSchema, "l_orderkey", s"$base/statsdb-aligned-v1")
       val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
       Entry(df, fileIndex, dataDir, index, dataSchema)
     })

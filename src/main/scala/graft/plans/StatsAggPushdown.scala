@@ -5,7 +5,7 @@ import graft.sources.IndexedParquetFileIndex
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -64,10 +64,95 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
           case None => agg
         }
       case agg: Aggregate if agg.groupingExpressions.nonEmpty =>
-        fileIndexOf(agg.child) match {
+        fileIndexOrAllPassFiltered(agg.child) match {
           case Some(idx) => groupByRewrite(agg, idx).getOrElse(agg)
           case None      => agg
         }
+    }
+  }
+
+  /** The grouped rewrite's input: the index-backed relation directly, or
+    * (r11) under ONE Filter whose every conjunct the catalog certifies
+    * ALL-PASS — provably true for every row of every row group, so the
+    * filter drops nothing and `GROUP BY` over the filtered relation IS
+    * `GROUP BY` over the table. The common shape is a pipeline-template
+    * guard (`WHERE qty >= 0`, `WHERE ts >= <ingest floor>`) over a table
+    * whose stats prove it vacuous — without this, one harmless conjunct
+    * forfeits the whole metadata-only aggregation. */
+  private def fileIndexOrAllPassFiltered(
+      p: LogicalPlan): Option[IndexedParquetFileIndex] = p match {
+    // column pruning may leave attribute-only Projects on either side of
+    // the Filter — strip them exactly as fileIndexOf does
+    case Project(projectList, child)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      fileIndexOrAllPassFiltered(child)
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      fileIndexOf(f.child).filter(idx => allPassFilter(f.condition, idx))
+    case other => fileIndexOf(other)
+  }
+
+  /** Every conjunct is a comparison of an indexed, ordering-certified
+    * column against a literal (or a bare IsNotNull) that the stats PROVE
+    * for every row: zero nulls in the column (a comparison passes no
+    * nulls) and every row group's stored bounds inside the interval.
+    * Truncated string minima stay sound (stored ≥ lo ⇒ real ≥ stored ≥
+    * lo); stored maxima are verbatim by construction. Anything else —
+    * an unindexed column, an uncertified type, an OR, a computed
+    * operand — fails the certificate and the declarative plan stands. */
+  private def allPassFilter(
+      cond: Expression, idx: IndexedParquetFileIndex): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def conv(value: Any): Option[Any] =
+      if (value == null) None
+      else Some(value match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case other => other
+      })
+    def stats(ar: AttributeReference) =
+      if (!indexed(idx.statsIndex, ar)) None
+      else idx.statsIndex.rowGroupStats(ar.name)
+    def zeroNulls(ar: AttributeReference): Boolean =
+      stats(ar).exists(_.forall(_.nullCount.contains(0L)))
+    def bound(ar: AttributeReference, l: Literal, isLo: Boolean,
+        inclusive: Boolean): Boolean = {
+      val ord = graft.prune.TopKPruning.ordering(ar.dataType)
+        .getOrElse(return false)
+      val b = conv(l.value).getOrElse(return false)
+      zeroNulls(ar) && stats(ar).exists(_.forall { s =>
+        if (isLo) s.min.exists(v => if (inclusive) ord.gteq(v, b) else ord.gt(v, b))
+        else s.max.exists(v => if (inclusive) ord.lteq(v, b) else ord.lt(v, b))
+      })
+    }
+    conjuncts(cond).forall {
+      case IsNotNull(ar: AttributeReference) => zeroNulls(ar)
+      case GreaterThan(ar: AttributeReference, l: Literal) =>
+        bound(ar, l, isLo = true, inclusive = false)
+      case GreaterThanOrEqual(ar: AttributeReference, l: Literal) =>
+        bound(ar, l, isLo = true, inclusive = true)
+      case LessThan(ar: AttributeReference, l: Literal) =>
+        bound(ar, l, isLo = false, inclusive = false)
+      case LessThanOrEqual(ar: AttributeReference, l: Literal) =>
+        bound(ar, l, isLo = false, inclusive = true)
+      case GreaterThan(l: Literal, ar: AttributeReference) =>
+        bound(ar, l, isLo = false, inclusive = false)
+      case GreaterThanOrEqual(l: Literal, ar: AttributeReference) =>
+        bound(ar, l, isLo = false, inclusive = true)
+      case LessThan(l: Literal, ar: AttributeReference) =>
+        bound(ar, l, isLo = true, inclusive = false)
+      case LessThanOrEqual(l: Literal, ar: AttributeReference) =>
+        bound(ar, l, isLo = true, inclusive = true)
+      case EqualTo(ar: AttributeReference, l: Literal) =>
+        bound(ar, l, isLo = true, inclusive = true) &&
+          bound(ar, l, isLo = false, inclusive = true)
+      case EqualTo(l: Literal, ar: AttributeReference) =>
+        bound(ar, l, isLo = true, inclusive = true) &&
+          bound(ar, l, isLo = false, inclusive = true)
+      case _ => false
     }
   }
 
@@ -178,6 +263,80 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
           a.name -> acc
         }.toMap
       }
+    // per-group SUM of OTHER integral columns — served from the SumShadow
+    // ledger (per-row-group exact sums), certifiable only when NO row
+    // group holds grouping-column nulls and EVERY row group of the
+    // column carries a built, non-overflowed sum plus a known null count
+    // (the non-null tally decides SUM's NULL-on-empty-group semantics);
+    // overflow while merging fails closed. COUNT(other) needs only the
+    // null counts — no shadow, no constancy.
+    val sumAggCols = agg.aggregateExpressions.flatMap {
+      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case su: Sum => su.child match {
+            case a: AttributeReference if a.exprId != g.exprId => Seq(a)
+            case _ => Nil
+          }
+          case _ => Nil
+        }
+      case _ => Nil
+    }.distinctBy(_.exprId)
+    val cntAggCols = agg.aggregateExpressions.flatMap {
+      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(a: AttributeReference)) if a.exprId != g.exprId => Seq(a)
+          case _ => Nil
+        }
+      case _ => Nil
+    }.distinctBy(_.exprId)
+    // value -> (sum of non-null values, non-null row tally)
+    val otherSums: Map[String, scala.collection.Map[Any, (Long, Long)]] =
+      if (sumAggCols.isEmpty) Map.empty
+      else {
+        if (nullRows > 0) return None
+        sumAggCols.map { a =>
+          if (!indexed(idx.statsIndex, a) ||
+              !graft.index.SumShadow.supported(a.dataType)) return None
+          val os = idx.statsIndex.rowGroupStats(a.name).getOrElse(return None)
+          val acc = scala.collection.mutable.HashMap.empty[Any, (Long, Long)]
+          os.foreach { s =>
+            val v = rgValue.get((s.fileName, s.rowGroup)) match {
+              case Some(v) => v
+              case None => return None
+            }
+            val nc = s.nullCount.getOrElse(return None)
+            val sv = s.sumVal.getOrElse(return None)
+            try acc.updateWith(v) {
+              case Some((ps, pn)) =>
+                Some((Math.addExact(ps, sv), pn + (s.rowCount - nc)))
+              case None => Some((sv, s.rowCount - nc))
+            } catch { case _: ArithmeticException => return None }
+          }
+          a.name -> acc
+        }.toMap
+      }
+    val otherCounts: Map[String, scala.collection.Map[Any, Long]] =
+      if (cntAggCols.isEmpty) Map.empty
+      else {
+        if (nullRows > 0) return None
+        cntAggCols.map { a =>
+          if (!indexed(idx.statsIndex, a)) return None
+          val os = idx.statsIndex.rowGroupStats(a.name).getOrElse(return None)
+          val acc = scala.collection.mutable.HashMap.empty[Any, Long]
+          os.foreach { s =>
+            val v = rgValue.get((s.fileName, s.rowGroup)) match {
+              case Some(v) => v
+              case None => return None
+            }
+            val nc = s.nullCount.getOrElse(return None)
+            acc.updateWith(v) {
+              case Some(p) => Some(p + (s.rowCount - nc))
+              case None    => Some(s.rowCount - nc)
+            }
+          }
+          a.name -> acc
+        }.toMap
+      }
     // one output cell per (aggregate expression, group): value groups get
     // (value, count); the NULL group exists iff null rows exist
     def cell(ne: NamedExpression, value: Option[Any], rows: Long): Option[Any] =
@@ -204,6 +363,17 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
               Some(value
                 .flatMap(v => otherExtremes(a.name).getOrElse(v, (None, None))._2)
                 .flatMap(internal(_, a.dataType)).orNull)
+            case su: Sum => su.child match {
+              case a: AttributeReference if otherSums.contains(a.name) =>
+                Some(value.flatMap(v => otherSums(a.name).get(v)).collect {
+                  // zero non-null rows in the group ⇒ SQL NULL
+                  case (sv, nn) if nn > 0 => Long.box(sv)
+                }.orNull)
+              case _ => None
+            }
+            case Count(Seq(a: AttributeReference))
+                if otherCounts.contains(a.name) =>
+              Some(value.flatMap(v => otherCounts(a.name).get(v)).getOrElse(0L))
             case _ => None
           }
         case _ => None

@@ -146,6 +146,78 @@ class StatsAggPushdownSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.groupByAggPushdown")
   }
 
+  // null-free value-aligned fixture with the catalog handles exposed, for
+  // the r11 filtered / SUM extensions
+  private lazy val fxg3: (DataFrame, DataFrame, String, String,
+      org.apache.spark.sql.types.StructType, graft.index.StatsIndex) = {
+    val base = Files.createTempDirectory("graft-aggpush-g3").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    (0 until 2000).map(i => (i.toLong, i.toLong / 500L))
+      .toDF("k", "g").coalesce(1)
+      .write.option("parquet.block.row.count.limit", "50")
+      .mode("overwrite").parquet(dir)
+    val db = s"$base/statsdb"
+    val (index, schema) = IndexedParquet.buildIndex(spark, dir, Seq("k", "g"), db)
+    val (df, _) = IndexedParquet.read(spark, dir, index, schema)
+    (df, spark.read.parquet(dir), dir, db, schema, index)
+  }
+
+  test("r11: an ALL-PASS filter keeps the GROUP BY fold; a biting one declines") {
+    val (df, plainDf, _, _, _, _) = fxg3
+    def shape(d: DataFrame, cond: org.apache.spark.sql.Column) = d
+      .filter(cond).groupBy("g")
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mk"))
+    // k >= 0 and IsNotNull(k) are provably vacuous from the stats
+    val vacuous = col("k") >= 0L && col("k").isNotNull
+    val agg = shape(df, vacuous)
+    assert(folded(agg), agg.queryExecution.optimizedPlan.toString)
+    val key = (r: org.apache.spark.sql.Row) =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2)))
+    assert(agg.collect().map(key).toMap ===
+      shape(plainDf, vacuous).collect().map(key).toMap)
+    // a filter that actually bites must fail the certificate closed —
+    // and the declarative answer must still be right
+    val biting = shape(df, col("k") > 100L)
+    assert(!folded(biting), biting.queryExecution.optimizedPlan.toString)
+    assert(biting.collect().map(key).toMap ===
+      shape(plainDf, col("k") > 100L).collect().map(key).toMap)
+    // a filter on an unindexed/unknown shape (OR) declines too
+    assert(!folded(shape(df, col("k") >= 0L || col("g") >= 0L)))
+  }
+
+  test("r11: SUM/COUNT of another column fold from the SumShadow ledger") {
+    val (df, plainDf, dir, db, schema, index) = fxg3
+    def shape(d: DataFrame) = d.groupBy("g")
+      .agg(sum(col("k")).as("sk"), count(col("k")).as("nk"),
+        count(lit(1)).as("n"))
+    // COUNT(k) alone folds from null counts — no shadow needed
+    val cntOnly = df.groupBy("g").agg(count(col("k")).as("nk"))
+    assert(folded(cntOnly), cntOnly.queryExecution.optimizedPlan.toString)
+    // SUM(k) declines until the ledger is built
+    assert(!folded(shape(df)))
+    graft.index.SumShadow.build(spark, dir, index.allFiles(), schema, "k", db)
+    val agg = shape(df)
+    assert(folded(agg), agg.queryExecution.optimizedPlan.toString)
+    val key = (r: org.apache.spark.sql.Row) =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(agg.collect().map(key).toMap ===
+      shape(plainDf).collect().map(key).toMap,
+      "catalog SUM diverged from the scan")
+    // grouping nulls still poison the other-column tallies (fxg's g has
+    // nulls): neither SUM nor COUNT(k) may fold there
+    assert(!folded(fxg._1.groupBy("g").agg(count(col("k")).as("nk"))))
+  }
+
+  test("r11: idx27/idx28 registered queries fold (no scan in the plan)") {
+    Seq("idx27_groupby_filtered", "idx28_groupby_sum").foreach { name =>
+      val q = SparkEntry.registry.find(_.name == name).get
+      val df = q.fn(spark, sf("sf0.001"))
+      assert(folded(df), s"$name:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().length === 3)
+    }
+  }
+
   test("idx25: the registered group-by query folds (no scan in the plan)") {
     val q = SparkEntry.registry.find(_.name == "idx25_groupby_pushdown").get
     val df = q.fn(spark, sf("sf0.001"))
