@@ -573,6 +573,33 @@ object Indexed {
              |  count(l_orderkey) AS nok
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // TWO-COLUMN catalog GROUP BY (idx29, r11 — StatsAggPushdown's joint
+    // key certification): on a doubly-aligned layout (one file set per
+    // (l_returnflag, l_linestatus) pair) every row group is constant in
+    // BOTH grouping columns, so `GROUP BY flag, status` with counts,
+    // per-key extremes and the SumShadow-served SUM(l_orderkey) folds to
+    // a LocalRelation — the per-(source, label) corpus report a 100 TB
+    // manifest pipeline runs, answered without touching data. One
+    // straddling row group in EITHER column fails closed
+    // (StatsAggPushdownSpec pins fold + degrade).
+    QueryDef(
+      "idx29_groupby_2col",
+      (s, dir) => lineitemValueAligned2(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("l_linestatus")).as("nls"),
+          min(col("l_returnflag")).as("mnf"),
+          max(col("l_linestatus")).as("mxs"),
+          min(col("l_orderkey")).as("okmin"),
+          max(col("l_orderkey")).as("okmax"),
+          sum(col("l_orderkey")).as("sok")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  count(l_linestatus) AS nls, min(l_returnflag) AS mnf,
+             |  max(l_linestatus) AS mxs, min(l_orderkey) AS okmin,
+             |  max(l_orderkey) AS okmax,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS sok
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
     // EXPRESSION-KEY top-k through the automatic rule (idx26, r11 —
     // index/KeyImage + prune/TopKPruning image keys): `ORDER BY
     // date_trunc('day', ts) DESC, id DESC LIMIT k`, the time-bucketed
@@ -822,6 +849,46 @@ object Indexed {
       if (!hasSums)
         graft.index.SumShadow.build(spark, dataDir, index.allFiles(),
           dataSchema, "l_orderkey", s"$base/statsdb-aligned-v1")
+      val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
+      Entry(df, fileIndex, dataDir, index, dataSchema)
+    })
+
+  private val aligned2Cache = TrieMap.empty[String, Entry]
+
+  /** A DOUBLY value-aligned layout: one file set per (l_returnflag,
+    * l_linestatus) pair — the idx29 fixture. Every row group is constant
+    * in BOTH columns, so the catalog certifies the JOINT grouping key
+    * (the per-(source, label) file sets a partitioned ingestion writes). */
+  def lineitemValueAligned2(spark: SparkSession, sfDir: String): DataFrame =
+    aligned2Entry(spark, sfDir).df
+
+  private def aligned2Entry(spark: SparkSession, sfDir: String): Entry =
+    aligned2Cache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
+      val dataDir = s"$base/lineitem-aligned2-v1"
+      val db = s"$base/statsdb-aligned2-v1"
+      if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
+        rmrf(new java.io.File(db))
+        val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val pairs = src.select("l_returnflag", "l_linestatus").distinct()
+          .collect().map(r => (r.getString(0), r.getString(1))).sorted
+        pairs.zipWithIndex.foreach { case ((f, ls), i) =>
+          src.filter(col("l_returnflag") === f && col("l_linestatus") === ls)
+            .repartitionByRange(2, col("l_orderkey"))
+            .write.mode(if (i == 0) "overwrite" else "append")
+            .option("parquet.block.row.count.limit", "2048")
+            .option("parquet.block.size", (1L * 1024 * 1024).toString)
+            .parquet(dataDir)
+        }
+      }
+      val (index, dataSchema) = IndexedParquet.buildIndex(
+        spark, dataDir, Seq("l_returnflag", "l_linestatus", "l_orderkey"), db)
+      val hasSums = index.rowGroupStats("l_orderkey")
+        .exists(_.exists(_.sumVal.isDefined))
+      if (!hasSums)
+        graft.index.SumShadow.build(spark, dataDir, index.allFiles(),
+          dataSchema, "l_orderkey", db)
       val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
       Entry(df, fileIndex, dataDir, index, dataSchema)
     })

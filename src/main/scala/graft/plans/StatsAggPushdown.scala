@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.index.StatsIndex
+import graft.index.{RowGroupStat, StatsIndex}
 import graft.sources.IndexedParquetFileIndex
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -176,37 +176,75 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     * row group holds grouping-column nulls (a null-g row's value would
     * leak into the wrong group's extreme) and refused for strings
     * (truncated minima are bounds, not answers) and floats (NaN
-    * comparator hazard). Any other aggregate, a second grouping column,
-    * DISTINCT, or an agg filter disqualifies. Consistency with a scan
-    * holds because the relation's listing IS the catalog (see COUNT(*)
-    * note above). Kill switch: `spark.graft.groupByAggPushdown=false`. */
+    * comparator hazard). TWO grouping columns (r11) certify the joint
+    * key per row group on a doubly-aligned layout, with at most one
+    * column carrying a partial null slice per group (two splits make
+    * the joint distribution unknowable from per-column stats). Any
+    * other aggregate, a third grouping column, DISTINCT, or an agg
+    * filter disqualifies. Consistency with a scan holds because the
+    * relation's listing IS the catalog (see COUNT(*) note above). Kill
+    * switch: `spark.graft.groupByAggPushdown=false`. */
   private def groupByRewrite(
       agg: Aggregate, idx: IndexedParquetFileIndex): Option[LogicalPlan] = {
     if (session.conf.get("spark.graft.groupByAggPushdown", "true") != "true")
       return None
-    val g = agg.groupingExpressions match {
-      case Seq(a: AttributeReference)
-          if indexed(idx.statsIndex, a) && ordered(a.dataType) => a
-      case _ => return None
+    // up to TWO grouping attributes (r11): a doubly-aligned layout — one
+    // file set per (source, label) pair — certifies the joint key the
+    // same way a single column does, per row group and per column
+    val gs: Seq[AttributeReference] = {
+      val exprs = agg.groupingExpressions
+      if (exprs.isEmpty || exprs.sizeIs > 2) return None
+      val attrs: Seq[AttributeReference] = exprs.map {
+        case a: AttributeReference
+            if indexed(idx.statsIndex, a) && ordered(a.dataType) => a
+        case _ => return None
+      }
+      if (attrs.map(_.name).distinct.size != attrs.size) return None
+      attrs
     }
-    val stats = idx.statsIndex.rowGroupStats(g.name).getOrElse(return None)
-    // per-value (non-null) row counts + the NULL group's row count; also
-    // each row group's value, for the other-column extremes below
-    val byValue = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
-    val rgValue = scala.collection.mutable.HashMap.empty[(String, Int), Any]
-    var nullRows = 0L
-    stats.foreach { s =>
-      val nc = s.nullCount.getOrElse(return None)
-      nullRows += nc
-      if (nc != s.rowCount) {
-        val mn = s.min.getOrElse(return None)
-        val mx = s.max.getOrElse(return None)
-        if (mn != mx) return None // a straddling group: fail closed
-        rgValue((s.fileName, s.rowGroup)) = mx
-        byValue.updateWith(mx) {
-          case Some(n) => Some(n + (s.rowCount - nc))
-          case None    => Some(s.rowCount - nc)
+    // per-row-group joint keys: each grouping column is CONSTANT among
+    // its non-null rows (all-null ⇒ the NULL slot). A column with a
+    // PARTIAL null slice splits the group's rows two ways — sound only
+    // while at most ONE column splits (two partial columns make the
+    // joint distribution unknowable from per-column stats: fail closed)
+    type Key = Vector[Option[Any]]
+    val statsPer: Seq[Map[(String, Int), RowGroupStat]] =
+      gs.map(g => idx.statsIndex.rowGroupStats(g.name).getOrElse(return None)
+        .map(s => (s.fileName, s.rowGroup) -> s).toMap)
+    if (statsPer.exists(_.size != statsPer.head.size)) return None
+    val rgs: Seq[(String, Int)] = statsPer.head.keys.toSeq.sorted
+    val byKey = scala.collection.mutable.LinkedHashMap.empty[Key, Long]
+    val rgKey = scala.collection.mutable.HashMap.empty[(String, Int), Key]
+    var anyGroupingNulls = false
+    rgs.foreach { rg =>
+      // per column: (null count, constant value — None when all-null)
+      val info: Seq[(Long, Option[Any])] = gs.indices.map { i =>
+        val s = statsPer(i).getOrElse(rg, return None)
+        val nc = s.nullCount.getOrElse(return None)
+        if (nc == s.rowCount) (nc, None)
+        else {
+          val mn = s.min.getOrElse(return None)
+          val mx = s.max.getOrElse(return None)
+          if (mn != mx) return None // a straddling group: fail closed
+          (nc, Some(mx))
         }
+      }
+      val rowCount = statsPer.head(rg).rowCount
+      if (gs.indices.exists(i => statsPer(i)(rg).rowCount != rowCount))
+        return None // inconsistent catalog rows
+      if (info.exists(_._1 > 0)) anyGroupingNulls = true
+      val partial = gs.indices.filter(i => info(i)._1 > 0 && info(i)._2.isDefined)
+      if (partial.sizeIs > 1) return None
+      val base: Key = info.map(_._2).toVector
+      partial.headOption match {
+        case None =>
+          byKey.updateWith(base)(c => Some(c.getOrElse(0L) + rowCount))
+          rgKey(rg) = base
+        case Some(i) =>
+          val nci = info(i)._1
+          byKey.updateWith(base)(c => Some(c.getOrElse(0L) + (rowCount - nci)))
+          byKey.updateWith(base.updated(i, None))(c =>
+            Some(c.getOrElse(0L) + nci))
       }
     }
     // per-group MIN/MAX of OTHER indexed columns: certifiable only when
@@ -222,29 +260,31 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
           TimestampType | TimestampNTZType => true
       case _ => false
     }
+    def isGrouping(a: AttributeReference): Boolean =
+      gs.exists(_.exprId == a.exprId)
     val otherAggCols = agg.aggregateExpressions.flatMap {
       case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
-          case Min(a: AttributeReference) if a.exprId != g.exprId => Seq(a)
-          case Max(a: AttributeReference) if a.exprId != g.exprId => Seq(a)
+          case Min(a: AttributeReference) if !isGrouping(a) => Seq(a)
+          case Max(a: AttributeReference) if !isGrouping(a) => Seq(a)
           case _ => Nil
         }
       case _ => Nil
     }.distinctBy(_.exprId)
-    // value -> (min, max) per other column, merged over its row groups
-    val otherExtremes: Map[String, scala.collection.Map[Any, (Option[Any], Option[Any])]] =
+    // key -> (min, max) per other column, merged over its row groups
+    val otherExtremes: Map[String, scala.collection.Map[Key, (Option[Any], Option[Any])]] =
       if (otherAggCols.isEmpty) Map.empty
       else {
-        if (nullRows > 0) return None
+        if (anyGroupingNulls) return None
         otherAggCols.map { a =>
           if (!indexed(idx.statsIndex, a) || !exactOther(a.dataType)) return None
           val os = idx.statsIndex.rowGroupStats(a.name).getOrElse(return None)
           val acc = scala.collection.mutable.HashMap
-            .empty[Any, (Option[Any], Option[Any])]
+            .empty[Key, (Option[Any], Option[Any])]
           os.foreach { s =>
-            val v = rgValue.get((s.fileName, s.rowGroup)) match {
+            val v = rgKey.get((s.fileName, s.rowGroup)) match {
               case Some(v) => v
-              case None => return None // a group the g pass didn't certify
+              case None => return None // a group the grouping pass didn't certify
             }
             val nc = s.nullCount.getOrElse(return None)
             if (nc != s.rowCount) { // all-null groups contribute no extreme
@@ -274,7 +314,7 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case su: Sum => su.child match {
-            case a: AttributeReference if a.exprId != g.exprId => Seq(a)
+            case a: AttributeReference if !isGrouping(a) => Seq(a)
             case _ => Nil
           }
           case _ => Nil
@@ -284,23 +324,23 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     val cntAggCols = agg.aggregateExpressions.flatMap {
       case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
-          case Count(Seq(a: AttributeReference)) if a.exprId != g.exprId => Seq(a)
+          case Count(Seq(a: AttributeReference)) if !isGrouping(a) => Seq(a)
           case _ => Nil
         }
       case _ => Nil
     }.distinctBy(_.exprId)
-    // value -> (sum of non-null values, non-null row tally)
-    val otherSums: Map[String, scala.collection.Map[Any, (Long, Long)]] =
+    // key -> (sum of non-null values, non-null row tally)
+    val otherSums: Map[String, scala.collection.Map[Key, (Long, Long)]] =
       if (sumAggCols.isEmpty) Map.empty
       else {
-        if (nullRows > 0) return None
+        if (anyGroupingNulls) return None
         sumAggCols.map { a =>
           if (!indexed(idx.statsIndex, a) ||
               !graft.index.SumShadow.supported(a.dataType)) return None
           val os = idx.statsIndex.rowGroupStats(a.name).getOrElse(return None)
-          val acc = scala.collection.mutable.HashMap.empty[Any, (Long, Long)]
+          val acc = scala.collection.mutable.HashMap.empty[Key, (Long, Long)]
           os.foreach { s =>
-            val v = rgValue.get((s.fileName, s.rowGroup)) match {
+            val v = rgKey.get((s.fileName, s.rowGroup)) match {
               case Some(v) => v
               case None => return None
             }
@@ -315,16 +355,16 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
           a.name -> acc
         }.toMap
       }
-    val otherCounts: Map[String, scala.collection.Map[Any, Long]] =
+    val otherCounts: Map[String, scala.collection.Map[Key, Long]] =
       if (cntAggCols.isEmpty) Map.empty
       else {
-        if (nullRows > 0) return None
+        if (anyGroupingNulls) return None
         cntAggCols.map { a =>
           if (!indexed(idx.statsIndex, a)) return None
           val os = idx.statsIndex.rowGroupStats(a.name).getOrElse(return None)
-          val acc = scala.collection.mutable.HashMap.empty[Any, Long]
+          val acc = scala.collection.mutable.HashMap.empty[Key, Long]
           os.foreach { s =>
-            val v = rgValue.get((s.fileName, s.rowGroup)) match {
+            val v = rgKey.get((s.fileName, s.rowGroup)) match {
               case Some(v) => v
               case None => return None
             }
@@ -337,35 +377,33 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
           a.name -> acc
         }.toMap
       }
-    // one output cell per (aggregate expression, group): value groups get
-    // (value, count); the NULL group exists iff null rows exist
-    def cell(ne: NamedExpression, value: Option[Any], rows: Long): Option[Any] =
+    // one output cell per (aggregate expression, group)
+    def gIdx(a: AttributeReference): Int = gs.indexWhere(_.exprId == a.exprId)
+    def cell(ne: NamedExpression, key: Key, rows: Long): Option[Any] =
       ne match {
-        case a: AttributeReference if a.exprId == g.exprId =>
-          Some(value.flatMap(internal(_, g.dataType)).orNull)
-        case Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
-          Some(value.flatMap(internal(_, g.dataType)).orNull)
+        case a: AttributeReference if gIdx(a) >= 0 =>
+          Some(key(gIdx(a)).flatMap(internal(_, a.dataType)).orNull)
+        case Alias(a: AttributeReference, _) if gIdx(a) >= 0 =>
+          Some(key(gIdx(a)).flatMap(internal(_, a.dataType)).orNull)
         case Alias(ae: AggregateExpression, _)
             if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
             case Count(Seq(l: Literal)) if l.value != null => Some(rows)
-            case Count(Seq(a: AttributeReference)) if a.exprId == g.exprId =>
-              Some(if (value.isDefined) rows else 0L)
-            case Min(a: AttributeReference) if a.exprId == g.exprId =>
-              Some(value.flatMap(internal(_, g.dataType)).orNull)
-            case Max(a: AttributeReference) if a.exprId == g.exprId =>
-              Some(value.flatMap(internal(_, g.dataType)).orNull)
+            case Count(Seq(a: AttributeReference)) if gIdx(a) >= 0 =>
+              Some(if (key(gIdx(a)).isDefined) rows else 0L)
+            case Min(a: AttributeReference) if gIdx(a) >= 0 =>
+              Some(key(gIdx(a)).flatMap(internal(_, a.dataType)).orNull)
+            case Max(a: AttributeReference) if gIdx(a) >= 0 =>
+              Some(key(gIdx(a)).flatMap(internal(_, a.dataType)).orNull)
             case Min(a: AttributeReference) if otherExtremes.contains(a.name) =>
-              Some(value
-                .flatMap(v => otherExtremes(a.name).getOrElse(v, (None, None))._1)
+              Some(otherExtremes(a.name).getOrElse(key, (None, None))._1
                 .flatMap(internal(_, a.dataType)).orNull)
             case Max(a: AttributeReference) if otherExtremes.contains(a.name) =>
-              Some(value
-                .flatMap(v => otherExtremes(a.name).getOrElse(v, (None, None))._2)
+              Some(otherExtremes(a.name).getOrElse(key, (None, None))._2
                 .flatMap(internal(_, a.dataType)).orNull)
             case su: Sum => su.child match {
               case a: AttributeReference if otherSums.contains(a.name) =>
-                Some(value.flatMap(v => otherSums(a.name).get(v)).collect {
+                Some(otherSums(a.name).get(key).collect {
                   // zero non-null rows in the group ⇒ SQL NULL
                   case (sv, nn) if nn > 0 => Long.box(sv)
                 }.orNull)
@@ -373,16 +411,13 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
             }
             case Count(Seq(a: AttributeReference))
                 if otherCounts.contains(a.name) =>
-              Some(value.flatMap(v => otherCounts(a.name).get(v)).getOrElse(0L))
+              Some(otherCounts(a.name).getOrElse(key, 0L))
             case _ => None
           }
         case _ => None
       }
-    val groups: Seq[(Option[Any], Long)] =
-      byValue.toSeq.map { case (v, n) => (Some(v), n) } ++
-        (if (nullRows > 0) Seq((None, nullRows)) else Nil)
-    val rows = groups.map { case (v, n) =>
-      val cells = agg.aggregateExpressions.map(cell(_, v, n))
+    val rows = byKey.toSeq.map { case (key, n) =>
+      val cells = agg.aggregateExpressions.map(cell(_, key, n))
       if (cells.exists(_.isEmpty)) return None
       InternalRow.fromSeq(cells.map(_.get))
     }

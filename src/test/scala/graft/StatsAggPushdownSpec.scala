@@ -218,6 +218,79 @@ class StatsAggPushdownSpec extends SparkSpec {
     }
   }
 
+  test("r11: TWO-column GROUP BY folds on the doubly-aligned layout only") {
+    // the registered idx29 query folds (joint-key certification + the
+    // SumShadow-served SUM + per-key extremes)
+    val q = SparkEntry.registry.find(_.name == "idx29_groupby_2col").get
+    val df = q.fn(spark, sf("sf0.001"))
+    assert(folded(df), df.queryExecution.optimizedPlan.toString)
+    assert(df.collect().length === 6) // 3 flags x 2 statuses
+    // the SINGLY-aligned layout straddles l_linestatus inside each flag
+    // band: the joint key cannot certify, the declarative plan stands —
+    // and its answer matches the folded layout's
+    val single = graft.operators.Indexed.lineitemValueAligned(spark, sf("sf0.001"))
+      .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+    assert(!folded(single), single.queryExecution.optimizedPlan.toString)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1)) -> r.getLong(2)
+    val viaFold = graft.operators.Indexed.lineitemValueAligned2(spark, sf("sf0.001"))
+      .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+    assert(folded(viaFold))
+    assert(viaFold.collect().map(key).toMap === single.collect().map(key).toMap,
+      "folded two-column group-by diverged from the declarative scan")
+    // a third grouping column still disqualifies
+    val three = graft.operators.Indexed.lineitemValueAligned2(spark, sf("sf0.001"))
+      .groupBy("l_returnflag", "l_linestatus", "l_orderkey")
+      .agg(count(lit(1)).as("n"))
+    assert(!folded(three))
+  }
+
+  test("r11: two-column null-split — one partial column splits, two fail closed") {
+    // layout aligned on (a, b) with: a never null; b null on a PARTIAL
+    // slice of some groups (splits soundly); plus one row group where
+    // BOTH a and b have partial nulls (joint distribution unknowable)
+    val base = Files.createTempDirectory("graft-aggpush-2col").toString
+    import spark.implicits._
+    def write(dir: String, rows: Seq[(Option[Long], Option[Long], Long)]): DataFrame = {
+      rows.toDF("a", "b", "k").coalesce(1)
+        .write.option("parquet.block.row.count.limit", "50")
+        .mode("overwrite").parquet(dir)
+      val (index, schema) = IndexedParquet.buildIndex(
+        spark, dir, Seq("a", "b"), s"$dir-db")
+      IndexedParquet.read(spark, dir, index, schema)._1
+    }
+    // groups of 50: a = i/100 constant per 50-block; b constant except
+    // nulls in the second half-block of every odd block
+    val ok = (0 until 400).map { i =>
+      val blk = i / 50
+      (Some(blk.toLong / 2), if (blk % 2 == 1 && i % 50 >= 25) None
+        else Some(blk.toLong / 2 * 10), i.toLong)
+    }
+    val okDf = write(s"$base/ok", ok)
+    def shape(d: DataFrame) = d.groupBy("a", "b")
+      .agg(count(lit(1)).as("n"), count(col("b")).as("nb"))
+    val agg = shape(okDf)
+    assert(folded(agg), agg.queryExecution.optimizedPlan.toString)
+    def key(r: org.apache.spark.sql.Row) =
+      ((if (r.isNullAt(0)) None else Some(r.getLong(0))),
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))) ->
+        ((r.getLong(2), r.getLong(3)))
+    assert(agg.collect().map(key).toMap ===
+      shape(spark.read.parquet(s"$base/ok")).collect().map(key).toMap,
+      "null-split two-column fold diverged")
+    // both columns partial in one row group: fail closed, stay correct
+    val bad = (0 until 200).map { i =>
+      (if (i < 50 && i % 7 == 0) None else Some(i.toLong / 100),
+        if (i < 50 && i % 11 == 0) None else Some(i.toLong / 100 * 10),
+        i.toLong)
+    }
+    val badDf = write(s"$base/bad", bad)
+    val badAgg = shape(badDf)
+    assert(!folded(badAgg), badAgg.queryExecution.optimizedPlan.toString)
+    assert(badAgg.collect().map(key).toMap ===
+      shape(spark.read.parquet(s"$base/bad")).collect().map(key).toMap)
+  }
+
   test("idx25: the registered group-by query folds (no scan in the plan)") {
     val q = SparkEntry.registry.find(_.name == "idx25_groupby_pushdown").get
     val df = q.fn(spark, sf("sf0.001"))
