@@ -764,7 +764,81 @@ object TextAnalysis {
              |      FROM d, UNNEST(range(1, len(w))) t(i))
              |SELECT l, r, count(*) AS cnt FROM p GROUP BY 1, 2
              |ORDER BY cnt DESC, l, r
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // ----- token-budget selection (tx21, r11) ------------------------------
+    // GLOBAL quality-ranked token-budget cut: keep documents in
+    // (quality DESC, doc_id) order while the running token total stays
+    // within the budget (here 50% of the corpus's tokens) — the final
+    // "trim the corpus to N tokens" step of every pretraining recipe.
+    // Scale: a global PREFIX SUM without a single-partition global sort —
+    // rows are range-partitioned on the selection order (sampling-based
+    // boundaries, skew-balanced), the running sum is a PARTITION-LOCAL
+    // window, and the cross-partition offsets come from a per-partition
+    // total table BOUNDED BY THE PARTITION COUNT (cluster config, not
+    // data) that is windowed whole and broadcast back. One range
+    // exchange over (doc_id, q, nt) scalars — text never shuffles — plus
+    // one partition-count-sized agg; the budget scalar is a broadcast
+    // 1-row cross join like every other derived threshold here.
+    QueryDef(
+      "tx21_token_budget",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = tokens(col("text"))
+        val nTok = size(toks)
+        val nStop = countIn(toks, stopwords)
+        val q = (col("n_chars") >= 100).cast("int") +
+          (nStop * 100 >= nTok * 2 && nStop * 100 <= nTok * 40).cast("int") +
+          (length(regexp_replace(col("text"), " ", "")) < nTok * 12).cast("int")
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), q.as("q"), nTok.cast("long").as("nt"))
+        // the scalar projection is materialized ONCE (localCheckpoint):
+        // every downstream branch — running sum, per-partition totals,
+        // budget — reads the checkpointed (doc_id, q, nt, pid) rows
+        // instead of re-scanning text, and the sampled range layout is
+        // FROZEN so the offsets join can never pair a row against a
+        // resampled partition assignment
+        val parted = scored
+          .repartitionByRange(col("q").desc, col("doc_id").asc)
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint()
+        val budget = parted.agg((sum(col("nt")) / 2).cast("long").as("b"))
+        val local = sum(col("nt")).over(
+          Window.partitionBy("pid").orderBy(col("q").desc, col("doc_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        val offsets = parted.groupBy("pid").agg(sum(col("nt")).as("tot"))
+          .withColumn("off", coalesce(sum(col("tot")).over(
+            Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select("pid", "off")
+        parted.withColumn("cuml", local)
+          .join(broadcast(offsets), Seq("pid"))
+          .crossJoin(broadcast(budget))
+          .where(col("off") + col("cuml") <= col("b"))
+          .select(col("doc_id"), col("q"), col("nt"),
+            (col("off") + col("cuml")).as("cum_tokens"))
+      },
+      Some {
+        val nTok = "len(string_split(text, ' '))"
+        val nStop = sqlCountIn(stopwords)
+        s"""WITH scored AS (
+           |  SELECT doc_id,
+           |    (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) +
+           |    (CASE WHEN $nStop * 100 >= $nTok * 2
+           |               AND $nStop * 100 <= $nTok * 40 THEN 1 ELSE 0 END) +
+           |    (CASE WHEN length(replace(text, ' ', '')) < $nTok * 12
+           |          THEN 1 ELSE 0 END) AS q,
+           |    CAST($nTok AS BIGINT) AS nt
+           |  FROM documents),
+           |c AS (SELECT doc_id, q, nt,
+           |        CAST(sum(nt) OVER (ORDER BY q DESC, doc_id ASC
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |          AS BIGINT) AS cum_tokens
+           |      FROM scored)
+           |SELECT doc_id, q, nt, cum_tokens FROM c
+           |WHERE cum_tokens <=
+           |  (SELECT CAST(sum(nt) / 2 AS BIGINT) FROM scored)""".stripMargin
+      })
   )
 
   /** Word n-grams of the materialized token array `w` as joined strings

@@ -214,6 +214,31 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(real.getLong(1) <= real.getLong(0) && real.getLong(1) > 0)
   }
 
+  test("tx21 selects exactly the maximal quality-ranked prefix within budget") {
+    val rows = run("tx21_token_budget").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "budget selection picked nothing")
+    // the running total is consistent and within budget
+    val totalAll = run("tx1_tokens").collect().map(_.getInt(1).toLong).sum
+    val budget = totalAll / 2
+    val maxCum = rows.map(_._4).max
+    assert(maxCum <= budget, s"cum $maxCum exceeded budget $budget")
+    // MAXIMAL prefix: the selected set in (q DESC, doc_id) order has
+    // cum == running sum of its own nt, and the next document in the
+    // global order would overflow the budget
+    val ordered = rows.sortBy(t => (-t._2, t._1))
+    var running = 0L
+    ordered.foreach { case (id, _, nt, cum) =>
+      running += nt
+      assert(cum === running, s"doc $id: cum $cum != running $running")
+    }
+    // a STRICT prefix at a 50% budget: something was left out, and the
+    // oracle hash-compare already pins that what was left out is exactly
+    // the tail of the (q DESC, doc_id) order
+    assert(running <= budget && rows.length < run("tx1_tokens").count(),
+      "selection must be a strict prefix at a 50% budget")
+  }
+
   test("triangle attribution: per-node counts sum to 3x the triangle total") {
     import org.apache.spark.sql.functions._
     // the fixture graph has a KNOWN nonzero triangle count (degenerate
