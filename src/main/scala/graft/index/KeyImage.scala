@@ -82,6 +82,28 @@ object TruncTimestampImage {
   }
 }
 
+/** `CAST(ts AS DATE)` as a sort key (r11): epoch micros → epoch days.
+  * For TIMESTAMP_NTZ the micros ARE wall-clock micros, so the floor
+  * division is the cast's own arithmetic regardless of zone; for
+  * TIMESTAMP (LTZ) callers must verify the zero-offset session zone
+  * first (the cast reads wall time in the session zone). Renders into
+  * the catalog walk as a floor division over the stored BIGINT micros. */
+case object CastDateImage extends KeyImage {
+  private val DayMicros = 86400000000L
+  def id: String = "date"
+  def acceptsInput(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
+  def resultType: DataType = DateType
+  def apply(v: Any): Any =
+    java.lang.Integer.valueOf(
+      Math.floorDiv(v.asInstanceOf[java.lang.Number].longValue, DayMicros).toInt)
+  def derbySql: Option[String => String] = Some { e =>
+    // floor division for either sign: subtract the non-negative remainder
+    // first, then the quotient is exact
+    s"((($e) - MOD(MOD($e, $DayMicros) + $DayMicros, $DayMicros)) / $DayMicros)"
+  }
+}
+
 /** See [[TruncTimestampImage.forUnit]]; `level` is Spark's parsed trunc
   * level so [[apply]] is literally the same `DateTimeUtils.truncTimestamp`
   * call the data-space `TruncTimestamp` expression evaluates. */

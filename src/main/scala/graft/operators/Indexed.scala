@@ -625,6 +625,27 @@ object Indexed {
              |  l_linenumber DESC, l_quantity DESC, l_shipdate DESC
              |LIMIT 10""".stripMargin)),
 
+    // CAST-TO-DATE expression-key top-k (idx30, r11 — the second member
+    // of the KeyImage family): `ORDER BY CAST(ts AS DATE) DESC, id DESC
+    // LIMIT k`, the calendar-day flavor of idx26's shape. The epoch-day
+    // image derives per-row-group bounds by floor division of the stored
+    // micros — rendered into the catalog walk as integer arithmetic —
+    // and the deeper raw keys separate the final day's ties. Route
+    // `topk-lex2(date(l_shipdate),l_orderkey)`.
+    QueryDef(
+      "idx30_topk_castdate",
+      (s, dir) => lineitemTime(s, dir)
+        .orderBy(col("l_shipdate").cast("date").desc,
+          col("l_orderkey").desc, col("l_linenumber").desc,
+          col("l_quantity").desc, col("l_shipdate").desc)
+        .limit(10)
+        .select("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_shipdate, l_orderkey, l_linenumber, l_quantity
+             |FROM lineitem
+             |ORDER BY CAST(l_shipdate AS DATE) DESC, l_orderkey DESC,
+             |  l_linenumber DESC, l_quantity DESC, l_shipdate DESC
+             |LIMIT 10""".stripMargin)),
+
     // N-dimensional z-order with rank-binning (sources/ZOrderLayout.writeN):
     // a 3-d BOX over the 3-col Morton layout, third dimension a FLOAT
     // (l_extendedprice) rank-binned to dense ints by one approx-quantile

@@ -218,6 +218,19 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
     so.child match {
       case ar: AttributeReference if indexedAs(ar, ar.dataType) =>
         Some((ar, graft.index.SortKeySpec(ar.name, desc, nf)))
+      // CAST(ts AS DATE) (r11): epoch-day image. NTZ casts read wall time
+      // directly (zone-free); LTZ casts need the zero-offset session zone
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.dataType == DateType =>
+        c.child match {
+          case ar: AttributeReference
+              if (ar.dataType == TimestampNTZType ||
+                (ar.dataType == TimestampType && utcZone(c.timeZoneId))) &&
+                indexedAs(ar, ar.dataType) =>
+            Some((ar, graft.index.SortKeySpec(ar.name, desc, nf,
+              Some(graft.index.CastDateImage))))
+          case _ => None
+        }
       case t: TruncTimestamp =>
         // the timestamp operand: a TimestampType attribute directly, or a
         // TIMESTAMP_NTZ attribute under the analyzer's implicit cast — an

@@ -963,18 +963,19 @@ class TopKPruningSpec extends SparkSpec {
     (dir, index.asInstanceOf[DerbyStatsIndex], schema)
   }
 
-  test("image keys (date_trunc) prune soundly with catalog==planner parity") {
+  test("image keys (date_trunc / cast-to-date) prune soundly with catalog==planner parity") {
     val (dir, index, schema) = fx7
-    import graft.index.{SortKeySpec, TruncTimestampImage}
+    import graft.index.{CastDateImage, KeyImage, SortKeySpec, TruncTimestampImage}
     val total = index.allFiles().map(_.scanRowGroups.size).sum
     var anyNarrower = false
     for {
-      unit <- Seq("day", "hour", "week", "month") // month: planner-only render
+      unit <- Seq("day", "hour", "week", "month", "date") // month: planner-only render
       desc <- Seq(true, false)
       k <- Seq(1, 16, 300)
       prefixLen <- Seq(1, 2)
     } {
-      val img = TruncTimestampImage.forUnit(unit).get
+      val img: KeyImage =
+        if (unit == "date") CastDateImage else TruncTimestampImage.forUnit(unit).get
       val keys = Seq(SortKeySpec("ts", desc, !desc, Some(img)))
         .take(prefixLen) ++
         (if (prefixLen == 2)
@@ -986,7 +987,8 @@ class TopKPruningSpec extends SparkSpec {
         s"unit=$unit desc=$desc k=$k len=$prefixLen: catalog/planner diverged")
       val kept = plans.map(_.scanRowGroups.size).sum
       if (kept < total) anyNarrower = true
-      val trunc = date_trunc(unit, col("ts"))
+      val trunc =
+        if (unit == "date") col("ts").cast("date") else date_trunc(unit, col("ts"))
       val ord = Seq(if (desc) trunc.desc else trunc.asc, col("id").asc)
       val got =
         if (plans.isEmpty) Seq.empty
@@ -1008,6 +1010,18 @@ class TopKPruningSpec extends SparkSpec {
     assert(rows.length === 10)
     val exec = graft.operators.Indexed.lastTimeExecution(spark, dir).get
     assert(exec.route === Seq("topk-lex2(day(l_shipdate),l_orderkey)"),
+      s"route: ${exec.route}")
+    assert(exec.scannedRowGroups < exec.totalRowGroups,
+      s"kept ${exec.scannedRowGroups} of ${exec.totalRowGroups}")
+  }
+
+  test("cast-to-date latest-k fires the image-key rule too (idx30)") {
+    val dir = sf("sf0.001")
+    val q = SparkEntry.registry.find(_.name == "idx30_topk_castdate").get
+    val rows = q.fn(spark, dir).collect()
+    assert(rows.length === 10)
+    val exec = graft.operators.Indexed.lastTimeExecution(spark, dir).get
+    assert(exec.route === Seq("topk-lex2(date(l_shipdate),l_orderkey)"),
       s"route: ${exec.route}")
     assert(exec.scannedRowGroups < exec.totalRowGroups,
       s"kept ${exec.scannedRowGroups} of ${exec.totalRowGroups}")
