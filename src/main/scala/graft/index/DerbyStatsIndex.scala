@@ -346,6 +346,32 @@ final class DerbyStatsIndex(
     } finally st.close()
   }
 
+  override def totalSum(colName: String): Option[(Long, Long)] = conn.synchronized {
+    require(indexedCols.exists(_.name == colName), s"$colName is not indexed")
+    if (!indexedCols.exists(f =>
+        f.name == colName && SumShadow.supported(f.dataType))) return None
+    val st = conn.createStatement()
+    try {
+      // certified iff no row group is missing its ledger entry or its
+      // null count; Derby raises 22003 if the BIGINT SUM overflows —
+      // caught below as "unknown" (fail closed, never a wrapped value)
+      val rs = st.executeQuery(
+        s"""SELECT SUM(${colName}_sum),
+           |  SUM(CASE WHEN ${colName}_sum IS NULL THEN 1 ELSE 0 END),
+           |  SUM(row_count), SUM(${colName}_null_count),
+           |  SUM(CASE WHEN ${colName}_null_count IS NULL THEN 1 ELSE 0 END)
+           |FROM row_group_statistics""".stripMargin)
+      val v =
+        if (rs.next() && rs.getLong(2) == 0L && rs.getLong(5) == 0L)
+          Some((rs.getLong(1), rs.getLong(3) - rs.getLong(4)))
+        else None
+      rs.close()
+      v
+    } catch {
+      case _: java.sql.SQLException => None
+    } finally st.close()
+  }
+
   override def nonNullCount(colName: String): Option[Long] = conn.synchronized {
     require(indexedCols.exists(_.name == colName), s"$colName is not indexed")
     val st = conn.createStatement()

@@ -269,5 +269,14 @@ trait StatsIndex extends AutoCloseable {
     * count ⇒ None. */
   def nonNullCount(colName: String): Option[Long] = None
 
+  /** Catalog-side scalar (r11): the exact SUM of an indexed integral
+    * column's non-null values plus their count, from the
+    * [[SumShadow]] ledger — one O(index) round trip. Certified only
+    * when EVERY row group stores a non-NULL `{col}_sum` (built and not
+    * overflowed) and a non-NULL `{col}_null_count` (the count decides
+    * SUM's NULL-on-empty semantics); overflow while merging ⇒ None.
+    * Empty catalog ⇒ Some((0, 0)) — a scan would sum zero rows. */
+  def totalSum(colName: String): Option[(Long, Long)] = None
+
   def indexedSchema: StructType
 }

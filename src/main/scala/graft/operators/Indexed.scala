@@ -625,6 +625,25 @@ object Indexed {
              |  l_linenumber DESC, l_quantity DESC, l_shipdate DESC
              |LIMIT 10""".stripMargin)),
 
+    // GLOBAL SUM + all-pass-filtered global aggregate (idx31, r11 —
+    // StatsAggPushdown.catalogValue + StatsIndex.totalSum): a global
+    // SUM over an integral column folds to one JDBC SUM over the
+    // SumShadow ledger, and a stats-certified vacuous WHERE no longer
+    // forfeits the global fold — the whole aggregate row is answered
+    // without touching data. Overflow in the catalog SUM fails closed
+    // (Derby raises, we decline); unbuilt ledgers decline too.
+    QueryDef(
+      "idx31_agg_sum",
+      (s, dir) => lineitemValueAligned(s, dir)
+        .filter(col("l_orderkey") >= 0L)
+        .agg(sum(col("l_orderkey")).as("sok"),
+          count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("mn"),
+          max(col("l_orderkey")).as("mx")),
+      Some("""SELECT CAST(sum(l_orderkey) AS BIGINT) AS sok, count(*) AS n,
+             |  min(l_orderkey) AS mn, max(l_orderkey) AS mx
+             |FROM lineitem WHERE l_orderkey >= 0""".stripMargin)),
+
     // CAST-TO-DATE expression-key top-k (idx30, r11 — the second member
     // of the KeyImage family): `ORDER BY CAST(ts AS DATE) DESC, id DESC
     // LIMIT k`, the calendar-day flavor of idx26's shape. The epoch-day

@@ -55,7 +55,10 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     plan.transform {
       case agg: Aggregate if agg.groupingExpressions.isEmpty &&
           agg.aggregateExpressions.nonEmpty =>
-        fileIndexOf(agg.child) match {
+        // r11: the global case also folds under a stats-certified
+        // ALL-PASS filter (see fileIndexOrAllPassFiltered) — a vacuous
+        // guard conjunct must not forfeit the catalog answer
+        fileIndexOrAllPassFiltered(agg.child) match {
           case Some(idx) =>
             val values = agg.aggregateExpressions.map(catalogValue(idx.statsIndex, _))
             if (values.forall(_.isDefined))
@@ -514,6 +517,17 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
           index.totalRowCount()
         case Count(Seq(a: AttributeReference)) if indexed(index, a) =>
           index.nonNullCount(a.name)
+        // global SUM from the SumShadow ledger (r11): exact when every
+        // row group carries a built, non-overflowed sum; zero non-null
+        // rows ⇒ SQL NULL
+        case su: Sum => su.child match {
+          case a: AttributeReference
+              if indexed(index, a) && graft.index.SumShadow.supported(a.dataType) =>
+            index.totalSum(a.name).map { case (sv, nn) =>
+              if (nn > 0) Long.box(sv) else null
+            }
+          case _ => None
+        }
         case _ => None
       }
     case _ => None

@@ -218,6 +218,34 @@ class StatsAggPushdownSpec extends SparkSpec {
     }
   }
 
+  test("r11: global SUM folds from the ledger; all-pass filters keep the global fold") {
+    val (df, plainDf, dir, db, schema, index) = fxg3
+    // the ledger was built by the SUM/COUNT test (shared fixture) — build
+    // idempotently in case of test-order changes
+    graft.index.SumShadow.build(spark, dir, index.allFiles(), schema, "k", db)
+    def shape(d: DataFrame, cond: Option[org.apache.spark.sql.Column]) =
+      cond.fold(d)(d.filter(_))
+        .agg(sum(col("k")).as("sk"), count(lit(1)).as("n"), min(col("k")).as("mk"))
+    val agg = shape(df, None)
+    assert(folded(agg), agg.queryExecution.optimizedPlan.toString)
+    assert(agg.collect().head === shape(plainDf, None).collect().head)
+    // a vacuous filter keeps the global fold; a biting one declines
+    val vac = shape(df, Some(col("k") >= 0L))
+    assert(folded(vac), vac.queryExecution.optimizedPlan.toString)
+    assert(vac.collect().head === shape(plainDf, Some(col("k") >= 0L)).collect().head)
+    val biting = shape(df, Some(col("k") > 100L))
+    assert(!folded(biting))
+    assert(biting.collect().head ===
+      shape(plainDf, Some(col("k") > 100L)).collect().head)
+    // a column without a ledger declines the SUM (g has no SumShadow)
+    assert(!folded(df.agg(sum(col("g")).as("sg"))))
+    // the registered idx31 row folds
+    val q = SparkEntry.registry.find(_.name == "idx31_agg_sum").get
+    val reg = q.fn(spark, sf("sf0.001"))
+    assert(folded(reg), reg.queryExecution.optimizedPlan.toString)
+    assert(reg.collect().length === 1)
+  }
+
   test("r11: TWO-column GROUP BY folds on the doubly-aligned layout only") {
     // the registered idx29 query folds (joint-key certification + the
     // SumShadow-served SUM + per-key extremes)
