@@ -966,6 +966,24 @@ final class DerbyStatsIndex(
         .filter(c => dataSchema.fieldNames.contains(c))
         .foreach(c => BloomIndex.build(spark, dir, plans, dataSchema, c, dbPath))
 
+  override def rebuildShadows(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      plans: Seq[FileScanPlan],
+      dataSchema: StructType,
+      freqCols: Seq[String],
+      sumCols: Seq[String]): Unit =
+    if (plans.nonEmpty) {
+      freqCols.distinct.sorted
+        .filter(c => dataSchema.fieldNames.contains(c) &&
+          indexedCols.exists(f => f.name == c && FreqShadow.supported(f.dataType)))
+        .foreach(c => FreqShadow.build(spark, dir, plans, dataSchema, c, dbPath))
+      sumCols.distinct.sorted
+        .filter(c => dataSchema.fieldNames.contains(c) &&
+          indexedCols.exists(f => f.name == c && SumShadow.supported(f.dataType)))
+        .foreach(c => SumShadow.build(spark, dir, plans, dataSchema, c, dbPath))
+    }
+
   override def allFiles(): Seq[FileScanPlan] = runPlanQuery(
     """SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
       |  rg.rg_start_bytes, rg.rg_compressed_bytes, rg.row_count

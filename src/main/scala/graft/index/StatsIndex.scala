@@ -224,6 +224,23 @@ trait StatsIndex extends AutoCloseable {
       plans: Seq[FileScanPlan],
       dataSchema: StructType): Unit = ()
 
+  /** Rebuild the optional value-frequency / sum shadow ledgers for JUST
+    * the given plans' files — the O(changed files) counterpart of
+    * [[rebuildBlooms]] (r11): the streaming sink calls it after
+    * ingesting a batch's footer stats so catalog certificates that
+    * depend on the shadows (dominant-slice top-k, SUM folds) stay
+    * SERVED on a growing table instead of declining on the unshadowed
+    * tail. Columns absent from `dataSchema` or of unsupported types are
+    * skipped — their shadows stay NULL, which only declines the
+    * certificates (sound). Default: no-op. */
+  def rebuildShadows(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      plans: Seq[FileScanPlan],
+      dataSchema: StructType,
+      freqCols: Seq[String],
+      sumCols: Seq[String]): Unit = ()
+
   /** Catalog-side scalar: the EXACT global minimum value of an indexed
     * column, computed as MIN over the per-row-group minima already in the
     * catalog — ONE O(index) round trip that never touches data.

@@ -1003,7 +1003,42 @@ object Dedup {
              |  count(*) FILTER (WHERE rn = 1) AS n_kept,
              |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
              |             FILTER (WHERE rn = 1), '') AS clean_text
-             |FROM r GROUP BY doc_id""".stripMargin))
+             |FROM r GROUP BY doc_id""".stripMargin)),
+
+    // ----- FUZZY cross-corpus decontamination (dd15, r11) -------------------
+    // tx11 removes documents sharing an exact 13-gram with the benchmark;
+    // real contamination is usually FUZZY — a near-duplicate of an eval
+    // document with no verbatim gram in common is still leakage. The
+    // fuzzy twin runs the MinHash band machinery ASYMMETRICALLY: the
+    // benchmark side (every 50th document stands in for an eval set) is
+    // banded map-only and its (band, bkey) set BROADCAST — benchmarks
+    // are thousands of documents, never corpus-scale — so flagging is
+    // one broadcast semi-join over the corpus's own map-only band keys.
+    // Zero wide shuffles of corpus data: at 100 TB the corpus side is a
+    // scan + codegen banding + a broadcast hash probe, the same
+    // O(corpus) single pass tx11's bloom prefilter does for exact grams.
+    QueryDef(
+      "dd15_fuzzy_decontam",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val bench = bandKeysMapOnly(docs.filter(col("doc_id") % 50 === 0))
+          .select("band", "bkey").distinct()
+        val corpusBands = bandKeysMapOnly(docs.filter(col("doc_id") % 50 =!= 0))
+        val flagged = corpusBands.join(broadcast(bench), Seq("band", "bkey"))
+          .select("doc_id").distinct()
+          .withColumn("contaminated", lit(true))
+        docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+          .join(flagged, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      },
+      Some(s"""WITH $mhBandsCtes
+              |SELECT d.doc_id,
+              |  EXISTS (SELECT 1 FROM bands x JOIN bands y
+              |          ON x.band = y.band AND x.bkey = y.bkey
+              |          WHERE x.doc_id = d.doc_id AND y.doc_id % 50 = 0)
+              |    AS contaminated
+              |FROM documents d WHERE d.doc_id % 50 <> 0""".stripMargin))
   )
 
   /** dd14's core: cut every exact 8-token segment that already occurred

@@ -116,9 +116,12 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
         case other => other
       })
+    // one O(index) fetch per referenced column, not per conjunct side
+    val memo = scala.collection.mutable.HashMap
+      .empty[String, Option[Seq[RowGroupStat]]]
     def stats(ar: AttributeReference) =
       if (!indexed(idx.statsIndex, ar)) None
-      else idx.statsIndex.rowGroupStats(ar.name)
+      else memo.getOrElseUpdate(ar.name, idx.statsIndex.rowGroupStats(ar.name))
     def zeroNulls(ar: AttributeReference): Boolean =
       stats(ar).exists(_.forall(_.nullCount.contains(0L)))
     def bound(ar: AttributeReference, l: Literal, isLo: Boolean,

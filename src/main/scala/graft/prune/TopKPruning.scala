@@ -465,6 +465,16 @@ object TopKPruning {
     override def maxIndexedValue(c: String): Option[Any] = u.maxIndexedValue(c)
     override def totalRowCount(): Option[Long] = u.totalRowCount()
     override def nonNullCount(c: String): Option[Long] = u.nonNullCount(c)
+    override def totalSum(c: String): Option[(Long, Long)] = u.totalSum(c)
+    override def rebuildBlooms(spark: org.apache.spark.sql.SparkSession,
+        dir: String, plans: Seq[FileScanPlan],
+        dataSchema: org.apache.spark.sql.types.StructType): Unit =
+      u.rebuildBlooms(spark, dir, plans, dataSchema)
+    override def rebuildShadows(spark: org.apache.spark.sql.SparkSession,
+        dir: String, plans: Seq[FileScanPlan],
+        dataSchema: org.apache.spark.sql.types.StructType,
+        freqCols: Seq[String], sumCols: Seq[String]): Unit =
+      u.rebuildShadows(spark, dir, plans, dataSchema, freqCols, sumCols)
     def close(): Unit = u.close()
   }
 

@@ -47,7 +47,9 @@ object IndexedSink {
       rowLevel: Map[String, String] = Map.empty,
       dedupArtifacts: Option[String] = None,
       pairStatsArtifacts: Option[String] = None,
-      compactEvery: Int = 0): StreamingQuery = {
+      compactEvery: Int = 0,
+      freqShadowCols: Seq[String] = Nil,
+      sumShadowCols: Seq[String] = Nil): StreamingQuery = {
     val spark = source.sparkSession
     val hconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     source.writeStream
@@ -56,7 +58,8 @@ object IndexedSink {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitBatch(batch, batchId, dataDir, index, indexedCols, hconf,
-          rowLevel, dedupArtifacts, pairStatsArtifacts, compactEvery)
+          rowLevel, dedupArtifacts, pairStatsArtifacts, compactEvery,
+          freqShadowCols, sumShadowCols)
       }
       .start()
   }
@@ -71,7 +74,9 @@ object IndexedSink {
       rowLevel: Map[String, String] = Map.empty,
       dedupArtifacts: Option[String] = None,
       pairStatsArtifacts: Option[String] = None,
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0,
+      freqShadowCols: Seq[String] = Nil,
+      sumShadowCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val dirPath = new Path(dataDir)
     val fs = dirPath.getFileSystem(hconf.value)
@@ -116,18 +121,23 @@ object IndexedSink {
       // per-file transactional upsert keyed by the deterministic names:
       // a replayed batch overwrites its own catalog rows
       index.ingestAll(statsRdd)
-      if (rowLevel.nonEmpty || index.bloomCols.nonEmpty) {
-        // incremental bloom + posting maintenance for JUST this batch's
-        // files: blooms keep equality probes precise on the growing table
-        // (an absent bloom is only "might match"), postings + coverage
-        // keep routing off the staleness guard. Replay leaves only
-        // harmless garbage (a replayed batch re-attaches its blooms over
-        // the re-ingested rows; dup postings collapse in the lookup;
-        // postings for removed files are never consulted); a periodic
-        // full rebuild compacts.
+      if (rowLevel.nonEmpty || index.bloomCols.nonEmpty ||
+          freqShadowCols.nonEmpty || sumShadowCols.nonEmpty) {
+        // incremental bloom + shadow + posting maintenance for JUST this
+        // batch's files: blooms keep equality probes precise on the
+        // growing table (an absent bloom is only "might match"), the
+        // freq/sum shadow ledgers keep the dominant-slice and SUM-fold
+        // certificates SERVED instead of declining on the unshadowed
+        // tail, postings + coverage keep routing off the staleness
+        // guard. Replay leaves only harmless garbage (a replayed batch
+        // re-attaches blooms/shadows over the re-ingested rows; dup
+        // postings collapse in the lookup; postings for removed files
+        // are never consulted); a periodic full rebuild compacts.
         val names = finals.map(_.getName).toSet
         val newPlans = index.allFiles().filter(p => names.contains(p.fileName))
         index.rebuildBlooms(spark, dataDir, newPlans, batch.schema)
+        index.rebuildShadows(spark, dataDir, newPlans, batch.schema,
+          freqShadowCols, sumShadowCols)
         rowLevel.foreach { case (colName, idxDir) =>
           graft.index.RowLevelIndex.append(
             spark, dataDir, newPlans, batch.schema, colName, idxDir)

@@ -96,6 +96,37 @@ class IndexedSinkSpec extends SparkSpec {
     index.close()
   }
 
+  test("shadow maintenance keeps SUM folds and freq certificates served as batches land") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sink-shadow").toString
+    val dataDir = s"$base/data"
+    new java.io.File(dataDir).mkdirs()
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val index = new DerbyStatsIndex(s"$base/db", schema)
+    index.initialize(schema)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+
+    def commit(rows: Range, id: Long): Unit =
+      IndexedSink.commitBatch(rows.map(_.toLong).toDF("k"), id, dataDir,
+        index, Seq("k"), hconf,
+        freqShadowCols = Seq("k"), sumShadowCols = Seq("k"))
+    commit(0 until 100, 0L)
+    commit(100 until 250, 1L)
+    // every row group of the GROWN table carries both ledgers, so the
+    // catalog SUM answers exactly and no certificate declines on an
+    // unshadowed tail
+    val st = index.rowGroupStats("k").get
+    assert(st.nonEmpty && st.forall(s =>
+      s.sumVal.isDefined && s.minFreq.isDefined && s.maxFreq.isDefined),
+      s"unshadowed row groups after sink maintenance: $st")
+    assert(index.totalSum("k") === Some(((0L until 250L).sum, 250L)))
+    // replay re-attaches over the re-ingested rows — still exact
+    commit(100 until 250, 1L)
+    assert(index.totalSum("k") === Some(((0L until 250L).sum, 250L)))
+    index.close()
+  }
+
   test("a replay that produces FEWER parts removes the prior attempt's orphans") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-sink-shrink").toString
