@@ -2,7 +2,7 @@ package graft
 
 import graft.index.{FileScanPlan, FileStats, RowGroupStat, StatsIndex}
 import graft.prune.TopKPruning
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
 import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -401,6 +401,87 @@ class TopKPropertySpec extends AnyFunSuite {
         }
         val all = groups.zipWithIndex.flatMap { case (rows, i) =>
           rows.map(r => (f"g$i%03d", r)) }
+        val keptRows = all.filter(r => kept(r._1)).map(_._2)
+        all.map(_._2).sorted(ord).take(k) == keptRows.sorted(ord).take(k)
+    }
+    check(prop, 500)
+  }
+
+  /** Timestamp corpus for the IMAGE property (r11): micros clustered in
+    * narrow windows (the time-clustered shape where image pruning fires)
+    * mixed with fully random groups, nullable, spanning ~10 'days' so
+    * the day image genuinely buckets; second key random over a tiny
+    * domain. */
+  private val genTsGroups: Gen[List[List[(Option[Long], Option[Long])]]] = {
+    val DayU = 86400000000L
+    val micros = Gen.choose(0L, 10L * DayU)
+    val second = Gen.frequency(
+      8 -> Gen.choose(0L, 20L).map(Some(_): Option[Long]),
+      2 -> Gen.const(None: Option[Long]))
+    val clustered = for {
+      start <- micros
+      rows <- Gen.listOf(Gen.zip(
+        Gen.choose(0L, DayU / 2).map(o => Some(start + o): Option[Long]),
+        second))
+    } yield rows
+    val mixed = Gen.listOf(Gen.zip(
+      Gen.frequency(8 -> micros.map(Some(_): Option[Long]),
+        2 -> Gen.const(None: Option[Long])),
+      second))
+    Gen.nonEmptyListOf(Gen.frequency(6 -> clustered, 4 -> mixed)).map(_.take(40))
+  }
+
+  private def fakeIndexTs(
+      groups: List[List[(Option[Long], Option[Long])]]): StatsIndex = {
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("f", LongType)))
+    val plans = groups.indices.map(i =>
+      FileScanPlan(f"g$i%03d", 1024L, 1, SortedSet(0)))
+    def statsOf(sel: ((Option[Long], Option[Long])) => Option[Long]) =
+      groups.zipWithIndex.map { case (rows, i) =>
+        val defined = rows.map(sel).flatten
+        RowGroupStat(f"g$i%03d", 0,
+          defined.minOption, defined.maxOption,
+          rows.size.toLong, Some((rows.size - defined.size).toLong),
+          defined.minOption.map(m => defined.count(_ == m).toLong),
+          defined.maxOption.map(m => defined.count(_ == m).toLong))
+      }
+    val tsStats = statsOf(_._1)
+    val fStats = statsOf(_._2)
+    new StatsIndex {
+      def initialize(s: StructType): Unit = ()
+      def addFile(st: FileStats): Unit = ()
+      def retainOnly(f: Set[String]): Unit = ()
+      def removeFiles(f: Set[String]): Unit = ()
+      def getFiles(p: org.apache.spark.sql.catalyst.expressions.Expression) =
+        plans
+      def allFiles() = plans
+      def indexedSchema: StructType = schema
+      override def rowGroupStats(c: String) =
+        Some(if (c == "ts") tsStats else fStats)
+      def close(): Unit = ()
+    }
+  }
+
+  test("image-key pruning never loses a top-k (day bucket, id) tuple") {
+    import graft.index.{SortKeySpec, TruncTimestampImage}
+    val DayU = 86400000000L
+    val img = TruncTimestampImage.forUnit("day").get
+    val genFlags = Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false))
+    val prop = Prop.forAll(
+      genTsGroups, Gen.choose(1, 50), genFlags, genFlags) {
+      (groups, k, fa, fb) =>
+        val index = fakeIndexTs(groups)
+        val keys = Seq(SortKeySpec("ts", fa._1, fa._2, Some(img)),
+          SortKeySpec("f", fb._1, fb._2))
+        val kept = TopKPruning.pruneLexN(index, keys, k.toLong)
+          .map(_.fileName).toSet
+        // ground truth: rows ordered by (day bucket of ts, f) — the image
+        // evaluated the way the data-space expression would
+        val ord = pairOrdering(fa._1, fa._2, fb._1, fb._2)
+        val all = groups.zipWithIndex.flatMap { case (rows, i) =>
+          rows.map { case (ts, f) =>
+            (f"g$i%03d", (ts.map(m => Math.floorDiv(m, DayU) * DayU), f)) } }
         val keptRows = all.filter(r => kept(r._1)).map(_._2)
         all.map(_._2).sorted(ord).take(k) == keptRows.sorted(ord).take(k)
     }
