@@ -1027,6 +1027,36 @@ class TopKPruningSpec extends SparkSpec {
       s"kept ${exec.scannedRowGroups} of ${exec.totalRowGroups}")
   }
 
+  test("FILTERED image-head top-k: raw-column bounds ride the all-pass certificate") {
+    val dir = sf("sf0.001")
+    val df = graft.operators.Indexed.lineitemTime(spark, dir)
+    val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+    def shape(d: org.apache.spark.sql.DataFrame,
+        cond: org.apache.spark.sql.Column) = d
+      .filter(cond)
+      .orderBy(date_trunc("day", col("l_shipdate")).desc,
+        col("l_orderkey").desc, col("l_linenumber").desc,
+        col("l_quantity").desc, col("l_shipdate").desc)
+      .limit(10)
+      .select("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+    // a bound on ANOTHER indexed column: the composite certificate
+    val c1 = col("l_orderkey") >= 0L
+    assert(shape(df, c1).collect() === shape(plain, c1).collect())
+    val exec1 = graft.operators.Indexed.lastTimeExecution(spark, dir).get
+    assert(exec1.route.exists(_.startsWith("topk-composite-lex2(day(l_shipdate)")),
+      s"route: ${exec1.route}")
+    // a bound on the RAW underlying timestamp: TopKPushdown remaps it to
+    // an other-column all-pass entry (image space cannot compare raw
+    // bounds) — the rewrite still fires and results stay exact
+    val t0 = java.sql.Timestamp.valueOf("1992-01-01 00:00:00")
+    val c2 = col("l_shipdate") >= lit(t0)
+    assert(shape(df, c2).collect() === shape(plain, c2).collect())
+    val exec2 = graft.operators.Indexed.lastTimeExecution(spark, dir).get
+    assert(exec2.route.exists(r => r.startsWith("topk-composite-lex2(day(l_shipdate)")
+        && r.contains("l_shipdate")),
+      s"route: ${exec2.route}")
+  }
+
   test("a non-UTC session keeps the declarative plan for date_trunc keys") {
     val dir = sf("sf0.001")
     val df = graft.operators.Indexed.lineitemTime(spark, dir)
