@@ -56,6 +56,42 @@ class IndexRobustnessSpec extends SparkSpec {
       "overflowing pruning query must fall back to scanning everything")
   }
 
+  test("a pre-r11 catalog (no shadow columns) reads degraded, then upgrades in place") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-upgrade").toString
+    val dir = s"$base/data"
+    (0 until 200).map(i => (i.toLong, s"s$i")).toDF("k", "s").coalesce(1)
+      .write.option("parquet.block.row.count.limit", "50")
+      .mode("overwrite").parquet(dir)
+    val db = s"$base/statsdb"
+    val (index, schema) = IndexedParquet.buildIndex(spark, dir, Seq("k", "s"), db)
+    // simulate a catalog created BEFORE the r11 ledger/marker columns:
+    // drop them out from under the running index
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$db")
+    try {
+      val st = conn.createStatement()
+      Seq("k_sum", "k_min_freq", "k_max_freq",
+          "s_min_exact", "s_min_freq", "s_max_freq").foreach { c =>
+        st.executeUpdate(s"ALTER TABLE row_group_statistics DROP COLUMN $c")
+      }
+      st.close()
+    } finally conn.close()
+    // reads DEGRADE (42X04 fallback): stats still served, shadows unknown
+    val st1 = index.rowGroupStats("k").get
+    assert(st1.nonEmpty && st1.forall(s =>
+      s.sumVal.isEmpty && s.minFreq.isEmpty && s.minExact.isEmpty))
+    assert(index.rowGroupStats("s").get.forall(_.minExact.isEmpty))
+    assert(index.totalSum("k").isEmpty, "a missing ledger must be unknown")
+    // re-initialize: the upgrade ALTERs re-add the columns (NULL = the
+    // sound unknown), and the build steps fill them
+    index.initialize(schema)
+    assert(index.rowGroupStats("k").get.forall(s =>
+      s.sumVal.isEmpty && s.minFreq.isEmpty)) // still unbuilt, now present
+    graft.index.SumShadow.build(spark, dir, index.allFiles(), schema, "k", db)
+    assert(index.totalSum("k") === Some(((0L until 200L).sum, 200L)))
+    index.close()
+  }
+
   test("re-indexing after file deletion retains only surviving files") {
     val (dir, _, _, _, _) = env
     // build a second index over a copy, then delete a file and re-index
