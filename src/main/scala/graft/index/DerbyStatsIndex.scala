@@ -1026,6 +1026,21 @@ object DerbyStatsIndex {
   /** Stats strings longer than this are truncated (min) or dropped (max). */
   val MaxStringLen = 1024
 
+  /** Shut ONE embedded database down (close() only closes a connection —
+    * the engine keeps the database booted for the life of the JVM, with a
+    * background writer that errors if the directory is deleted under it).
+    * Callers that are about to delete a temp catalog directory must call
+    * this first. Derby signals a successful single-database shutdown by
+    * THROWING SQLState 08006 — any SQLException here is expected and
+    * swallowed (a never-booted path raises XJ004, equally fine). */
+  def shutdownDatabase(dbPath: String): Unit = {
+    ensureDriver()
+    try {
+      java.sql.DriverManager.getConnection(s"jdbc:derby:$dbPath;shutdown=true")
+      ()
+    } catch { case _: java.sql.SQLException => () }
+  }
+
   /** Width of the string min/max hex shadow columns: up to 3 UTF-8 bytes
     * per UTF-16 code unit of a MaxStringLen-truncated value (surrogate
     * pairs average 2 bytes/unit), ×2 hex chars per byte, rounded up. */
@@ -1161,7 +1176,11 @@ object DerbyStatsIndex {
             setNullable(ins, i, mn.map(hex), java.sql.Types.VARCHAR)
             setNullable(ins, i + 1, mx.map(hex), java.sql.Types.VARCHAR)
             // min-is-exact marker: recorded at the ONLY point that knows
-            // whether truncation happened (NULL when no min was stored)
+            // whether truncation happened (NULL when no min was stored).
+            // "Exact" certifies GRAFT's own MaxStringLen handling; that
+            // the footer min itself is verbatim is the documented ingest
+            // precondition (see ColumnStats' scaladoc) — a
+            // stats-truncating writer must not feed this catalog
             val exact = cs.flatMap(_.min).collect { case s: String =>
               java.lang.Integer.valueOf(if (s.length <= MaxStringLen) 1 else 0) }
             setNullable(ins, i + 2, exact, java.sql.Types.SMALLINT)

@@ -20,6 +20,24 @@ import scala.jdk.CollectionConverters._
   * Array[Byte]); timestamps are normalized to Long microseconds and dates
   * to Int days so they compare directly against Catalyst literal values.
   *
+  * PRECONDITION (verbatim footer stats): string/binary footer min/max are
+  * assumed to be VERBATIM data values, not writer-side truncations. The
+  * catalog uses footer extremes as bounds (always sound), but several
+  * certificates additionally pair a stored extreme with a row frequency
+  * AT that extreme (dominant-slice top-k) or return it as an exact answer
+  * (min/max pushdown) — and a writer that truncated its binary statistics
+  * (parquet-mr `parquet.statistics.truncate.length`) would make a short
+  * stats value look verbatim when no row holds it. Spark's parquet writer
+  * (the only writer this engine's ingest path sees) does not set a
+  * truncate length, and parquet-mr 1.16 does not surface the format's
+  * `is_min_value_exact`/`is_max_value_exact` flags through
+  * `ColumnChunkMetaData.getStatistics`, so this is a documented ingest
+  * precondition rather than a runtime check: do NOT index files from
+  * stats-truncating writers, or if such files may appear, rebuild their
+  * stats through [[FreqShadow]]-style data scans instead of footers.
+  * Graft's OWN `MaxStringLen` truncation is tracked separately and
+  * exactly (the catalog's `min_exact` marker).
+  *
   * Mirrors the role of the reference's per-row-group statistics extraction
   * (/root/reference/sqlx-sqlite/src/index.rs:178-240) re-expressed over
   * parquet-hadoop instead of arrow-rs StatisticsConverter.

@@ -53,6 +53,22 @@ object Indexed {
     f.delete(); ()
   }
 
+  /** Scope the TIMESTAMP_MICROS writer setting to one fixture write: the
+    * session is shared, so a leaked conf would silently change every
+    * later parquet write's timestamp encoding (order-dependent fixture
+    * coupling). Restores the prior value — or clears back to the
+    * session default — even when the write throws. */
+  private[graft] def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   private def cached(spark: SparkSession, sfDir: String): Entry =
     cache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
       val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -66,7 +82,7 @@ object Indexed {
       if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
         // stale stats DB describes the previous materialization — drop it
         rmrf(new java.io.File(s"$base/statsdb-v6"))
-        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        withMicrosTimestamps(spark) {
         spark.read.parquet(s"$sfDir/lineitem.parquet")
           // l_ukey: a high-cardinality key (md5 of the row identity) that
           // is UNCORRELATED with the l_orderkey range clustering — the
@@ -81,6 +97,7 @@ object Indexed {
           .option("parquet.block.row.count.limit", "16384")
           .option("parquet.block.size", (4L * 1024 * 1024).toString)
           .parquet(dataDir)
+        }
       }
       // -v6: schema grew across versions (l_ukey stats + bloom column) — a stale pre-v4
       // DB would reject inserts; versioning the path sidesteps migration
@@ -1049,14 +1066,15 @@ object Indexed {
       val dataDir = s"$base/lineitem-time-v2"
       if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
         rmrf(new java.io.File(s"$base/statsdb-time-v2"))
-        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
-          .sortWithinPartitions("l_shipdate", "l_orderkey")
-          .write.mode("overwrite")
-          .option("parquet.block.row.count.limit", "2048")
-          .option("parquet.block.size", (1L * 1024 * 1024).toString)
-          .parquet(dataDir)
+        withMicrosTimestamps(spark) {
+          spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
+            .sortWithinPartitions("l_shipdate", "l_orderkey")
+            .write.mode("overwrite")
+            .option("parquet.block.row.count.limit", "2048")
+            .option("parquet.block.size", (1L * 1024 * 1024).toString)
+            .parquet(dataDir)
+        }
       }
       val (index, dataSchema) = IndexedParquet.buildIndex(
         spark, dataDir, Seq("l_shipdate", "l_orderkey"),

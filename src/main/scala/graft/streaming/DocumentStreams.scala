@@ -144,8 +144,15 @@ object DocumentStreams {
         val hconf = new org.apache.spark.util.SerializableConfiguration(
           s.sparkContext.hadoopConfiguration)
         DedupMaintenance.currentLabels(s, s"$base/art", hconf).localCheckpoint()
-      } finally index.close()
-    rmrf(base)
+      } finally {
+        // failed runs must not leak the temp copy either, and the booted
+        // Derby database must be shut down BEFORE its directory goes away
+        // (close() only closes the connection; the engine's background
+        // writer would otherwise error against the deleted store)
+        index.close()
+        graft.index.DerbyStatsIndex.shutdownDatabase(s"$base/db")
+        rmrf(base)
+      }
     out
   }
 
@@ -179,8 +186,13 @@ object DocumentStreams {
           s.sparkContext.hadoopConfiguration)
         DedupMaintenance.currentPairStats(s, s"$base/art", hconf)
           .localCheckpoint()
-      } finally index.close()
-    rmrf(base)
+      } finally {
+        // see streamComponentsQuery: cleanup on every path, database shut
+        // down before the directory is removed
+        index.close()
+        graft.index.DerbyStatsIndex.shutdownDatabase(s"$base/db")
+        rmrf(base)
+      }
     out
   }
 
@@ -214,10 +226,12 @@ object DocumentStreams {
         }
       }
       .start()
-    try q.awaitTermination() finally q.stop()
-    val out = SearchMaintenance.rankedSearch(s, s"$base/art",
-      Seq("spark", "vector", "merge"), 15).localCheckpoint()
-    rmrf(base)
+    val out =
+      try {
+        try q.awaitTermination() finally q.stop()
+        SearchMaintenance.rankedSearch(s, s"$base/art",
+          Seq("spark", "vector", "merge"), 15).localCheckpoint()
+      } finally rmrf(base) // no Derby here — just never leak the temp copy
     out
   }
 

@@ -946,18 +946,20 @@ class TopKPruningSpec extends SparkSpec {
     val base = Files.createTempDirectory("graft-topk-img").toString
     val dir = s"$base/data"
     import spark.implicits._
-    // INT96 (Spark's default) carries no footer min/max for timestamps
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    (0 until 4000)
-      .map { i =>
-        val millis = i.toLong * 1200000L + ((i.toLong * 2971L) % 500L) * 1000L
-        (if (i % 20 == 0) None else Some(new java.sql.Timestamp(millis)),
-          i.toLong)
-      }
-      .toDF("ts", "id")
-      .coalesce(1)
-      .write.option("parquet.block.row.count.limit", "50")
-      .mode("overwrite").parquet(dir)
+    // INT96 (Spark's default) carries no footer min/max for timestamps;
+    // scoped + restored so later suites' parquet writes keep the default
+    graft.operators.Indexed.withMicrosTimestamps(spark) {
+      (0 until 4000)
+        .map { i =>
+          val millis = i.toLong * 1200000L + ((i.toLong * 2971L) % 500L) * 1000L
+          (if (i % 20 == 0) None else Some(new java.sql.Timestamp(millis)),
+            i.toLong)
+        }
+        .toDF("ts", "id")
+        .coalesce(1)
+        .write.option("parquet.block.row.count.limit", "50")
+        .mode("overwrite").parquet(dir)
+    }
     val (index, schema) = IndexedParquet.buildIndex(
       spark, dir, Seq("ts", "id"), s"$base/statsdb")
     (dir, index.asInstanceOf[DerbyStatsIndex], schema)
