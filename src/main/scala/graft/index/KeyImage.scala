@@ -46,8 +46,29 @@ sealed trait KeyImage extends Serializable {
   def derbySql: Option[String => String]
 }
 
+object KeyImage {
+  private[index] val MicrosPerDay = 86400000000L
+  private[index] val MicrosPerSecond = 1000000L
+
+  /** `CAST(ts AS DATE)` under a FIXED-OFFSET session zone: identity
+    * shift then epoch-day floor. Zero offset is the shared singleton so
+    * existing route tags and equality stay stable. */
+  def castDate(offsetSeconds: Int): KeyImage =
+    if (offsetSeconds == 0) CastDateImage else CastDateZonedImage(offsetSeconds)
+
+  /** Derby floor-to-grid over a BIGINT expression: `x - mod₊(x + a, w)`
+    * shifted so the grid's origin sits at `-anchor` — the non-negative
+    * remainder form works for either sign of x (Derby MOD follows the
+    * dividend's sign). */
+  private[index] def floorToGrid(e: String, w: Long, anchor: Long): String = {
+    val shifted = if (anchor == 0L) s"($e)" else s"($e + $anchor)"
+    s"($shifted - MOD(MOD($shifted, $w) + $w, $w)${
+      if (anchor == 0L) "" else s" - $anchor"})"
+  }
+}
+
 object TruncTimestampImage {
-  private val MicrosPerDay = 86400000000L
+  private val MicrosPerDay = KeyImage.MicrosPerDay
 
   /** Fixed width in microseconds for the modulus-renderable units, plus
     * the anchor offset added before the modulus (week truncates to
@@ -64,20 +85,24 @@ object TruncTimestampImage {
     "dd" -> (MicrosPerDay, 0L),
     "week" -> (7L * MicrosPerDay, 3L * MicrosPerDay))
 
-  /** The image for `date_trunc(unit, <timestamp col>)` under a UTC
-    * session, or None when Spark itself rejects the unit. Monotonicity
-    * holds because UTC is a fixed-offset zone (no DST fold where local
-    * wall time runs backward); callers must verify the session timezone
-    * before constructing one. */
-  def forUnit(unit: String): Option[TruncTimestampImage] = {
+  /** The image for `date_trunc(unit, <timestamp col>)` under a
+    * FIXED-OFFSET session zone (r12: offset-parameterized — UTC is the
+    * zero case), or None when Spark itself rejects the unit.
+    * Monotonicity holds for ANY fixed offset: local wall time is the
+    * instant plus a constant, so there is no DST fold where it runs
+    * backward; callers must verify the session zone is fixed-offset
+    * (TopKPushdown.fixedOffsetSeconds) before constructing one. */
+  def forUnit(unit: String, offsetSeconds: Int = 0): Option[TruncTimestampImage] = {
     val level = DateTimeUtils.parseTruncLevel(UTF8String.fromString(unit))
     // Spark signals an unusable unit with a sentinel below the smallest
     // timestamp level; probe by truncating a known value — an invalid
     // level makes truncTimestamp throw or TruncTimestamp return null,
     // so mirror its validity via a defensive try
     try {
-      DateTimeUtils.truncTimestamp(0L, level, java.time.ZoneOffset.UTC)
-      Some(TruncTimestampImage(unit.toLowerCase(java.util.Locale.ROOT), level))
+      DateTimeUtils.truncTimestamp(0L, level,
+        java.time.ZoneOffset.ofTotalSeconds(offsetSeconds))
+      Some(TruncTimestampImage(
+        unit.toLowerCase(java.util.Locale.ROOT), level, offsetSeconds))
     } catch { case _: Throwable => None }
   }
 }
@@ -106,10 +131,13 @@ case object CastDateImage extends KeyImage {
 
 /** See [[TruncTimestampImage.forUnit]]; `level` is Spark's parsed trunc
   * level so [[apply]] is literally the same `DateTimeUtils.truncTimestamp`
-  * call the data-space `TruncTimestamp` expression evaluates. */
-final case class TruncTimestampImage private (unit: String, level: Int)
+  * call the data-space `TruncTimestamp` expression evaluates —
+  * `offsetSeconds` the session's fixed zone offset (0 = UTC). */
+final case class TruncTimestampImage private (
+    unit: String, level: Int, offsetSeconds: Int = 0)
     extends KeyImage {
-  def id: String = unit
+  def id: String =
+    if (offsetSeconds == 0) unit else s"$unit@$offsetSeconds"
   /** Both timestamp flavors: the catalog stores each as BIGINT micros,
     * and an NTZ value's micros ARE its UTC wall-clock micros — under the
     * UTC session precondition, `date_trunc(cast(ntz AS timestamp))`
@@ -122,17 +150,130 @@ final case class TruncTimestampImage private (unit: String, level: Int)
   def apply(v: Any): Any =
     java.lang.Long.valueOf(DateTimeUtils.truncTimestamp(
       v.asInstanceOf[java.lang.Number].longValue, level,
-      java.time.ZoneOffset.UTC))
+      java.time.ZoneOffset.ofTotalSeconds(offsetSeconds)))
 
   def derbySql: Option[String => String] =
     TruncTimestampImage.fixedWidth.get(unit).map { case (w, anchor) =>
-      (e: String) => {
-        // floor-to-grid on BIGINT micros: x - ((x mod w) + w) mod w is the
-        // non-negative remainder for either sign of x (Derby MOD follows
-        // the dividend's sign), with the anchor shifting the grid origin
-        val shifted = if (anchor == 0L) s"($e)" else s"($e + $anchor)"
-        s"($shifted - MOD(MOD($shifted, $w) + $w, $w)${
-          if (anchor == 0L) "" else s" - $anchor"})"
-      }
+      // trunc in LOCAL wall time = shift by the zone offset, floor to the
+      // grid, shift back — i.e. the same grid with its anchor moved by
+      // the offset (f(x) = (x+a) − mod₊(x+a, w) − a with a = anchor+off)
+      (e: String) => KeyImage.floorToGrid(
+        e, w, anchor + offsetSeconds * KeyImage.MicrosPerSecond)
     }
+}
+
+/** `CAST(ts AS DATE)` under a NON-ZERO fixed-offset session zone: the
+  * cast reads wall time, so the epoch-day floor shifts by the offset.
+  * The zero-offset case stays the [[CastDateImage]] singleton. */
+final case class CastDateZonedImage(offsetSeconds: Int) extends KeyImage {
+  def id: String = s"date@$offsetSeconds"
+  def acceptsInput(dt: DataType): Boolean = dt == TimestampType
+  def resultType: DataType = DateType
+  def apply(v: Any): Any =
+    java.lang.Integer.valueOf(Math.floorDiv(
+      v.asInstanceOf[java.lang.Number].longValue +
+        offsetSeconds * KeyImage.MicrosPerSecond,
+      KeyImage.MicrosPerDay).toInt)
+  def derbySql: Option[String => String] = Some { e =>
+    val d = KeyImage.MicrosPerDay
+    val shifted = s"(($e) + ${offsetSeconds * KeyImage.MicrosPerSecond})"
+    s"(($shifted - MOD(MOD($shifted, $d) + $d, $d)) / $d)"
+  }
+}
+
+object TruncDateImage {
+  // Monday-anchored week grid over epoch DAYS: day 0 (1970-01-01) is a
+  // Thursday, so shifting by 3 aligns the grid to Mondays. Calendar
+  // units (month/quarter/year) have no fixed width — planner-side only.
+  private val weekAnchor = 3L
+
+  // Spark's level constants are private[sql]; WEEK is both the finest
+  // date-trunc level and the only fixed-width one, so derive it through
+  // the public parser
+  private[index] val weekLevel =
+    DateTimeUtils.parseTruncLevel(UTF8String.fromString("week"))
+
+  /** The image for `trunc(<date col>, unit)` — Spark's date-truncation
+    * function (unit ∈ year/quarter/month/week and their aliases), or
+    * None when Spark rejects the unit for dates. Zone-free: DATE carries
+    * no instant, so monotonicity needs no session precondition. */
+  def forUnit(unit: String): Option[TruncDateImage] = {
+    val level = DateTimeUtils.parseTruncLevel(UTF8String.fromString(unit))
+    // TruncDate supports only week and coarser — probe exactly the call
+    // the data-space expression evaluates
+    try {
+      if (level < weekLevel) None // coarser levels have larger codes
+      else {
+        DateTimeUtils.truncDate(0, level)
+        Some(TruncDateImage(unit.toLowerCase(java.util.Locale.ROOT), level))
+      }
+    } catch { case _: Throwable => None }
+  }
+}
+
+/** See [[TruncDateImage.forUnit]]: calendar floor over epoch days, the
+  * DATE-column counterpart of [[TruncTimestampImage]]. */
+final case class TruncDateImage private (unit: String, level: Int)
+    extends KeyImage {
+  def id: String = s"trunc-$unit"
+  def acceptsInput(dt: DataType): Boolean = dt == DateType
+  def resultType: DataType = DateType
+  def apply(v: Any): Any =
+    java.lang.Integer.valueOf(
+      DateTimeUtils.truncDate(v.asInstanceOf[java.lang.Number].intValue, level))
+  def derbySql: Option[String => String] =
+    if (level == TruncDateImage.weekLevel)
+      Some(e => KeyImage.floorToGrid(e, 7L, TruncDateImage.weekAnchor))
+    else None // calendar units: planner-side derivation only
+}
+
+/** `year(<date col>)` as a sort key (r12): epoch days → proleptic
+  * Gregorian year, the coarsest calendar image. Monotone by the calendar
+  * (a later day is never an earlier year); zone-free over DATE. For
+  * `year(<timestamp col>)` the analyzer inserts `CAST(ts AS DATE)` and
+  * the composed [[ChainedImage]] carries the zone through the cast leg.
+  * No Derby rendering (calendar math) — planner-side derivation only,
+  * still one O(index) fetch. */
+case object YearImage extends KeyImage {
+  def id: String = "year"
+  def acceptsInput(dt: DataType): Boolean = dt == DateType
+  def resultType: DataType = IntegerType
+  def apply(v: Any): Any =
+    java.lang.Integer.valueOf(
+      DateTimeUtils.getYear(v.asInstanceOf[java.lang.Number].intValue))
+  def derbySql: Option[String => String] = None
+}
+
+/** `unix_timestamp(<timestamp col>)` as a sort key (r12): epoch micros →
+  * floor epoch seconds. Zone-INDEPENDENT for TIMESTAMP input (the value
+  * is the instant's own epoch clock), monotone by floor division. */
+case object UnixSecondsImage extends KeyImage {
+  def id: String = "unixsec"
+  def acceptsInput(dt: DataType): Boolean = dt == TimestampType
+  def resultType: DataType = LongType
+  def apply(v: Any): Any =
+    java.lang.Long.valueOf(Math.floorDiv(
+      v.asInstanceOf[java.lang.Number].longValue, KeyImage.MicrosPerSecond))
+  def derbySql: Option[String => String] = Some { e =>
+    val w = KeyImage.MicrosPerSecond
+    s"((($e) - MOD(MOD($e, $w) + $w, $w)) / $w)"
+  }
+}
+
+/** Monotone composition `outer ∘ inner` (r12) — e.g. `year(ts)` is
+  * `YearImage ∘ CAST(ts AS DATE)`. A composition of monotone
+  * non-decreasing maps is monotone, so the derived-stats argument
+  * carries through unchanged; the Derby rendering composes only when
+  * BOTH legs render (the inner leg's SQL encoding is its catalog result
+  * encoding, which is exactly what the outer leg consumes). */
+final case class ChainedImage(inner: KeyImage, outer: KeyImage)
+    extends KeyImage {
+  require(outer.acceptsInput(inner.resultType),
+    s"image ${outer.id} cannot consume ${inner.id}'s ${inner.resultType}")
+  def id: String = s"${outer.id}.${inner.id}"
+  def acceptsInput(dt: DataType): Boolean = inner.acceptsInput(dt)
+  def resultType: DataType = outer.resultType
+  def apply(v: Any): Any = outer(inner(v))
+  def derbySql: Option[String => String] =
+    for (fi <- inner.derbySql; fo <- outer.derbySql) yield (e: String) => fo(fi(e))
 }

@@ -96,25 +96,27 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     val idx = fi.statsIndex
-    val (a, headSpec) = asKeySpec(order.head, child, idx).getOrElse(return None)
-    val descending = headSpec.desc
-    val nullsFirst = headSpec.nullsFirst
-
     // N-key lexicographic prefix: the maximal leading prefix of DISTINCT
     // indexed sort keys takes the tuple certificate — each added key
     // separates groups still tied on the shallower ones (never worse —
     // the lex pruners intersect every shorter prefix's plan set). A key
-    // may be a plain indexed attribute or (r11) a certified monotone
-    // IMAGE of one (`date_trunc(unit, ts)` under a UTC session); the
-    // prefix stops at the first unrecognized, unindexed, or repeated
+    // may be a plain indexed attribute or a certified monotone IMAGE of
+    // one (r11 `date_trunc(unit, ts)` / `CAST(ts AS DATE)`; r12 `year`,
+    // `trunc(date, unit)`, `unix_timestamp`, consecutive year/month/day
+    // datepart runs, all under a fixed-offset session zone); the prefix
+    // stops at the first unrecognized, unindexed, or repeated
     // (column, image) key — `date_trunc('day', ts), ts` is two DISTINCT
     // keys (the raw value refines its own day bucket).
+    val specs = keySpecs(order, child, idx)
+    val (a, headSpec) = specs.headOption.getOrElse(return None)
+    val descending = headSpec.desc
+    val nullsFirst = headSpec.nullsFirst
     val prefix = scala.collection.mutable.ArrayBuffer(headSpec)
-    val pit = order.drop(1).iterator
+    val pit = specs.drop(1).iterator
     var extending = true
     while (extending && pit.hasNext) {
-      asKeySpec(pit.next(), child, idx) match {
-        case Some((_, spec))
+      pit.next() match {
+        case (_, spec)
             if !prefix.exists(p => p.col == spec.col && p.image == spec.image) =>
           prefix += spec
         case _ => extending = false
@@ -200,77 +202,232 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
     })
   }
 
+  /** The maximal leading run of catalog-certifiable sort keys, with
+    * CONSECUTIVE datepart keys collapsed (r12): `year(d), month(d)` on
+    * the same date leg and direction is lexicographically the single
+    * monotone key `trunc(d, 'month')` (the truncated date determines the
+    * (year, month) pair and orders exactly like it), and the full
+    * `year, month, day` triple IS the date itself — so datepart
+    * reporting sorts prune like their canonical time key instead of
+    * stopping at the non-monotone `month`. A deeper datepart whose
+    * direction differs, skips a level, or sits on another leg ends the
+    * run (the collapsed key is exact for the consumed orders only — the
+    * next SortOrder then ends the prefix as an unrecognized key). Null
+    * ordering is taken from the run's FIRST order: a null date nulls
+    * every datepart, so deeper null placements never reorder anything. */
+  private def keySpecs(
+      order: Seq[SortOrder], child: LogicalPlan, idx: graft.index.StatsIndex)
+      : Seq[(AttributeReference, graft.index.SortKeySpec)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(AttributeReference, graft.index.SortKeySpec)]
+    var i = 0
+    var stop = false
+    while (i < order.length && !stop) {
+      datepartOf(order(i), child, idx) match {
+        case Some((ar, castImg, 0, desc, nf)) => // a year(...) opens a run
+          var depth = 0
+          var j = i + 1
+          while (j < order.length && depth < 2 &&
+              datepartOf(order(j), child, idx).exists { case (ar2, ci2, f2, d2, _) =>
+                ar2.exprId == ar.exprId && ci2 == castImg &&
+                  f2 == depth + 1 && d2 == desc
+              }) { depth += 1; j += 1 }
+          val img: Option[graft.index.KeyImage] = depth match {
+            case 0 => Some(chain(castImg, graft.index.YearImage))
+            case 1 => Some(chain(castImg,
+              graft.index.TruncDateImage.forUnit("month").get))
+            case _ => castImg // (year, month, day) = the date leg itself
+          }
+          out += ((ar, graft.index.SortKeySpec(ar.name, desc, nf, img)))
+          i = j
+        case Some(_) => stop = true // month/day without a leading year
+        case None =>
+          asKeySpec(order(i), child, idx) match {
+            case Some(t) => out += t; i += 1
+            case None    => stop = true
+          }
+      }
+    }
+    out.toSeq
+  }
+
+  private def chain(
+      inner: Option[graft.index.KeyImage], outer: graft.index.KeyImage)
+      : graft.index.KeyImage =
+    inner.fold(outer)(ci => graft.index.ChainedImage(ci, outer))
+
+  private def indexedAs(
+      ar: AttributeReference, child: LogicalPlan,
+      idx: graft.index.StatsIndex): Boolean =
+    child.outputSet.contains(ar) &&
+      idx.indexedSchema.fields.exists(f =>
+        f.name == ar.name && f.dataType == ar.dataType)
+
+  /** A datepart SortOrder — `year(leg)` / `month(leg)` / `day(leg)` over
+    * an indexed date leg — as (attr, leg cast image, field 0=year
+    * 1=month 2=day, desc, nullsFirst). Only [[keySpecs]]' run collapse
+    * may consume these (a lone month/day is not monotone). */
+  private def datepartOf(
+      so: SortOrder, child: LogicalPlan, idx: graft.index.StatsIndex)
+      : Option[(AttributeReference, Option[graft.index.KeyImage], Int,
+        Boolean, Boolean)] = {
+    import org.apache.spark.sql.catalyst.expressions.{DayOfMonth, Month, Year}
+    val field = so.child match {
+      case Year(e)       => Some((e, 0))
+      case Month(e)      => Some((e, 1))
+      case DayOfMonth(e) => Some((e, 2))
+      case _             => None
+    }
+    field.flatMap { case (e, f) =>
+      dateLeg(e, child, idx).map { case (ar, ci) =>
+        (ar, ci, f, so.direction == Descending, so.nullOrdering == NullsFirst)
+      }
+    }
+  }
+
+  /** A DATE-space operand over an indexed column: a DATE attribute
+    * itself (no image), or an indexed timestamp under the analyzer's
+    * cast-to-date — NTZ zone-free (wall micros floor to wall days), LTZ
+    * under any FIXED-OFFSET session zone via the offset-shifted
+    * epoch-day image. */
+  private def dateLeg(
+      e: Expression, child: LogicalPlan, idx: graft.index.StatsIndex)
+      : Option[(AttributeReference, Option[graft.index.KeyImage])] = e match {
+    case ar: AttributeReference
+        if ar.dataType == DateType && indexedAs(ar, child, idx) =>
+      Some((ar, None))
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if c.dataType == DateType =>
+      c.child match {
+        case ar: AttributeReference
+            if ar.dataType == TimestampNTZType && indexedAs(ar, child, idx) =>
+          Some((ar, Some(graft.index.CastDateImage)))
+        case ar: AttributeReference
+            if ar.dataType == TimestampType && indexedAs(ar, child, idx) =>
+          fixedOffsetSeconds(c.timeZoneId)
+            .map(z => (ar, Some(graft.index.KeyImage.castDate(z))))
+        case _ => None
+      }
+    case _ => None
+  }
+
   /** One SortOrder → (underlying attribute, catalog sort-key spec), or
     * None when the certificate family cannot serve it. Recognized keys:
-    * a plain indexed attribute, and (r11) `date_trunc(unit, ts)` over an
-    * indexed timestamp attribute — certified MONOTONE only under a
-    * fixed-offset-zero session timezone (UTC has no DST fold where local
-    * wall time runs backward), so any other zone degrades to the
-    * declarative plan rather than risking a mis-ordered image. */
+    * a plain indexed attribute; `date_trunc(unit, ts)` (r11) and
+    * `CAST(ts AS DATE)` (r11) over an indexed timestamp; `year(leg)`,
+    * `trunc(date, unit)` and `unix_timestamp(ts)` (r12). Instant-reading
+    * images are certified MONOTONE only under a FIXED-OFFSET session
+    * timezone (r12 — no DST fold where local wall time runs backward;
+    * UTC is the zero case), with the offset carried into the image; any
+    * geographic zone degrades to the declarative plan rather than
+    * risking a mis-ordered image. */
   private def asKeySpec(
       so: SortOrder, child: LogicalPlan, idx: graft.index.StatsIndex)
       : Option[(AttributeReference, graft.index.SortKeySpec)] = {
-    def indexedAs(ar: AttributeReference, dt: DataType): Boolean =
-      child.outputSet.contains(ar) &&
-        idx.indexedSchema.fields.exists(f => f.name == ar.name && f.dataType == dt)
     val desc = so.direction == Descending
     val nf = so.nullOrdering == NullsFirst
+    def spec(ar: AttributeReference, img: Option[graft.index.KeyImage]) =
+      Some((ar, graft.index.SortKeySpec(ar.name, desc, nf, img)))
     so.child match {
-      case ar: AttributeReference if indexedAs(ar, ar.dataType) =>
-        Some((ar, graft.index.SortKeySpec(ar.name, desc, nf)))
-      // CAST(ts AS DATE) (r11): epoch-day image. NTZ casts read wall time
-      // directly (zone-free); LTZ casts need the zero-offset session zone
+      case ar: AttributeReference if indexedAs(ar, child, idx) =>
+        spec(ar, None)
+      // CAST(ts AS DATE): the epoch-day image (offset-shifted for a
+      // non-zero fixed-offset session)
       case c: org.apache.spark.sql.catalyst.expressions.Cast
           if c.dataType == DateType =>
-        c.child match {
-          case ar: AttributeReference
-              if (ar.dataType == TimestampNTZType ||
-                (ar.dataType == TimestampType && utcZone(c.timeZoneId))) &&
-                indexedAs(ar, ar.dataType) =>
-            Some((ar, graft.index.SortKeySpec(ar.name, desc, nf,
-              Some(graft.index.CastDateImage))))
+        dateLeg(c, child, idx).collect { case (ar, Some(img)) =>
+          (ar, graft.index.SortKeySpec(ar.name, desc, nf, Some(img)))
+        }
+      // year(date) / year(ts): the calendar-year image over the date leg
+      case org.apache.spark.sql.catalyst.expressions.Year(e) =>
+        dateLeg(e, child, idx).flatMap { case (ar, ci) =>
+          spec(ar, Some(chain(ci, graft.index.YearImage)))
+        }
+      // trunc(date, unit): DATE-space calendar floor — zone-free
+      case td: org.apache.spark.sql.catalyst.expressions.TruncDate =>
+        (td.format, dateLeg(td.date, child, idx)) match {
+          case (Literal(fmt: org.apache.spark.unsafe.types.UTF8String,
+              StringType), Some((ar, ci))) if fmt != null =>
+            graft.index.TruncDateImage.forUnit(fmt.toString)
+              .flatMap(img => spec(ar, Some(chain(ci, img))))
           case _ => None
         }
+      // unix_timestamp(ts) / to_unix_timestamp(ts): floor epoch seconds —
+      // zone-INDEPENDENT for a timestamp operand (the instant's own
+      // clock); NTZ only under the identity (zero-offset) cast
+      case ut: org.apache.spark.sql.catalyst.expressions.UnixTimestamp =>
+        tsLeg(ut.timeExp, child, idx)
+          .flatMap(ar => spec(ar, Some(graft.index.UnixSecondsImage)))
+      case ut: org.apache.spark.sql.catalyst.expressions.ToUnixTimestamp =>
+        tsLeg(ut.timeExp, child, idx)
+          .flatMap(ar => spec(ar, Some(graft.index.UnixSecondsImage)))
       case t: TruncTimestamp =>
-        // the timestamp operand: a TimestampType attribute directly, or a
-        // TIMESTAMP_NTZ attribute under the analyzer's implicit cast — an
-        // NTZ value's micros are its UTC wall micros, so under the UTC
-        // session precondition the cast is identity on the very micros
-        // the catalog stores
-        val tsAttr = t.timestamp match {
-          case ar: AttributeReference if ar.dataType == TimestampType => Some(ar)
-          case c: org.apache.spark.sql.catalyst.expressions.Cast
-              if c.dataType == TimestampType && utcZone(c.timeZoneId) =>
-            c.child match {
-              case ar: AttributeReference if ar.dataType == TimestampNTZType =>
-                Some(ar)
+        (t.format, fixedOffsetSeconds(t.timeZoneId)) match {
+          case (Literal(fmt: org.apache.spark.unsafe.types.UTF8String,
+              StringType), Some(off)) if fmt != null =>
+            // the timestamp operand: an LTZ attribute directly (any fixed
+            // offset — carried into the image), or a TIMESTAMP_NTZ
+            // attribute under the analyzer's implicit cast, which is
+            // identity on the stored micros ONLY at zero offset (an NTZ
+            // value's micros are its wall micros)
+            val tsAttr = t.timestamp match {
+              case ar: AttributeReference
+                  if ar.dataType == TimestampType &&
+                    indexedAs(ar, child, idx) => Some(ar)
+              case c: org.apache.spark.sql.catalyst.expressions.Cast
+                  if c.dataType == TimestampType && off == 0 &&
+                    fixedOffsetSeconds(c.timeZoneId).contains(0) =>
+                c.child match {
+                  case ar: AttributeReference
+                      if ar.dataType == TimestampNTZType &&
+                        indexedAs(ar, child, idx) => Some(ar)
+                  case _ => None
+                }
               case _ => None
             }
-          case _ => None
-        }
-        (t.format, tsAttr) match {
-          case (Literal(fmt: org.apache.spark.unsafe.types.UTF8String, StringType),
-              Some(ar))
-              if fmt != null && indexedAs(ar, ar.dataType) &&
-                utcZone(t.timeZoneId) =>
-            graft.index.TruncTimestampImage.forUnit(fmt.toString).map(img =>
-              (ar, graft.index.SortKeySpec(ar.name, desc, nf, Some(img))))
+            tsAttr.flatMap(ar =>
+              graft.index.TruncTimestampImage.forUnit(fmt.toString, off)
+                .flatMap(img => spec(ar, Some(img))))
           case _ => None
         }
       case _ => None
     }
   }
 
-  /** The analyzer-resolved timezone is a zero fixed offset (UTC/GMT/Z and
-    * aliases) — the precondition for `date_trunc`'s monotonicity. */
-  private def utcZone(tzOpt: Option[String]): Boolean = tzOpt.exists { tz =>
-    try {
-      val rules =
-        org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(tz).getRules
-      rules.isFixedOffset &&
-        rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
-    } catch { case scala.util.control.NonFatal(_) => false }
+  /** A TIMESTAMP (instant) operand over an indexed column, for
+    * zone-independent images: an LTZ attribute, or NTZ under the
+    * zero-offset (identity) cast. */
+  private def tsLeg(
+      e: Expression, child: LogicalPlan, idx: graft.index.StatsIndex)
+      : Option[AttributeReference] = e match {
+    case ar: AttributeReference
+        if ar.dataType == TimestampType && indexedAs(ar, child, idx) =>
+      Some(ar)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if c.dataType == TimestampType &&
+          fixedOffsetSeconds(c.timeZoneId).contains(0) =>
+      c.child match {
+        case ar: AttributeReference
+            if ar.dataType == TimestampNTZType && indexedAs(ar, child, idx) =>
+          Some(ar)
+        case _ => None
+      }
+    case _ => None
   }
+
+  /** The analyzer-resolved timezone's FIXED offset in seconds (UTC = 0),
+    * or None for a geographic zone — fixed offsets have no DST fold, the
+    * precondition for every instant-reading image's monotonicity. */
+  private def fixedOffsetSeconds(tzOpt: Option[String]): Option[Int] =
+    tzOpt.flatMap { tz =>
+      try {
+        val rules =
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(tz).getRules
+        if (rules.isFixedOffset)
+          Some(rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** `cond` as a DISJUNCTION of per-column bound sets
     * ([[TopKPruning.Disjunct]]): the top-level conjuncts may contain AT
