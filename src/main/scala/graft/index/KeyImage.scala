@@ -245,18 +245,23 @@ case object YearImage extends KeyImage {
 }
 
 /** `unix_timestamp(<timestamp col>)` as a sort key (r12): epoch micros →
-  * floor epoch seconds. Zone-INDEPENDENT for TIMESTAMP input (the value
-  * is the instant's own epoch clock), monotone by floor division. */
+  * epoch seconds by TRUNCATING division — exactly Spark's `UnixTimestamp`
+  * arithmetic on TimestampType (`t / MICROS_PER_SECOND`, toward zero, NOT
+  * floor), which matters for pre-1970 instants with sub-second micros
+  * where floor is one less than Spark's actual key. Truncating division
+  * by a positive width is still monotone non-decreasing, and Derby
+  * BIGINT division also truncates toward zero, so the catalog rendering
+  * is the plain quotient. Zone-INDEPENDENT for TIMESTAMP input (the
+  * value is the instant's own epoch clock). */
 case object UnixSecondsImage extends KeyImage {
   def id: String = "unixsec"
   def acceptsInput(dt: DataType): Boolean = dt == TimestampType
   def resultType: DataType = LongType
   def apply(v: Any): Any =
-    java.lang.Long.valueOf(Math.floorDiv(
-      v.asInstanceOf[java.lang.Number].longValue, KeyImage.MicrosPerSecond))
+    java.lang.Long.valueOf(
+      v.asInstanceOf[java.lang.Number].longValue / KeyImage.MicrosPerSecond)
   def derbySql: Option[String => String] = Some { e =>
-    val w = KeyImage.MicrosPerSecond
-    s"((($e) - MOD(MOD($e, $w) + $w, $w)) / $w)"
+    s"(($e) / ${KeyImage.MicrosPerSecond})"
   }
 }
 

@@ -149,7 +149,9 @@ object DocumentStreams {
         // Derby database must be shut down BEFORE its directory goes away
         // (close() only closes the connection; the engine's background
         // writer would otherwise error against the deleted store)
-        index.close()
+        // close() may itself throw (e.g. connection already dead); the
+        // shutdown + rmrf must still run or the temp copy leaks
+        try index.close() catch { case _: Throwable => () }
         graft.index.DerbyStatsIndex.shutdownDatabase(s"$base/db")
         rmrf(base)
       }
@@ -189,7 +191,9 @@ object DocumentStreams {
       } finally {
         // see streamComponentsQuery: cleanup on every path, database shut
         // down before the directory is removed
-        index.close()
+        // close() may itself throw (e.g. connection already dead); the
+        // shutdown + rmrf must still run or the temp copy leaks
+        try index.close() catch { case _: Throwable => () }
         graft.index.DerbyStatsIndex.shutdownDatabase(s"$base/db")
         rmrf(base)
       }
