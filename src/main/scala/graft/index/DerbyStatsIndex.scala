@@ -65,6 +65,10 @@ final class DerbyStatsIndex(
     case BinaryType           => s"VARCHAR(${DerbyStatsIndex.MaxStringLen}) FOR BIT DATA"
     case TimestampType | TimestampNTZType => "BIGINT"
     case DateType             => "INTEGER"
+    // r13: store DECIMAL stats at full Derby precision, preserving the
+    // column's scale — ingest is gated to precision <= 31
+    // (FooterStats.supported), so every value fits losslessly
+    case d: DecimalType       => s"DECIMAL(31, ${d.scale})"
     case other => throw new IllegalArgumentException(s"unindexable type $other")
   }
 
@@ -1210,6 +1214,7 @@ object DerbyStatsIndex {
     case DoubleType => java.sql.Types.DOUBLE
     case StringType => java.sql.Types.VARCHAR
     case BinaryType => java.sql.Types.VARBINARY
+    case _: DecimalType => java.sql.Types.DECIMAL
     case _          => java.sql.Types.OTHER
   }
 

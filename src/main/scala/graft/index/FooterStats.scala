@@ -70,6 +70,11 @@ object FooterStats {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
          DoubleType | StringType | BinaryType | TimestampType |
          TimestampNTZType | DateType => true
+    // r13: DECIMAL stats — bridged to java.math.BigDecimal at the
+    // declared scale. Capped at Derby's DECIMAL precision (31): a wider
+    // value could not be stored losslessly, so wider columns stay
+    // unindexed (the usual "unknown ⇒ might match" degradation).
+    case d: DecimalType => d.precision <= 31
     case _ => false
   }
 
@@ -123,7 +128,33 @@ object FooterStats {
       if (!hasMinMax) Some(ColumnStats(nullCount, None, None))
       else Some(ColumnStats(nullCount, Some(min), Some(max)))
 
+    // DECIMAL (r13): parquet stores the unscaled integer; rescale to a
+    // BigDecimal at the annotation's scale. All three physical layouts
+    // Spark's writer emits (INT32 p≤9, INT64 p≤18, BINARY/FLBA above)
+    // bridge — unsigned comparators don't apply (DECIMAL stats use
+    // signed comparators in parquet-mr), so min/max are usable directly.
+    def dec(unscaled: java.math.BigInteger, scale: Int): java.math.BigDecimal =
+      new java.math.BigDecimal(unscaled, scale)
+
     (primitive, logical) match {
+      case (PrimitiveTypeName.INT32,
+          Some(d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation)) =>
+        mk(java.math.BigDecimal.valueOf(
+             stats.genericGetMin.asInstanceOf[Integer].longValue(), d.getScale),
+           java.math.BigDecimal.valueOf(
+             stats.genericGetMax.asInstanceOf[Integer].longValue(), d.getScale))
+      case (PrimitiveTypeName.INT64,
+          Some(d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation)) =>
+        mk(java.math.BigDecimal.valueOf(
+             stats.genericGetMin.asInstanceOf[java.lang.Long].longValue(), d.getScale),
+           java.math.BigDecimal.valueOf(
+             stats.genericGetMax.asInstanceOf[java.lang.Long].longValue(), d.getScale))
+      case (PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY,
+          Some(d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation)) =>
+        mk(dec(new java.math.BigInteger(stats.genericGetMin
+             .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes), d.getScale),
+           dec(new java.math.BigInteger(stats.genericGetMax
+             .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes), d.getScale))
       case (PrimitiveTypeName.INT32, Some(_: DateLogicalTypeAnnotation)) =>
         mk(stats.genericGetMin.asInstanceOf[Integer].intValue(),
            stats.genericGetMax.asInstanceOf[Integer].intValue())

@@ -48,7 +48,125 @@ sealed trait KeyImage extends Serializable {
 
 object KeyImage {
   private[index] val MicrosPerDay = 86400000000L
-  private[index] val MicrosPerSecond = 1000000L
+  private[graft] val MicrosPerSecond = 1000000L
+
+  /** The analyzer-resolved timezone's FIXED offset in seconds (UTC = 0),
+    * or None for a geographic zone — fixed offsets have no DST fold, the
+    * precondition for every instant-reading image's monotonicity. */
+  def fixedOffsetSeconds(tzOpt: Option[String]): Option[Int] =
+    tzOpt.flatMap { tz =>
+      try {
+        val rules =
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(tz).getRules
+        if (rules.isFixedOffset)
+          Some(rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Recognize a resolved DATA-SPACE expression as a monotone image of an
+    * indexed time-typed attribute — the shared seam between the top-k
+    * rule and the stats predicate rewriter (r13). Returns the underlying
+    * attribute and the image whose [[KeyImage.apply]] over the CATALOG
+    * encoding equals the expression's value for every row. Soundness
+    * preconditions (fixed-offset zones for instant-reading shapes, the
+    * NTZ cast shift) are enforced here so callers can't misuse a shape. */
+  def fromDataExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      isIndexed: org.apache.spark.sql.catalyst.expressions.AttributeReference => Boolean)
+      : Option[(org.apache.spark.sql.catalyst.expressions.AttributeReference, KeyImage)] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Literal, ToUnixTimestamp, TruncDate, TruncTimestamp, UnixTimestamp, Year}
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    def shift(delta: Long, img: KeyImage): KeyImage =
+      if (delta == 0L) img else InputShiftImage(delta, img)
+
+    // a DATE-space leg: a DATE attribute, or a timestamp under the
+    // cast-to-date (NTZ zone-free; LTZ fixed-offset via the zoned image)
+    def dateLeg(x: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[(AttributeReference, Option[KeyImage])] = x match {
+      case ar: AttributeReference if ar.dataType == DateType && isIndexed(ar) =>
+        Some((ar, None))
+      case c: Cast if c.dataType == DateType =>
+        c.child match {
+          case ar: AttributeReference
+              if ar.dataType == TimestampNTZType && isIndexed(ar) =>
+            Some((ar, Some(CastDateImage)))
+          case ar: AttributeReference
+              if ar.dataType == TimestampType && isIndexed(ar) =>
+            fixedOffsetSeconds(c.timeZoneId).map(z => (ar, Some(castDate(z))))
+          case _ => None
+        }
+      case _ => None
+    }
+    def chainTo(ci: Option[KeyImage], outer: KeyImage): KeyImage =
+      ci.fold(outer)(inner => ChainedImage(inner, outer))
+    // a unix_timestamp operand: LTZ attr or NTZ attr directly (both
+    // zone-free — the NTZ wall micros divide as-is), or NTZ under an
+    // explicit fixed-offset cast (the shift adapter)
+    def unixLeg(x: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[(AttributeReference, Long)] = x match {
+      case ar: AttributeReference
+          if (ar.dataType == TimestampType || ar.dataType == TimestampNTZType) &&
+            isIndexed(ar) => Some((ar, 0L))
+      case c: Cast if c.dataType == TimestampType =>
+        (c.child, fixedOffsetSeconds(c.timeZoneId)) match {
+          case (ar: AttributeReference, Some(off))
+              if ar.dataType == TimestampNTZType && isIndexed(ar) =>
+            Some((ar, -off * MicrosPerSecond))
+          case _ => None
+        }
+      case _ => None
+    }
+    def fmtOf(x: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] =
+      x match {
+        case Literal(f: UTF8String, StringType) if f != null => Some(f.toString)
+        case _ => None
+      }
+
+    e match {
+      case c: Cast if c.dataType == DateType =>
+        dateLeg(c).collect { case (ar, Some(img)) => (ar, img) }
+      case t: TruncTimestamp =>
+        (fmtOf(t.format), fixedOffsetSeconds(t.timeZoneId)) match {
+          case (Some(fmt), Some(off)) =>
+            val leg: Option[(AttributeReference, Long)] = t.timestamp match {
+              case ar: AttributeReference
+                  if ar.dataType == TimestampType && isIndexed(ar) =>
+                Some((ar, 0L))
+              case c: Cast
+                  if c.dataType == TimestampType &&
+                    fixedOffsetSeconds(c.timeZoneId).contains(off) =>
+                c.child match {
+                  case ar: AttributeReference
+                      if ar.dataType == TimestampNTZType && isIndexed(ar) =>
+                    Some((ar, -off * MicrosPerSecond))
+                  case _ => None
+                }
+              case _ => None
+            }
+            for {
+              (ar, delta) <- leg
+              img <- TruncTimestampImage.forUnit(fmt, off)
+            } yield (ar, shift(delta, img))
+          case _ => None
+        }
+      case ut: UnixTimestamp =>
+        unixLeg(ut.timeExp).map { case (ar, d) => (ar, shift(d, UnixSecondsImage)) }
+      case ut: ToUnixTimestamp =>
+        unixLeg(ut.timeExp).map { case (ar, d) => (ar, shift(d, UnixSecondsImage)) }
+      case td: TruncDate =>
+        for {
+          fmt <- fmtOf(td.format)
+          (ar, ci) <- dateLeg(td.date)
+          img <- TruncDateImage.forUnit(fmt)
+        } yield (ar, chainTo(ci, img))
+      case Year(x) =>
+        dateLeg(x).map { case (ar, ci) => (ar, chainTo(ci, YearImage)) }
+      case _ => None
+    }
+  }
 
   /** `CAST(ts AS DATE)` under a FIXED-OFFSET session zone: identity
     * shift then epoch-day floor. Zero offset is the shared singleton so
@@ -255,7 +373,11 @@ case object YearImage extends KeyImage {
   * value is the instant's own epoch clock). */
 case object UnixSecondsImage extends KeyImage {
   def id: String = "unixsec"
-  def acceptsInput(dt: DataType): Boolean = dt == TimestampType
+  // NTZ too (r13): Spark's unix_timestamp divides a naive operand's wall
+  // micros directly, ignoring the session zone — the same arithmetic
+  // this image applies to the catalog's stored micros
+  def acceptsInput(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
   def resultType: DataType = LongType
   def apply(v: Any): Any =
     java.lang.Long.valueOf(
@@ -263,6 +385,29 @@ case object UnixSecondsImage extends KeyImage {
   def derbySql: Option[String => String] = Some { e =>
     s"(($e) / ${KeyImage.MicrosPerSecond})"
   }
+}
+
+/** NTZ-operand adapter (r13): the analyzer serves
+  * `date_trunc(unit, <ntz col>)` by CASTING the naive timestamp to an
+  * instant in the session zone first — for a fixed offset `off`, instant
+  * micros = stored NTZ wall micros − off·10⁶. Adding that constant shift
+  * in front of an instant-reading image keeps monotonicity (a constant
+  * shift is strictly increasing) and makes [[apply]] equal Spark's
+  * composed key exactly: `inner(v + deltaMicros)` with
+  * `deltaMicros = −off·10⁶`. The Derby rendering shifts the stats
+  * expression the same way. Only NTZ columns need this adapter — their
+  * catalog encoding is wall micros; the id keeps the inner tag (which
+  * already names the offset) plus an `.ntz` marker for route readers. */
+final case class InputShiftImage(deltaMicros: Long, inner: KeyImage)
+    extends KeyImage {
+  def id: String = s"${inner.id}.ntz"
+  def acceptsInput(dt: DataType): Boolean = dt == TimestampNTZType
+  def resultType: DataType = inner.resultType
+  def apply(v: Any): Any =
+    inner(java.lang.Long.valueOf(
+      v.asInstanceOf[java.lang.Number].longValue + deltaMicros))
+  def derbySql: Option[String => String] =
+    inner.derbySql.map(f => (e: String) => f(s"(($e) + $deltaMicros)"))
 }
 
 /** Monotone composition `outer ∘ inner` (r12) — e.g. `year(ts)` is

@@ -35,6 +35,12 @@ object SumShadow {
 
   def supported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
+    // r13: DECIMAL sums are exact and order-independent; with precision
+    // <= 18 the UNSCALED value fits a Long, so the BIGINT ledger stores
+    // the unscaled sum at the column's (fixed) scale. Wider decimals
+    // decline to the scan — a ledger that cannot hold the row-group sum
+    // exactly must not exist at all.
+    case d: DecimalType => d.precision <= 18
     case _ => false
   }
 
@@ -53,9 +59,19 @@ object SumShadow {
     val rgMeta = spark.sparkContext.broadcast(
       graft.plans.RowGroupScan.perRowGroupMeta(plans).toArray)
     val url = s"jdbc:derby:$dbPath"
+    // decimals ride the same BIGINT ledger as their UNSCALED sum (the
+    // scale is a constant of the column type, so sum-of-unscaled at that
+    // scale IS the exact decimal sum); integrals widen to Long
+    val isDecimal = dataSchema(sumCol).dataType.isInstanceOf[DecimalType]
+    val decScale = dataSchema(sumCol).dataType match {
+      case d: DecimalType => d.scale
+      case _ => 0
+    }
+    val valueCol =
+      if (isDecimal) col(sumCol).as("v") else col(sumCol).cast(LongType).as("v")
     RowGroupSkipScan.scan(spark, dir, plans, dataSchema,
         mergeRuns = false, requiredCols = Seq(sumCol))
-      .select(col(sumCol).cast(LongType).as("v"), spark_partition_id().as("pid"))
+      .select(valueCol, spark_partition_id().as("pid"))
       .rdd.foreachPartition { it =>
         var pid = -1
         var sum = 0L
@@ -65,8 +81,16 @@ object SumShadow {
           pid = r.getInt(1)
           sawRow = true
           if (!r.isNullAt(0) && !overflow) {
-            try sum = Math.addExact(sum, r.getLong(0))
-            catch { case _: ArithmeticException => overflow = true }
+            try {
+              val v =
+                if (isDecimal)
+                  // setScale pins the ledger to the COLUMN's scale even if
+                  // the runtime value arrives rescaled; any inexact
+                  // adjustment throws and fails the ledger closed
+                  r.getDecimal(0).setScale(decScale).unscaledValue().longValueExact()
+                else r.getLong(0)
+              sum = Math.addExact(sum, v)
+            } catch { case _: ArithmeticException => overflow = true }
           }
         }
         if (pid >= 0 && sawRow) {

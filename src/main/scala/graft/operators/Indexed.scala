@@ -718,6 +718,186 @@ object Indexed {
         .agg(count_distinct(col("l_orderkey")).as("n_keys")),
       Some("SELECT count(DISTINCT l_orderkey) AS n_keys FROM lineitem")),
 
+    // EXPRESSION-KEY top-k over a DATEPART RUN (idx32, r12 machinery,
+    // r13 gate): `ORDER BY year(ts) DESC, month(ts) DESC, id DESC LIMIT
+    // k` — the reporting-sort shape. A lone month() is not monotone, but
+    // the CONSECUTIVE (year, month) run on the same leg and direction is
+    // lexicographically the single monotone key trunc(cast(ts AS DATE),
+    // 'month') (TopKPushdown.keySpecs run collapse), so the catalog
+    // serves it like any other image key. Route
+    // `topk-lex2(trunc-month.date(l_shipdate),l_orderkey)`.
+    QueryDef(
+      "idx32_topk_year_run",
+      (s, dir) => lineitemTime(s, dir)
+        .orderBy(year(col("l_shipdate")).desc, month(col("l_shipdate")).desc,
+          col("l_orderkey").desc, col("l_linenumber").desc,
+          col("l_shipdate").desc)
+        .limit(10)
+        .select("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_shipdate, l_orderkey, l_linenumber, l_quantity
+             |FROM lineitem
+             |ORDER BY year(l_shipdate) DESC, month(l_shipdate) DESC,
+             |  l_orderkey DESC, l_linenumber DESC, l_shipdate DESC
+             |LIMIT 10""".stripMargin)),
+
+    // UNIX-SECONDS expression-key top-k (idx33, r12 machinery, r13 gate):
+    // `ORDER BY unix_timestamp(ts) DESC, ts DESC, id DESC LIMIT k`. The
+    // image is Spark's own truncating micros→seconds division (KeyImage.
+    // UnixSecondsImage — toward zero, exactly UnixTimestamp's arithmetic,
+    // NOT floor), zone-independent for a TIMESTAMP operand. The raw
+    // timestamp right after its own image is a DISTINCT deeper key (it
+    // refines second-bucket ties), so the prefix is three keys deep.
+    // Route `topk-lex3(unixsec(l_shipdate),l_shipdate,l_orderkey)`.
+    QueryDef(
+      "idx33_topk_unixsec",
+      (s, dir) => lineitemTime(s, dir)
+        .orderBy(unix_timestamp(col("l_shipdate")).desc,
+          col("l_shipdate").desc, col("l_orderkey").desc,
+          col("l_linenumber").desc)
+        .limit(10)
+        .select("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_shipdate, l_orderkey, l_linenumber, l_quantity
+             |FROM lineitem
+             |ORDER BY CAST(floor(epoch(l_shipdate)) AS BIGINT) DESC,
+             |  l_shipdate DESC, l_orderkey DESC, l_linenumber DESC
+             |LIMIT 10""".stripMargin)),
+
+    // DATE-column week truncation top-k (idx34, r12 machinery, r13 gate):
+    // `ORDER BY trunc(d, 'week') DESC, id DESC LIMIT k` over an indexed
+    // DATE column — zone-free (DATE carries no instant), rendered into
+    // the catalog walk as the Monday-anchored 7-day floor grid over
+    // stored epoch days (TruncDateImage). Fixture: lineitem re-typed
+    // with a DATE l_shipdate, time-clustered like the idx26 layout.
+    // Route `topk-lex2(trunc-week(l_shipdate),l_orderkey)`.
+    QueryDef(
+      "idx34_topk_trunc_week",
+      (s, dir) => lineitemDateClustered(s, dir)
+        .orderBy(trunc(col("l_shipdate"), "week").desc,
+          col("l_orderkey").desc, col("l_linenumber").desc,
+          col("l_shipdate").desc)
+        .limit(10)
+        .select("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT CAST(l_shipdate AS DATE) AS l_shipdate, l_orderkey,
+             |  l_linenumber, l_quantity
+             |FROM lineitem
+             |ORDER BY date_trunc('week', CAST(l_shipdate AS DATE)) DESC,
+             |  l_orderkey DESC, l_linenumber DESC,
+             |  CAST(l_shipdate AS DATE) DESC
+             |LIMIT 10""".stripMargin)),
+
+    // THREE-column catalog GROUP BY (idx35, r13 — StatsAggPushdown's
+    // joint-key certification generalized past two columns): on a triply
+    // value-aligned layout (one file set per (flag, status, line) triple)
+    // the whole report — counts, other-column extremes, BIGINT and
+    // DECIMAL sum ledgers — folds to a LocalRelation: one O(index)
+    // fetch, zero data scanned. The ≤1-partial-null-column rule is the
+    // certification boundary, not the column count.
+    QueryDef(
+      "idx35_groupby_3col",
+      (s, dir) => lineitemValueAligned3(s, dir)
+        .groupBy("l_returnflag", "l_linestatus", "l_linenumber")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("okmin"),
+          max(col("l_orderkey")).as("okmax"),
+          sum(col("l_orderkey")).as("sok"),
+          sum(col("l_price_dec")).as("spd"))
+        // fixed-scale string render AFTER the fold (driver-hash decimal
+        // policy); the Aggregate underneath still collapses to the catalog
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"),
+          col("n"), col("okmin"), col("okmax"), col("sok"),
+          col("spd").cast("string").as("sp")),
+      Some("""SELECT l_returnflag, l_linestatus, l_linenumber, count(*) AS n,
+             |  min(l_orderkey) AS okmin, max(l_orderkey) AS okmax,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS sok,
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(22,2))
+             |    AS VARCHAR) AS sp
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus, l_linenumber""".stripMargin)),
+
+    // GLOBAL DECIMAL SUM from the ledger (idx36, r13 — SumShadow's
+    // unscaled-BIGINT decimal ledger + StatsAggPushdown.ledgerSum): an
+    // exact money-typed SUM answered without touching data. Overflow at
+    // any seam — row-group accumulation, catalog SUM, result precision —
+    // fails closed to the scan.
+    QueryDef(
+      "idx36_agg_sum_decimal",
+      (s, dir) => lineitemValueAligned3(s, dir)
+        .agg(sum(col("l_price_dec")).as("spd"),
+          count(lit(1)).as("n"))
+        .select(col("spd").cast("string").as("sp"), col("n")),
+      Some("""SELECT
+             |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(22,2))
+             |    AS VARCHAR) AS sp,
+             |  count(*) AS n
+             |FROM lineitem""".stripMargin)),
+
+    // FIXED-OFFSET session-zone image key (idx37, r12 machinery, r13
+    // gate): the idx26 latest-k shape under `spark.sql.session.timeZone
+    // = +05:30`. A fixed offset has no DST fold, so date_trunc stays
+    // monotone and the offset rides INTO the image (the grid's anchor
+    // shifts by the offset — TruncTimestampImage offsetSeconds,
+    // behind the NTZ cast adapter since the stored column is naive); a
+    // geographic zone would keep the declarative plan instead. The frame
+    // is materialized inside the zone scope so analysis bakes the
+    // offset; route `topk-lex2(day@19800.ntz(l_shipdate),l_orderkey)`.
+    QueryDef(
+      "idx37_topk_zone_offset",
+      (s, dir) => withSessionTz(s, "+05:30") {
+        lineitemTime(s, dir)
+          .orderBy(date_trunc("day", col("l_shipdate")).desc,
+            col("l_orderkey").desc, col("l_linenumber").desc,
+            col("l_quantity").desc, col("l_shipdate").desc)
+          .limit(10)
+          .select("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+          .localCheckpoint()
+      },
+      Some("""SELECT l_shipdate, l_orderkey, l_linenumber, l_quantity
+             |FROM lineitem
+             |ORDER BY date_trunc('day', l_shipdate + INTERVAL 330 MINUTE) DESC,
+             |  l_orderkey DESC, l_linenumber DESC, l_quantity DESC,
+             |  l_shipdate DESC
+             |LIMIT 10""".stripMargin)),
+
+    // IMAGE-KEY predicate pruning (idx38, r13 — prune/StatsPredicateRewriter
+    // MonotoneImage + ImageRef): `WHERE CAST(ts AS DATE) BETWEEN d1 AND
+    // d2` — the single most common warehouse filter shape over event
+    // tables — previously fell to TRUE (full scan) because the operand is
+    // computed. A monotone image bounds f(x) by [f(min), f(max)], so the
+    // cast's epoch-day floor renders into the SAME catalog walk as raw
+    // bounds. The dedicated-index design makes this cheap: one arithmetic
+    // wrapper in the pruning SQL, zero extra ingest.
+    QueryDef(
+      "idx38_filter_castdate",
+      (s, dir) => lineitemTime(s, dir)
+        .filter(col("l_shipdate").cast("date")
+            >= lit(java.sql.Date.valueOf("1995-03-01")) &&
+          col("l_shipdate").cast("date")
+            <= lit(java.sql.Date.valueOf("1995-03-31")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sok")),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS sok
+             |FROM lineitem
+             |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-03-01'
+             |  AND DATE '1995-03-31'
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // composed image predicates (idx39, r13): a week-bucket EQUALITY
+    // (date_trunc) conjoined with a unix-seconds RANGE — both conjuncts
+    // rewrite through their interval images and intersect in the same
+    // pruning query; equality is the interval-overlap degenerate case.
+    QueryDef(
+      "idx39_filter_imgkeys",
+      (s, dir) => lineitemTime(s, dir)
+        .filter(date_trunc("week", col("l_shipdate"))
+            === lit(java.sql.Timestamp.valueOf("1996-06-03 00:00:00")) &&
+          unix_timestamp(col("l_shipdate")) < lit(834192000L))
+        .select("l_shipdate", "l_orderkey", "l_linenumber"),
+      Some("""SELECT l_shipdate, l_orderkey, l_linenumber
+             |FROM lineitem
+             |WHERE date_trunc('week', l_shipdate) = TIMESTAMP '1996-06-03 00:00:00'
+             |  AND CAST(floor(epoch(l_shipdate)) AS BIGINT) < 834192000""".stripMargin)),
+
     // row-level key index (the reference's named "precise index" extension,
     // index.rs:30-35): exact key -> (file, row_group) postings; scans only
     // row groups where the key OCCURS, not merely where its range overlaps
@@ -1079,6 +1259,115 @@ object Indexed {
       val (index, dataSchema) = IndexedParquet.buildIndex(
         spark, dataDir, Seq("l_shipdate", "l_orderkey"),
         s"$base/statsdb-time-v2")
+      val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
+      Entry(df, fileIndex, dataDir, index, dataSchema)
+    })
+
+  /** Scope a session-timezone override to one query build: analysis
+    * bakes the zone into every time expression, so the body must both
+    * CONSTRUCT and MATERIALIZE its frame inside the scope; the prior
+    * zone is restored even when the body throws (the shared session
+    * must not leak a zone into later queries — same discipline as
+    * [[withMicrosTimestamps]]). */
+  private[graft] def withSessionTz[A](s: SparkSession, tz: String)(body: => A): A = {
+    val key = "spark.sql.session.timeZone"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, tz)
+    try body
+    finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  private val dateCache = TrieMap.empty[String, Entry]
+
+  /** The TIME-clustered layout with a true DATE column: lineitem with
+    * l_shipdate re-typed DATE, range-partitioned and sorted on
+    * (l_shipdate, l_orderkey), both indexed — the idx34 fixture. The
+    * shape of a day-partitioned warehouse table, where `trunc(d, unit)`
+    * reporting sorts must read the newest row groups. */
+  def lineitemDateClustered(spark: SparkSession, sfDir: String): DataFrame =
+    dateEntry(spark, sfDir).df
+
+  def lastDateExecution(spark: SparkSession, sfDir: String) =
+    dateEntry(spark, sfDir).fileIndex.lastExecution
+
+  private def dateEntry(spark: SparkSession, sfDir: String): Entry =
+    dateCache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
+      val dataDir = s"$base/lineitem-date-v1"
+      if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
+        rmrf(new java.io.File(s"$base/statsdb-date-v1"))
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+          .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
+          .sortWithinPartitions("l_shipdate", "l_orderkey")
+          .write.mode("overwrite")
+          .option("parquet.block.row.count.limit", "2048")
+          .option("parquet.block.size", (1L * 1024 * 1024).toString)
+          .parquet(dataDir)
+      }
+      val (index, dataSchema) = IndexedParquet.buildIndex(
+        spark, dataDir, Seq("l_shipdate", "l_orderkey"),
+        s"$base/statsdb-date-v1")
+      val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
+      Entry(df, fileIndex, dataDir, index, dataSchema)
+    })
+
+  private val aligned3Cache = TrieMap.empty[String, Entry]
+
+  /** A TRIPLY value-aligned layout with a DECIMAL money column: one file
+    * set per (l_returnflag, l_linestatus, l_linenumber) triple, plus
+    * l_price_dec = l_extendedprice as DECIMAL(12,2) — the idx35/idx36
+    * fixture. Every row group is constant in all three grouping columns,
+    * so the catalog certifies the joint 3-key; the decimal column
+    * carries footer DECIMAL stats (r13) and the unscaled-BIGINT sum
+    * ledger. */
+  def lineitemValueAligned3(spark: SparkSession, sfDir: String): DataFrame =
+    aligned3Entry(spark, sfDir).df
+
+  def lastAligned3Execution(spark: SparkSession, sfDir: String) =
+    aligned3Entry(spark, sfDir).fileIndex.lastExecution
+
+  private def aligned3Entry(spark: SparkSession, sfDir: String): Entry =
+    aligned3Cache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
+      val dataDir = s"$base/lineitem-aligned3-v1"
+      val db = s"$base/statsdb-aligned3-v1"
+      if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
+        rmrf(new java.io.File(db))
+        val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .withColumn("l_price_dec",
+            col("l_extendedprice").cast("decimal(12,2)"))
+        val triples = src
+          .select("l_returnflag", "l_linestatus", "l_linenumber").distinct()
+          .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+          .sorted
+        triples.zipWithIndex.foreach { case ((f, ls, ln), i) =>
+          src.filter(col("l_returnflag") === f && col("l_linestatus") === ls &&
+              col("l_linenumber") === ln)
+            .coalesce(1)
+            .write.mode(if (i == 0) "overwrite" else "append")
+            .option("parquet.block.row.count.limit", "2048")
+            .option("parquet.block.size", (1L * 1024 * 1024).toString)
+            .parquet(dataDir)
+        }
+      }
+      val (index, dataSchema) = IndexedParquet.buildIndex(
+        spark, dataDir,
+        Seq("l_returnflag", "l_linestatus", "l_linenumber", "l_orderkey",
+          "l_price_dec"), db)
+      val hasSums = index.rowGroupStats("l_price_dec")
+        .exists(_.exists(_.sumVal.isDefined))
+      if (!hasSums) {
+        graft.index.SumShadow.build(spark, dataDir, index.allFiles(),
+          dataSchema, "l_orderkey", db)
+        graft.index.SumShadow.build(spark, dataDir, index.allFiles(),
+          dataSchema, "l_price_dec", db)
+      }
       val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
       Entry(df, fileIndex, dataDir, index, dataSchema)
     })

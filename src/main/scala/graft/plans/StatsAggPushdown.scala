@@ -185,21 +185,24 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     * comparator hazard). TWO grouping columns (r11) certify the joint
     * key per row group on a doubly-aligned layout, with at most one
     * column carrying a partial null slice per group (two splits make
-    * the joint distribution unknowable from per-column stats). Any
-    * other aggregate, a third grouping column, DISTINCT, or an agg
-    * filter disqualifies. Consistency with a scan holds because the
+    * the joint distribution unknowable from per-column stats); N
+    * grouping columns (r13) certify the same way — the partial-null
+    * rule, not the column count, is the certification boundary. Any
+    * other aggregate, DISTINCT, or an agg filter disqualifies. Consistency with a scan holds because the
     * relation's listing IS the catalog (see COUNT(*) note above). Kill
     * switch: `spark.graft.groupByAggPushdown=false`. */
   private def groupByRewrite(
       agg: Aggregate, idx: IndexedParquetFileIndex): Option[LogicalPlan] = {
     if (session.conf.get("spark.graft.groupByAggPushdown", "true") != "true")
       return None
-    // up to TWO grouping attributes (r11): a doubly-aligned layout — one
-    // file set per (source, label) pair — certifies the joint key the
-    // same way a single column does, per row group and per column
+    // N grouping attributes (r11: two; r13: any N): an N-aligned layout —
+    // one file set per (source, label, ...) tuple — certifies the joint
+    // key the same way a single column does, per row group and per
+    // column; the ≤1-partial-null-column rule below is what keeps the
+    // joint distribution knowable from per-column stats, independent of N
     val gs: Seq[AttributeReference] = {
       val exprs = agg.groupingExpressions
-      if (exprs.isEmpty || exprs.sizeIs > 2) return None
+      if (exprs.isEmpty) return None
       val attrs: Seq[AttributeReference] = exprs.map {
         case a: AttributeReference
             if indexed(idx.statsIndex, a) && ordered(a.dataType) => a
@@ -264,18 +267,31 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     def exactOther(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
           TimestampType | TimestampNTZType => true
+      case _: DecimalType => true // verbatim values, signed comparators (r13)
       case _ => false
     }
     def isGrouping(a: AttributeReference): Boolean =
       gs.exists(_.exprId == a.exprId)
-    val otherAggCols = agg.aggregateExpressions.flatMap {
-      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case Min(a: AttributeReference) if !isGrouping(a) => Seq(a)
-          case Max(a: AttributeReference) if !isGrouping(a) => Seq(a)
-          case _ => Nil
+    // CollapseProject may fold a post-aggregate render into the list: an
+    // aggregate under a Cast is still the same catalog-served aggregate
+    // (the cast replays on the folded value — see castValue)
+    def aggOf(ne: NamedExpression): Option[AggregateExpression] = ne match {
+      case Alias(ae: AggregateExpression, _) => Some(ae)
+      case Alias(c: org.apache.spark.sql.catalyst.expressions.Cast, _) =>
+        c.child match {
+          case ae: AggregateExpression => Some(ae)
+          case _ => None
         }
-      case _ => Nil
+      case _ => None
+    }
+    val plainAggs = agg.aggregateExpressions.flatMap(aggOf)
+      .filter(ae => !ae.isDistinct && ae.filter.isEmpty)
+    val otherAggCols = plainAggs.flatMap { ae =>
+      ae.aggregateFunction match {
+        case Min(a: AttributeReference) if !isGrouping(a) => Seq(a)
+        case Max(a: AttributeReference) if !isGrouping(a) => Seq(a)
+        case _ => Nil
+      }
     }.distinctBy(_.exprId)
     // key -> (min, max) per other column, merged over its row groups
     val otherExtremes: Map[String, scala.collection.Map[Key, (Option[Any], Option[Any])]] =
@@ -284,6 +300,10 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         if (anyGroupingNulls) return None
         otherAggCols.map { a =>
           if (!indexed(idx.statsIndex, a) || !exactOther(a.dataType)) return None
+          // the exactOther gate admits only types with a certified total
+          // order (integrals/date/ts as longs, decimal by value)
+          val ord = graft.prune.TopKPruning.ordering(a.dataType)
+            .getOrElse(return None)
           val os = idx.statsIndex.rowGroupStats(a.name).getOrElse(return None)
           val acc = scala.collection.mutable.HashMap
             .empty[Key, (Option[Any], Option[Any])]
@@ -296,8 +316,7 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
             if (nc != s.rowCount) { // all-null groups contribute no extreme
               val mn = s.min.getOrElse(return None)
               val mx = s.max.getOrElse(return None)
-              def lt(x: Any, y: Any) =
-                x.asInstanceOf[Number].longValue < y.asInstanceOf[Number].longValue
+              def lt(x: Any, y: Any) = ord.lt(x, y)
               acc.updateWith(v) {
                 case Some((pmn, pmx)) => Some((
                   Some(if (pmn.forall(p => lt(mn, p))) mn else pmn.get),
@@ -316,24 +335,20 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     // (the non-null tally decides SUM's NULL-on-empty-group semantics);
     // overflow while merging fails closed. COUNT(other) needs only the
     // null counts — no shadow, no constancy.
-    val sumAggCols = agg.aggregateExpressions.flatMap {
-      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case su: Sum => su.child match {
-            case a: AttributeReference if !isGrouping(a) => Seq(a)
-            case _ => Nil
-          }
+    val sumAggCols = plainAggs.flatMap { ae =>
+      ae.aggregateFunction match {
+        case su: Sum => su.child match {
+          case a: AttributeReference if !isGrouping(a) => Seq(a)
           case _ => Nil
         }
-      case _ => Nil
+        case _ => Nil
+      }
     }.distinctBy(_.exprId)
-    val cntAggCols = agg.aggregateExpressions.flatMap {
-      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case Count(Seq(a: AttributeReference)) if !isGrouping(a) => Seq(a)
-          case _ => Nil
-        }
-      case _ => Nil
+    val cntAggCols = plainAggs.flatMap { ae =>
+      ae.aggregateFunction match {
+        case Count(Seq(a: AttributeReference)) if !isGrouping(a) => Seq(a)
+        case _ => Nil
+      }
     }.distinctBy(_.exprId)
     // key -> (sum of non-null values, non-null row tally)
     val otherSums: Map[String, scala.collection.Map[Key, (Long, Long)]] =
@@ -385,15 +400,9 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       }
     // one output cell per (aggregate expression, group)
     def gIdx(a: AttributeReference): Int = gs.indexWhere(_.exprId == a.exprId)
-    def cell(ne: NamedExpression, key: Key, rows: Long): Option[Any] =
-      ne match {
-        case a: AttributeReference if gIdx(a) >= 0 =>
-          Some(key(gIdx(a)).flatMap(internal(_, a.dataType)).orNull)
-        case Alias(a: AttributeReference, _) if gIdx(a) >= 0 =>
-          Some(key(gIdx(a)).flatMap(internal(_, a.dataType)).orNull)
-        case Alias(ae: AggregateExpression, _)
-            if !ae.isDistinct && ae.filter.isEmpty =>
-          ae.aggregateFunction match {
+    def cellAgg(ae: AggregateExpression, key: Key, rows: Long): Option[Any] =
+      if (ae.isDistinct || ae.filter.nonEmpty) None
+      else ae.aggregateFunction match {
             case Count(Seq(l: Literal)) if l.value != null => Some(rows)
             case Count(Seq(a: AttributeReference)) if gIdx(a) >= 0 =>
               Some(if (key(gIdx(a)).isDefined) rows else 0L)
@@ -409,10 +418,12 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
                 .flatMap(internal(_, a.dataType)).orNull)
             case su: Sum => su.child match {
               case a: AttributeReference if otherSums.contains(a.name) =>
-                Some(otherSums(a.name).get(key).collect {
+                otherSums(a.name).get(key) match {
                   // zero non-null rows in the group ⇒ SQL NULL
-                  case (sv, nn) if nn > 0 => Long.box(sv)
-                }.orNull)
+                  case Some((sv, nn)) if nn > 0 =>
+                    ledgerSum(su.dataType, a.dataType, sv) // None ⇒ abort
+                  case _ => Some(null)
+                }
               case _ => None
             }
             case Count(Seq(a: AttributeReference))
@@ -420,6 +431,19 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
               Some(otherCounts(a.name).getOrElse(key, 0L))
             case _ => None
           }
+    def cell(ne: NamedExpression, key: Key, rows: Long): Option[Any] =
+      ne match {
+        case a: AttributeReference if gIdx(a) >= 0 =>
+          Some(key(gIdx(a)).flatMap(internal(_, a.dataType)).orNull)
+        case Alias(a: AttributeReference, _) if gIdx(a) >= 0 =>
+          Some(key(gIdx(a)).flatMap(internal(_, a.dataType)).orNull)
+        case Alias(c: org.apache.spark.sql.catalyst.expressions.Cast, _) =>
+          c.child match {
+            case ae: AggregateExpression =>
+              cellAgg(ae, key, rows).flatMap(castValue(c, ae.dataType, _))
+            case _ => None
+          }
+        case Alias(ae: AggregateExpression, _) => cellAgg(ae, key, rows)
         case _ => None
       }
     val rows = byKey.toSeq.map { case (key, n) =>
@@ -507,11 +531,33 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     }
 
   /** One aggregate output column → its certified catalog value (already in
-    * Catalyst internal encoding), or None ⇒ the whole rewrite aborts. */
+    * Catalyst internal encoding), or None ⇒ the whole rewrite aborts.
+    * CollapseProject may fold a post-aggregate render (e.g. the decimal
+    * fixed-scale string cast) INTO the aggregate list — a Cast over a
+    * certified aggregate is served by evaluating Spark's own cast on the
+    * catalog value. */
   private def catalogValue(index: StatsIndex, ne: Expression): Option[Any] = ne match {
-    case Alias(ae: AggregateExpression, _)
-        if !ae.isDistinct && ae.filter.isEmpty =>
-      ae.aggregateFunction match {
+    case Alias(c: org.apache.spark.sql.catalyst.expressions.Cast, _) =>
+      c.child match {
+        case ae: AggregateExpression =>
+          aggValue(index, ae).flatMap(castValue(c, ae.dataType, _))
+        case _ => None
+      }
+    case Alias(ae: AggregateExpression, _) => aggValue(index, ae)
+    case _ => None
+  }
+
+  /** Evaluate the (already resolved) Cast on a catalog-served internal
+    * value — Spark's own conversion, so the folded plan renders exactly
+    * what the scan would. Failure (e.g. ANSI overflow) ⇒ no rewrite. */
+  private def castValue(
+      c: org.apache.spark.sql.catalyst.expressions.Cast,
+      from: DataType, v: Any): Option[Any] =
+    scala.util.Try(c.withNewChildren(Seq(Literal(v, from))).eval(null)).toOption
+
+  private def aggValue(index: StatsIndex, ae: AggregateExpression): Option[Any] =
+    if (ae.isDistinct || ae.filter.nonEmpty) None
+    else ae.aggregateFunction match {
         case Min(a: AttributeReference) if indexed(index, a) && ordered(a.dataType) =>
           index.minIndexedValue(a.name).flatMap(internal(_, a.dataType))
         case Max(a: AttributeReference) if indexed(index, a) && ordered(a.dataType) =>
@@ -520,21 +566,36 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
           index.totalRowCount()
         case Count(Seq(a: AttributeReference)) if indexed(index, a) =>
           index.nonNullCount(a.name)
-        // global SUM from the SumShadow ledger (r11): exact when every
-        // row group carries a built, non-overflowed sum; zero non-null
-        // rows ⇒ SQL NULL
+        // global SUM from the SumShadow ledger (r11; r13 decimal): exact
+        // when every row group carries a built, non-overflowed sum; zero
+        // non-null rows ⇒ SQL NULL
         case su: Sum => su.child match {
           case a: AttributeReference
               if indexed(index, a) && graft.index.SumShadow.supported(a.dataType) =>
-            index.totalSum(a.name).map { case (sv, nn) =>
-              if (nn > 0) Long.box(sv) else null
+            index.totalSum(a.name).flatMap { case (sv, nn) =>
+              if (nn > 0) ledgerSum(su.dataType, a.dataType, sv) else Some(null)
             }
           case _ => None
         }
         case _ => None
       }
-    case _ => None
-  }
+
+  /** A BIGINT ledger sum → the Sum aggregate's internal result value.
+    * For an integral column the ledger IS the sum; for a decimal column
+    * it is the UNSCALED sum at the column's scale (SumShadow), re-scaled
+    * into the aggregate's wider result decimal. A value that cannot fit
+    * the declared result precision returns None — the rewrite declines
+    * and the scan applies Spark's own overflow semantics. */
+  private def ledgerSum(
+      resType: DataType, colType: DataType, ledger: Long): Option[Any] =
+    (resType, colType) match {
+      case (LongType, _) => Some(Long.box(ledger))
+      case (rd: DecimalType, cd: DecimalType) =>
+        scala.util.Try(org.apache.spark.sql.types.Decimal(
+          BigDecimal(java.math.BigDecimal.valueOf(ledger, cd.scale)),
+          rd.precision, rd.scale)).toOption
+      case _ => None
+    }
 
   private def indexed(index: StatsIndex, a: AttributeReference): Boolean =
     index.indexedSchema.fields.exists(f => f.name == a.name && f.dataType == a.dataType)
@@ -547,6 +608,9 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
   private def ordered(dt: DataType): Boolean = dt match {
     case StringType | ByteType | ShortType | IntegerType | LongType |
         DateType | TimestampType | TimestampNTZType => true
+    // r13: DECIMAL footer stats use signed (value) comparators — no FP
+    // hazard — and the catalog stores them losslessly at DECIMAL(31,s)
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -564,6 +628,13 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       Some(v.asInstanceOf[Number].longValue)
     case FloatType => Some(v.asInstanceOf[Number].floatValue)
     case DoubleType => Some(v.asInstanceOf[Number].doubleValue)
+    // a stored decimal stat is an actual column value, so it fits the
+    // column's (precision, scale) — a value that somehow doesn't (e.g. a
+    // foreign catalog) degrades to no-rewrite rather than a wrong literal
+    case d: DecimalType =>
+      scala.util.Try(org.apache.spark.sql.types.Decimal(
+        BigDecimal(v.asInstanceOf[java.math.BigDecimal]),
+        d.precision, d.scale)).toOption
     case _ => None
   }
 }

@@ -312,122 +312,33 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** One SortOrder → (underlying attribute, catalog sort-key spec), or
-    * None when the certificate family cannot serve it. Recognized keys:
-    * a plain indexed attribute; `date_trunc(unit, ts)` (r11) and
-    * `CAST(ts AS DATE)` (r11) over an indexed timestamp; `year(leg)`,
-    * `trunc(date, unit)` and `unix_timestamp(ts)` (r12). Instant-reading
-    * images are certified MONOTONE only under a FIXED-OFFSET session
-    * timezone (r12 — no DST fold where local wall time runs backward;
-    * UTC is the zero case), with the offset carried into the image; any
-    * geographic zone degrades to the declarative plan rather than
-    * risking a mis-ordered image. */
+    * None when the certificate family cannot serve it. A key is a plain
+    * indexed attribute, or any monotone image the SHARED recognizer
+    * ([[graft.index.KeyImage.fromDataExpr]]) certifies: `date_trunc` /
+    * `CAST(ts AS DATE)` (r11), `year` / `trunc(date, unit)` /
+    * `unix_timestamp` (r12), fixed-offset session zones carried into the
+    * image and the NTZ cast-shift adapter (r13). Geographic zones and
+    * unindexed operands return None — the declarative plan stands. */
   private def asKeySpec(
       so: SortOrder, child: LogicalPlan, idx: graft.index.StatsIndex)
       : Option[(AttributeReference, graft.index.SortKeySpec)] = {
     val desc = so.direction == Descending
     val nf = so.nullOrdering == NullsFirst
-    def spec(ar: AttributeReference, img: Option[graft.index.KeyImage]) =
-      Some((ar, graft.index.SortKeySpec(ar.name, desc, nf, img)))
     so.child match {
       case ar: AttributeReference if indexedAs(ar, child, idx) =>
-        spec(ar, None)
-      // CAST(ts AS DATE): the epoch-day image (offset-shifted for a
-      // non-zero fixed-offset session)
-      case c: org.apache.spark.sql.catalyst.expressions.Cast
-          if c.dataType == DateType =>
-        dateLeg(c, child, idx).collect { case (ar, Some(img)) =>
-          (ar, graft.index.SortKeySpec(ar.name, desc, nf, Some(img)))
-        }
-      // year(date) / year(ts): the calendar-year image over the date leg
-      case org.apache.spark.sql.catalyst.expressions.Year(e) =>
-        dateLeg(e, child, idx).flatMap { case (ar, ci) =>
-          spec(ar, Some(chain(ci, graft.index.YearImage)))
-        }
-      // trunc(date, unit): DATE-space calendar floor — zone-free
-      case td: org.apache.spark.sql.catalyst.expressions.TruncDate =>
-        (td.format, dateLeg(td.date, child, idx)) match {
-          case (Literal(fmt: org.apache.spark.unsafe.types.UTF8String,
-              StringType), Some((ar, ci))) if fmt != null =>
-            graft.index.TruncDateImage.forUnit(fmt.toString)
-              .flatMap(img => spec(ar, Some(chain(ci, img))))
-          case _ => None
-        }
-      // unix_timestamp(ts) / to_unix_timestamp(ts): floor epoch seconds —
-      // zone-INDEPENDENT for a timestamp operand (the instant's own
-      // clock); NTZ only under the identity (zero-offset) cast
-      case ut: org.apache.spark.sql.catalyst.expressions.UnixTimestamp =>
-        tsLeg(ut.timeExp, child, idx)
-          .flatMap(ar => spec(ar, Some(graft.index.UnixSecondsImage)))
-      case ut: org.apache.spark.sql.catalyst.expressions.ToUnixTimestamp =>
-        tsLeg(ut.timeExp, child, idx)
-          .flatMap(ar => spec(ar, Some(graft.index.UnixSecondsImage)))
-      case t: TruncTimestamp =>
-        (t.format, fixedOffsetSeconds(t.timeZoneId)) match {
-          case (Literal(fmt: org.apache.spark.unsafe.types.UTF8String,
-              StringType), Some(off)) if fmt != null =>
-            // the timestamp operand: an LTZ attribute directly (any fixed
-            // offset — carried into the image), or a TIMESTAMP_NTZ
-            // attribute under the analyzer's implicit cast, which is
-            // identity on the stored micros ONLY at zero offset (an NTZ
-            // value's micros are its wall micros)
-            val tsAttr = t.timestamp match {
-              case ar: AttributeReference
-                  if ar.dataType == TimestampType &&
-                    indexedAs(ar, child, idx) => Some(ar)
-              case c: org.apache.spark.sql.catalyst.expressions.Cast
-                  if c.dataType == TimestampType && off == 0 &&
-                    fixedOffsetSeconds(c.timeZoneId).contains(0) =>
-                c.child match {
-                  case ar: AttributeReference
-                      if ar.dataType == TimestampNTZType &&
-                        indexedAs(ar, child, idx) => Some(ar)
-                  case _ => None
-                }
-              case _ => None
-            }
-            tsAttr.flatMap(ar =>
-              graft.index.TruncTimestampImage.forUnit(fmt.toString, off)
-                .flatMap(img => spec(ar, Some(img))))
-          case _ => None
-        }
-      case _ => None
+        Some((ar, graft.index.SortKeySpec(ar.name, desc, nf, None)))
+      case e =>
+        graft.index.KeyImage.fromDataExpr(e, ar => indexedAs(ar, child, idx))
+          .map { case (ar, img) =>
+            (ar, graft.index.SortKeySpec(ar.name, desc, nf, Some(img)))
+          }
     }
   }
 
-  /** A TIMESTAMP (instant) operand over an indexed column, for
-    * zone-independent images: an LTZ attribute, or NTZ under the
-    * zero-offset (identity) cast. */
-  private def tsLeg(
-      e: Expression, child: LogicalPlan, idx: graft.index.StatsIndex)
-      : Option[AttributeReference] = e match {
-    case ar: AttributeReference
-        if ar.dataType == TimestampType && indexedAs(ar, child, idx) =>
-      Some(ar)
-    case c: org.apache.spark.sql.catalyst.expressions.Cast
-        if c.dataType == TimestampType &&
-          fixedOffsetSeconds(c.timeZoneId).contains(0) =>
-      c.child match {
-        case ar: AttributeReference
-            if ar.dataType == TimestampNTZType && indexedAs(ar, child, idx) =>
-          Some(ar)
-        case _ => None
-      }
-    case _ => None
-  }
-
-  /** The analyzer-resolved timezone's FIXED offset in seconds (UTC = 0),
-    * or None for a geographic zone — fixed offsets have no DST fold, the
-    * precondition for every instant-reading image's monotonicity. */
+  /** See [[graft.index.KeyImage.fixedOffsetSeconds]] — kept as a local
+    * alias for the datepart-run recognizer's date legs. */
   private def fixedOffsetSeconds(tzOpt: Option[String]): Option[Int] =
-    tzOpt.flatMap { tz =>
-      try {
-        val rules =
-          org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(tz).getRules
-        if (rules.isFixedOffset)
-          Some(rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds)
-        else None
-      } catch { case scala.util.control.NonFatal(_) => None }
-    }
+    graft.index.KeyImage.fixedOffsetSeconds(tzOpt)
 
   /** `cond` as a DISJUNCTION of per-column bound sets
     * ([[TopKPruning.Disjunct]]): the top-level conjuncts may contain AT

@@ -101,6 +101,12 @@ object ExprToDerbySql {
       }
       s"CAST(${print(c)} AS $t)"
 
+    // monotone-image application over a stats column (r13): the image
+    // carries its own Derby rendering; construction is gated on it, so a
+    // missing rendering here is a rewriter bug — degrade to TRUE anyway
+    case ImageRef(img, c) =>
+      img.derbySql.map(f => f(print(c))).getOrElse(return "TRUE")
+
     case Substring(s, p, l) => s"SUBSTR(${print(s)}, ${print(p)}, ${print(l)})"
     // LIKE appears in the NOT-LIKE constant-group rewrite; only the
     // default backslash escape is ever emitted

@@ -37,6 +37,25 @@ final case class BloomMightContain(colName: String, probe: Either[Long, String])
   override def nullable: Boolean = false
 }
 
+/** Stats-space application of a monotone [[graft.index.KeyImage]] to a
+  * stats column (r13): the interval image of `f(col)` over a row group is
+  * `[f(col_min), f(col_max)]`, so predicates on computed time keys —
+  * `CAST(ts AS DATE) = d`, `date_trunc('day', ts) >= t`,
+  * `unix_timestamp(ts) < s` — prune through the same interval machinery
+  * as raw columns. Constructed ONLY for images with a Derby rendering
+  * (the catalog walk is the execution path); evaluable in Catalyst too so
+  * the rewriter's property harness can exercise it directly. */
+final case class ImageRef(image: graft.index.KeyImage, child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = image.resultType
+  override def nullable: Boolean = true
+  protected override def nullSafeEval(input: Any): Any = image(input)
+  override protected def withNewChildInternal(newChild: Expression): ImageRef =
+    copy(child = newChild)
+  override def prettyName: String = s"img_${image.id}"
+}
+
 object StatsPredicateRewriter {
 
   def minCol(c: String): Expression = UnresolvedAttribute(c + "_min")
@@ -193,6 +212,13 @@ object StatsPredicateRewriter {
       case _ => None
     }
 
+    object MonotoneImage {
+      def unapply(e: Expression): Option[(String, graft.index.KeyImage)] =
+        graft.index.KeyImage
+          .fromDataExpr(e, ar => indexedCols.contains(ar.name))
+          .collect { case (ar, img) if img.derbySql.isDefined => (ar.name, img) }
+    }
+
     /** Bloom-probeable side of an equality: the bloom column itself, or a
       * widening INTEGRAL cast of it (ingest widened values to long, so the
       * probe widens identically; float/double targets are excluded — a
@@ -234,6 +260,13 @@ object StatsPredicateRewriter {
         Some(Ival(minCol(a.name), maxCol(a.name), Set(a.name)))
       case l: Literal if l.value != null && !isNaN(l) =>
         Some(Ival(l, l, Set.empty))
+      // monotone image of an indexed time-typed column (r13): f monotone
+      // ⇒ f(x) ∈ [f(min), f(max)] for every row of the group — computed
+      // date/time keys prune through the ordinary interval comparisons.
+      // Only Derby-renderable images decompose (the walk executes in the
+      // catalog); calendar-unit truncs and year() fall through to TRUE.
+      case MonotoneImage(c, img) =>
+        Some(Ival(ImageRef(img, minCol(c)), ImageRef(img, maxCol(c)), Set(c)))
       case Add(x, y, _) =>
         for (a <- interval(x); b <- interval(y))
           yield Ival(Add(a.lo, b.lo), Add(a.hi, b.hi), a.refs ++ b.refs)
@@ -545,11 +578,16 @@ object StatsPredicateRewriter {
 
       // a IN (l1, l2, …)  ⇒  OR of the equality rewrites (also fires for a
       // widening cast of a bloom column, so `CAST(k) IN (…)` keeps its
-      // per-member bloom terms)
-      case In(a, values) if (attr(a).isDefined || bloomAttr(a).isDefined) &&
+      // per-member bloom terms, and for any interval-decomposable operand
+      // — r13: `CAST(ts AS DATE) IN (…)` via the monotone image)
+      case In(a, values)
+          if (attr(a).isDefined || bloomAttr(a).isDefined ||
+            interval(a).exists(_.refs.nonEmpty)) &&
           values.nonEmpty && values.forall(_.isInstanceOf[Literal]) =>
         values.map(v => rw(EqualTo(a, v.asInstanceOf[Literal]))).reduce(Or)
-      case InSet(a, hset) if (attr(a).isDefined || bloomAttr(a).isDefined) &&
+      case InSet(a, hset)
+          if (attr(a).isDefined || bloomAttr(a).isDefined ||
+            interval(a).exists(_.refs.nonEmpty)) &&
           hset.nonEmpty && hset.size <= 256 =>
         val dt = a.dataType
         hset.toSeq.map(v => rw(EqualTo(a, Literal(v, dt)))).reduce(Or)

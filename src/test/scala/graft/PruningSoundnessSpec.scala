@@ -155,6 +155,128 @@ class PruningSoundnessSpec extends SparkSpec {
     }
   }
 
+  // ---- r13: monotone-image predicates over time-typed columns ------------
+
+  /** 4000 events at a 20-minute stride (+ sub-second noise) over ~55 days
+    * of 1970, in 50-row groups: `tsl` an instant (LTZ micros), `tsn` the
+    * same wall time as TIMESTAMP_NTZ, `d` the calendar date, ~5% nulls in
+    * each — the fixture for `CAST(ts AS DATE)` / `date_trunc` /
+    * `unix_timestamp` predicate pruning through the image rewrite. */
+  private lazy val timeEnv: (String, DataFrame, graft.sources.IndexedParquetFileIndex) = {
+    val base = Files.createTempDirectory("graft-sound-time").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    graft.operators.Indexed.withMicrosTimestamps(spark) {
+      (0 until 4000)
+        .map { i =>
+          val millis = i.toLong * 1200000L + ((i.toLong * 2971L) % 500L) * 1000L + 400L
+          (if (i % 20 == 7) None else Some(new java.sql.Timestamp(millis)), i.toLong)
+        }
+        .toDF("tsl", "id")
+        .withColumn("tsn", col("tsl").cast("timestamp_ntz"))
+        .withColumn("d", col("tsl").cast("date"))
+        .coalesce(1)
+        .write.option("parquet.block.row.count.limit", "50")
+        .mode("overwrite").parquet(dir)
+    }
+    val (index, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("tsl", "tsn", "d", "id"), s"$base/statsdb")
+    val (df, fileIndex) = IndexedParquet.read(spark, dir, index, schema)
+    (dir, df, fileIndex)
+  }
+
+  test("r13: image predicates (castdate/trunc/unixsec) prune soundly and narrow") {
+    val (dir, df, fileIndex) = timeEnv
+    val plain = spark.read.parquet(dir)
+    val total = fileIndex.statsIndex.allFiles().map(_.rowGroupCount).sum
+    val d1 = java.sql.Date.valueOf("1970-02-01")
+    val d2 = java.sql.Date.valueOf("1970-02-07")
+    val monday = java.sql.Timestamp.valueOf("1970-02-02 00:00:00")
+    val shapes: Seq[(String, Column)] = Seq(
+      ("castdate-eq-ltz", col("tsl").cast("date") === lit(d1)),
+      ("castdate-range-ltz", col("tsl").cast("date").between(lit(d1), lit(d2))),
+      ("castdate-eq-ntz", col("tsn").cast("date") === lit(d1)),
+      ("trunc-day-eq-ltz",
+        date_trunc("day", col("tsl")) === lit(java.sql.Timestamp.valueOf("1970-02-01 00:00:00"))),
+      ("trunc-week-eq-ltz", date_trunc("week", col("tsl")) === lit(monday)),
+      ("trunc-week-eq-ntz", date_trunc("week", col("tsn")) === lit(monday)),
+      ("unixsec-range-ltz",
+        unix_timestamp(col("tsl")).between(lit(2678400L), lit(2764800L))),
+      ("unixsec-lt-ntz", unix_timestamp(col("tsn")) < lit(864000L)),
+      ("trunc-date-week", trunc(col("d"), "week") === lit(d2.toLocalDate.minusDays(5))),
+      ("castdate-in", col("tsl").cast("date").isin(d1, d2)),
+      // calendar unit: no Derby render — must fall to TRUE (full scan), not error
+      ("trunc-month-eq-ltz",
+        date_trunc("month", col("tsl")) === lit(java.sql.Timestamp.valueOf("1970-02-01 00:00:00"))))
+    var narrowed = 0
+    shapes.foreach { case (tag, pred) =>
+      val got = df.filter(pred).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val want = plain.filter(pred).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === want, s"[$tag] image-pruned result diverged")
+      assert(want.nonEmpty, s"[$tag] fixture never matched — dead shape")
+      val ex = fileIndex.lastExecution.get
+      if (ex.scannedRowGroups < total) narrowed += 1
+      else assert(tag == "trunc-month-eq-ltz",
+        s"[$tag] never narrowed (${ex.scannedRowGroups}/$total)")
+    }
+    assert(narrowed >= shapes.size - 1,
+      s"only $narrowed/${shapes.size} image shapes narrowed")
+  }
+
+  test("r13: image predicates stay sound under session-zone changes") {
+    val (dir, df, fileIndex) = timeEnv
+    val plain = spark.read.parquet(dir)
+    val total = fileIndex.statsIndex.allFiles().map(_.rowGroupCount).sum
+    val d1 = java.sql.Date.valueOf("1970-02-01")
+    def run(tag: String, pred: Column, expectNarrow: Boolean): Unit = {
+      val got = df.filter(pred).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val want = plain.filter(pred).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === want, s"[$tag] diverged")
+      assert(want.nonEmpty, s"[$tag] fixture never matched — dead shape")
+      val ex = fileIndex.lastExecution.get
+      if (expectNarrow)
+        assert(ex.scannedRowGroups < total, s"[$tag] never narrowed")
+    }
+    // equality literals are derived by folding the SAME shape over a
+    // mid-fixture constant, so each predicate matches rows in EVERY zone
+    val tsMid = java.sql.Timestamp.valueOf("1970-02-01 06:00:00")
+    // a fixed offset: the zoned images fire for LTZ, the shift adapter
+    // for NTZ-under-the-analyzer-cast
+    graft.operators.Indexed.withSessionTz(spark, "+05:30") {
+      run("castdate-eq-ltz@+0530",
+        col("tsl").cast("date") === lit(tsMid).cast("date"),
+        expectNarrow = true)
+      run("trunc-day-ntz@+0530",
+        date_trunc("day", col("tsn")) === date_trunc("day", lit(tsMid)),
+        expectNarrow = true)
+      run("unixsec-ltz@+0530", unix_timestamp(col("tsl")) < lit(864000L),
+        expectNarrow = true)
+    }
+    // a geographic (DST) zone: instant-reading images must NOT fire for
+    // LTZ (no monotonicity certificate) — result equality via full scan;
+    // zone-free shapes (NTZ cast-date, unixsec over either flavor) still
+    // narrow because their semantics ignore the zone
+    graft.operators.Indexed.withSessionTz(spark, "America/New_York") {
+      run("castdate-ltz@dst",
+        col("tsl").cast("date") === lit(tsMid).cast("date"),
+        expectNarrow = false)
+      run("castdate-ntz@dst", col("tsn").cast("date") === lit(d1),
+        expectNarrow = true)
+      run("unixsec-ltz@dst", unix_timestamp(col("tsl")) < lit(864000L),
+        expectNarrow = true)
+    }
+  }
+
+  test("r13: the registered image-predicate queries prune the time fixture") {
+    Seq("idx38_filter_castdate", "idx39_filter_imgkeys").foreach { name =>
+      val q = SparkEntry.registry.find(_.name == name).get
+      assert(q.fn(spark, sf("sf0.001")).collect().nonEmpty, s"$name empty")
+      val ex = graft.operators.Indexed.lastTimeExecution(spark, sf("sf0.001")).get
+      assert(ex.scannedRowGroups < ex.totalRowGroups,
+        s"$name never pruned (${ex.scannedRowGroups}/${ex.totalRowGroups})")
+    }
+  }
+
   // the spec's env exposes only the FileIndex; reach its StatsIndex
   private def fileIndexStats(fi: graft.sources.IndexedParquetFileIndex) = fi.statsIndex
 

@@ -327,6 +327,91 @@ class StatsAggPushdownSpec extends SparkSpec {
     assert(rows.length === 3) // A / N / R, no null flags
   }
 
+  test("r13: THREE-column GROUP BY folds on the triply-aligned layout") {
+    val q = SparkEntry.registry.find(_.name == "idx35_groupby_3col").get
+    val df = q.fn(spark, sf("sf0.001"))
+    assert(folded(df), df.queryExecution.optimizedPlan.toString)
+    val viaFold = df.collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.groupByAggPushdown", "false")
+    val viaScan = try {
+      val d = q.fn(spark, sf("sf0.001"))
+      assert(!folded(d))
+      d.collect().map(_.toString).sorted
+    } finally spark.conf.unset("spark.graft.groupByAggPushdown")
+    assert(viaFold === viaScan, "3-col catalog fold diverged from the scan")
+    // a fourth column that STRADDLES row groups still fails closed — the
+    // partial-null / constancy certification, not the column count, is
+    // the boundary
+    val bad = graft.operators.Indexed.lineitemValueAligned3(spark, sf("sf0.001"))
+      .groupBy("l_returnflag", "l_linestatus", "l_linenumber", "l_orderkey")
+      .agg(count(lit(1)).as("n"))
+    assert(!folded(bad), bad.queryExecution.optimizedPlan.toString)
+  }
+
+  test("r13: DECIMAL SUM folds from the unscaled ledger, globally and per group") {
+    val q = SparkEntry.registry.find(_.name == "idx36_agg_sum_decimal").get
+    val df = q.fn(spark, sf("sf0.001"))
+    assert(folded(df), df.queryExecution.optimizedPlan.toString)
+    val viaFold = df.collect()
+    spark.conf.set("spark.graft.statsAggPushdown", "false")
+    val viaScan = try {
+      val d = q.fn(spark, sf("sf0.001"))
+      assert(!folded(d))
+      d.collect()
+    } finally spark.conf.unset("spark.graft.statsAggPushdown")
+    assert(viaFold === viaScan, "global decimal ledger diverged from the scan")
+    // the raw decimal aggregate (no string render) folds too, and the
+    // per-group decimal extremes ride the same certification
+    val d3 = graft.operators.Indexed.lineitemValueAligned3(spark, sf("sf0.001"))
+    val agg = d3.agg(sum(col("l_price_dec")).as("sp"),
+      min(col("l_price_dec")).as("mn"), max(col("l_price_dec")).as("mx"))
+    assert(folded(agg), agg.queryExecution.optimizedPlan.toString)
+    val grouped = d3.groupBy("l_returnflag", "l_linestatus", "l_linenumber")
+      .agg(sum(col("l_price_dec")).as("sp"),
+        min(col("l_price_dec")).as("mn"), max(col("l_price_dec")).as("mx"))
+    assert(folded(grouped), grouped.queryExecution.optimizedPlan.toString)
+    spark.conf.set("spark.graft.statsAggPushdown", "false")
+    try {
+      assert(agg.collect() ===
+        d3.agg(sum(col("l_price_dec")).as("sp"),
+          min(col("l_price_dec")).as("mn"),
+          max(col("l_price_dec")).as("mx")).collect())
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getString(1), r.getInt(2)) -> r.toSeq.drop(3)
+      assert(grouped.collect().map(key).toMap ===
+        d3.groupBy("l_returnflag", "l_linestatus", "l_linenumber")
+          .agg(sum(col("l_price_dec")).as("sp"),
+            min(col("l_price_dec")).as("mn"),
+            max(col("l_price_dec")).as("mx")).collect().map(key).toMap,
+        "grouped decimal ledger/extremes diverged from the scan")
+    } finally spark.conf.unset("spark.graft.statsAggPushdown")
+  }
+
+  test("r13: DECIMAL footer stats certify predicate pruning end to end") {
+    val dir = sf("sf0.001")
+    val df = graft.operators.Indexed.lineitemValueAligned3(spark, dir)
+    // price predicates prune through the catalog's DECIMAL(31,2) stats:
+    // an impossible price prunes everything; a vacuous bound keeps all
+    val none = df.filter(col("l_price_dec") < new java.math.BigDecimal("0.00"))
+      .agg(count(lit(1)).as("n"))
+    assert(none.collect().head.getLong(0) === 0L)
+    val exec = graft.operators.Indexed.lastAligned3Execution(spark, dir).get
+    assert(exec.scannedRowGroups === 0,
+      s"kept ${exec.scannedRowGroups} of ${exec.totalRowGroups} for an impossible price")
+    // a real range agrees with the plain-parquet answer
+    val lo = new java.math.BigDecimal("20000.00")
+    val hi = new java.math.BigDecimal("30000.00")
+    val got = df.filter(col("l_price_dec") >= lo && col("l_price_dec") <= hi)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("l_price_dec", col("l_extendedprice").cast("decimal(12,2)"))
+      .filter(col("l_price_dec") >= lo && col("l_price_dec") <= hi)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want, "decimal-pruned scan diverged from plain parquet")
+  }
+
   test("catalog answers equal the scan answers (kill switch off = ground truth)") {
     def row() = indexed.agg(
       min(col("k")), max(col("k")), min(col("s")), max(col("s")),

@@ -1220,6 +1220,290 @@ class TopKPruningSpec extends SparkSpec {
     }
   }
 
+  // ---- r13: the r12 image-key family, pinned ------------------------------
+
+  test("year/month datepart run collapses to the trunc-month image (idx32)") {
+    val dir = sf("sf0.001")
+    val q = SparkEntry.registry.find(_.name == "idx32_topk_year_run").get
+    val rows = q.fn(spark, dir).collect()
+    assert(rows.length === 10)
+    val exec = graft.operators.Indexed.lastTimeExecution(spark, dir).get
+    assert(exec.route === Seq("topk-lex2(trunc-month.date(l_shipdate),l_orderkey)"),
+      s"route: ${exec.route}")
+    assert(exec.scannedRowGroups < exec.totalRowGroups,
+      s"kept ${exec.scannedRowGroups} of ${exec.totalRowGroups}")
+    // the full (year, month, day) run IS the date leg: deeper prefix, no image
+    val df = graft.operators.Indexed.lineitemTime(spark, dir)
+    val full = df.orderBy(year(col("l_shipdate")).desc,
+        month(col("l_shipdate")).desc, dayofmonth(col("l_shipdate")).desc,
+        col("l_orderkey").desc, col("l_linenumber").desc)
+      .limit(10).select("l_shipdate", "l_orderkey", "l_linenumber")
+    val gotFull = full.collect()
+    val execFull = graft.operators.Indexed.lastTimeExecution(spark, dir).get
+    assert(execFull.route === Seq("topk-lex2(date(l_shipdate),l_orderkey)"),
+      s"route: ${execFull.route}")
+    val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+      .orderBy(year(col("l_shipdate")).desc, month(col("l_shipdate")).desc,
+        dayofmonth(col("l_shipdate")).desc, col("l_orderkey").desc,
+        col("l_linenumber").desc)
+      .limit(10).select("l_shipdate", "l_orderkey", "l_linenumber")
+    assert(gotFull === plain.collect(), "ymd-run result diverged")
+    // a month() with no leading year() is NOT monotone: the prefix must
+    // not absorb it (route would start at the month key)
+    val bare = df.orderBy(month(col("l_shipdate")).desc, col("l_orderkey").desc)
+      .limit(5)
+    val barePlan = bare.queryExecution.optimizedPlan.toString
+    assert(!barePlan.contains("RowGroupScan"),
+      s"lone month() must keep the declarative plan:\n${barePlan.take(1500)}")
+  }
+
+  test("unix_timestamp head key fires with the raw timestamp as a deeper key (idx33)") {
+    val dir = sf("sf0.001")
+    val q = SparkEntry.registry.find(_.name == "idx33_topk_unixsec").get
+    val rows = q.fn(spark, dir).collect()
+    assert(rows.length === 10)
+    val exec = graft.operators.Indexed.lastTimeExecution(spark, dir).get
+    assert(exec.route ===
+      Seq("topk-lex3(unixsec(l_shipdate),l_shipdate,l_orderkey)"),
+      s"route: ${exec.route}")
+    assert(exec.scannedRowGroups < exec.totalRowGroups)
+  }
+
+  test("trunc(date, week) fires over the DATE-typed fixture (idx34)") {
+    val dir = sf("sf0.001")
+    val q = SparkEntry.registry.find(_.name == "idx34_topk_trunc_week").get
+    val rows = q.fn(spark, dir).collect()
+    assert(rows.length === 10)
+    val exec = graft.operators.Indexed.lastDateExecution(spark, dir).get
+    assert(exec.route === Seq("topk-lex2(trunc-week(l_shipdate),l_orderkey)"),
+      s"route: ${exec.route}")
+    assert(exec.scannedRowGroups < exec.totalRowGroups)
+    // calendar units decline the Derby render but still prune planner-side
+    val df = graft.operators.Indexed.lineitemDateClustered(spark, dir)
+    val y = df.orderBy(trunc(col("l_shipdate"), "year").desc,
+        col("l_orderkey").desc, col("l_linenumber").desc)
+      .limit(10).select("l_shipdate", "l_orderkey", "l_linenumber").collect()
+    val execY = graft.operators.Indexed.lastDateExecution(spark, dir).get
+    assert(execY.route === Seq("topk-lex2(trunc-year(l_shipdate),l_orderkey)"),
+      s"route: ${execY.route}")
+    val plainY = spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+      .orderBy(trunc(col("l_shipdate"), "year").desc,
+        col("l_orderkey").desc, col("l_linenumber").desc)
+      .limit(10).select("l_shipdate", "l_orderkey", "l_linenumber").collect()
+    assert(y === plainY, "trunc-year result diverged")
+    // year(date) as the head key: same planner-side calendar image
+    val yr = df.orderBy(year(col("l_shipdate")).desc, col("l_orderkey").desc,
+        col("l_linenumber").desc)
+      .limit(10).select("l_shipdate", "l_orderkey", "l_linenumber").collect()
+    val execYr = graft.operators.Indexed.lastDateExecution(spark, dir).get
+    assert(execYr.route === Seq("topk-lex2(year(l_shipdate),l_orderkey)"),
+      s"route: ${execYr.route}")
+    val plainYr = spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+      .orderBy(year(col("l_shipdate")).desc, col("l_orderkey").desc,
+        col("l_linenumber").desc)
+      .limit(10).select("l_shipdate", "l_orderkey", "l_linenumber").collect()
+    assert(yr === plainYr, "year(date) result diverged")
+  }
+
+  test("to_date(ts) and year/month runs over DATE columns take the image path too") {
+    val dir = sf("sf0.001")
+    // to_date(ts): RuntimeReplaceable — the optimizer folds it to the
+    // cast, so the cast-to-date image serves it with no extra recognizer
+    val df = graft.operators.Indexed.lineitemTime(spark, dir)
+    val got = df.orderBy(to_date(col("l_shipdate")).desc, col("l_orderkey").desc,
+        col("l_linenumber").desc)
+      .limit(10).select("l_shipdate", "l_orderkey", "l_linenumber").collect()
+    val exec = graft.operators.Indexed.lastTimeExecution(spark, dir).get
+    assert(exec.route === Seq("topk-lex2(date(l_shipdate),l_orderkey)"),
+      s"route: ${exec.route}")
+    val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+      .orderBy(to_date(col("l_shipdate")).desc, col("l_orderkey").desc,
+        col("l_linenumber").desc)
+      .limit(10).select("l_shipdate", "l_orderkey", "l_linenumber").collect()
+    assert(got === plain, "to_date result diverged")
+    // (year, month) run over a true DATE column collapses with NO cast
+    // leg: the image is the bare trunc-month grid
+    val dd = graft.operators.Indexed.lineitemDateClustered(spark, dir)
+    val gotRun = dd.orderBy(year(col("l_shipdate")).desc,
+        month(col("l_shipdate")).desc, col("l_orderkey").desc,
+        col("l_linenumber").desc)
+      .limit(10).select("l_shipdate", "l_orderkey", "l_linenumber").collect()
+    val execRun = graft.operators.Indexed.lastDateExecution(spark, dir).get
+    assert(execRun.route === Seq("topk-lex2(trunc-month(l_shipdate),l_orderkey)"),
+      s"route: ${execRun.route}")
+    val plainRun = spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+      .orderBy(year(col("l_shipdate")).desc, month(col("l_shipdate")).desc,
+        col("l_orderkey").desc, col("l_linenumber").desc)
+      .limit(10).select("l_shipdate", "l_orderkey", "l_linenumber").collect()
+    assert(gotRun === plainRun, "date-column ymd run diverged")
+    // WHERE to_date(ts) = d prunes through the same image (the predicate
+    // rewriter's MonotoneImage seam)
+    val d0 = java.sql.Date.valueOf("1995-03-15")
+    val cnt = df.filter(to_date(col("l_shipdate")) === lit(d0)).count()
+    val cntPlain = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(to_date(col("l_shipdate")) === lit(d0)).count()
+    assert(cnt === cntPlain)
+    val execF = graft.operators.Indexed.lastTimeExecution(spark, dir).get
+    assert(execF.scannedRowGroups < execF.totalRowGroups,
+      s"to_date filter never pruned (${execF.scannedRowGroups}/${execF.totalRowGroups})")
+  }
+
+  test("a fixed-offset session zone rides INTO the image; idx37 fires at +05:30") {
+    val dir = sf("sf0.001")
+    val q = SparkEntry.registry.find(_.name == "idx37_topk_zone_offset").get
+    val rows = q.fn(spark, dir).collect()
+    assert(rows.length === 10)
+    val exec = graft.operators.Indexed.lastTimeExecution(spark, dir).get
+    assert(exec.route === Seq("topk-lex2(day@19800.ntz(l_shipdate),l_orderkey)"),
+      s"route: ${exec.route}")
+    assert(exec.scannedRowGroups < exec.totalRowGroups)
+    // the same shape under a NEGATIVE offset zone
+    graft.operators.Indexed.withSessionTz(spark, "-08:00") {
+      val df = graft.operators.Indexed.lineitemTime(spark, dir)
+      val got = df.orderBy(date_trunc("day", col("l_shipdate")).desc,
+          col("l_orderkey").desc, col("l_linenumber").desc)
+        .limit(10).select("l_shipdate", "l_orderkey", "l_linenumber")
+        .collect()
+      val ex2 = graft.operators.Indexed.lastTimeExecution(spark, dir).get
+      assert(ex2.route === Seq("topk-lex2(day@-28800.ntz(l_shipdate),l_orderkey)"),
+        s"route: ${ex2.route}")
+      val want = spark.read.parquet(s"$dir/lineitem.parquet")
+        .orderBy(date_trunc("day", col("l_shipdate")).desc,
+          col("l_orderkey").desc, col("l_linenumber").desc)
+        .limit(10).select("l_shipdate", "l_orderkey", "l_linenumber")
+        .collect()
+      assert(got === want, "-08:00 zoned image result diverged")
+    }
+  }
+
+  // EPOCH-STRADDLING fixture (r13): timestamps with negative micros and
+  // sub-second components (the truncating-vs-floor division seam of
+  // UnixSecondsImage), a DATE column with pre-1970 days (floorToGrid's
+  // Monday anchor below zero), ~4% nulls, 50-row groups.
+  private lazy val fx8: (String, DerbyStatsIndex, StructType) = {
+    val base = Files.createTempDirectory("graft-topk-epoch").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    graft.operators.Indexed.withMicrosTimestamps(spark) {
+      (0 until 2000)
+        .map { i =>
+          // ~23 days either side of the epoch; the noise term guarantees
+          // sub-second micros on both signs
+          val millis = (i.toLong - 1000L) * 2000000L + ((i.toLong * 2971L) % 997L)
+          (if (i % 25 == 0) None else Some(new java.sql.Timestamp(millis)),
+            if (i % 30 == 0) None
+            else Some(java.time.LocalDate.ofEpochDay(i.toLong / 4L - 250L)),
+            i.toLong)
+        }
+        .toDF("ts", "d", "id")
+        .coalesce(1)
+        .write.option("parquet.block.row.count.limit", "50")
+        .mode("overwrite").parquet(dir)
+    }
+    val (index, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("ts", "d", "id"), s"$base/statsdb")
+    (dir, index.asInstanceOf[DerbyStatsIndex], schema)
+  }
+
+  test("UnixSecondsImage equals Spark's unix_timestamp on pre-1970 instants") {
+    val (dir, _, _) = fx8
+    import graft.index.UnixSecondsImage
+    val pairs = spark.read.parquet(dir).filter(col("ts").isNotNull)
+      .select(col("ts"), unix_timestamp(col("ts")).as("u")).collect()
+    assert(pairs.nonEmpty)
+    var sawNegativeFraction = false
+    pairs.foreach { r =>
+      val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaTimestamp(r.getTimestamp(0))
+      if (micros < 0 && micros % 1000000L != 0) sawNegativeFraction = true
+      assert(UnixSecondsImage(java.lang.Long.valueOf(micros)) ===
+        java.lang.Long.valueOf(r.getLong(1)),
+        s"image diverged from unix_timestamp at micros=$micros")
+    }
+    assert(sawNegativeFraction,
+      "fixture never exercised the trunc-vs-floor seam (negative sub-second micros)")
+  }
+
+  test("epoch-straddling image keys: catalog==planner, pruned==full, all images") {
+    val (dir, index, schema) = fx8
+    import graft.index.{CastDateImage, ChainedImage, KeyImage, SortKeySpec, TruncDateImage, TruncTimestampImage, UnixSecondsImage, YearImage}
+    val total = index.allFiles().map(_.scanRowGroups.size).sum
+    // (tag, sort column, image, equivalent data-space expression)
+    val cases: Seq[(String, String, KeyImage, org.apache.spark.sql.Column)] = Seq(
+      ("unixsec", "ts", UnixSecondsImage, unix_timestamp(col("ts"))),
+      ("castdate", "ts", CastDateImage, col("ts").cast("date")),
+      ("trunc-day", "ts", TruncTimestampImage.forUnit("day").get,
+        date_trunc("day", col("ts"))),
+      ("trunc-week", "ts", TruncTimestampImage.forUnit("week").get,
+        date_trunc("week", col("ts"))),
+      ("chained-week", "ts",
+        ChainedImage(CastDateImage, TruncDateImage.forUnit("week").get),
+        trunc(col("ts").cast("date"), "week")),
+      ("date-week", "d", TruncDateImage.forUnit("week").get,
+        trunc(col("d"), "week")),
+      ("date-year", "d", YearImage, year(col("d"))))
+    var anyNarrower = false
+    for {
+      (tag, c, img, expr) <- cases
+      desc <- Seq(true, false)
+      k <- Seq(1, 40, 600)
+    } {
+      val keys = Seq(SortKeySpec(c, desc, !desc, Some(img)),
+        SortKeySpec("id", desc = false, nullsFirst = true))
+      val plans = TopKPruning.pruneLexN(index, keys, k.toLong)
+      val viaPlanner = TopKPruning.pruneLexN(plannerOnly(index), keys, k.toLong)
+      assert(plans.map(p => p.fileName -> p.scanRowGroups).toMap ===
+        viaPlanner.map(p => p.fileName -> p.scanRowGroups).toMap,
+        s"$tag desc=$desc k=$k: catalog/planner diverged")
+      if (plans.map(_.scanRowGroups.size).sum < total) anyNarrower = true
+      val ord = Seq(if (desc) expr.desc else expr.asc, col("id").asc)
+      val got =
+        if (plans.isEmpty) Seq.empty
+        else RowGroupSkipScan.scan(spark, dir, plans, schema)
+          .orderBy(ord: _*).limit(k)
+          .select(expr.as("b"), col("id")).collect().toSeq
+      val want = spark.read.parquet(dir)
+        .orderBy(ord: _*).limit(k)
+        .select(expr.as("b"), col("id")).collect().toSeq
+      assert(got === want, s"$tag desc=$desc k=$k: pruned top-k diverged")
+    }
+    assert(anyNarrower, "epoch fixture never narrowed — fixture too easy")
+  }
+
+  test("offset-zoned images prune the epoch fixture under their session zone") {
+    val (dir, index, schema) = fx8
+    import graft.index.{KeyImage, SortKeySpec, TruncTimestampImage}
+    for {
+      (tz, off) <- Seq(("+05:30", 19800), ("-08:00", -28800))
+      unit <- Seq("day", "week")
+      desc <- Seq(true, false)
+      k <- Seq(1, 40)
+    } graft.operators.Indexed.withSessionTz(spark, tz) {
+      val img = TruncTimestampImage.forUnit(unit, off).get
+      val keys = Seq(SortKeySpec("ts", desc, !desc, Some(img)),
+        SortKeySpec("id", desc = false, nullsFirst = true))
+      val plans = TopKPruning.pruneLexN(index, keys, k.toLong)
+      val viaPlanner = TopKPruning.pruneLexN(plannerOnly(index), keys, k.toLong)
+      assert(plans.map(p => p.fileName -> p.scanRowGroups).toMap ===
+        viaPlanner.map(p => p.fileName -> p.scanRowGroups).toMap,
+        s"$tz $unit desc=$desc k=$k: catalog/planner diverged")
+      val expr = date_trunc(unit, col("ts")) // truncates in the session zone
+      val ord = Seq(if (desc) expr.desc else expr.asc, col("id").asc)
+      val got =
+        if (plans.isEmpty) Seq.empty
+        else RowGroupSkipScan.scan(spark, dir, plans, schema)
+          .orderBy(ord: _*).limit(k)
+          .select(col("ts"), col("id")).collect().toSeq
+      val want = spark.read.parquet(dir)
+        .orderBy(ord: _*).limit(k)
+        .select(col("ts"), col("id")).collect().toSeq
+      assert(got === want, s"$tz $unit desc=$desc k=$k: pruned top-k diverged")
+    }
+  }
+
   test("k beyond the table degrades to the full plan set") {
     val (_, index, _) = fx
     val total = index.allFiles().map(_.scanRowGroups.size).sum
