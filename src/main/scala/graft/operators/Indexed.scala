@@ -898,6 +898,26 @@ object Indexed {
              |WHERE date_trunc('week', l_shipdate) = TIMESTAMP '1996-06-03 00:00:00'
              |  AND CAST(floor(epoch(l_shipdate)) AS BIGINT) < 834192000""".stripMargin)),
 
+    // IMAGE aggregates (idx40, r13 — StatsAggPushdown.imageOf): MIN/MAX
+    // of a monotone image fold as the image of the certified raw extreme
+    // (monotone ⇒ extremes commute), COUNT(f(a)) = COUNT(a) (images are
+    // null-preserving) — "latest ingested day / first event second"
+    // dashboards answered without touching data.
+    QueryDef(
+      "idx40_agg_imgbounds",
+      (s, dir) => lineitemTime(s, dir)
+        .agg(max(col("l_shipdate").cast("date")).as("mxd"),
+          min(col("l_shipdate").cast("date")).as("mnd"),
+          max(date_trunc("day", col("l_shipdate"))).as("mxt"),
+          min(unix_timestamp(col("l_shipdate"))).as("mnu"),
+          count(col("l_shipdate").cast("date")).as("nc")),
+      Some("""SELECT max(CAST(l_shipdate AS DATE)) AS mxd,
+             |  min(CAST(l_shipdate AS DATE)) AS mnd,
+             |  CAST(max(date_trunc('day', l_shipdate)) AS TIMESTAMP) AS mxt,
+             |  min(CAST(floor(epoch(l_shipdate)) AS BIGINT)) AS mnu,
+             |  count(CAST(l_shipdate AS DATE)) AS nc
+             |FROM lineitem""".stripMargin)),
+
     // row-level key index (the reference's named "precise index" extension,
     // index.rs:30-35): exact key -> (file, row_group) postings; scans only
     // row groups where the key OCCURS, not merely where its range overlaps

@@ -566,6 +566,21 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
           index.totalRowCount()
         case Count(Seq(a: AttributeReference)) if indexed(index, a) =>
           index.nonNullCount(a.name)
+        // MIN/MAX of a MONOTONE IMAGE of an indexed column (r13): the
+        // image of the certified raw extreme IS the image's extreme
+        // (monotone non-decreasing), and every image is null-preserving,
+        // so COUNT(f(a)) = COUNT(a). Closes the triad: the same computed
+        // time keys that prune top-k and WHERE now fold aggregates too.
+        case Min(e) if imageOf(index, e).isDefined =>
+          val (a, img) = imageOf(index, e).get
+          index.minIndexedValue(a.name).flatMap(v =>
+            scala.util.Try(img(v)).toOption.flatMap(internal(_, img.resultType)))
+        case Max(e) if imageOf(index, e).isDefined =>
+          val (a, img) = imageOf(index, e).get
+          index.maxIndexedValue(a.name).flatMap(v =>
+            scala.util.Try(img(v)).toOption.flatMap(internal(_, img.resultType)))
+        case Count(Seq(e)) if imageOf(index, e).isDefined =>
+          index.nonNullCount(imageOf(index, e).get._1.name)
         // global SUM from the SumShadow ledger (r11; r13 decimal): exact
         // when every row group carries a built, non-overflowed sum; zero
         // non-null rows ⇒ SQL NULL
@@ -596,6 +611,13 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
           rd.precision, rd.scale)).toOption
       case _ => None
     }
+
+  /** A monotone image over an indexed, ordering-certified column — the
+    * shared recognizer with the aggregate face's own gates. */
+  private def imageOf(index: StatsIndex, e: Expression)
+      : Option[(AttributeReference, graft.index.KeyImage)] =
+    graft.index.KeyImage.fromDataExpr(e,
+      ar => indexed(index, ar) && ordered(ar.dataType))
 
   private def indexed(index: StatsIndex, a: AttributeReference): Boolean =
     index.indexedSchema.fields.exists(f => f.name == a.name && f.dataType == a.dataType)

@@ -412,6 +412,33 @@ class StatsAggPushdownSpec extends SparkSpec {
     assert(got === want, "decimal-pruned scan diverged from plain parquet")
   }
 
+  test("r13: MIN/MAX/COUNT of a monotone image fold from the raw extremes") {
+    val q = SparkEntry.registry.find(_.name == "idx40_agg_imgbounds").get
+    val df = q.fn(spark, sf("sf0.001"))
+    assert(folded(df), df.queryExecution.optimizedPlan.toString)
+    val viaFold = df.collect()
+    spark.conf.set("spark.graft.statsAggPushdown", "false")
+    val viaScan = try {
+      val d = q.fn(spark, sf("sf0.001"))
+      assert(!folded(d))
+      d.collect()
+    } finally spark.conf.unset("spark.graft.statsAggPushdown")
+    assert(viaFold === viaScan, "image-aggregate fold diverged from the scan")
+    // an instant-reading image under a geographic zone must NOT fold
+    // (l_shipdate is NTZ, so date_trunc goes through the session-zone
+    // cast — no monotonicity certificate under DST)
+    graft.operators.Indexed.withSessionTz(spark, "America/New_York") {
+      val d = graft.operators.Indexed.lineitemTime(spark, sf("sf0.001"))
+        .agg(max(date_trunc("day", col("l_shipdate"))).as("mx"))
+      assert(!folded(d), d.queryExecution.optimizedPlan.toString)
+      // the zone-free shapes still fold there
+      val z = graft.operators.Indexed.lineitemTime(spark, sf("sf0.001"))
+        .agg(max(col("l_shipdate").cast("date")).as("mx"),
+          min(unix_timestamp(col("l_shipdate"))).as("mn"))
+      assert(folded(z), z.queryExecution.optimizedPlan.toString)
+    }
+  }
+
   test("catalog answers equal the scan answers (kill switch off = ground truth)") {
     def row() = indexed.agg(
       min(col("k")), max(col("k")), min(col("s")), max(col("s")),
