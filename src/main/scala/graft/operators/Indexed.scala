@@ -918,6 +918,30 @@ object Indexed {
              |  count(CAST(l_shipdate AS DATE)) AS nc
              |FROM lineitem""".stripMargin)),
 
+    // IMAGE grouping keys (idx41, r13 — StatsAggPushdown GKey images):
+    // `GROUP BY year(ts)` — the time-series rollup — folds from the
+    // catalog on a year-partitioned layout. Image constancy is weaker
+    // than raw constancy (a row group spanning one year of micros is
+    // year-image-constant), so the very layout a time-partitioned ingest
+    // produces certifies; counts, raw extremes, the SUM ledger, and an
+    // IMAGE aggregate over the same column all fold per group.
+    QueryDef(
+      "idx41_groupby_year",
+      (s, dir) => lineitemYearParts(s, dir)
+        .groupBy(year(col("l_shipdate")))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("okmin"),
+          max(col("l_orderkey")).as("okmax"),
+          sum(col("l_orderkey")).as("sok"),
+          max(col("l_shipdate").cast("date")).as("mxd"))
+        .select(col("year(l_shipdate)").as("y"), col("n"), col("okmin"),
+          col("okmax"), col("sok"), col("mxd")),
+      Some("""SELECT CAST(year(l_shipdate) AS INTEGER) AS y, count(*) AS n,
+             |  min(l_orderkey) AS okmin, max(l_orderkey) AS okmax,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS sok,
+             |  max(CAST(l_shipdate AS DATE)) AS mxd
+             |FROM lineitem GROUP BY year(l_shipdate)""".stripMargin)),
+
     // row-level key index (the reference's named "precise index" extension,
     // index.rs:30-35): exact key -> (file, row_group) postings; scans only
     // row groups where the key OCCURS, not merely where its range overlaps
@@ -1388,6 +1412,55 @@ object Indexed {
         graft.index.SumShadow.build(spark, dataDir, index.allFiles(),
           dataSchema, "l_price_dec", db)
       }
+      val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
+      Entry(df, fileIndex, dataDir, index, dataSchema)
+    })
+
+  private val yearCache = TrieMap.empty[String, Entry]
+
+  /** A YEAR-partitioned layout: one file set per year(l_shipdate) — the
+    * idx41 fixture, the layout every time-partitioned warehouse ingest
+    * produces. Row groups are year-IMAGE-constant without being
+    * raw-constant, which is exactly what lets `GROUP BY year(ts)` fold
+    * from the catalog. Indexed on (l_shipdate, l_orderkey) with the
+    * l_orderkey sum ledger attached. */
+  def lineitemYearParts(spark: SparkSession, sfDir: String): DataFrame =
+    yearEntry(spark, sfDir).df
+
+  def lastYearPartsExecution(spark: SparkSession, sfDir: String) =
+    yearEntry(spark, sfDir).fileIndex.lastExecution
+
+  private def yearEntry(spark: SparkSession, sfDir: String): Entry =
+    yearCache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
+      val dataDir = s"$base/lineitem-yearparts-v1"
+      val db = s"$base/statsdb-yearparts-v1"
+      if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
+        rmrf(new java.io.File(db))
+        val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        // TPC-H ship dates span 7 years — a bounded driver-side loop
+        val years = src.select(year(col("l_shipdate")).as("y")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        withMicrosTimestamps(spark) {
+          years.zipWithIndex.foreach { case (y, i) =>
+            src.filter(year(col("l_shipdate")) === y)
+              .repartitionByRange(2, col("l_shipdate"), col("l_orderkey"))
+              .sortWithinPartitions("l_shipdate", "l_orderkey")
+              .write.mode(if (i == 0) "overwrite" else "append")
+              .option("parquet.block.row.count.limit", "2048")
+              .option("parquet.block.size", (1L * 1024 * 1024).toString)
+              .parquet(dataDir)
+          }
+        }
+      }
+      val (index, dataSchema) = IndexedParquet.buildIndex(
+        spark, dataDir, Seq("l_shipdate", "l_orderkey"), db)
+      val hasSums = index.rowGroupStats("l_orderkey")
+        .exists(_.exists(_.sumVal.isDefined))
+      if (!hasSums)
+        graft.index.SumShadow.build(spark, dataDir, index.allFiles(),
+          dataSchema, "l_orderkey", db)
       val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
       Entry(df, fileIndex, dataDir, index, dataSchema)
     })

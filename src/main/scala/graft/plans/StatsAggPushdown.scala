@@ -85,9 +85,11 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
   private def fileIndexOrAllPassFiltered(
       p: LogicalPlan): Option[IndexedParquetFileIndex] = p match {
     // column pruning may leave attribute-only Projects on either side of
-    // the Filter — strip them exactly as fileIndexOf does
-    case Project(projectList, child)
-        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+    // the Filter, and PullOutGroupingExpressions adds COMPUTED aliases
+    // (`_groupingexpression`) — both are row-preserving, so traversal is
+    // sound; certification of anything referencing a computed alias is
+    // the caller's job (unindexed attrs decline by default)
+    case Project(projectList, child) if projectList.forall(passThrough) =>
       fileIndexOrAllPassFiltered(child)
     case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
       fileIndexOf(f.child).filter(idx => allPassFilter(f.condition, idx))
@@ -195,21 +197,60 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       agg: Aggregate, idx: IndexedParquetFileIndex): Option[LogicalPlan] = {
     if (session.conf.get("spark.graft.groupByAggPushdown", "true") != "true")
       return None
-    // N grouping attributes (r11: two; r13: any N): an N-aligned layout —
-    // one file set per (source, label, ...) tuple — certifies the joint
-    // key the same way a single column does, per row group and per
-    // column; the ≤1-partial-null-column rule below is what keeps the
-    // joint distribution knowable from per-column stats, independent of N
-    val gs: Seq[AttributeReference] = {
+    // N grouping KEYS (r11: two attrs; r13: any N, and any key may be a
+    // MONOTONE IMAGE of an indexed time column — `GROUP BY CAST(ts AS
+    // DATE)` / `trunc(d, 'month')` / `year(ts)`, the time-series rollup):
+    // an N-aligned layout — one file set per (source, label, day, ...)
+    // tuple — certifies the joint key the same way a single column does.
+    // Image constancy is WEAKER than raw constancy (a row group spanning
+    // one day of micros is day-image-constant), which is exactly what
+    // makes time-partitioned ingest layouts certify. The
+    // ≤1-partial-null-column rule below keeps the joint distribution
+    // knowable from per-column stats, independent of N.
+    case class GKey(attr: AttributeReference, image: Option[graft.index.KeyImage],
+        expr: Expression) {
+      def keyType: DataType = image.map(_.resultType).getOrElse(attr.dataType)
+    }
+    // PullOutGroupingExpressions rewrites `GROUP BY year(ts)` into a
+    // computed `_groupingexpression` alias in the child Project and
+    // groups by the ATTRIBUTE — resolve grouping attrs back through the
+    // child's alias environment before image recognition. The stored
+    // GKey.expr stays the ORIGINAL grouping expression (attribute or
+    // expression) because that is what the aggregate's output cells
+    // reference.
+    val aliasEnv: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression] = {
+      def walk(p: LogicalPlan): Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression] =
+        p match {
+          case Project(pl, child) =>
+            val inner = walk(child)
+            def res(e: Expression) = e.transformUp {
+              case ar: AttributeReference if inner.contains(ar.exprId) =>
+                inner(ar.exprId)
+            }
+            inner ++ pl.collect { case al @ Alias(e2, _) => al.exprId -> res(e2) }
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => walk(f.child)
+          case _ => Map.empty
+        }
+      walk(agg.child)
+    }
+    def resolvedExpr(e: Expression): Expression = e.transformUp {
+      case ar: AttributeReference if aliasEnv.contains(ar.exprId) => aliasEnv(ar.exprId)
+    }
+    val gs: Seq[GKey] = {
       val exprs = agg.groupingExpressions
       if (exprs.isEmpty) return None
-      val attrs: Seq[AttributeReference] = exprs.map {
+      val keys: Seq[GKey] = exprs.map {
         case a: AttributeReference
-            if indexed(idx.statsIndex, a) && ordered(a.dataType) => a
-        case _ => return None
+            if indexed(idx.statsIndex, a) && ordered(a.dataType) =>
+          GKey(a, None, a)
+        case e => imageOf(idx.statsIndex, resolvedExpr(e)) match {
+          case Some((ar, img)) => GKey(ar, Some(img), e)
+          case None => return None
+        }
       }
-      if (attrs.map(_.name).distinct.size != attrs.size) return None
-      attrs
+      if (keys.map(k => (k.attr.name, k.image.map(_.id))).distinct.size
+          != keys.size) return None
+      keys
     }
     // per-row-group joint keys: each grouping column is CONSTANT among
     // its non-null rows (all-null ⇒ the NULL slot). A column with a
@@ -218,13 +259,12 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     // joint distribution unknowable from per-column stats: fail closed)
     type Key = Vector[Option[Any]]
     val statsPer: Seq[Map[(String, Int), RowGroupStat]] =
-      gs.map(g => idx.statsIndex.rowGroupStats(g.name).getOrElse(return None)
+      gs.map(g => idx.statsIndex.rowGroupStats(g.attr.name).getOrElse(return None)
         .map(s => (s.fileName, s.rowGroup) -> s).toMap)
     if (statsPer.exists(_.size != statsPer.head.size)) return None
     val rgs: Seq[(String, Int)] = statsPer.head.keys.toSeq.sorted
     val byKey = scala.collection.mutable.LinkedHashMap.empty[Key, Long]
     val rgKey = scala.collection.mutable.HashMap.empty[(String, Int), Key]
-    var anyGroupingNulls = false
     rgs.foreach { rg =>
       // per column: (null count, constant value — None when all-null)
       val info: Seq[(Long, Option[Any])] = gs.indices.map { i =>
@@ -234,14 +274,22 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         else {
           val mn = s.min.getOrElse(return None)
           val mx = s.max.getOrElse(return None)
-          if (mn != mx) return None // a straddling group: fail closed
-          (nc, Some(mx))
+          // an image key certifies through the IMAGE values: the group is
+          // constant when both raw extremes land in the same bucket
+          // (monotone ⇒ every row between them does too)
+          val (kmn, kmx) = gs(i).image match {
+            case Some(img) =>
+              (scala.util.Try(img(mn)).getOrElse(return None),
+                scala.util.Try(img(mx)).getOrElse(return None))
+            case None => (mn, mx)
+          }
+          if (kmn != kmx) return None // a straddling group: fail closed
+          (nc, Some(kmx))
         }
       }
       val rowCount = statsPer.head(rg).rowCount
       if (gs.indices.exists(i => statsPer(i)(rg).rowCount != rowCount))
         return None // inconsistent catalog rows
-      if (info.exists(_._1 > 0)) anyGroupingNulls = true
       val partial = gs.indices.filter(i => info(i)._1 > 0 && info(i)._2.isDefined)
       if (partial.sizeIs > 1) return None
       val base: Key = info.map(_._2).toVector
@@ -256,14 +304,17 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
             Some(c.getOrElse(0L) + nci))
       }
     }
-    // per-group MIN/MAX of OTHER indexed columns: certifiable only when
-    // NO row group holds grouping-column nulls (a null-g row's other
-    // value would otherwise leak into the wrong group's extreme — null-g
-    // rows share row groups with value rows, and column stats cover the
-    // whole group) and the other column's stored extremes are
-    // verbatim-exact VALUES: integrals/date/timestamp only (string
-    // minima may be truncated — fine as bounds, wrong as answers;
-    // floats carry the NaN comparator hazard)
+    // per-group MIN/MAX of OTHER indexed columns: every contributing row
+    // group must carry an UNSPLIT key (rgKey) — a PARTIAL-null grouping
+    // slice splits the group's rows two ways and its rows' other-column
+    // values would leak into the wrong group's extreme, so those row
+    // groups have no rgKey and fail the tally closed below (r13: this
+    // per-row-group gate replaces r11's blanket no-grouping-nulls guard —
+    // an ALL-null-key row group assigns every row to the NULL group, so
+    // its extremes merge correctly). The other column's stored extremes
+    // must be verbatim-exact VALUES: integrals/date/timestamp/decimal
+    // only (string minima may be truncated — fine as bounds, wrong as
+    // answers; floats carry the NaN comparator hazard)
     def exactOther(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
           TimestampType | TimestampNTZType => true
@@ -271,7 +322,17 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       case _ => false
     }
     def isGrouping(a: AttributeReference): Boolean =
-      gs.exists(_.exprId == a.exprId)
+      gs.exists(k => k.image.isEmpty && k.attr.exprId == a.exprId)
+    // an aggregate over a monotone image of an indexed column, with the
+    // other-column gates applied to the RAW column (whose stats merge)
+    def imageAgg(e: Expression): Option[(AttributeReference, graft.index.KeyImage)] =
+      resolvedExpr(e) match {
+        case _: AttributeReference => None // plain attrs take the raw path
+        case r => imageOf(idx.statsIndex, r)
+      }
+    def gIdx(a: AttributeReference): Int =
+      gs.indexWhere(k => k.image.isEmpty && k.attr.exprId == a.exprId)
+    def gIdxE(e: Expression): Int = gs.indexWhere(_.expr.semanticEquals(e))
     // CollapseProject may fold a post-aggregate render into the list: an
     // aggregate under a Cast is still the same catalog-served aggregate
     // (the cast replays on the folded value — see castValue)
@@ -290,6 +351,13 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       ae.aggregateFunction match {
         case Min(a: AttributeReference) if !isGrouping(a) => Seq(a)
         case Max(a: AttributeReference) if !isGrouping(a) => Seq(a)
+        // MIN/MAX of an image (r13): merge the RAW per-group extremes,
+        // apply the image at the end (extremes commute with monotone
+        // maps). A grouping-expr match is served from the key instead.
+        case Min(e) if gIdxE(e) < 0 =>
+          imageAgg(e).map(_._1).filterNot(isGrouping).toSeq
+        case Max(e) if gIdxE(e) < 0 =>
+          imageAgg(e).map(_._1).filterNot(isGrouping).toSeq
         case _ => Nil
       }
     }.distinctBy(_.exprId)
@@ -297,7 +365,6 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     val otherExtremes: Map[String, scala.collection.Map[Key, (Option[Any], Option[Any])]] =
       if (otherAggCols.isEmpty) Map.empty
       else {
-        if (anyGroupingNulls) return None
         otherAggCols.map { a =>
           if (!indexed(idx.statsIndex, a) || !exactOther(a.dataType)) return None
           // the exactOther gate admits only types with a certified total
@@ -346,7 +413,11 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     }.distinctBy(_.exprId)
     val cntAggCols = plainAggs.flatMap { ae =>
       ae.aggregateFunction match {
-        case Count(Seq(a: AttributeReference)) if !isGrouping(a) => Seq(a)
+        // the raw attribute UNDER an image key is served from the key
+        // itself (images are null-preserving, so COUNT(ts) per
+        // month(ts)-group is the group's rows) — not a per-column tally
+        case Count(Seq(a: AttributeReference))
+            if !gs.exists(_.attr.exprId == a.exprId) => Seq(a)
         case _ => Nil
       }
     }.distinctBy(_.exprId)
@@ -354,7 +425,6 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     val otherSums: Map[String, scala.collection.Map[Key, (Long, Long)]] =
       if (sumAggCols.isEmpty) Map.empty
       else {
-        if (anyGroupingNulls) return None
         sumAggCols.map { a =>
           if (!indexed(idx.statsIndex, a) ||
               !graft.index.SumShadow.supported(a.dataType)) return None
@@ -379,7 +449,6 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     val otherCounts: Map[String, scala.collection.Map[Key, Long]] =
       if (cntAggCols.isEmpty) Map.empty
       else {
-        if (anyGroupingNulls) return None
         cntAggCols.map { a =>
           if (!indexed(idx.statsIndex, a)) return None
           val os = idx.statsIndex.rowGroupStats(a.name).getOrElse(return None)
@@ -399,23 +468,48 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         }.toMap
       }
     // one output cell per (aggregate expression, group)
-    def gIdx(a: AttributeReference): Int = gs.indexWhere(_.exprId == a.exprId)
+    def keyCell(i: Int, key: Key): Option[Any] =
+      Some(key(i).flatMap(internal(_, gs(i).keyType)).orNull)
     def cellAgg(ae: AggregateExpression, key: Key, rows: Long): Option[Any] =
       if (ae.isDistinct || ae.filter.nonEmpty) None
       else ae.aggregateFunction match {
             case Count(Seq(l: Literal)) if l.value != null => Some(rows)
-            case Count(Seq(a: AttributeReference)) if gIdx(a) >= 0 =>
-              Some(if (key(gIdx(a)).isDefined) rows else 0L)
+            case Count(Seq(a: AttributeReference))
+                if gs.exists(_.attr.exprId == a.exprId) =>
+              // counting the key's underlying column: null-preserving
+              // images make "a is null" ⟺ "the key is null", so the
+              // count is the group's rows (0 for the NULL group)
+              val i = gs.indexWhere(_.attr.exprId == a.exprId)
+              Some(if (key(i).isDefined) rows else 0L)
             case Min(a: AttributeReference) if gIdx(a) >= 0 =>
-              Some(key(gIdx(a)).flatMap(internal(_, a.dataType)).orNull)
+              keyCell(gIdx(a), key)
             case Max(a: AttributeReference) if gIdx(a) >= 0 =>
-              Some(key(gIdx(a)).flatMap(internal(_, a.dataType)).orNull)
+              keyCell(gIdx(a), key)
+            // the grouping EXPRESSION itself under an aggregate — the key
+            // is constant per group, so MIN/MAX are the key and COUNT is
+            // the group's rows (images are null-preserving)
+            case Count(Seq(e)) if gIdxE(e) >= 0 =>
+              Some(if (key(gIdxE(e)).isDefined) rows else 0L)
+            case Min(e) if gIdxE(e) >= 0 => keyCell(gIdxE(e), key)
+            case Max(e) if gIdxE(e) >= 0 => keyCell(gIdxE(e), key)
             case Min(a: AttributeReference) if otherExtremes.contains(a.name) =>
               Some(otherExtremes(a.name).getOrElse(key, (None, None))._1
                 .flatMap(internal(_, a.dataType)).orNull)
             case Max(a: AttributeReference) if otherExtremes.contains(a.name) =>
               Some(otherExtremes(a.name).getOrElse(key, (None, None))._2
                 .flatMap(internal(_, a.dataType)).orNull)
+            // MIN/MAX of an image over an OTHER column: the image of the
+            // group's raw extreme (r13)
+            case Min(e) if imageAgg(e).exists(t => otherExtremes.contains(t._1.name)) =>
+              val (a, img) = imageAgg(e).get
+              Some(otherExtremes(a.name).getOrElse(key, (None, None))._1
+                .flatMap(v => scala.util.Try(img(v)).toOption)
+                .flatMap(internal(_, img.resultType)).orNull)
+            case Max(e) if imageAgg(e).exists(t => otherExtremes.contains(t._1.name)) =>
+              val (a, img) = imageAgg(e).get
+              Some(otherExtremes(a.name).getOrElse(key, (None, None))._2
+                .flatMap(v => scala.util.Try(img(v)).toOption)
+                .flatMap(internal(_, img.resultType)).orNull)
             case su: Sum => su.child match {
               case a: AttributeReference if otherSums.contains(a.name) =>
                 otherSums(a.name).get(key) match {
@@ -433,10 +527,14 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
           }
     def cell(ne: NamedExpression, key: Key, rows: Long): Option[Any] =
       ne match {
-        case a: AttributeReference if gIdx(a) >= 0 =>
-          Some(key(gIdx(a)).flatMap(internal(_, a.dataType)).orNull)
+        case a: AttributeReference if gIdx(a) >= 0 => keyCell(gIdx(a), key)
+        case a: AttributeReference if gIdxE(a) >= 0 => keyCell(gIdxE(a), key)
         case Alias(a: AttributeReference, _) if gIdx(a) >= 0 =>
-          Some(key(gIdx(a)).flatMap(internal(_, a.dataType)).orNull)
+          keyCell(gIdx(a), key)
+        // an IMAGE grouping key's output column (`Alias(cast(ts AS date),
+        // "day")`): the certified key value — must match BEFORE the
+        // generic Cast case (a cast grouping expr is not a render cast)
+        case Alias(e, _) if gIdxE(e) >= 0 => keyCell(gIdxE(e), key)
         case Alias(c: org.apache.spark.sql.catalyst.expressions.Cast, _) =>
           c.child match {
             case ae: AggregateExpression =>
@@ -515,9 +613,20 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
   private def fileIndexOf(p: LogicalPlan): Option[IndexedParquetFileIndex] = p match {
     case l: LogicalRelation => fromRelation(l)
     case Project(projectList, l: LogicalRelation)
-        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        if projectList.forall(passThrough) =>
       fromRelation(l)
     case _ => None
+  }
+
+  /** A projection entry the aggregate rewrites may traverse: a plain
+    * attribute, or a DETERMINISTIC computed alias (row-preserving, so
+    * counts and per-row-group stats of the RELATION's columns are
+    * untouched; anything referencing the alias certifies — or declines —
+    * on its own merits). */
+  private def passThrough(ne: NamedExpression): Boolean = ne match {
+    case _: AttributeReference => true
+    case al: Alias => al.child.deterministic
+    case _ => false
   }
 
   private def fromRelation(l: LogicalRelation): Option[IndexedParquetFileIndex] =

@@ -439,6 +439,90 @@ class StatsAggPushdownSpec extends SparkSpec {
     }
   }
 
+  test("r13: IMAGE grouping keys — GROUP BY year/day/month folds on aligned layouts") {
+    // the registered year rollup folds and equals the kill-switched scan
+    val q = SparkEntry.registry.find(_.name == "idx41_groupby_year").get
+    val df = q.fn(spark, sf("sf0.001"))
+    assert(folded(df), df.queryExecution.optimizedPlan.toString)
+    val viaFold = df.collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.groupByAggPushdown", "false")
+    val viaScan = try {
+      val d = q.fn(spark, sf("sf0.001"))
+      assert(!folded(d))
+      d.collect().map(_.toString).sorted
+    } finally spark.conf.unset("spark.graft.groupByAggPushdown")
+    assert(viaFold === viaScan, "year-rollup fold diverged from the scan")
+    // the TIME-CLUSTERED (unaligned) layout fails closed: row groups
+    // straddle days, so GROUP BY cast-to-date keeps the declarative plan
+    val straddle = graft.operators.Indexed.lineitemTime(spark, sf("sf0.001"))
+      .groupBy(col("l_shipdate").cast("date")).agg(count(lit(1)).as("n"))
+    assert(!folded(straddle), straddle.queryExecution.optimizedPlan.toString)
+    // a MONTH-pure synthetic layout: date_trunc('month', ts) grouping
+    // folds (calendar units need no Derby render on this path). Month 2
+    // carries a leading ALL-null 100-row block — a whole-row-group null
+    // slice lands in the NULL group and keeps other-column tallies alive
+    val base = java.nio.file.Files.createTempDirectory("graft-gby-img").toString
+    import spark.implicits._
+    graft.operators.Indexed.withMicrosTimestamps(spark) {
+      (0 until 6).foreach { m =>
+        (0 until 300).map { i =>
+          // a true CALENDAR month per file (300 × 8000 s ≈ 27.8 d fits
+          // the shortest month); month 2's first 100 rows are null
+          val millis = java.time.LocalDate.of(1970, m + 1, 1).toEpochDay *
+            86400000L + i.toLong * 8000000L
+          (if (m == 2 && i < 100) None else Some(new java.sql.Timestamp(millis)),
+            (m * 1000 + i).toLong)
+        }.toDF("ts", "id").coalesce(1)
+          .write.option("parquet.block.row.count.limit", "100")
+          .mode(if (m == 0) "overwrite" else "append").parquet(s"$base/data")
+      }
+    }
+    val (index, schema) = graft.sources.IndexedParquet.buildIndex(
+      spark, s"$base/data", Seq("ts", "id"), s"$base/db")
+    val (idf, _) = graft.sources.IndexedParquet.read(
+      spark, s"$base/data", index, schema)
+    def shape(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy(date_trunc("month", col("ts")).as("mo"))
+      .agg(count(lit(1)).as("n"), count(col("ts")).as("nts"),
+        max(unix_timestamp(col("ts"))).as("mxu"),
+        min(col("id")).as("idmin"))
+    val gq = shape(idf)
+    assert(folded(gq), gq.queryExecution.optimizedPlan.toString)
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.head -> r.toSeq.tail
+    assert(gq.collect().map(key).toMap ===
+      shape(spark.read.parquet(s"$base/data")).collect().map(key).toMap,
+      "month-rollup fold diverged from the scan")
+    // a PARTIAL-null slice (nulls sharing a row group with values) still
+    // folds pure counts — the split is per-column sound — but fails any
+    // other-column tally closed (no unsplit key for that row group)
+    val base2 = java.nio.file.Files.createTempDirectory("graft-gby-img2").toString
+    graft.operators.Indexed.withMicrosTimestamps(spark) {
+      (0 until 600).map { i =>
+        val m = i / 300
+        val millis = java.time.LocalDate.of(1970, m + 1, 1).toEpochDay *
+          86400000L + (i % 300).toLong * 8000000L
+        (if (i % 60 == 13) None else Some(new java.sql.Timestamp(millis)), i.toLong)
+      }.toDF("ts", "id").coalesce(1)
+        .write.option("parquet.block.row.count.limit", "100")
+        .mode("overwrite").parquet(s"$base2/data")
+    }
+    val (index2, schema2) = graft.sources.IndexedParquet.buildIndex(
+      spark, s"$base2/data", Seq("ts", "id"), s"$base2/db")
+    val (idf2, _) = graft.sources.IndexedParquet.read(
+      spark, s"$base2/data", index2, schema2)
+    def cnts(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy(date_trunc("month", col("ts")).as("mo"))
+      .agg(count(lit(1)).as("n"), count(col("ts")).as("nts"))
+    val cq = cnts(idf2)
+    assert(folded(cq), cq.queryExecution.optimizedPlan.toString)
+    assert(cq.collect().map(key).toMap ===
+      cnts(spark.read.parquet(s"$base2/data")).collect().map(key).toMap,
+      "partial-null month counts diverged from the scan")
+    val oq = idf2.groupBy(date_trunc("month", col("ts")).as("mo"))
+      .agg(min(col("id")).as("idmin"))
+    assert(!folded(oq), oq.queryExecution.optimizedPlan.toString)
+  }
+
   test("catalog answers equal the scan answers (kill switch off = ground truth)") {
     def row() = indexed.agg(
       min(col("k")), max(col("k")), min(col("s")), max(col("s")),
