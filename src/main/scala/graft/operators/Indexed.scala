@@ -858,14 +858,16 @@ object Indexed {
              |  l_shipdate DESC
              |LIMIT 10""".stripMargin)),
 
-    // IMAGE-KEY predicate pruning (idx38, r13 — prune/StatsPredicateRewriter
-    // MonotoneImage + ImageRef): `WHERE CAST(ts AS DATE) BETWEEN d1 AND
-    // d2` — the single most common warehouse filter shape over event
-    // tables — previously fell to TRUE (full scan) because the operand is
-    // computed. A monotone image bounds f(x) by [f(min), f(max)], so the
-    // cast's epoch-day floor renders into the SAME catalog walk as raw
-    // bounds. The dedicated-index design makes this cheap: one arithmetic
-    // wrapper in the pruning SQL, zero extra ingest.
+    // CALENDAR-window predicate pruning (idx38, r13): `WHERE CAST(ts AS
+    // DATE) BETWEEN d1 AND d2` — the single most common warehouse filter
+    // over event tables. Catalyst itself unwraps this cast comparison
+    // into raw timestamp range bounds (visible in PLANS.md), which the
+    // raw-bound pruning already serves; shapes Catalyst can NOT unwrap —
+    // date_trunc equality, unix_timestamp ranges (idx39) — ride the
+    // image rewrite (prune/StatsPredicateRewriter MonotoneImage +
+    // ImageRef): a monotone image bounds f(x) by [f(min), f(max)], so
+    // the computed key renders into the SAME catalog walk as raw bounds.
+    // Either way: zero extra ingest, one arithmetic wrapper at most.
     QueryDef(
       "idx38_filter_castdate",
       (s, dir) => lineitemTime(s, dir)
@@ -941,6 +943,22 @@ object Indexed {
              |  CAST(sum(l_orderkey) AS BIGINT) AS sok,
              |  max(CAST(l_shipdate AS DATE)) AS mxd
              |FROM lineitem GROUP BY year(l_shipdate)""".stripMargin)),
+
+    // DISTINCT-over-image from constancy (idx42, r13 —
+    // StatsAggPushdown.distinctCell): `count(DISTINCT year(ts))` — "how
+    // many active periods" — folds as the size of the row-group constant
+    // set on the year-partitioned layout, alongside plain catalog
+    // scalars in the same aggregate row; no posting index needed, and
+    // partial-null slices stay harmless (DISTINCT ignores nulls).
+    QueryDef(
+      "idx42_distinct_years",
+      (s, dir) => lineitemYearParts(s, dir)
+        .agg(count_distinct(year(col("l_shipdate"))).as("ny"),
+          count(lit(1)).as("n"),
+          max(col("l_shipdate").cast("date")).as("mxd")),
+      Some("""SELECT count(DISTINCT year(l_shipdate)) AS ny, count(*) AS n,
+             |  max(CAST(l_shipdate AS DATE)) AS mxd
+             |FROM lineitem""".stripMargin)),
 
     // row-level key index (the reference's named "precise index" extension,
     // index.rs:30-35): exact key -> (file, row_group) postings; scans only

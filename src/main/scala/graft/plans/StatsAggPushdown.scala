@@ -60,7 +60,13 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         // guard conjunct must not forfeit the catalog answer
         fileIndexOrAllPassFiltered(agg.child) match {
           case Some(idx) =>
-            val values = agg.aggregateExpressions.map(catalogValue(idx.statsIndex, _))
+            // r13: COUNT(DISTINCT …) outputs fold via per-row-group
+            // constancy (distinctCell) alongside plain catalog scalars —
+            // `count(DISTINCT cast(ts AS DATE))` = "how many active
+            // days" from the stats alone on an aligned layout
+            val values = agg.aggregateExpressions.map(ne =>
+              catalogValue(idx.statsIndex, ne)
+                .orElse(distinctCell(idx.statsIndex, ne)))
             if (values.forall(_.isDefined))
               LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.map(_.get))))
             else distinctRewrite(agg, idx).getOrElse(agg)
@@ -703,6 +709,66 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         }
         case _ => None
       }
+
+  /** `COUNT(DISTINCT e)` answered from per-row-group CONSTANCY (r13):
+    * when every row group is constant in `e` among its non-null rows —
+    * for an image key, constant in the IMAGE (f(min) = f(max)) — the
+    * data's distinct non-null values are exactly the row groups'
+    * constants, and the count is the size of that set. Partial-null
+    * slices are harmless here (DISTINCT ignores nulls, and the slice
+    * still contributes its one constant); a straddling row group fails
+    * closed. Strings decline (a truncated stored minimum is a bound,
+    * not a value); the kill switch is shared with the posting-index
+    * distinct path. */
+  private def distinctCell(index: StatsIndex, ne: Expression): Option[Any] = {
+    if (session.conf.get("spark.graft.distinctAggPushdown", "true") != "true")
+      return None
+    def constancyExact(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+          TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    def countVia(e: Expression): Option[Any] = {
+      val legOpt: Option[(AttributeReference, Option[graft.index.KeyImage])] =
+        e match {
+          case a: AttributeReference
+              if indexed(index, a) && constancyExact(a.dataType) =>
+            Some((a, None))
+          case other => graft.index.KeyImage.fromDataExpr(other,
+              ar => indexed(index, ar) && ordered(ar.dataType))
+            .map { case (ar, img) => (ar, Some(img)) }
+        }
+      val (attr, img) = legOpt.getOrElse(return None)
+      val stats = index.rowGroupStats(attr.name).getOrElse(return None)
+      val seen = scala.collection.mutable.HashSet.empty[Any]
+      stats.foreach { st =>
+        val nc = st.nullCount.getOrElse(return None)
+        if (nc != st.rowCount) {
+          val mn = st.min.getOrElse(return None)
+          val mx = st.max.getOrElse(return None)
+          val (kmn, kmx) = img match {
+            case Some(i) =>
+              (scala.util.Try(i(mn)).getOrElse(return None),
+                scala.util.Try(i(mx)).getOrElse(return None))
+            case None => (mn, mx)
+          }
+          if (kmn != kmx) return None
+          seen += kmx
+        }
+      }
+      Some(Long.box(seen.size.toLong))
+    }
+    ne match {
+      case Alias(ae: AggregateExpression, _)
+          if ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(e)) => countVia(e)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 
   /** A BIGINT ledger sum → the Sum aggregate's internal result value.
     * For an integral column the ledger IS the sum; for a decimal column

@@ -523,6 +523,27 @@ class StatsAggPushdownSpec extends SparkSpec {
     assert(!folded(oq), oq.queryExecution.optimizedPlan.toString)
   }
 
+  test("r13: count(DISTINCT image) folds from row-group constancy") {
+    val q = SparkEntry.registry.find(_.name == "idx42_distinct_years").get
+    val df = q.fn(spark, sf("sf0.001"))
+    assert(folded(df), df.queryExecution.optimizedPlan.toString)
+    spark.conf.set("spark.graft.statsAggPushdown", "false")
+    val want = try q.fn(spark, sf("sf0.001")).collect()
+      finally spark.conf.unset("spark.graft.statsAggPushdown")
+    assert(df.collect() === want, "distinct-years fold diverged from the scan")
+    // a finer image the layout cannot certify declines (year files span
+    // many days), and the kill switch restores the declarative plan
+    val fine = graft.operators.Indexed.lineitemYearParts(spark, sf("sf0.001"))
+      .agg(count_distinct(col("l_shipdate").cast("date")).as("nd"))
+    assert(!folded(fine), fine.queryExecution.optimizedPlan.toString)
+    spark.conf.set("spark.graft.distinctAggPushdown", "false")
+    try {
+      val off = graft.operators.Indexed.lineitemYearParts(spark, sf("sf0.001"))
+        .agg(count_distinct(year(col("l_shipdate"))).as("ny"))
+      assert(!folded(off), off.queryExecution.optimizedPlan.toString)
+    } finally spark.conf.unset("spark.graft.distinctAggPushdown")
+  }
+
   test("catalog answers equal the scan answers (kill switch off = ground truth)") {
     def row() = indexed.agg(
       min(col("k")), max(col("k")), min(col("s")), max(col("s")),
