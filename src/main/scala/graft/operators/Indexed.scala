@@ -960,6 +960,51 @@ object Indexed {
              |  max(CAST(l_shipdate AS DATE)) AS mxd
              |FROM lineitem""".stripMargin)),
 
+    // GROUP-dropping filtered fold (idx43, r13 — StatsAggPushdown
+    // groupKeep): `WHERE year(ts) BETWEEN a AND b GROUP BY year(ts)` —
+    // the rollup-for-a-selected-period shape. The filter references only
+    // the grouping key, whose per-group constancy the fold already
+    // certifies, so the predicate keeps or drops GROUPS wholesale: one
+    // eval per key, answer never touches data. Complements idx27's
+    // vacuous-WHERE certificate (there the filter drops nothing; here it
+    // drops whole groups).
+    QueryDef(
+      "idx43_groupby_period",
+      (s, dir) => lineitemYearParts(s, dir)
+        .filter(year(col("l_shipdate")).between(1994, 1996))
+        .groupBy(year(col("l_shipdate")))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sok"),
+          max(col("l_shipdate").cast("date")).as("mxd"))
+        .select(col("year(l_shipdate)").as("y"), col("n"), col("sok"),
+          col("mxd")),
+      Some("""SELECT CAST(year(l_shipdate) AS INTEGER) AS y, count(*) AS n,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS sok,
+             |  max(CAST(l_shipdate AS DATE)) AS mxd
+             |FROM lineitem
+             |WHERE year(l_shipdate) BETWEEN 1994 AND 1996
+             |GROUP BY year(l_shipdate)""".stripMargin)),
+
+    // FILTERED global fold (idx44, r13 — StatsAggPushdown
+    // globalFilteredFold): `SELECT count(*), sum(..), min/max(..) WHERE
+    // year(ts) = 1995` — "last year's totals", the archetypal dashboard
+    // query. The year predicate keeps or drops each row group WHOLESALE
+    // on the year-partitioned layout (key constancy + one eval per row
+    // group), then the kept groups' footer counts / ledger sums /
+    // verbatim extremes merge into the answer: O(index), zero data read.
+    QueryDef(
+      "idx44_agg_filtered_year",
+      (s, dir) => lineitemYearParts(s, dir)
+        .filter(year(col("l_shipdate")) === 1995)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sok"),
+          min(col("l_shipdate").cast("date")).as("mnd"),
+          max(col("l_orderkey")).as("okmax")),
+      Some("""SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sok,
+             |  min(CAST(l_shipdate AS DATE)) AS mnd,
+             |  max(l_orderkey) AS okmax
+             |FROM lineitem WHERE year(l_shipdate) = 1995""".stripMargin)),
+
     // row-level key index (the reference's named "precise index" extension,
     // index.rs:30-35): exact key -> (file, row_group) postings; scans only
     // row groups where the key OCCURS, not merely where its range overlaps

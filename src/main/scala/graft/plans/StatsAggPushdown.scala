@@ -70,12 +70,23 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
             if (values.forall(_.isDefined))
               LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.map(_.get))))
             else distinctRewrite(agg, idx).getOrElse(agg)
-          case None => agg
+          case None =>
+            // r13: a filter the stats cannot prove vacuous may still
+            // keep/drop each row group WHOLESALE (globalFilteredFold)
+            fileIndexFiltered(agg.child) match {
+              case Some((idx2, Some(c))) =>
+                globalFilteredFold(agg, idx2, c).getOrElse(agg)
+              case _ => agg
+            }
         }
       case agg: Aggregate if agg.groupingExpressions.nonEmpty =>
-        fileIndexOrAllPassFiltered(agg.child) match {
-          case Some(idx) => groupByRewrite(agg, idx).getOrElse(agg)
-          case None      => agg
+        // r13: the grouped fold also serves a Filter whose conjuncts
+        // reference only GROUPING KEYS — the raw condition travels with
+        // the index and is certified inside groupByRewrite (groupKeep)
+        fileIndexFiltered(agg.child) match {
+          case Some((idx, cond)) =>
+            groupByRewrite(agg, idx, cond).getOrElse(agg)
+          case None => agg
         }
     }
   }
@@ -101,6 +112,19 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       fileIndexOf(f.child).filter(idx => allPassFilter(f.condition, idx))
     case other => fileIndexOf(other)
   }
+
+  /** Like [[fileIndexOrAllPassFiltered]] but hands the Filter's RAW
+    * condition to the caller: the grouped fold (r13) can serve key-only
+    * conjuncts per group, not just stats-vacuous ones. */
+  private def fileIndexFiltered(
+      p: LogicalPlan): Option[(IndexedParquetFileIndex, Option[Expression])] =
+    p match {
+      case Project(projectList, child) if projectList.forall(passThrough) =>
+        fileIndexFiltered(child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        fileIndexOf(f.child).map(idx => (idx, Some(f.condition)))
+      case other => fileIndexOf(other).map((_, None))
+    }
 
   /** Every conjunct is a comparison of an indexed, ordering-certified
     * column against a literal (or a bare IsNotNull) that the stats PROVE
@@ -200,7 +224,8 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     * relation's listing IS the catalog (see COUNT(*) note above). Kill
     * switch: `spark.graft.groupByAggPushdown=false`. */
   private def groupByRewrite(
-      agg: Aggregate, idx: IndexedParquetFileIndex): Option[LogicalPlan] = {
+      agg: Aggregate, idx: IndexedParquetFileIndex,
+      cond: Option[Expression]): Option[LogicalPlan] = {
     if (session.conf.get("spark.graft.groupByAggPushdown", "true") != "true")
       return None
     // N grouping KEYS (r11: two attrs; r13: any N, and any key may be a
@@ -264,6 +289,49 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     // while at most ONE column splits (two partial columns make the
     // joint distribution unknowable from per-column stats: fail closed)
     type Key = Vector[Option[Any]]
+    // r13: serve the Filter per GROUP. Each conjunct is either
+    // stats-certified ALL-PASS (vacuous — r11, drops nothing) or an
+    // expression over GROUPING KEYS only: the constancy certificate
+    // below proves every row of a group carries the key value exactly,
+    // so such a predicate keeps or drops groups WHOLESALE — evaluate it
+    // per group with Spark's own eval on the substituted key literals
+    // (`WHERE year(ts) BETWEEN 1994 AND 1996 GROUP BY year(ts)`, the
+    // rollup-for-a-period shape; `WHERE src IN (...) GROUP BY src`).
+    // NULL keys get SQL semantics for free (a comparison drops the NULL
+    // group, IS NULL keeps it — images are null-preserving). A conjunct
+    // that is neither, or any eval failure (ANSI), declines the fold.
+    val rKeys: Seq[Expression] = gs.map(k => resolvedExpr(k.expr))
+    def keyIdxOf(s: Expression): Int = {
+      val rs = resolvedExpr(s)
+      rKeys.indexWhere(_.semanticEquals(rs))
+    }
+    def keyEvaluator(cj: Expression): Option[Key => Option[Boolean]] = {
+      if (!cj.deterministic) return None
+      def subst(key: Key): Expression = cj.transformDown {
+        case s if keyIdxOf(s) >= 0 =>
+          val i = keyIdxOf(s)
+          Literal(key(i).flatMap(internal(_, gs(i).keyType)).orNull,
+            gs(i).keyType)
+      }
+      if (subst(Vector.fill(gs.size)(None)).references.nonEmpty) return None
+      Some(key => scala.util.Try(subst(key).eval(null)).toOption
+        .map(v => v == true))
+    }
+    val groupKeep: Key => Option[Boolean] = cond match {
+      case None => _ => Some(true)
+      case Some(c) =>
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            conjuncts(l) ++ conjuncts(r)
+          case x => Seq(x)
+        }
+        val evs = conjuncts(c).flatMap { cj =>
+          if (allPassFilter(cj, idx)) Nil
+          else Seq(keyEvaluator(cj).getOrElse(return None))
+        }
+        key => evs.foldLeft(Option(true))((acc, ev) =>
+          acc.flatMap(b => if (!b) Some(false) else ev(key)))
+    }
     val statsPer: Seq[Map[(String, Int), RowGroupStat]] =
       gs.map(g => idx.statsIndex.rowGroupStats(g.attr.name).getOrElse(return None)
         .map(s => (s.fileName, s.rowGroup) -> s).toMap)
@@ -550,10 +618,15 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         case Alias(ae: AggregateExpression, _) => cellAgg(ae, key, rows)
         case _ => None
       }
-    val rows = byKey.toSeq.map { case (key, n) =>
-      val cells = agg.aggregateExpressions.map(cell(_, key, n))
-      if (cells.exists(_.isEmpty)) return None
-      InternalRow.fromSeq(cells.map(_.get))
+    val rows = byKey.toSeq.flatMap { case (key, n) =>
+      groupKeep(key) match {
+        case None        => return None // eval failure: fail closed
+        case Some(false) => Nil // the predicate drops this group wholesale
+        case Some(true) =>
+          val cells = agg.aggregateExpressions.map(cell(_, key, n))
+          if (cells.exists(_.isEmpty)) return None
+          Seq(InternalRow.fromSeq(cells.map(_.get)))
+      }
     }
     Some(LocalRelation(agg.output, rows))
   }
@@ -768,6 +841,217 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         }
       case _ => None
     }
+  }
+
+  /** A GLOBAL aggregate under a Filter the catalog serves per ROW GROUP
+    * (r13): every conjunct is either stats-certified ALL-PASS (vacuous,
+    * r11) or closes over KEYISH operands — indexed columns or monotone
+    * images of them — CONSTANT within each row group, so the predicate
+    * keeps or drops row groups WHOLESALE (`WHERE year(ts) = 1995` over
+    * time-partitioned ingest: "last year's totals" answered O(index),
+    * zero data scanned). Kept row groups' tallies then merge into the
+    * global answer exactly like the unfiltered fold: COUNT from footer
+    * row counts, SUM from the ledger, MIN/MAX from verbatim-exact
+    * extremes — sound because membership is wholesale, so the kept
+    * set's stats ARE the filtered rows' stats. Null discipline: every
+    * referenced key column must be all-null or null-free per row group
+    * (a partial slice would split membership); an all-null group
+    * evaluates the predicate at NULL and SQL three-valued logic keeps
+    * or drops it whole. Any straddling row group, eval failure (ANSI),
+    * or unservable aggregate declines to the declarative plan.
+    * Kill switch: `spark.graft.filteredAggPushdown`. */
+  private def globalFilteredFold(
+      agg: Aggregate, idx: IndexedParquetFileIndex,
+      cond: Expression): Option[LogicalPlan] = {
+    if (session.conf.get("spark.graft.filteredAggPushdown", "true") != "true")
+      return None
+    import org.apache.spark.sql.catalyst.expressions.And
+    val index = idx.statsIndex
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def keyish(e: Expression)
+        : Option[(AttributeReference, Option[graft.index.KeyImage])] =
+      e match {
+        case a: AttributeReference if indexed(index, a) && ordered(a.dataType) =>
+          Some((a, None))
+        case other =>
+          imageOf(index, other).map { case (ar, img) => (ar, Some(img)) }
+      }
+    val live = conjuncts(cond).filterNot(cj => allPassFilter(cj, idx))
+    if (live.isEmpty) return None // fully vacuous is the unfiltered fold's job
+    // the keyish subexpressions the live conjuncts close over (maximal
+    // subtrees — transformDown stops descending once one matches)
+    val keyExprs = scala.collection.mutable.ArrayBuffer
+      .empty[(Expression, AttributeReference, Option[graft.index.KeyImage])]
+    def keyIdxOf(s: Expression): Int =
+      keyExprs.indexWhere(_._1.semanticEquals(s))
+    live.foreach { cj =>
+      if (!cj.deterministic) return None
+      val closed = cj.transformDown {
+        case s if keyIdxOf(s) >= 0 => Literal(null, s.dataType)
+        case s if keyish(s).isDefined =>
+          val (ar, img) = keyish(s).get
+          keyExprs += ((s, ar, img)); Literal(null, s.dataType)
+      }
+      if (closed.references.nonEmpty) return None
+    }
+    if (keyExprs.isEmpty) return None
+    def keyType(i: Int): DataType =
+      keyExprs(i)._3.map(_.resultType).getOrElse(keyExprs(i)._2.dataType)
+    val statsPer: Seq[Map[(String, Int), RowGroupStat]] =
+      keyExprs.toSeq.map(k =>
+        index.rowGroupStats(k._2.name).getOrElse(return None)
+          .map(s => (s.fileName, s.rowGroup) -> s).toMap)
+    if (statsPer.exists(_.size != statsPer.head.size)) return None
+    def evalKeep(vals: IndexedSeq[Option[Any]]): Option[Boolean] = {
+      var keep = true
+      live.foreach { cj =>
+        if (keep) {
+          val sub = cj.transformDown {
+            case s if keyIdxOf(s) >= 0 =>
+              val i = keyIdxOf(s)
+              Literal(vals(i).flatMap(internal(_, keyType(i))).orNull,
+                keyType(i))
+          }
+          scala.util.Try(sub.eval(null)).toOption match {
+            case Some(v) => keep = v == true
+            case None => return None
+          }
+        }
+      }
+      Some(keep)
+    }
+    val keptSet = scala.collection.mutable.HashSet.empty[(String, Int)]
+    var keptRows = 0L
+    statsPer.head.keys.toSeq.sorted.foreach { rg =>
+      val rowCount = statsPer.head(rg).rowCount
+      val vals: IndexedSeq[Option[Any]] = keyExprs.indices.map { i =>
+        val s = statsPer(i).getOrElse(rg, return None)
+        if (s.rowCount != rowCount) return None
+        val nc = s.nullCount.getOrElse(return None)
+        if (nc == s.rowCount) None
+        else if (nc != 0L) return None // partial nulls split membership
+        else {
+          val mn = s.min.getOrElse(return None)
+          val mx = s.max.getOrElse(return None)
+          val (kmn, kmx) = keyExprs(i)._3 match {
+            case Some(img) =>
+              (scala.util.Try(img(mn)).getOrElse(return None),
+                scala.util.Try(img(mx)).getOrElse(return None))
+            case None => (mn, mx)
+          }
+          if (kmn != kmx) return None // straddler: fail closed
+          Some(kmx)
+        }
+      }
+      evalKeep(vals) match {
+        case None => return None
+        case Some(true) => keptSet += rg; keptRows += rowCount
+        case Some(false) => ()
+      }
+    }
+    // tallies over the kept set — each needs full, aligned coverage
+    def exactVal(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+          TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    def keptStats(a: AttributeReference): Option[Seq[RowGroupStat]] =
+      if (!indexed(index, a)) None
+      else index.rowGroupStats(a.name)
+        .map(_.filter(s => keptSet.contains((s.fileName, s.rowGroup))))
+        .filter(_.size == keptSet.size)
+    def extreme(a: AttributeReference, wantMin: Boolean): Option[Any] = {
+      if (!exactVal(a.dataType)) return None
+      val ord = graft.prune.TopKPruning.ordering(a.dataType)
+        .getOrElse(return None)
+      val ss = keptStats(a).getOrElse(return None)
+      var cur: Option[Any] = None
+      ss.foreach { s =>
+        val nc = s.nullCount.getOrElse(return None)
+        if (nc != s.rowCount) { // all-null groups contribute no extreme
+          val v = (if (wantMin) s.min else s.max).getOrElse(return None)
+          cur = Some(cur match {
+            case Some(p) =>
+              if (wantMin) { if (ord.lt(v, p)) v else p }
+              else if (ord.lt(p, v)) v else p
+            case None => v
+          })
+        }
+      }
+      Some(cur.orNull) // zero non-null rows kept ⇒ SQL NULL, still served
+    }
+    def render(v: Any, img: Option[graft.index.KeyImage],
+        dt: DataType): Option[Any] =
+      if (v == null) Some(null)
+      else {
+        val mapped = img match {
+          case Some(i) => scala.util.Try(i(v)).toOption.getOrElse(return None)
+          case None => v
+        }
+        internal(mapped, dt)
+      }
+    def sumCell(su: Sum, a: AttributeReference): Option[Any] = {
+      if (!indexed(index, a) || !graft.index.SumShadow.supported(a.dataType))
+        return None
+      val ss = keptStats(a).getOrElse(return None)
+      var sv = 0L; var nn = 0L
+      try ss.foreach { s =>
+        val nc = s.nullCount.getOrElse(return None)
+        sv = Math.addExact(sv, s.sumVal.getOrElse(return None))
+        nn += s.rowCount - nc
+      } catch { case _: ArithmeticException => return None }
+      if (nn > 0) ledgerSum(su.dataType, a.dataType, sv) else Some(null)
+    }
+    def countCol(a: AttributeReference): Option[Any] = {
+      val ss = keptStats(a).getOrElse(return None)
+      var n = 0L
+      ss.foreach(s => n += s.rowCount - s.nullCount.getOrElse(return None))
+      Some(n)
+    }
+    def cellAgg(ae: AggregateExpression): Option[Any] =
+      if (ae.isDistinct || ae.filter.nonEmpty) None
+      else ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) if l.value != null => Some(keptRows)
+        case Count(Seq(a: AttributeReference)) if indexed(index, a) =>
+          countCol(a)
+        case Min(a: AttributeReference) =>
+          extreme(a, wantMin = true).flatMap(render(_, None, a.dataType))
+        case Max(a: AttributeReference) =>
+          extreme(a, wantMin = false).flatMap(render(_, None, a.dataType))
+        case su: Sum => su.child match {
+          case a: AttributeReference => sumCell(su, a)
+          case _ => None
+        }
+        // MIN/MAX of a monotone image: the image of the kept set's raw
+        // extreme (extremes commute with monotone maps)
+        case Min(e) => imageOf(index, e).flatMap { case (ar, img) =>
+          extreme(ar, wantMin = true)
+            .flatMap(render(_, Some(img), img.resultType))
+        }
+        case Max(e) => imageOf(index, e).flatMap { case (ar, img) =>
+          extreme(ar, wantMin = false)
+            .flatMap(render(_, Some(img), img.resultType))
+        }
+        case _ => None
+      }
+    def cellOf(ne: NamedExpression): Option[Any] = ne match {
+      case Alias(c: org.apache.spark.sql.catalyst.expressions.Cast, _) =>
+        c.child match {
+          case ae: AggregateExpression =>
+            cellAgg(ae).flatMap(castValue(c, ae.dataType, _))
+          case _ => None
+        }
+      case Alias(ae: AggregateExpression, _) => cellAgg(ae)
+      case _ => None
+    }
+    val cells = agg.aggregateExpressions.map(cellOf)
+    if (cells.exists(_.isEmpty)) return None
+    Some(LocalRelation(agg.output,
+      Seq(InternalRow.fromSeq(cells.map(_.get)))))
   }
 
   /** A BIGINT ledger sum → the Sum aggregate's internal result value.

@@ -544,6 +544,68 @@ class StatsAggPushdownSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.distinctAggPushdown")
   }
 
+  test("r13: key-only filter drops groups wholesale in the fold") {
+    val q = SparkEntry.registry.find(_.name == "idx43_groupby_period").get
+    val df = q.fn(spark, sf("sf0.001"))
+    assert(folded(df), df.queryExecution.optimizedPlan.toString)
+    spark.conf.set("spark.graft.statsAggPushdown", "false")
+    val want = try q.fn(spark, sf("sf0.001")).collect()
+      finally spark.conf.unset("spark.graft.statsAggPushdown")
+    assert(df.collect().sortBy(_.getInt(0)) === want.sortBy(_.getInt(0)),
+      "period rollup diverged from the scan")
+    assert(want.nonEmpty && want.length < 7,
+      s"fixture must span more years than the window (got ${want.length})")
+    // a row-dropping conjunct on a NON-key column declines the whole fold
+    val off = graft.operators.Indexed.lineitemYearParts(spark, sf("sf0.001"))
+      .filter(year(col("l_shipdate")) >= 1994 && col("l_quantity") > 25)
+      .groupBy(year(col("l_shipdate")))
+      .agg(count(lit(1)).as("n"))
+    assert(!folded(off), off.queryExecution.optimizedPlan.toString)
+    // IN on the key folds and matches the scan
+    val inq = graft.operators.Indexed.lineitemYearParts(spark, sf("sf0.001"))
+      .filter(year(col("l_shipdate")).isin(1992, 1997))
+      .groupBy(year(col("l_shipdate")).as("y"))
+      .agg(count(lit(1)).as("n"))
+    assert(folded(inq), inq.queryExecution.optimizedPlan.toString)
+    spark.conf.set("spark.graft.statsAggPushdown", "false")
+    val inWant = try graft.operators.Indexed
+        .lineitemYearParts(spark, sf("sf0.001"))
+        .filter(year(col("l_shipdate")).isin(1992, 1997))
+        .groupBy(year(col("l_shipdate")).as("y"))
+        .agg(count(lit(1)).as("n")).collect()
+      finally spark.conf.unset("spark.graft.statsAggPushdown")
+    assert(inq.collect().sortBy(_.getInt(0)) === inWant.sortBy(_.getInt(0)))
+  }
+
+  test("r13: key-constant filter folds the GLOBAL aggregate wholesale") {
+    val q = SparkEntry.registry.find(_.name == "idx44_agg_filtered_year").get
+    val df = q.fn(spark, sf("sf0.001"))
+    assert(folded(df), df.queryExecution.optimizedPlan.toString)
+    spark.conf.set("spark.graft.statsAggPushdown", "false")
+    val want = try q.fn(spark, sf("sf0.001")).collect()
+      finally spark.conf.unset("spark.graft.statsAggPushdown")
+    assert(df.collect() === want, "filtered global fold diverged from scan")
+    // an empty year folds to the SQL empty-aggregate row (0, NULL sum)
+    val none = graft.operators.Indexed.lineitemYearParts(spark, sf("sf0.001"))
+      .filter(year(col("l_shipdate")) === 1901)
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sok"))
+    assert(folded(none), none.queryExecution.optimizedPlan.toString)
+    val r = none.collect()
+    assert(r.length == 1 && r(0).getLong(0) == 0L && r(0).isNullAt(1))
+    // a predicate over a non-key (double, uncertified) column declines
+    val off = graft.operators.Indexed.lineitemYearParts(spark, sf("sf0.001"))
+      .filter(col("l_quantity") > 25)
+      .agg(count(lit(1)).as("n"))
+    assert(!folded(off), off.queryExecution.optimizedPlan.toString)
+    // kill switch restores the declarative plan with the same answer
+    spark.conf.set("spark.graft.filteredAggPushdown", "false")
+    try {
+      val ks = q.fn(spark, sf("sf0.001"))
+      assert(!folded(ks), ks.queryExecution.optimizedPlan.toString)
+      assert(ks.collect() === want)
+    } finally spark.conf.unset("spark.graft.filteredAggPushdown")
+  }
+
   test("catalog answers equal the scan answers (kill switch off = ground truth)") {
     def row() = indexed.agg(
       min(col("k")), max(col("k")), min(col("s")), max(col("s")),
