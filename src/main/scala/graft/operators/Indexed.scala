@@ -1005,6 +1005,72 @@ object Indexed {
              |  max(l_orderkey) AS okmax
              |FROM lineitem WHERE year(l_shipdate) = 1995""".stripMargin)),
 
+    // Catalog AVG (idx45, r13 — StatsAggPushdown avgFromLedger): AVG =
+    // ledger SUM / non-null tally, rendered through Average's OWN
+    // evaluateExpression (Spark's division, result scale, HALF_UP
+    // rounding — not re-derived). The bigint avg sums exactly in the
+    // ledger (the scan's Double accumulation is only exact below 2^53;
+    // the catalog's Math.addExact never approximates); the decimal avg
+    // divides the exact unscaled ledger at Spark's own result scale.
+    // Render casts fold as a CHAIN (avg → decimal(18,4) → string) now
+    // peeled by castsOver.
+    QueryDef(
+      "idx45_agg_avg",
+      (s, dir) => lineitemValueAligned3(s, dir)
+        .agg(avg(col("l_orderkey")).as("a1"),
+          avg(col("l_price_dec")).as("a2"),
+          count(lit(1)).as("n"))
+        .select(col("a1").cast("decimal(18,4)").cast("string").as("aok"),
+          col("a2").cast("string").as("apd"), col("n")),
+      Some("""SELECT
+             |  CAST(CAST(avg(l_orderkey) AS DECIMAL(18,4)) AS VARCHAR) AS aok,
+             |  CAST(CAST(avg(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(16,6))
+             |    AS VARCHAR) AS apd,
+             |  count(*) AS n
+             |FROM lineitem""".stripMargin)),
+
+    // Per-group catalog AVG (idx46, r13): the same ledger tallies keyed
+    // by the fold's certified group keys — the per-source "mean value"
+    // manifest row, answered without touching data.
+    QueryDef(
+      "idx46_groupby_avg",
+      (s, dir) => lineitemValueAligned(s, dir)
+        .groupBy("l_returnflag")
+        .agg(avg(col("l_orderkey")).as("a1"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("a1").cast("decimal(18,4)").cast("string").as("aok"), col("n")),
+      Some("""SELECT l_returnflag,
+             |  CAST(CAST(avg(l_orderkey) AS DECIMAL(18,4)) AS VARCHAR) AS aok,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // Row-group-filtered GROUPED fold (idx47, r13 — rowGroupKeepSet keyed
+    // into groupByRewrite): the WHERE columns are NOT grouping keys —
+    // they are keyish columns CONSTANT per row group on the aligned
+    // layout, so the predicate keeps or drops ROW GROUPS wholesale and
+    // the grouped tallies (counts, ledger sums, extremes, avg) merge
+    // over the kept universe only. The "segment report for one source"
+    // shape: filter by partition-ish columns, roll up by another,
+    // answered O(index).
+    QueryDef(
+      "idx47_groupby_rgfilter",
+      (s, dir) => lineitemValueAligned3(s, dir)
+        .filter(col("l_returnflag") === "A" && col("l_linenumber") <= 4)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sok"),
+          max(col("l_linenumber")).as("mxl"),
+          avg(col("l_orderkey")).as("a1"))
+        .select(col("l_linestatus"), col("n"), col("sok"), col("mxl"),
+          col("a1").cast("decimal(18,4)").cast("string").as("aok")),
+      Some("""SELECT l_linestatus, count(*) AS n,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS sok,
+             |  max(l_linenumber) AS mxl,
+             |  CAST(CAST(avg(l_orderkey) AS DECIMAL(18,4)) AS VARCHAR) AS aok
+             |FROM lineitem
+             |WHERE l_returnflag = 'A' AND l_linenumber <= 4
+             |GROUP BY l_linestatus""".stripMargin)),
+
     // row-level key index (the reference's named "precise index" extension,
     // index.rs:30-35): exact key -> (file, row_group) postings; scans only
     // row groups where the key OCCURS, not merely where its range overlaps

@@ -5,7 +5,7 @@ import graft.sources.IndexedParquetFileIndex
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -317,6 +317,13 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       Some(key => scala.util.Try(subst(key).eval(null)).toOption
         .map(v => v == true))
     }
+    // conjuncts that are neither vacuous nor key-only spill into rgLive:
+    // if every one of them is ROW-GROUP-decidable (keyish + constant per
+    // row group — the idx44 engine), they restrict the row-group UNIVERSE
+    // the grouping walk below iterates, wholesale (idx47:
+    // `WHERE l_returnflag = 'A' GROUP BY l_linestatus` on the aligned
+    // layout — the filter column need not be a grouping key at all)
+    val rgLive = scala.collection.mutable.ArrayBuffer.empty[Expression]
     val groupKeep: Key => Option[Boolean] = cond match {
       case None => _ => Some(true)
       case Some(c) =>
@@ -327,7 +334,10 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         }
         val evs = conjuncts(c).flatMap { cj =>
           if (allPassFilter(cj, idx)) Nil
-          else Seq(keyEvaluator(cj).getOrElse(return None))
+          else keyEvaluator(cj) match {
+            case Some(ev) => Seq(ev)
+            case None => rgLive += cj; Nil
+          }
         }
         key => evs.foldLeft(Option(true))((acc, ev) =>
           acc.flatMap(b => if (!b) Some(false) else ev(key)))
@@ -337,9 +347,22 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         .map(s => (s.fileName, s.rowGroup) -> s).toMap)
     if (statsPer.exists(_.size != statsPer.head.size)) return None
     val rgs: Seq[(String, Int)] = statsPer.head.keys.toSeq.sorted
+    // r13 (idx47): the rg-decidable conjuncts' kept set — its universe
+    // must be the very set this walk iterates, or membership of some row
+    // group is undecided and the fold fails closed
+    val keptRg: ((String, Int)) => Boolean =
+      if (rgLive.isEmpty) _ => true
+      else {
+        if (session.conf.get("spark.graft.filteredAggPushdown", "true") != "true")
+          return None
+        val (kept, _, universe) =
+          rowGroupKeepSet(idx.statsIndex, rgLive.toSeq).getOrElse(return None)
+        if (universe != rgs.size) return None
+        kept
+      }
     val byKey = scala.collection.mutable.LinkedHashMap.empty[Key, Long]
     val rgKey = scala.collection.mutable.HashMap.empty[(String, Int), Key]
-    rgs.foreach { rg =>
+    rgs.filter(keptRg).foreach { rg =>
       // per column: (null count, constant value — None when all-null)
       val info: Seq[(Long, Option[Any])] = gs.indices.map { i =>
         val s = statsPer(i).getOrElse(rg, return None)
@@ -411,12 +434,7 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     // aggregate under a Cast is still the same catalog-served aggregate
     // (the cast replays on the folded value — see castValue)
     def aggOf(ne: NamedExpression): Option[AggregateExpression] = ne match {
-      case Alias(ae: AggregateExpression, _) => Some(ae)
-      case Alias(c: org.apache.spark.sql.catalyst.expressions.Cast, _) =>
-        c.child match {
-          case ae: AggregateExpression => Some(ae)
-          case _ => None
-        }
+      case Alias(e, _) => castsOver(e).map(_._1)
       case _ => None
     }
     val plainAggs = agg.aggregateExpressions.flatMap(aggOf)
@@ -449,22 +467,24 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
           val acc = scala.collection.mutable.HashMap
             .empty[Key, (Option[Any], Option[Any])]
           os.foreach { s =>
-            val v = rgKey.get((s.fileName, s.rowGroup)) match {
-              case Some(v) => v
-              case None => return None // a group the grouping pass didn't certify
-            }
-            val nc = s.nullCount.getOrElse(return None)
-            if (nc != s.rowCount) { // all-null groups contribute no extreme
-              val mn = s.min.getOrElse(return None)
-              val mx = s.max.getOrElse(return None)
-              def lt(x: Any, y: Any) = ord.lt(x, y)
-              acc.updateWith(v) {
-                case Some((pmn, pmx)) => Some((
-                  Some(if (pmn.forall(p => lt(mn, p))) mn else pmn.get),
-                  Some(if (pmx.forall(p => lt(p, mx))) mx else pmx.get)))
-                case None => Some((Some(mn), Some(mx)))
+            if (keptRg((s.fileName, s.rowGroup))) {
+              val v = rgKey.get((s.fileName, s.rowGroup)) match {
+                case Some(v) => v
+                case None => return None // a group the grouping pass didn't certify
               }
-            } else acc.getOrElseUpdate(v, (None, None))
+              val nc = s.nullCount.getOrElse(return None)
+              if (nc != s.rowCount) { // all-null groups contribute no extreme
+                val mn = s.min.getOrElse(return None)
+                val mx = s.max.getOrElse(return None)
+                def lt(x: Any, y: Any) = ord.lt(x, y)
+                acc.updateWith(v) {
+                  case Some((pmn, pmx)) => Some((
+                    Some(if (pmn.forall(p => lt(mn, p))) mn else pmn.get),
+                    Some(if (pmx.forall(p => lt(p, mx))) mx else pmx.get)))
+                  case None => Some((Some(mn), Some(mx)))
+                }
+              } else acc.getOrElseUpdate(v, (None, None))
+            }
           }
           a.name -> acc
         }.toMap
@@ -479,6 +499,11 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     val sumAggCols = plainAggs.flatMap { ae =>
       ae.aggregateFunction match {
         case su: Sum => su.child match {
+          case a: AttributeReference if !isGrouping(a) => Seq(a)
+          case _ => Nil
+        }
+        // AVG shares the (ledger sum, non-null tally) machinery (r13)
+        case av: Average => av.child match {
           case a: AttributeReference if !isGrouping(a) => Seq(a)
           case _ => Nil
         }
@@ -505,17 +530,19 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
           val os = idx.statsIndex.rowGroupStats(a.name).getOrElse(return None)
           val acc = scala.collection.mutable.HashMap.empty[Key, (Long, Long)]
           os.foreach { s =>
-            val v = rgKey.get((s.fileName, s.rowGroup)) match {
-              case Some(v) => v
-              case None => return None
+            if (keptRg((s.fileName, s.rowGroup))) {
+              val v = rgKey.get((s.fileName, s.rowGroup)) match {
+                case Some(v) => v
+                case None => return None
+              }
+              val nc = s.nullCount.getOrElse(return None)
+              val sv = s.sumVal.getOrElse(return None)
+              try acc.updateWith(v) {
+                case Some((ps, pn)) =>
+                  Some((Math.addExact(ps, sv), pn + (s.rowCount - nc)))
+                case None => Some((sv, s.rowCount - nc))
+              } catch { case _: ArithmeticException => return None }
             }
-            val nc = s.nullCount.getOrElse(return None)
-            val sv = s.sumVal.getOrElse(return None)
-            try acc.updateWith(v) {
-              case Some((ps, pn)) =>
-                Some((Math.addExact(ps, sv), pn + (s.rowCount - nc)))
-              case None => Some((sv, s.rowCount - nc))
-            } catch { case _: ArithmeticException => return None }
           }
           a.name -> acc
         }.toMap
@@ -528,14 +555,16 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
           val os = idx.statsIndex.rowGroupStats(a.name).getOrElse(return None)
           val acc = scala.collection.mutable.HashMap.empty[Key, Long]
           os.foreach { s =>
-            val v = rgKey.get((s.fileName, s.rowGroup)) match {
-              case Some(v) => v
-              case None => return None
-            }
-            val nc = s.nullCount.getOrElse(return None)
-            acc.updateWith(v) {
-              case Some(p) => Some(p + (s.rowCount - nc))
-              case None    => Some(s.rowCount - nc)
+            if (keptRg((s.fileName, s.rowGroup))) {
+              val v = rgKey.get((s.fileName, s.rowGroup)) match {
+                case Some(v) => v
+                case None => return None
+              }
+              val nc = s.nullCount.getOrElse(return None)
+              acc.updateWith(v) {
+                case Some(p) => Some(p + (s.rowCount - nc))
+                case None    => Some(s.rowCount - nc)
+              }
             }
           }
           a.name -> acc
@@ -594,6 +623,16 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
                 }
               case _ => None
             }
+            // per-group AVG (r13): the group's ledger sum over its
+            // non-null tally through Average's own evaluateExpression
+            case av: Average => av.child match {
+              case a: AttributeReference if otherSums.contains(a.name) =>
+                otherSums(a.name).get(key) match {
+                  case Some((sv, nn)) => avgFromLedger(av, a.dataType, sv, nn)
+                  case None => Some(null)
+                }
+              case _ => None
+            }
             case Count(Seq(a: AttributeReference))
                 if otherCounts.contains(a.name) =>
               Some(otherCounts(a.name).getOrElse(key, 0L))
@@ -609,13 +648,8 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         // "day")`): the certified key value — must match BEFORE the
         // generic Cast case (a cast grouping expr is not a render cast)
         case Alias(e, _) if gIdxE(e) >= 0 => keyCell(gIdxE(e), key)
-        case Alias(c: org.apache.spark.sql.catalyst.expressions.Cast, _) =>
-          c.child match {
-            case ae: AggregateExpression =>
-              cellAgg(ae, key, rows).flatMap(castValue(c, ae.dataType, _))
-            case _ => None
-          }
-        case Alias(ae: AggregateExpression, _) => cellAgg(ae, key, rows)
+        case Alias(e, _) => castsOver(e).flatMap { case (ae, cs) =>
+          cellAgg(ae, key, rows).flatMap(replayCasts(cs, _)) }
         case _ => None
       }
     val rows = byKey.toSeq.flatMap { case (key, n) =>
@@ -725,13 +759,8 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     * certified aggregate is served by evaluating Spark's own cast on the
     * catalog value. */
   private def catalogValue(index: StatsIndex, ne: Expression): Option[Any] = ne match {
-    case Alias(c: org.apache.spark.sql.catalyst.expressions.Cast, _) =>
-      c.child match {
-        case ae: AggregateExpression =>
-          aggValue(index, ae).flatMap(castValue(c, ae.dataType, _))
-        case _ => None
-      }
-    case Alias(ae: AggregateExpression, _) => aggValue(index, ae)
+    case Alias(e, _) => castsOver(e).flatMap { case (ae, cs) =>
+      aggValue(index, ae).flatMap(replayCasts(cs, _)) }
     case _ => None
   }
 
@@ -742,6 +771,61 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       c: org.apache.spark.sql.catalyst.expressions.Cast,
       from: DataType, v: Any): Option[Any] =
     scala.util.Try(c.withNewChildren(Seq(Literal(v, from))).eval(null)).toOption
+
+  /** Peel the chain of render Casts CollapseProject folds over an
+    * aggregate — a fixed-scale render is often TWO casts
+    * (`avg → decimal(18,4) → string`). Outermost first; empty chain for
+    * a bare aggregate. */
+  private def castsOver(e: Expression): Option[
+      (AggregateExpression, List[org.apache.spark.sql.catalyst.expressions.Cast])] =
+    e match {
+      case ae: AggregateExpression => Some((ae, Nil))
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        castsOver(c.child).map { case (ae, cs) => (ae, c :: cs) }
+      case _ => None
+    }
+
+  /** Replay a peeled cast chain (innermost first) on the catalog value —
+    * each level is Spark's own Cast over the previous level's type. */
+  private def replayCasts(
+      casts: List[org.apache.spark.sql.catalyst.expressions.Cast],
+      v: Any): Option[Any] = casts match {
+    case Nil => Some(v)
+    case outer :: rest =>
+      replayCasts(rest, v).flatMap(castValue(outer, outer.child.dataType, _))
+  }
+
+  /** Spark's own AVG result from the exact ledger tallies: substitute the
+    * aggregate's (sum, count) buffer slots in its OWN `evaluateExpression`
+    * with literals derived from the BIGINT ledger (exact integral sum /
+    * unscaled decimal sum) and the non-null tally, then evaluate — the
+    * division, result scale, rounding, and overflow semantics are all
+    * Spark's, not re-derived here. Zero non-null rows short-circuits to
+    * SQL NULL (never dividing by zero under ANSI). For an integral
+    * column the Double sum buffer gets the correctly-rounded value of
+    * the TRUE sum — at least as accurate as the scan's running FP sum. */
+  private def avgFromLedger(
+      av: Average, colType: DataType, sv: Long, nn: Long): Option[Any] = {
+    if (nn == 0) return Some(null)
+    val sumVal: Option[Any] = (av.sumDataType, colType) match {
+      case (DoubleType, _) => Some(Double.box(sv.toDouble))
+      case (sd: DecimalType, cd: DecimalType) =>
+        scala.util.Try(org.apache.spark.sql.types.Decimal(
+          BigDecimal(java.math.BigDecimal.valueOf(sv, cd.scale)),
+          sd.precision, sd.scale)).toOption
+      case _ => None
+    }
+    sumVal.flatMap { s =>
+      val e = av.evaluateExpression.transform {
+        case ar: AttributeReference if ar.exprId == av.sum.exprId =>
+          Literal(s, av.sum.dataType)
+        case ar: AttributeReference if ar.exprId == av.count.exprId =>
+          Literal(nn)
+      }
+      if (e.references.nonEmpty) None
+      else scala.util.Try(e.eval(null)).toOption
+    }
+  }
 
   private def aggValue(index: StatsIndex, ae: AggregateExpression): Option[Any] =
     if (ae.isDistinct || ae.filter.nonEmpty) None
@@ -777,6 +861,16 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
               if indexed(index, a) && graft.index.SumShadow.supported(a.dataType) =>
             index.totalSum(a.name).flatMap { case (sv, nn) =>
               if (nn > 0) ledgerSum(su.dataType, a.dataType, sv) else Some(null)
+            }
+          case _ => None
+        }
+        // global AVG (r13): the exact ledger sum over the exact non-null
+        // tally, rendered through Average's own evaluateExpression
+        case av: Average => av.child match {
+          case a: AttributeReference
+              if indexed(index, a) && graft.index.SumShadow.supported(a.dataType) =>
+            index.totalSum(a.name).flatMap { case (sv, nn) =>
+              avgFromLedger(av, a.dataType, sv, nn)
             }
           case _ => None
         }
@@ -860,17 +954,21 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     * or drops it whole. Any straddling row group, eval failure (ANSI),
     * or unservable aggregate declines to the declarative plan.
     * Kill switch: `spark.graft.filteredAggPushdown`. */
-  private def globalFilteredFold(
-      agg: Aggregate, idx: IndexedParquetFileIndex,
-      cond: Expression): Option[LogicalPlan] = {
-    if (session.conf.get("spark.graft.filteredAggPushdown", "true") != "true")
-      return None
-    import org.apache.spark.sql.catalyst.expressions.And
-    val index = idx.statsIndex
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x => Seq(x)
-    }
+  /** Per-ROW-GROUP wholesale membership — the shared engine of the
+    * filtered global fold (idx44) and the rg-filtered grouped fold
+    * (idx47). Every conjunct must close over KEYISH operands — indexed,
+    * ordering-certified columns or monotone images of them — each
+    * CONSTANT within every row group (image constancy f(min) = f(max)
+    * suffices) and all-null-or-null-free per row group, so each conjunct
+    * evaluates once per row group at the substituted constants and keeps
+    * or drops the whole group; SQL three-valued logic applies at NULL.
+    * Returns (kept set, kept row total, universe size) — the caller must
+    * check the universe matches ITS row-group walk — or None when any
+    * conjunct is not rg-decidable (non-keyish reference, straddler,
+    * partial nulls, non-determinism, eval failure). */
+  private def rowGroupKeepSet(index: StatsIndex, live: Seq[Expression])
+      : Option[(scala.collection.Set[(String, Int)], Long, Int)] = {
+    if (live.isEmpty) return None
     def keyish(e: Expression)
         : Option[(AttributeReference, Option[graft.index.KeyImage])] =
       e match {
@@ -879,8 +977,6 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         case other =>
           imageOf(index, other).map { case (ar, img) => (ar, Some(img)) }
       }
-    val live = conjuncts(cond).filterNot(cj => allPassFilter(cj, idx))
-    if (live.isEmpty) return None // fully vacuous is the unfiltered fold's job
     // the keyish subexpressions the live conjuncts close over (maximal
     // subtrees — transformDown stops descending once one matches)
     val keyExprs = scala.collection.mutable.ArrayBuffer
@@ -952,6 +1048,24 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         case Some(false) => ()
       }
     }
+    Some((keptSet, keptRows, statsPer.head.size))
+  }
+
+  private def globalFilteredFold(
+      agg: Aggregate, idx: IndexedParquetFileIndex,
+      cond: Expression): Option[LogicalPlan] = {
+    if (session.conf.get("spark.graft.filteredAggPushdown", "true") != "true")
+      return None
+    import org.apache.spark.sql.catalyst.expressions.And
+    val index = idx.statsIndex
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val live = conjuncts(cond).filterNot(cj => allPassFilter(cj, idx))
+    if (live.isEmpty) return None // fully vacuous is the unfiltered fold's job
+    val (keptSet, keptRows, _) =
+      rowGroupKeepSet(index, live).getOrElse(return None)
     // tallies over the kept set — each needs full, aligned coverage
     def exactVal(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
@@ -994,7 +1108,7 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         }
         internal(mapped, dt)
       }
-    def sumCell(su: Sum, a: AttributeReference): Option[Any] = {
+    def keptSum(a: AttributeReference): Option[(Long, Long)] = {
       if (!indexed(index, a) || !graft.index.SumShadow.supported(a.dataType))
         return None
       val ss = keptStats(a).getOrElse(return None)
@@ -1004,8 +1118,12 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         sv = Math.addExact(sv, s.sumVal.getOrElse(return None))
         nn += s.rowCount - nc
       } catch { case _: ArithmeticException => return None }
-      if (nn > 0) ledgerSum(su.dataType, a.dataType, sv) else Some(null)
+      Some((sv, nn))
     }
+    def sumCell(su: Sum, a: AttributeReference): Option[Any] =
+      keptSum(a).flatMap { case (sv, nn) =>
+        if (nn > 0) ledgerSum(su.dataType, a.dataType, sv) else Some(null)
+      }
     def countCol(a: AttributeReference): Option[Any] = {
       val ss = keptStats(a).getOrElse(return None)
       var n = 0L
@@ -1026,6 +1144,14 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
           case a: AttributeReference => sumCell(su, a)
           case _ => None
         }
+        // AVG over the kept set (r13): ledger sum / non-null tally
+        // rendered through Average's own evaluateExpression
+        case av: Average => av.child match {
+          case a: AttributeReference =>
+            keptSum(a).flatMap { case (sv, nn) =>
+              avgFromLedger(av, a.dataType, sv, nn) }
+          case _ => None
+        }
         // MIN/MAX of a monotone image: the image of the kept set's raw
         // extreme (extremes commute with monotone maps)
         case Min(e) => imageOf(index, e).flatMap { case (ar, img) =>
@@ -1039,13 +1165,8 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         case _ => None
       }
     def cellOf(ne: NamedExpression): Option[Any] = ne match {
-      case Alias(c: org.apache.spark.sql.catalyst.expressions.Cast, _) =>
-        c.child match {
-          case ae: AggregateExpression =>
-            cellAgg(ae).flatMap(castValue(c, ae.dataType, _))
-          case _ => None
-        }
-      case Alias(ae: AggregateExpression, _) => cellAgg(ae)
+      case Alias(e, _) => castsOver(e).flatMap { case (ae, cs) =>
+        cellAgg(ae).flatMap(replayCasts(cs, _)) }
       case _ => None
     }
     val cells = agg.aggregateExpressions.map(cellOf)

@@ -606,6 +606,79 @@ class StatsAggPushdownSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.filteredAggPushdown")
   }
 
+  test("r13: AVG folds from the ledger globally, per group, and filtered") {
+    // global: exact ledger sum / non-null tally through Average's own eval
+    val (df, plainDf, dir, db, schema, index) = fxg3
+    graft.index.SumShadow.build(spark, dir, index.allFiles(), schema, "k", db)
+    val g = df.agg(avg(col("k")).as("ak"), count(col("k")).as("n"))
+    assert(folded(g), g.queryExecution.optimizedPlan.toString)
+    assert(g.collect() === plainDf.agg(avg(col("k")).as("ak"),
+      count(col("k")).as("n")).collect(), "global avg diverged from the scan")
+    // a column without a ledger declines the AVG (g has no SumShadow)
+    val off = df.agg(avg(col("g")).as("ag"))
+    assert(!folded(off), off.queryExecution.optimizedPlan.toString)
+    // registered queries (render-cast CHAINS over the aggregate): folded
+    // and equal to the kill-switched scan
+    for (name <- Seq("idx45_agg_avg", "idx46_groupby_avg")) {
+      val q = SparkEntry.registry.find(_.name == name).get
+      val df = q.fn(spark, sf("sf0.001"))
+      assert(folded(df), name + ": " + df.queryExecution.optimizedPlan.toString)
+      spark.conf.set("spark.graft.statsAggPushdown", "false")
+      val w = try q.fn(spark, sf("sf0.001")).collect()
+        finally spark.conf.unset("spark.graft.statsAggPushdown")
+      assert(df.collect().sortBy(_.toString) === w.sortBy(_.toString), name)
+    }
+    // the filtered global fold serves AVG over the kept row groups too
+    def filteredAvg() = graft.operators.Indexed
+      .lineitemYearParts(spark, sf("sf0.001"))
+      .filter(year(col("l_shipdate")) === 1995)
+      .agg(avg(col("l_orderkey")).as("a"), count(lit(1)).as("n"))
+    val f = filteredAvg()
+    assert(folded(f), f.queryExecution.optimizedPlan.toString)
+    spark.conf.set("spark.graft.statsAggPushdown", "false")
+    val fw = try filteredAvg().collect()
+      finally spark.conf.unset("spark.graft.statsAggPushdown")
+    assert(f.collect() === fw, "filtered avg diverged from the scan")
+  }
+
+  test("r13: non-key rg-constant filter restricts the grouped fold's universe") {
+    val q = SparkEntry.registry.find(_.name == "idx47_groupby_rgfilter").get
+    val df = q.fn(spark, sf("sf0.001"))
+    assert(folded(df), df.queryExecution.optimizedPlan.toString)
+    spark.conf.set("spark.graft.statsAggPushdown", "false")
+    val want = try q.fn(spark, sf("sf0.001")).collect()
+      finally spark.conf.unset("spark.graft.statsAggPushdown")
+    assert(df.collect().sortBy(_.getString(0)) === want.sortBy(_.getString(0)),
+      "rg-filtered grouped fold diverged from the scan")
+    // mixed: one key-only conjunct + one rg-constant conjunct compose
+    def mixed() = graft.operators.Indexed
+      .lineitemValueAligned3(spark, sf("sf0.001"))
+      .filter(col("l_linestatus") === "F" && col("l_linenumber") <= 3)
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sok"))
+    val m = mixed()
+    assert(folded(m), m.queryExecution.optimizedPlan.toString)
+    spark.conf.set("spark.graft.statsAggPushdown", "false")
+    val mw = try mixed().collect()
+      finally spark.conf.unset("spark.graft.statsAggPushdown")
+    assert(m.collect() === mw)
+    // a conjunct over a NON-constant, non-key column (l_orderkey varies
+    // within row groups) declines the whole fold
+    val off = graft.operators.Indexed
+      .lineitemValueAligned3(spark, sf("sf0.001"))
+      .filter(col("l_orderkey") > 100L)
+      .groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+    assert(!folded(off), off.queryExecution.optimizedPlan.toString)
+    // kill switch (shared with the global path) restores the scan plan
+    spark.conf.set("spark.graft.filteredAggPushdown", "false")
+    try {
+      val ks = q.fn(spark, sf("sf0.001"))
+      assert(!folded(ks), ks.queryExecution.optimizedPlan.toString)
+      assert(ks.collect().sortBy(_.getString(0)) ===
+        want.sortBy(_.getString(0)))
+    } finally spark.conf.unset("spark.graft.filteredAggPushdown")
+  }
+
   test("catalog answers equal the scan answers (kill switch off = ground truth)") {
     def row() = indexed.agg(
       min(col("k")), max(col("k")), min(col("s")), max(col("s")),
