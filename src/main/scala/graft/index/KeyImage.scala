@@ -82,24 +82,8 @@ object KeyImage {
     def shift(delta: Long, img: KeyImage): KeyImage =
       if (delta == 0L) img else InputShiftImage(delta, img)
 
-    // a DATE-space leg: a DATE attribute, or a timestamp under the
-    // cast-to-date (NTZ zone-free; LTZ fixed-offset via the zoned image)
     def dateLeg(x: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Option[(AttributeReference, Option[KeyImage])] = x match {
-      case ar: AttributeReference if ar.dataType == DateType && isIndexed(ar) =>
-        Some((ar, None))
-      case c: Cast if c.dataType == DateType =>
-        c.child match {
-          case ar: AttributeReference
-              if ar.dataType == TimestampNTZType && isIndexed(ar) =>
-            Some((ar, Some(CastDateImage)))
-          case ar: AttributeReference
-              if ar.dataType == TimestampType && isIndexed(ar) =>
-            fixedOffsetSeconds(c.timeZoneId).map(z => (ar, Some(castDate(z))))
-          case _ => None
-        }
-      case _ => None
-    }
+        : Option[(AttributeReference, Option[KeyImage])] = dateLegOf(x, isIndexed)
     def chainTo(ci: Option[KeyImage], outer: KeyImage): KeyImage =
       ci.fold(outer)(inner => ChainedImage(inner, outer))
     // a unix_timestamp operand: LTZ attr or NTZ attr directly (both
@@ -166,6 +150,249 @@ object KeyImage {
         dateLeg(x).map { case (ar, ci) => (ar, chainTo(ci, YearImage)) }
       case _ => None
     }
+  }
+
+  /** A DATE-space leg: a DATE attribute, or an indexed timestamp under
+    * the analyzer's cast-to-date (NTZ zone-free; LTZ under any
+    * FIXED-OFFSET session zone via the offset-shifted epoch-day image).
+    * Shared between the monotone recognizer, the determined-part
+    * recognizer, and the top-k datepart-run collapse. */
+  def dateLegOf(
+      x: org.apache.spark.sql.catalyst.expressions.Expression,
+      isIndexed: org.apache.spark.sql.catalyst.expressions.AttributeReference => Boolean)
+      : Option[(org.apache.spark.sql.catalyst.expressions.AttributeReference, Option[KeyImage])] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast}
+    x match {
+      case ar: AttributeReference if ar.dataType == DateType && isIndexed(ar) =>
+        Some((ar, None))
+      case c: Cast if c.dataType == DateType =>
+        c.child match {
+          case ar: AttributeReference
+              if ar.dataType == TimestampNTZType && isIndexed(ar) =>
+            Some((ar, Some(CastDateImage)))
+          case ar: AttributeReference
+              if ar.dataType == TimestampType && isIndexed(ar) =>
+            fixedOffsetSeconds(c.timeZoneId).map(z => (ar, Some(castDate(z))))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Recognize a resolved data-space expression as a per-row-group
+    * CONSTANCY key (r13): a monotone image (certifies through its own
+    * bucket equality), or a NON-monotone calendar part DETERMINED by a
+    * finer monotone image — `month(ts)` / `quarter(d)` / `dayofweek(d)`
+    * / `hour(ts)`: month(min)=month(max) does NOT prove constancy (Jan
+    * 2020 vs Jan 2021), but trunc-month(min)=trunc-month(max) does, and
+    * month factors through that bucket. Raw attributes are the CALLER's
+    * case (each site gates its own types). Only constancy-based
+    * certificates may consume a determined part — never the
+    * image-of-extreme or top-k paths (apply is not monotone there). */
+  def constKeyOf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      isIndexed: org.apache.spark.sql.catalyst.expressions.AttributeReference => Boolean)
+      : Option[(org.apache.spark.sql.catalyst.expressions.AttributeReference, RgConstKey)] =
+    fromDataExpr(e, isIndexed)
+      .map { case (ar, img) => (ar, ImageConstKey(img)) }
+      .orElse(determinedOf(e, isIndexed))
+
+  /** The determined-part half of [[constKeyOf]]. The constant VALUE is
+    * Spark's OWN eval of the original expression at the group's raw
+    * minimum (substituted as a literal) — field extraction semantics
+    * replay verbatim instead of being re-derived. */
+  private def determinedOf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      isIndexed: org.apache.spark.sql.catalyst.expressions.AttributeReference => Boolean)
+      : Option[(org.apache.spark.sql.catalyst.expressions.AttributeReference, RgConstKey)] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, DateFormatClass, DayName, DayOfMonth, DayOfWeek, DayOfYear, Hour, LastDay, Literal, Minute, Month, MonthName, NextDay, Quarter, Second, WeekDay, WeekOfYear}
+    def evalAt(ar: AttributeReference): Any => Any = v => {
+      val sub = e.transformUp {
+        case a: AttributeReference if a.exprId == ar.exprId =>
+          Literal(v, ar.dataType)
+      }
+      sub.eval(null)
+    }
+    // a date-space part constant within `unit` buckets of the date leg
+    // (None = day-level: the cast image itself, or the raw DATE value)
+    def datePart(x: org.apache.spark.sql.catalyst.expressions.Expression,
+        unit: Option[String], partId: String,
+        resultType: DataType = IntegerType, nullPreserving: Boolean = true)
+        : Option[(AttributeReference, RgConstKey)] =
+      for {
+        (ar, ci) <- dateLegOf(x, isIndexed)
+        det <- unit match {
+          case Some(u) => TruncDateImage.forUnit(u).map(t =>
+            Some(ci.fold[KeyImage](t)(inner => ChainedImage(inner, t))))
+          case None => Some(ci)
+        }
+      } yield (ar, DeterminedConstKey(partId, det, resultType, evalAt(ar),
+        nullPreserving))
+    // `date_format(leg, fmt)` (r13): the fmt's FINEST field token fixes
+    // the determiner grid — 'yyyy-MM' is constant on trunc-month buckets,
+    // 'EEEE'/'yyyy-MM-dd' on calendar days, 'HH:mm' on trunc-minute.
+    // The rendered VALUE is always Spark's own DateFormatClass eval; only
+    // the grid needs soundness, so week-based fields conservatively take
+    // the day grid (their week anchor is locale business, a day always
+    // determines them) and sub-second/zone tokens decline.
+    def dateFormatKey(dfc: DateFormatClass)
+        : Option[(AttributeReference, RgConstKey)] = {
+      def shiftImg(delta: Long, img: KeyImage): KeyImage =
+        if (delta == 0L) img else InputShiftImage(delta, img)
+      // day-or-coarser: epoch-day leg then the calendar trunc grid
+      def dateGrid(ci: Option[KeyImage], gran: Int): Option[KeyImage] =
+        gran match {
+          case 0 => TruncDateImage.forUnit("year").map(t =>
+            ci.fold[KeyImage](t)(inner => ChainedImage(inner, t)))
+          case 1 => TruncDateImage.forUnit("quarter").map(t =>
+            ci.fold[KeyImage](t)(inner => ChainedImage(inner, t)))
+          case 2 => TruncDateImage.forUnit("month").map(t =>
+            ci.fold[KeyImage](t)(inner => ChainedImage(inner, t)))
+          case _ => Some(ci.getOrElse(CastDateImage)) // callers pass a ci for ts legs
+        }
+      val fmt = dfc.right match {
+        case Literal(f: UTF8String, StringType) if f != null => Some(f.toString)
+        case _ => None
+      }
+      for {
+        f <- fmt
+        gran <- KeyImage.formatGranularity(f)
+        (ar, det) <- dfc.left match {
+          // a DATE operand under the analyzer's cast-to-timestamp, read
+          // back in the SAME zone: local midnight round-trips, so every
+          // field (incl. constant-midnight time fields) is a function of
+          // the date alone — any zone qualifies as long as the two legs
+          // agree. Grid: calendar trunc for coarse fmts, raw-date
+          // constancy for day-or-finer.
+          case c: Cast if c.dataType == TimestampType &&
+              c.timeZoneId == dfc.timeZoneId =>
+            c.child match {
+              case ar: AttributeReference
+                  if ar.dataType == DateType && isIndexed(ar) =>
+                (if (gran >= 4) Some(None)
+                 else dateGrid(None, gran).map(Some(_))).map(d => (ar, d))
+              // an NTZ operand cast to instant at czOff, formatted at the
+              // same fixed offset: the wall clock round-trips, so the grid
+              // reads the raw wall micros directly (delta = 0 by zone
+              // equality; kept general through the shift adapter)
+              case ar: AttributeReference
+                  if ar.dataType == TimestampNTZType && isIndexed(ar) =>
+                for {
+                  czOff <- fixedOffsetSeconds(c.timeZoneId)
+                  fo <- fixedOffsetSeconds(dfc.timeZoneId)
+                  delta = (fo.toLong - czOff.toLong) * MicrosPerSecond
+                  g <-
+                    if (gran <= 2)
+                      dateGrid(Some(shiftImg(delta, CastDateImage)), gran)
+                    else if (gran == 4) Some(shiftImg(delta, CastDateImage))
+                    else TruncTimestampImage
+                      .forUnit(KeyImage.granUnit(gran), 0)
+                      .map(shiftImg(delta, _))
+                } yield (ar, Some(g))
+              case _ => None
+            }
+          // an instant operand: fields read at the fmt's fixed offset
+          case ar: AttributeReference
+              if ar.dataType == TimestampType && isIndexed(ar) =>
+            for {
+              fo <- fixedOffsetSeconds(dfc.timeZoneId)
+              g <-
+                if (gran <= 4) dateGrid(Some(castDate(fo)), gran)
+                else TruncTimestampImage.forUnit(KeyImage.granUnit(gran), fo)
+            } yield (ar, Some(g))
+          case _ => None
+        }
+      } yield (ar,
+        DeterminedConstKey(s"datefmt[$f]", det, StringType, evalAt(ar)))
+    }
+    // a time-of-day part constant within `unit` buckets of the instant's
+    // LOCAL wall clock: NTZ wall micros are zone-free (Spark reads the
+    // field at UTC); LTZ needs the expression's fixed-offset zone so the
+    // trunc grid is the same wall clock Hour/Minute/Second read
+    def timePart(x: org.apache.spark.sql.catalyst.expressions.Expression,
+        unit: String, tzId: Option[String])
+        : Option[(AttributeReference, RgConstKey)] = x match {
+      case ar: AttributeReference
+          if ar.dataType == TimestampNTZType && isIndexed(ar) =>
+        TruncTimestampImage.forUnit(unit, 0).map(d =>
+          (ar, DeterminedConstKey(unit, Some(d), IntegerType, evalAt(ar))))
+      case ar: AttributeReference
+          if ar.dataType == TimestampType && isIndexed(ar) =>
+        for {
+          off <- fixedOffsetSeconds(tzId)
+          d <- TruncTimestampImage.forUnit(unit, off)
+        } yield (ar, DeterminedConstKey(unit, Some(d), IntegerType, evalAt(ar)))
+      case _ => None
+    }
+    e match {
+      case Month(x)      => datePart(x, Some("month"), "month")
+      case Quarter(x)    => datePart(x, Some("quarter"), "quarter")
+      case WeekOfYear(x) => datePart(x, Some("week"), "weekofyear")
+      case DayOfMonth(x) => datePart(x, None, "dayofmonth")
+      case DayOfWeek(x)  => datePart(x, None, "dayofweek")
+      case WeekDay(x)    => datePart(x, None, "weekday")
+      case DayOfYear(x)  => datePart(x, None, "dayofyear")
+      case MonthName(x)  => datePart(x, Some("month"), "monthname", StringType)
+      case DayName(x)    => datePart(x, None, "dayname", StringType)
+      case LastDay(x)    => datePart(x, Some("month"), "last_day", DateType)
+      // next_day's pick is a pure function of (date, literal weekday);
+      // a null eval (bad weekday string under non-ANSI) fails closed
+      case nd: NextDay if nd.dayOfWeek.foldable =>
+        datePart(nd.startDate, None, "next_day", DateType,
+          nullPreserving = false)
+      case dfc: DateFormatClass => dateFormatKey(dfc)
+      case h: Hour       => timePart(h.child, "hour", h.timeZoneId)
+      case m: Minute     => timePart(m.child, "minute", m.timeZoneId)
+      case s: Second     => timePart(s.child, "second", s.timeZoneId)
+      case _             => None
+    }
+  }
+
+  /** Granularity a `date_format` pattern needs its determiner grid at:
+    * 0=year 1=quarter 2=month 4=day 5=hour 6=minute 7=second — the max
+    * over the pattern's field tokens (quoted runs are literal text).
+    * None = a token whose grid we don't certify: sub-second (S/n/N/A —
+    * finer than any trunc grid), zone renderings (z/V/O/x/X/Z), or
+    * anything unrecognized. Week-based fields (Y/w/W) and day fields
+    * share the DAY grid: their week anchor is locale business, but a
+    * calendar day always determines them. */
+  private[index] def formatGranularity(fmt: String): Option[Int] = {
+    var gran = 0
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '\'') {
+        i += 1
+        var closed = false
+        while (i < fmt.length && !closed) {
+          if (fmt.charAt(i) == '\'') {
+            if (i + 1 < fmt.length && fmt.charAt(i + 1) == '\'') i += 2
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+        if (!closed) return None // malformed pattern: decline, Spark throws
+      } else if (ch.isLetter) {
+        val g = ch match {
+          case 'G' | 'y' | 'u' => 0
+          case 'Q' | 'q' => 1
+          case 'M' | 'L' => 2
+          case 'Y' | 'w' | 'W' | 'd' | 'D' | 'E' | 'e' | 'c' | 'F' => 4
+          case 'a' | 'B' | 'h' | 'H' | 'k' | 'K' => 5
+          case 'm' => 6
+          case 's' => 7
+          case _ => return None
+        }
+        if (g > gran) gran = g
+        i += 1
+      } else i += 1
+    }
+    Some(gran)
+  }
+
+  private[index] def granUnit(g: Int): String = g match {
+    case 5 => "hour"
+    case 6 => "minute"
+    case _ => "second"
   }
 
   /** `CAST(ts AS DATE)` under a FIXED-OFFSET session zone: identity
@@ -426,4 +653,67 @@ final case class ChainedImage(inner: KeyImage, outer: KeyImage)
   def apply(v: Any): Any = outer(inner(v))
   def derbySql: Option[String => String] =
     for (fi <- inner.derbySql; fo <- outer.derbySql) yield (e: String) => fo(fi(e))
+}
+
+/** A per-row-group CONSTANCY certificate for a derived key expression
+  * (r13): [[constantOf]] proves from the column's raw non-null extremes
+  * that every non-null row of the group shares ONE value of the
+  * expression, and returns that value (for the integral calendar
+  * results the catalog and Catalyst-internal encodings coincide).
+  * None = straddler — the caller fails closed; call sites also wrap the
+  * call in Try so a throwing certificate fails closed too. Used by the
+  * grouped fold (GROUP BY keys), the wholesale filter engine
+  * (idx44/idx47 conjuncts), and the DISTINCT-from-constancy path —
+  * never by the image-of-extreme or top-k certificates, which need
+  * monotonicity a [[DeterminedConstKey]] does not have. */
+sealed trait RgConstKey extends Serializable {
+  /** Stable tag for key identity (grouping-key dedup) and route logs. */
+  def id: String
+  def resultType: DataType
+  def constantOf(mn: Any, mx: Any): Option[Any]
+}
+
+/** A raw indexed column as its own key: constant iff min = max. The
+  * call sites gate which types qualify (verbatim-exact stats only). */
+final case class RawConstKey(resultType: DataType) extends RgConstKey {
+  def id: String = "raw"
+  def constantOf(mn: Any, mx: Any): Option[Any] =
+    if (mn == mx) Some(mx) else None
+}
+
+/** A monotone image key: constant in the IMAGE iff f(min) = f(max) —
+  * monotonicity puts every row between the extremes in the same bucket. */
+final case class ImageConstKey(img: KeyImage) extends RgConstKey {
+  def id: String = img.id
+  def resultType: DataType = img.resultType
+  def constantOf(mn: Any, mx: Any): Option[Any] = {
+    val (a, b) = (img(mn), img(mx))
+    if (a == b) Some(b) else None
+  }
+}
+
+/** A NON-monotone calendar part determined by a FINER monotone image:
+  * determiner-constancy proves the raw values all share one determiner
+  * bucket, and the part factors through that bucket (month through
+  * trunc-month, dayofweek through the day, hour through trunc-hour), so
+  * it is constant; its value is Spark's own eval of the original
+  * expression at the raw minimum. `determiner = None` means day-level
+  * (raw DATE) constancy: min = max. A null eval result fails closed
+  * (field extraction of a non-null operand never yields one). */
+final case class DeterminedConstKey(
+    partId: String, determiner: Option[KeyImage], resultType: DataType,
+    eval: Any => Any,
+    /** Whether the part is null exactly when its operand is (true for
+      * field extractions, names, anchors, date_format; FALSE for
+      * next_day, which nulls on a bad weekday literal under non-ANSI) —
+      * the precondition for COUNT(part) = COUNT(operand). */
+    nullPreserving: Boolean = true) extends RgConstKey {
+  def id: String = s"det-$partId" + determiner.map("." + _.id).getOrElse("")
+  def constantOf(mn: Any, mx: Any): Option[Any] = {
+    val const = determiner match {
+      case Some(d) => d(mn) == d(mx)
+      case None    => mn == mx
+    }
+    if (const) Option(eval(mn)) else None
+  }
 }

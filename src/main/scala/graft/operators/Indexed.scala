@@ -1071,6 +1071,126 @@ object Indexed {
              |WHERE l_returnflag = 'A' AND l_linenumber <= 4
              |GROUP BY l_linestatus""".stripMargin)),
 
+    // DETERMINED calendar parts (idx48–idx50, r13): dayofweek / month /
+    // dayofmonth are NOT monotone — month(min)=month(max) proves nothing
+    // across years — but each is CONSTANT wherever a FINER monotone
+    // image is (dayofweek through the day, month through trunc-month),
+    // so on the day-partitioned ingest layout the catalog certifies
+    // them per row group and serves the classic seasonality rollups
+    // O(index), zero data read. Spark's own field-extraction eval
+    // supplies the key values (never re-derived). DuckDB's dayofweek is
+    // 0=Sunday..6; Spark's is 1=Sunday..7 — the oracle shifts by one.
+    QueryDef(
+      "idx48_groupby_dow",
+      (s, dir) => eventsDayParts(s, dir)
+        .groupBy(dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("su"),
+          min(col("ts")).as("mnts"), max(col("ts")).as("mxts")),
+      Some("""SELECT dayofweek(ts) + 1 AS dow, count(*) AS n,
+             |  CAST(sum(user_id) AS BIGINT) AS su,
+             |  min(ts) AS mnts, max(ts) AS mxts
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // weekend-only totals: the determined part drives the WHOLESALE
+    // row-group filter (the idx44 engine) — day-partitioned groups keep
+    // or drop by their day's weekday, tallies merge over the kept set
+    QueryDef(
+      "idx49_agg_filtered_dow",
+      (s, dir) => eventsDayParts(s, dir)
+        .filter(dayofweek(col("ts")).isin(1, 7))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("su"),
+          min(col("ts")).as("mnts"), max(col("ts")).as("mxts"),
+          avg(col("user_id")).as("au"))
+        .select(col("n"), col("su"), col("mnts"), col("mxts"),
+          col("au").cast("decimal(18,4)").cast("string").as("au")),
+      Some("""SELECT count(*) AS n, CAST(sum(user_id) AS BIGINT) AS su,
+             |  min(ts) AS mnts, max(ts) AS mxts,
+             |  CAST(CAST(avg(user_id) AS DECIMAL(18,4)) AS VARCHAR) AS au
+             |FROM events WHERE dayofweek(ts) IN (0, 6)""".stripMargin)),
+
+    // two determined keys jointly — the day-of-month activity profile
+    // with the catalog AVG riding the same fold
+    QueryDef(
+      "idx50_groupby_dom",
+      (s, dir) => eventsDayParts(s, dir)
+        .groupBy(month(col("ts")).as("m"), dayofmonth(col("ts")).as("dom"))
+        .agg(count(lit(1)).as("n"), avg(col("user_id")).as("au"))
+        .select(col("m"), col("dom"), col("n"),
+          col("au").cast("decimal(18,4)").cast("string").as("au")),
+      Some("""SELECT month(ts) AS m, dayofmonth(ts) AS dom, count(*) AS n,
+             |  CAST(CAST(avg(user_id) AS DECIMAL(18,4)) AS VARCHAR) AS au
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // date_format labels (idx51–idx54, r13): the pattern's FINEST field
+    // token fixes the determiner grid ('yyyy-MM-dd' and name fields =
+    // calendar day, month names/anchors = trunc-month), the rendered
+    // value is Spark's OWN DateFormatClass/DayName/MonthName/LastDay
+    // eval at the group's raw minimum — so the classic report labels
+    // fold from the catalog on the day-partitioned layout, zero data
+    // jobs. DuckDB renders the same labels via strftime.
+    QueryDef(
+      "idx51_groupby_daylabel",
+      (s, dir) => eventsDayParts(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day_lbl"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("su")),
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS day_lbl, count(*) AS n,
+             |  CAST(sum(user_id) AS BIGINT) AS su
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    QueryDef(
+      "idx52_groupby_dayname",
+      (s, dir) => eventsDayParts(s, dir)
+        .groupBy(dayname(col("ts")).as("dn"))
+        .agg(count(lit(1)).as("n"), avg(col("user_id")).as("au"))
+        .select(col("dn"), col("n"),
+          col("au").cast("decimal(18,4)").cast("string").as("au")),
+      Some("""SELECT strftime(ts, '%a') AS dn, count(*) AS n,
+             |  CAST(CAST(avg(user_id) AS DECIMAL(18,4)) AS VARCHAR) AS au
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    QueryDef(
+      "idx53_groupby_monthanchor",
+      (s, dir) => eventsDayParts(s, dir)
+        .groupBy(monthname(col("ts")).as("mn"), last_day(col("ts")).as("ld"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("mnts"),
+          max(col("ts")).as("mxts")),
+      Some("""SELECT strftime(ts, '%b') AS mn, last_day(CAST(ts AS DATE)) AS ld,
+             |  count(*) AS n, min(ts) AS mnts, max(ts) AS mxts
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // a string-label FILTER through the wholesale row-group engine: the
+    // weekend keep/drop evaluates once per day-partitioned group at its
+    // constant label
+    QueryDef(
+      "idx54_agg_filtered_label",
+      (s, dir) => eventsDayParts(s, dir)
+        .filter(date_format(col("ts"), "EEEE").isin("Saturday", "Sunday"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("su"),
+          min(col("ts")).as("mnts"), max(col("ts")).as("mxts")),
+      Some("""SELECT count(*) AS n, CAST(sum(user_id) AS BIGINT) AS su,
+             |  min(ts) AS mnts, max(ts) AS mxts
+             |FROM events WHERE strftime(ts, '%A') IN ('Saturday', 'Sunday')"""
+        .stripMargin)),
+
+    // global MIN/MAX/COUNT of determined parts (idx55, r13): every row
+    // group constant ⇒ the data's non-null part values are exactly the
+    // groups' constants, so the extremes walk the catalog's constant
+    // set; COUNT(part) = COUNT(operand) for null-preserving parts
+    QueryDef(
+      "idx55_agg_part_extremes",
+      (s, dir) => eventsDayParts(s, dir)
+        .agg(min(dayofweek(col("ts"))).as("mndow"),
+          max(dayofweek(col("ts"))).as("mxdow"),
+          min(dayname(col("ts"))).as("mndn"),
+          max(monthname(col("ts"))).as("mxmn"),
+          min(date_format(col("ts"), "yyyy-MM-dd")).as("mnlbl"),
+          count(month(col("ts"))).as("cm")),
+      Some("""SELECT min(dayofweek(ts)) + 1 AS mndow,
+             |  max(dayofweek(ts)) + 1 AS mxdow,
+             |  min(strftime(ts, '%a')) AS mndn, max(strftime(ts, '%b')) AS mxmn,
+             |  min(strftime(ts, '%Y-%m-%d')) AS mnlbl, count(month(ts)) AS cm
+             |FROM events""".stripMargin)),
+
     // row-level key index (the reference's named "precise index" extension,
     // index.rs:30-35): exact key -> (file, row_group) postings; scans only
     // row groups where the key OCCURS, not merely where its range overlaps
@@ -1590,6 +1710,57 @@ object Indexed {
       if (!hasSums)
         graft.index.SumShadow.build(spark, dataDir, index.allFiles(),
           dataSchema, "l_orderkey", db)
+      val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
+      Entry(df, fileIndex, dataDir, index, dataSchema)
+    })
+
+  private val dayPartsCache = TrieMap.empty[String, Entry]
+
+  /** A DAY-partitioned events layout: one file set per calendar day of
+    * `ts` — the shape of daily streaming ingest at any scale. Row groups
+    * are day-constant (cast-date-image constant) without being
+    * raw-constant, which is what lets DETERMINED calendar parts —
+    * `dayofweek(ts)`, `dayofmonth(ts)`, `month(ts)` — certify per row
+    * group and serve seasonality/profile rollups straight from the
+    * catalog (idx48–idx50). Indexed on (ts, event_id, user_id) with the
+    * user_id sum ledger attached. */
+  def eventsDayParts(spark: SparkSession, sfDir: String): DataFrame =
+    dayPartsEntry(spark, sfDir).df
+
+  def lastDayPartsExecution(spark: SparkSession, sfDir: String) =
+    dayPartsEntry(spark, sfDir).fileIndex.lastExecution
+
+  private def dayPartsEntry(spark: SparkSession, sfDir: String): Entry =
+    dayPartsCache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
+      val dataDir = s"$base/events-dayparts-v1"
+      val db = s"$base/statsdb-dayparts-v1"
+      if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
+        rmrf(new java.io.File(db))
+        val src = graft.Tables.loadEvents(spark, sfDir)
+        // the generator emits one month of events — a bounded driver loop
+        val days = src.select(to_date(col("ts")).as("d")).distinct()
+          .collect().map(_.getDate(0)).sortBy(_.getTime)
+        withMicrosTimestamps(spark) {
+          days.zipWithIndex.foreach { case (d, i) =>
+            src.filter(to_date(col("ts")) === lit(d))
+              .repartitionByRange(2, col("ts"), col("event_id"))
+              .sortWithinPartitions("ts", "event_id")
+              .write.mode(if (i == 0) "overwrite" else "append")
+              .option("parquet.block.row.count.limit", "2048")
+              .option("parquet.block.size", (1L * 1024 * 1024).toString)
+              .parquet(dataDir)
+          }
+        }
+      }
+      val (index, dataSchema) = IndexedParquet.buildIndex(
+        spark, dataDir, Seq("ts", "event_id", "user_id"), db)
+      val hasSums = index.rowGroupStats("user_id")
+        .exists(_.exists(_.sumVal.isDefined))
+      if (!hasSums)
+        graft.index.SumShadow.build(spark, dataDir, index.allFiles(),
+          dataSchema, "user_id", db)
       val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
       Entry(df, fileIndex, dataDir, index, dataSchema)
     })

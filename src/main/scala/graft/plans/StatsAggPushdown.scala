@@ -238,9 +238,15 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     // makes time-partitioned ingest layouts certify. The
     // ≤1-partial-null-column rule below keeps the joint distribution
     // knowable from per-column stats, independent of N.
-    case class GKey(attr: AttributeReference, image: Option[graft.index.KeyImage],
+    // ck: the key's row-group constancy certificate — raw (min = max),
+    // monotone image (f(min) = f(max)), or a DETERMINED calendar part
+    // (r13: `GROUP BY month(ts)` / `dayofweek(d)` / `hour(ts)` — the
+    // seasonality/profile rollups — certified through a finer monotone
+    // image's constancy, valued by Spark's own eval)
+    case class GKey(attr: AttributeReference, ck: graft.index.RgConstKey,
         expr: Expression) {
-      def keyType: DataType = image.map(_.resultType).getOrElse(attr.dataType)
+      def keyType: DataType = ck.resultType
+      def isPlain: Boolean = ck.isInstanceOf[graft.index.RawConstKey]
     }
     // PullOutGroupingExpressions rewrites `GROUP BY year(ts)` into a
     // computed `_groupingexpression` alias in the child Project and
@@ -273,13 +279,13 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       val keys: Seq[GKey] = exprs.map {
         case a: AttributeReference
             if indexed(idx.statsIndex, a) && ordered(a.dataType) =>
-          GKey(a, None, a)
-        case e => imageOf(idx.statsIndex, resolvedExpr(e)) match {
-          case Some((ar, img)) => GKey(ar, Some(img), e)
+          GKey(a, graft.index.RawConstKey(a.dataType), a)
+        case e => constKeyOf(idx.statsIndex, resolvedExpr(e)) match {
+          case Some((ar, ck)) => GKey(ar, ck, e)
           case None => return None
         }
       }
-      if (keys.map(k => (k.attr.name, k.image.map(_.id))).distinct.size
+      if (keys.map(k => (k.attr.name, k.ck.id)).distinct.size
           != keys.size) return None
       keys
     }
@@ -371,17 +377,13 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         else {
           val mn = s.min.getOrElse(return None)
           val mx = s.max.getOrElse(return None)
-          // an image key certifies through the IMAGE values: the group is
-          // constant when both raw extremes land in the same bucket
-          // (monotone ⇒ every row between them does too)
-          val (kmn, kmx) = gs(i).image match {
-            case Some(img) =>
-              (scala.util.Try(img(mn)).getOrElse(return None),
-                scala.util.Try(img(mx)).getOrElse(return None))
-            case None => (mn, mx)
-          }
-          if (kmn != kmx) return None // a straddling group: fail closed
-          (nc, Some(kmx))
+          // the key's constancy certificate over the raw extremes: image
+          // keys certify through their bucket equality, determined parts
+          // through their finer determiner; a straddler or a throwing
+          // certificate fails the fold closed
+          val kv = scala.util.Try(gs(i).ck.constantOf(mn, mx))
+            .getOrElse(return None).getOrElse(return None)
+          (nc, Some(kv))
         }
       }
       val rowCount = statsPer.head(rg).rowCount
@@ -419,7 +421,7 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       case _ => false
     }
     def isGrouping(a: AttributeReference): Boolean =
-      gs.exists(k => k.image.isEmpty && k.attr.exprId == a.exprId)
+      gs.exists(k => k.isPlain && k.attr.exprId == a.exprId)
     // an aggregate over a monotone image of an indexed column, with the
     // other-column gates applied to the RAW column (whose stats merge)
     def imageAgg(e: Expression): Option[(AttributeReference, graft.index.KeyImage)] =
@@ -428,7 +430,7 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         case r => imageOf(idx.statsIndex, r)
       }
     def gIdx(a: AttributeReference): Int =
-      gs.indexWhere(k => k.image.isEmpty && k.attr.exprId == a.exprId)
+      gs.indexWhere(k => k.isPlain && k.attr.exprId == a.exprId)
     def gIdxE(e: Expression): Int = gs.indexWhere(_.expr.semanticEquals(e))
     // CollapseProject may fold a post-aggregate render into the list: an
     // aggregate under a Cast is still the same catalog-served aggregate
@@ -853,6 +855,23 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
             scala.util.Try(img(v)).toOption.flatMap(internal(_, img.resultType)))
         case Count(Seq(e)) if imageOf(index, e).isDefined =>
           index.nonNullCount(imageOf(index, e).get._1.name)
+        // MIN/MAX of a DETERMINED calendar part (r13): when every row
+        // group is constant in the part, the data's non-null value set
+        // is exactly the groups' constants, and the extreme is the
+        // extreme of that set — `min(dayname(ts))` etc. from the
+        // catalog alone. COUNT needs only null-preservation (field
+        // extraction nulls iff its operand does); next_day declines.
+        case Min(e) if constKeyOf(index, e)
+            .exists(_._2.isInstanceOf[graft.index.DeterminedConstKey]) =>
+          partExtreme(index, e, isMin = true)
+        case Max(e) if constKeyOf(index, e)
+            .exists(_._2.isInstanceOf[graft.index.DeterminedConstKey]) =>
+          partExtreme(index, e, isMin = false)
+        case Count(Seq(e)) => constKeyOf(index, e) match {
+          case Some((a, d: graft.index.DeterminedConstKey))
+              if d.nullPreserving => index.nonNullCount(a.name)
+          case _ => None
+        }
         // global SUM from the SumShadow ledger (r11; r13 decimal): exact
         // when every row group carries a built, non-overflowed sum; zero
         // non-null rows ⇒ SQL NULL
@@ -877,6 +896,51 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         case _ => None
       }
 
+  /** MIN/MAX of a determined part from per-row-group constancy (r13):
+    * every row group with a non-null slice must certify constant; the
+    * data's non-null value set is then exactly those constants and the
+    * extreme is over them (MIN/MAX ignore nulls, and a part over an
+    * all-null slice is all-null). All-null/empty data folds to SQL NULL
+    * like the scan. A straddler, unknown null count, or incomparable
+    * result type fails closed. */
+  private def partExtreme(
+      index: StatsIndex, e: Expression, isMin: Boolean): Option[Any] = {
+    val (attr, ck) = constKeyOf(index, e).getOrElse(return None)
+    val stats = index.rowGroupStats(attr.name).getOrElse(return None)
+    var best: Any = null
+    stats.foreach { st =>
+      val nc = st.nullCount.getOrElse(return None)
+      if (nc != st.rowCount) {
+        val mn = st.min.getOrElse(return None)
+        val mx = st.max.getOrElse(return None)
+        val v = scala.util.Try(ck.constantOf(mn, mx))
+          .getOrElse(return None).getOrElse(return None)
+        if (best == null) best = v
+        else cmpInternal(ck.resultType, v, best) match {
+          case Some(c) => if ((isMin && c < 0) || (!isMin && c > 0)) best = v
+          case None => return None
+        }
+      }
+    }
+    Some(best)
+  }
+
+  /** Total order of two INTERNAL values of `dt` — exactly the orderings
+    * Spark's Min/Max use for these types (ints/longs numeric, strings
+    * UTF8String binary). Unsupported types fail the fold closed. */
+  private def cmpInternal(dt: DataType, a: Any, b: Any): Option[Int] = dt match {
+    case IntegerType | DateType => Some(java.lang.Integer.compare(
+      a.asInstanceOf[Number].intValue, b.asInstanceOf[Number].intValue))
+    case LongType | TimestampType | TimestampNTZType =>
+      Some(java.lang.Long.compare(
+        a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue))
+    case StringType => (a, b) match {
+      case (x: UTF8String, y: UTF8String) => Some(x.compareTo(y))
+      case _ => None
+    }
+    case _ => None
+  }
+
   /** `COUNT(DISTINCT e)` answered from per-row-group CONSTANCY (r13):
     * when every row group is constant in `e` among its non-null rows —
     * for an image key, constant in the IMAGE (f(min) = f(max)) — the
@@ -897,16 +961,14 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       case _ => false
     }
     def countVia(e: Expression): Option[Any] = {
-      val legOpt: Option[(AttributeReference, Option[graft.index.KeyImage])] =
+      val legOpt: Option[(AttributeReference, graft.index.RgConstKey)] =
         e match {
           case a: AttributeReference
               if indexed(index, a) && constancyExact(a.dataType) =>
-            Some((a, None))
-          case other => graft.index.KeyImage.fromDataExpr(other,
-              ar => indexed(index, ar) && ordered(ar.dataType))
-            .map { case (ar, img) => (ar, Some(img)) }
+            Some((a, graft.index.RawConstKey(a.dataType)))
+          case other => constKeyOf(index, other)
         }
-      val (attr, img) = legOpt.getOrElse(return None)
+      val (attr, ck) = legOpt.getOrElse(return None)
       val stats = index.rowGroupStats(attr.name).getOrElse(return None)
       val seen = scala.collection.mutable.HashSet.empty[Any]
       stats.foreach { st =>
@@ -914,14 +976,8 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         if (nc != st.rowCount) {
           val mn = st.min.getOrElse(return None)
           val mx = st.max.getOrElse(return None)
-          val (kmn, kmx) = img match {
-            case Some(i) =>
-              (scala.util.Try(i(mn)).getOrElse(return None),
-                scala.util.Try(i(mx)).getOrElse(return None))
-            case None => (mn, mx)
-          }
-          if (kmn != kmx) return None
-          seen += kmx
+          seen += scala.util.Try(ck.constantOf(mn, mx))
+            .getOrElse(return None).getOrElse(return None)
         }
       }
       Some(Long.box(seen.size.toLong))
@@ -970,17 +1026,16 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       : Option[(scala.collection.Set[(String, Int)], Long, Int)] = {
     if (live.isEmpty) return None
     def keyish(e: Expression)
-        : Option[(AttributeReference, Option[graft.index.KeyImage])] =
+        : Option[(AttributeReference, graft.index.RgConstKey)] =
       e match {
         case a: AttributeReference if indexed(index, a) && ordered(a.dataType) =>
-          Some((a, None))
-        case other =>
-          imageOf(index, other).map { case (ar, img) => (ar, Some(img)) }
+          Some((a, graft.index.RawConstKey(a.dataType)))
+        case other => constKeyOf(index, other)
       }
     // the keyish subexpressions the live conjuncts close over (maximal
     // subtrees — transformDown stops descending once one matches)
     val keyExprs = scala.collection.mutable.ArrayBuffer
-      .empty[(Expression, AttributeReference, Option[graft.index.KeyImage])]
+      .empty[(Expression, AttributeReference, graft.index.RgConstKey)]
     def keyIdxOf(s: Expression): Int =
       keyExprs.indexWhere(_._1.semanticEquals(s))
     live.foreach { cj =>
@@ -988,14 +1043,13 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       val closed = cj.transformDown {
         case s if keyIdxOf(s) >= 0 => Literal(null, s.dataType)
         case s if keyish(s).isDefined =>
-          val (ar, img) = keyish(s).get
-          keyExprs += ((s, ar, img)); Literal(null, s.dataType)
+          val (ar, ck) = keyish(s).get
+          keyExprs += ((s, ar, ck)); Literal(null, s.dataType)
       }
       if (closed.references.nonEmpty) return None
     }
     if (keyExprs.isEmpty) return None
-    def keyType(i: Int): DataType =
-      keyExprs(i)._3.map(_.resultType).getOrElse(keyExprs(i)._2.dataType)
+    def keyType(i: Int): DataType = keyExprs(i)._3.resultType
     val statsPer: Seq[Map[(String, Int), RowGroupStat]] =
       keyExprs.toSeq.map(k =>
         index.rowGroupStats(k._2.name).getOrElse(return None)
@@ -1032,14 +1086,9 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         else {
           val mn = s.min.getOrElse(return None)
           val mx = s.max.getOrElse(return None)
-          val (kmn, kmx) = keyExprs(i)._3 match {
-            case Some(img) =>
-              (scala.util.Try(img(mn)).getOrElse(return None),
-                scala.util.Try(img(mx)).getOrElse(return None))
-            case None => (mn, mx)
-          }
-          if (kmn != kmx) return None // straddler: fail closed
-          Some(kmx)
+          // straddler or throwing certificate: fail closed
+          Some(scala.util.Try(keyExprs(i)._3.constantOf(mn, mx))
+            .getOrElse(return None).getOrElse(return None))
         }
       }
       evalKeep(vals) match {
@@ -1199,6 +1248,16 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     graft.index.KeyImage.fromDataExpr(e,
       ar => indexed(index, ar) && ordered(ar.dataType))
 
+  /** A row-group CONSTANCY key over an indexed column: a monotone image
+    * or a determined calendar part — the shared recognizer for every
+    * constancy-certified serving path (grouping keys, wholesale filter
+    * conjuncts, DISTINCT-from-constancy). Raw attributes stay each call
+    * site's own case (type gates differ). */
+  private def constKeyOf(index: StatsIndex, e: Expression)
+      : Option[(AttributeReference, graft.index.RgConstKey)] =
+    graft.index.KeyImage.constKeyOf(e,
+      ar => indexed(index, ar) && ordered(ar.dataType))
+
   private def indexed(index: StatsIndex, a: AttributeReference): Boolean =
     index.indexedSchema.fields.exists(f => f.name == a.name && f.dataType == a.dataType)
 
@@ -1222,7 +1281,13 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     * boxed JDBC classes (SMALLINT widens byte/short to Integer). Types
     * without a certified bridge return None ⇒ no rewrite. */
   private def internal(v: Any, dt: DataType): Option[Any] = dt match {
-    case StringType => Some(UTF8String.fromString(v.asInstanceOf[String]))
+    // a DeterminedConstKey's value is Spark's own eval output — already
+    // internal (UTF8String); catalog JDBC strings still bridge
+    case StringType => v match {
+      case u: UTF8String => Some(u)
+      case s: String => Some(UTF8String.fromString(s))
+      case _ => None
+    }
     case ByteType => Some(v.asInstanceOf[Number].byteValue)
     case ShortType => Some(v.asInstanceOf[Number].shortValue)
     case IntegerType | DateType => Some(v.asInstanceOf[Number].intValue)

@@ -679,6 +679,166 @@ class StatsAggPushdownSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.filteredAggPushdown")
   }
 
+  // hour-aligned time fixture: each 50-row group sits inside ONE
+  // wall-clock hour (i/50 = hour index, minutes vary within), 40 hours
+  // spanning two days so hour-of-day groups merge across row groups
+  private lazy val fxh: (DataFrame, DataFrame) = {
+    val base = Files.createTempDirectory("graft-aggpush-h").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    graft.operators.Indexed.withMicrosTimestamps(spark) {
+      (0 until 2000)
+        .map { i =>
+          val micros = (i / 50).toLong * 3600000000L +
+            (i % 50).toLong * 60000000L
+          (i.toLong, new java.sql.Timestamp(micros / 1000L))
+        }
+        .toDF("k", "ts")
+        .coalesce(1)
+        .write.option("parquet.block.row.count.limit", "50")
+        .mode("overwrite").parquet(dir)
+    }
+    val (index, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("k", "ts"), s"$base/statsdb")
+    val (df, _) = IndexedParquet.read(spark, dir, index, schema)
+    (df, spark.read.parquet(dir))
+  }
+
+  test("r13: determined calendar parts serve day-partitioned rollups (idx48-50)") {
+    for (name <- Seq("idx48_groupby_dow", "idx49_agg_filtered_dow",
+        "idx50_groupby_dom", "idx51_groupby_daylabel",
+        "idx52_groupby_dayname", "idx53_groupby_monthanchor",
+        "idx54_agg_filtered_label")) {
+      val q = SparkEntry.registry.find(_.name == name).get
+      val df = q.fn(spark, sf("sf0.001"))
+      assert(folded(df), name + ": " + df.queryExecution.optimizedPlan.toString)
+      spark.conf.set("spark.graft.statsAggPushdown", "false")
+      val w = try q.fn(spark, sf("sf0.001")).collect()
+        finally spark.conf.unset("spark.graft.statsAggPushdown")
+      assert(df.collect().sortBy(_.toString) === w.sortBy(_.toString), name)
+    }
+    // hour(ts) straddles the day-partitioned groups' hour buckets: the
+    // determined certificate fails closed, the declarative plan stands
+    val off = graft.operators.Indexed.eventsDayParts(spark, sf("sf0.001"))
+      .groupBy(hour(col("ts")).as("h")).agg(count(lit(1)).as("n"))
+    assert(!folded(off), off.queryExecution.optimizedPlan.toString)
+    // month(ts) on the month-straddling lineitemTime layout: declines
+    val off2 = graft.operators.Indexed.lineitemTime(spark, sf("sf0.001"))
+      .groupBy(month(col("l_shipdate")).as("m")).agg(count(lit(1)).as("n"))
+    assert(!folded(off2), off2.queryExecution.optimizedPlan.toString)
+  }
+
+  test("r13: determined time parts — hour folds on hour-aligned groups") {
+    val (df, plainDf) = fxh
+    def q(d: DataFrame) = d.groupBy(hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mnk"),
+        max(col("k")).as("mxk"))
+    val g = q(df)
+    assert(folded(g), g.queryExecution.optimizedPlan.toString)
+    assert(g.collect().sortBy(_.getInt(0)) ===
+      q(plainDf).collect().sortBy(_.getInt(0)),
+      "hour-of-day profile diverged from the scan")
+    // minutes vary within every row group: minute(ts) fails closed
+    val m = df.groupBy(minute(col("ts")).as("mi")).agg(count(lit(1)).as("n"))
+    assert(!folded(m), m.queryExecution.optimizedPlan.toString)
+    // a geographic session zone has no fixed offset: fail closed
+    graft.operators.Indexed.withSessionTz(spark, "America/New_York") {
+      assert(!folded(q(df)))
+    }
+    // a half-hour offset shifts the hour grid off the row-group
+    // alignment: buckets straddle, fail closed
+    graft.operators.Indexed.withSessionTz(spark, "+05:30") {
+      assert(!folded(q(df)))
+    }
+    // a whole-hour offset keeps the grid aligned: folds, equals the
+    // scan built under the SAME zone
+    graft.operators.Indexed.withSessionTz(spark, "+05:00") {
+      val zg = q(df)
+      assert(folded(zg), zg.queryExecution.optimizedPlan.toString)
+      assert(zg.collect().sortBy(_.getInt(0)) ===
+        q(plainDf).collect().sortBy(_.getInt(0)))
+    }
+  }
+
+  test("r13: date_format and calendar-name keys fold at their pattern's grid") {
+    val (df, plainDf) = fxh
+    def q(d: DataFrame, fmt: String) = d
+      .groupBy(date_format(col("ts"), fmt).as("lbl"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mnk"))
+    def scanOf(mk: => DataFrame): Array[org.apache.spark.sql.Row] = {
+      spark.conf.set("spark.graft.statsAggPushdown", "false")
+      try mk.collect() finally spark.conf.unset("spark.graft.statsAggPushdown")
+    }
+    // an hour-grid pattern folds on the hour-aligned fixture
+    val g = q(df, "yyyy-MM-dd HH")
+    assert(folded(g), g.queryExecution.optimizedPlan.toString)
+    assert(g.collect().sortBy(_.getString(0)) ===
+      scanOf(q(df, "yyyy-MM-dd HH")).sortBy(_.getString(0)))
+    // a minute-grid pattern straddles every row group: fails closed
+    assert(!folded(q(df, "HH:mm")))
+    // sub-second and zone tokens decline outright
+    assert(!folded(q(df, "HH:mm:ss.SSS")))
+    assert(!folded(q(df, "yyyy z")))
+    // a geographic session zone has no fixed offset: declines
+    graft.operators.Indexed.withSessionTz(spark, "America/New_York") {
+      assert(!folded(q(df, "yyyy-MM-dd HH")))
+    }
+    // a whole-hour offset keeps the hour grid aligned: folds, equals the
+    // scan built under the SAME zone (labels shift together)
+    graft.operators.Indexed.withSessionTz(spark, "+03:00") {
+      val zg = q(df, "yyyy-MM-dd HH")
+      assert(folded(zg), zg.queryExecution.optimizedPlan.toString)
+      assert(zg.collect().sortBy(_.getString(0)) ===
+        scanOf(q(df, "yyyy-MM-dd HH")).sortBy(_.getString(0)))
+    }
+    // day-partitioned layout: day labels, calendar names, month anchors
+    val dp = graft.operators.Indexed.eventsDayParts(spark, sf("sf0.001"))
+    def labels = dp.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("lbl"))
+      .agg(count(lit(1)).as("n"))
+    def names = dp.groupBy(dayname(col("ts")).as("dn"),
+        monthname(col("ts")).as("mn")).agg(count(lit(1)).as("n"))
+    def anchors = dp.groupBy(last_day(col("ts")).as("ld"),
+        next_day(col("ts"), "Mon").as("nd")).agg(count(lit(1)).as("n"))
+    for ((mk, tag) <- Seq((() => labels, "labels"), (() => names, "names"),
+        (() => anchors, "anchors"))) {
+      val f = mk()
+      assert(folded(f), tag + ": " + f.queryExecution.optimizedPlan.toString)
+      assert(f.collect().sortBy(_.toString) ===
+        scanOf(mk()).sortBy(_.toString), tag)
+    }
+    // an hour label on the day-partitioned layout: hours vary within the
+    // day's row groups, so the determined certificate fails closed
+    assert(!folded(dp.groupBy(date_format(col("ts"), "HH").as("h"))
+      .agg(count(lit(1)).as("n"))))
+  }
+
+  test("r13: global MIN/MAX/COUNT of determined parts fold from constancy") {
+    def scanOf(mk: => DataFrame): Array[org.apache.spark.sql.Row] = {
+      spark.conf.set("spark.graft.statsAggPushdown", "false")
+      try mk.collect() finally spark.conf.unset("spark.graft.statsAggPushdown")
+    }
+    val q = SparkEntry.registry.find(_.name == "idx55_agg_part_extremes").get
+    val df = q.fn(spark, sf("sf0.001"))
+    assert(folded(df), df.queryExecution.optimizedPlan.toString)
+    assert(df.collect() === scanOf(q.fn(spark, sf("sf0.001"))))
+    val dp = graft.operators.Indexed.eventsDayParts(spark, sf("sf0.001"))
+    // a straddling part declines: hours vary within a day's row groups
+    assert(!folded(dp.agg(min(hour(col("ts"))).as("mh"))))
+    // next_day is not null-preserving: COUNT declines ...
+    assert(!folded(dp.agg(count(next_day(col("ts"), "Mon")).as("c"))))
+    // ... but its MIN folds (the constant-set walk replays Spark's pick)
+    def ndq = dp.agg(min(next_day(col("ts"), "Mon")).as("mnnd"),
+      max(next_day(col("ts"), "Sun")).as("mxnd"))
+    assert(folded(ndq), ndq.queryExecution.optimizedPlan.toString)
+    assert(ndq.collect() === scanOf(ndq))
+    // hour extremes fold on the hour-aligned fixture
+    val (hdf, _) = fxh
+    def hq = hdf.agg(min(hour(col("ts"))).as("mn"),
+      max(hour(col("ts"))).as("mx"), count(hour(col("ts"))).as("c"))
+    assert(folded(hq), hq.queryExecution.optimizedPlan.toString)
+    assert(hq.collect() === scanOf(hq))
+  }
+
   test("catalog answers equal the scan answers (kill switch off = ground truth)") {
     def row() = indexed.agg(
       min(col("k")), max(col("k")), min(col("s")), max(col("s")),
