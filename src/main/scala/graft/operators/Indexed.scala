@@ -1191,6 +1191,32 @@ object Indexed {
              |  min(strftime(ts, '%Y-%m-%d')) AS mnlbl, count(month(ts)) AS cm
              |FROM events""".stripMargin)),
 
+    // SCAN-path constancy pruning (idx56, r13): a ROW-selecting weekend
+    // filter — no aggregate to fold, so the wholesale engine can't help;
+    // instead PartPrune evaluates the determined-part conjunct once per
+    // row group at its certified constant and drops weekday groups (and
+    // with them whole day files) before the reader opens them. The
+    // interval rewrite cannot serve dayofweek (not monotone); Spark
+    // re-applies the filter, so the refinement is over-scan-only.
+    QueryDef(
+      "idx56_filter_part_rows",
+      (s, dir) => eventsDayParts(s, dir)
+        .filter(dayofweek(col("ts")).isin(1, 7))
+        .select(col("event_id"), col("user_id"), col("ts")),
+      Some("""SELECT event_id, user_id, ts FROM events
+             |WHERE dayofweek(ts) IN (0, 6)""".stripMargin)),
+
+    // DISTINCT over determined labels (idx57, r13): the agg-less grouped
+    // fold — the distinct (dayname, monthname) pairs are exactly the
+    // row groups' certified constants, deduplicated catalog-side
+    QueryDef(
+      "idx57_distinct_labels",
+      (s, dir) => eventsDayParts(s, dir)
+        .select(dayname(col("ts")).as("dn"), monthname(col("ts")).as("mn"))
+        .distinct(),
+      Some("""SELECT DISTINCT strftime(ts, '%a') AS dn, strftime(ts, '%b') AS mn
+             |FROM events""".stripMargin)),
+
     // row-level key index (the reference's named "precise index" extension,
     // index.rs:30-35): exact key -> (file, row_group) postings; scans only
     // row groups where the key OCCURS, not merely where its range overlaps

@@ -91,9 +91,18 @@ final class IndexedParquetFileIndex(
     val statsPlans =
       if (dataFilters.isEmpty) everything
       else index.getFiles(dataFilters.reduce(And))
-    val (plans, route) = routeRowLevel(dataFilters, statsPlans)
+    // planner-side constancy refinement (r13): conjuncts over determined
+    // calendar parts / Derby-unrenderable images drop row groups — and
+    // whole files — the interval walk cannot (over-scan-only; Spark
+    // re-applies every filter). Kill switch mirrors the fold family's.
+    val (partPlans, partRoute) =
+      if (SparkSession.active.conf.get("spark.graft.partPrune", "true") != "true")
+        (statsPlans, Nil)
+      else graft.prune.PartPrune.refine(index, dataFilters, statsPlans)
+    val (plans, route) = routeRowLevel(dataFilters, partPlans)
     lastExecution = Some(PruneExecution(
-      dataFilters, plans, everything.size, everything.map(_.rowGroupCount).sum, route))
+      dataFilters, plans, everything.size, everything.map(_.rowGroupCount).sum,
+      partRoute ++ route))
     val statuses = plans.map { p =>
       new FileStatus(p.fileSizeBytes, false, 1, fileSystemBlockSize, 0L,
         new Path(dir, p.fileName))

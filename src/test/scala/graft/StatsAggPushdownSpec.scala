@@ -708,7 +708,7 @@ class StatsAggPushdownSpec extends SparkSpec {
     for (name <- Seq("idx48_groupby_dow", "idx49_agg_filtered_dow",
         "idx50_groupby_dom", "idx51_groupby_daylabel",
         "idx52_groupby_dayname", "idx53_groupby_monthanchor",
-        "idx54_agg_filtered_label")) {
+        "idx54_agg_filtered_label", "idx57_distinct_labels")) {
       val q = SparkEntry.registry.find(_.name == name).get
       val df = q.fn(spark, sf("sf0.001"))
       assert(folded(df), name + ": " + df.queryExecution.optimizedPlan.toString)
@@ -810,6 +810,55 @@ class StatsAggPushdownSpec extends SparkSpec {
     // day's row groups, so the determined certificate fails closed
     assert(!folded(dp.groupBy(date_format(col("ts"), "HH").as("h"))
       .agg(count(lit(1)).as("n"))))
+  }
+
+  // epoch-STRADDLING day-aligned fixture: 40 calendar days centered on
+  // 1970-01-01 (negative micros with sub-second components — the classic
+  // floor-vs-truncate hazard), one 50-row group per day, rows inside the
+  // day's first hour so hour-grid patterns certify but minute/second
+  // grids straddle
+  private lazy val fxe: (DataFrame, DataFrame) = {
+    val base = Files.createTempDirectory("graft-aggpush-e").toString
+    val dir = s"$base/data"
+    import spark.implicits._
+    graft.operators.Indexed.withMicrosTimestamps(spark) {
+      (0 until 2000)
+        .map { i =>
+          val day = (i / 50) - 20
+          (i.toLong,
+            day.toLong * 86400000000L + (i % 50).toLong * 1234567L + 13L)
+        }
+        .toDF("k", "us")
+        .select(col("k"), timestamp_micros(col("us")).as("ts"))
+        .coalesce(1)
+        .write.option("parquet.block.row.count.limit", "50")
+        .mode("overwrite").parquet(dir)
+    }
+    val (index, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("k", "ts"), s"$base/statsdb")
+    val (df, _) = IndexedParquet.read(spark, dir, index, schema)
+    (df, spark.read.parquet(dir))
+  }
+
+  test("r13: date_format pattern sweep straddling the epoch — fold or decline, never wrong") {
+    val (df, plain) = fxe
+    def q(d: DataFrame, p: String) = d
+      .groupBy(date_format(col("ts"), p).as("lbl"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mnk"))
+    // pattern -> must the day-grid fixture fold it?
+    val cases = Seq(
+      "yyyy" -> true, "yyyy-MM" -> true, "yyyy-'Q'QQ" -> true,
+      "yyyy-MM-dd" -> true, "EEEE" -> true, "E" -> true, "D" -> true,
+      "yyyy-MM-dd HH" -> true, "a" -> true,
+      "HH:mm" -> false, "mm:ss" -> false, "s" -> false)
+    for ((p, expectFold) <- cases) {
+      val g = q(df, p)
+      assert(folded(g) == expectFold,
+        s"pattern $p: " + g.queryExecution.optimizedPlan.toString)
+      assert(g.collect().sortBy(_.toString) ===
+        q(plain, p).collect().sortBy(_.toString),
+        s"pattern $p diverged from the scan on pre-1970 days")
+    }
   }
 
   test("r13: global MIN/MAX/COUNT of determined parts fold from constancy") {
