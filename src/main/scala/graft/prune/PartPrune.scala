@@ -120,6 +120,10 @@ object PartPrune {
     }
 
   private def closeOver(index: StatsIndex, cj: Expression): Option[Closed] = {
+    // Spark only pushes deterministic data filters, but make the
+    // precondition local: a non-deterministic conjunct is not a pure
+    // function of its keys, so per-group substitution proves nothing
+    if (!cj.deterministic) return None
     val keys = scala.collection.mutable.ArrayBuffer
       .empty[(Expression, AttributeReference, RgConstKey)]
     def idxOf(s: Expression): Int = keys.indexWhere(_._1.semanticEquals(s))

@@ -282,7 +282,128 @@ object EventStreams {
         max(col("n_events")).as("n_events"))
   }
 
+  // ---- st9: streamed day-partitioned ingest + catalog-served rollup -------
+
+  /** Recursive delete of a per-run temp dir (same contract as
+    * DocumentStreams.rmrf: run AFTER the result is materialized). */
+  private def rmrf(p: String): Unit = {
+    def del(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(del)
+      f.delete(); ()
+    }
+    del(new java.io.File(p))
+  }
+
+  private val dayStream = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Once per sfDir: the FIRST FOUR calendar days of events, one parquet
+    * file per day with ascending mtimes — the file source then replays
+    * daily ingest one micro-batch per day, the canonical shape of a
+    * streaming warehouse feed. Four days is the minimum that gives the
+    * day-of-week rollup multiple groups AND multiple batches. */
+  private[graft] def dayStreamDir(s: SparkSession, sfDir: String): String =
+    dayStream.getOrElseUpdate(sfDir + "@" + s.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = new java.io.File(s"target/tmp/streamdedup/$safe/events-day4").getAbsolutePath
+      val outPath = java.nio.file.Paths.get(out)
+      if (!java.nio.file.Files.exists(outPath.resolve("_SUCCESS"))) {
+        val src = graft.Tables.load(s, sfDir, "events")
+        val days = src.select(to_date(col("ts")).as("d")).distinct()
+          .orderBy("d").limit(4).collect().map(_.getDate(0))
+        java.nio.file.Files.createDirectories(outPath)
+        graft.operators.Indexed.withMicrosTimestamps(s) {
+          days.zipWithIndex.foreach { case (d, i) =>
+            val stage = s"$out-stage"
+            src.filter(to_date(col("ts")) === lit(d))
+              .coalesce(1).write.mode("overwrite").parquet(stage)
+            val part = new java.io.File(stage).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val tgt = outPath.resolve(f"day-$i%02d.parquet")
+            java.nio.file.Files.deleteIfExists(tgt)
+            java.nio.file.Files.move(part.toPath, tgt)
+          }
+        }
+        rmrf(s"$out-stage")
+        java.nio.file.Files.createFile(outPath.resolve("_SUCCESS"))
+      }
+      // ascending mtimes in day order (see streamFixtureDir's rationale) —
+      // stamped unconditionally so a stale fixture can't arrive reordered
+      val parts = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      out
+    })
+
+  /** Stream the 4-day fixture through [[IndexedSink]] (footer stats +
+    * user_id sum ledger maintained per micro-batch), hand the body the
+    * INDEXED read of the maintained table, then tear the temp copy down
+    * on every path. The body's answers must come from the catalog the
+    * SINK built — nothing is re-indexed after the stream stops. */
+  private[graft] def withStreamedDayparts[T](s: SparkSession, sfDir: String)(
+      body: DataFrame => T): T = {
+    val dir = dayStreamDir(s, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft-st9").toString
+    val srcSchema = s.read.parquet(dir).schema
+    val idxCols = Seq("ts", "event_id", "user_id")
+    val idxSchema = org.apache.spark.sql.types.StructType(
+      srcSchema.filter(f => idxCols.contains(f.name)))
+    val index = new graft.index.DerbyStatsIndex(s"$base/db", idxSchema)
+    index.initialize(idxSchema)
+    try {
+      val src = s.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      // the SINK's rewrite must emit TIMESTAMP_MICROS: INT96 carries no
+      // footer statistics, and a stats-less ts column would silently
+      // reduce every certificate to a full scan (same precondition as
+      // the batch fixtures — see Indexed.timeEntry's -v2 note)
+      val q = graft.operators.Indexed.withMicrosTimestamps(s) {
+        val started = IndexedSink.start(src, s"$base/data", index, idxCols,
+          s"$base/ckpt", sumShadowCols = Seq("user_id"))
+        try started.awaitTermination() finally started.stop()
+        started
+      }
+      q.exception.foreach(e => throw e)
+      val (df, _) = graft.sources.IndexedParquet.read(
+        s, s"$base/data", index, srcSchema)
+      body(df)
+    } finally {
+      // close() may itself throw; the shutdown + rmrf must still run
+      try index.close() catch { case _: Throwable => () }
+      graft.index.DerbyStatsIndex.shutdownDatabase(s"$base/db")
+      rmrf(base)
+    }
+  }
+
+  /** `st9_stream_dayparts`: the day-of-week seasonality rollup served
+    * from the catalog a STREAMING sink maintained — each day's
+    * micro-batch ingests its footer stats and sum-ledger rows, and the
+    * determined-part fold (idx48's certificate) answers from exactly
+    * those rows. Incremental-ingest-equals-batch for the r13 certificate
+    * family, through the streaming seam; StreamedDaypartsSpec pins that
+    * the plan really folds (zero data jobs) and equals the scan. */
+  def streamDaypartsQuery(s: SparkSession, sfDir: String): DataFrame =
+    withStreamedDayparts(s, sfDir) { df =>
+      df.groupBy(dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("su"),
+          min(col("ts")).as("mnts"), max(col("ts")).as("mxts"))
+        .localCheckpoint()
+    }
+
   val defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef(
+      "st9_stream_dayparts",
+      (s, dir) => streamDaypartsQuery(s, dir),
+      Some("""SELECT dayofweek(ts) + 1 AS dow, count(*) AS n,
+             |  CAST(sum(user_id) AS BIGINT) AS su,
+             |  min(ts) AS mnts, max(ts) AS mxts
+             |FROM events
+             |WHERE CAST(ts AS DATE) IN (
+             |  SELECT DISTINCT CAST(ts AS DATE) FROM events ORDER BY 1 LIMIT 4)
+             |GROUP BY 1""".stripMargin)),
     graft.QueryDef(
       "st1_stream_dedup",
       (s, dir) => streamDedupQuery(s, dir),

@@ -107,4 +107,20 @@ class PartPruneSpec extends SparkSpec {
     df.filter(col("k") > 150L).collect()
     assert(!fi.lastExecution.get.route.exists(_.startsWith("part-const(")))
   }
+
+  test("part and raw conjuncts compose: both prunes intersect in one pass") {
+    val (df, fi, plain) = nfx
+    // raw range keeps groups 2-3 via the interval walk; the part
+    // conjunct (Sat = 7) drops group 3 via constancy — intersection
+    // scans exactly the Saturday group
+    def q(d: DataFrame) = d
+      .filter(col("k") >= 100L && dayofweek(col("ts")) === lit(7))
+      .select("k")
+    val rows = q(df).collect().map(_.getLong(0)).sorted
+    assert(rows === (100L until 150L).toArray)
+    val ex = fi.lastExecution.get
+    assert(ex.route.exists(_.startsWith("part-const(")), ex.route)
+    assert(ex.scannedRowGroups == 1, ex.render)
+    assert(q(plain).collect().map(_.getLong(0)).sorted === rows)
+  }
 }

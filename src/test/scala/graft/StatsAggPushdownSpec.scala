@@ -861,6 +861,22 @@ class StatsAggPushdownSpec extends SparkSpec {
     }
   }
 
+  test("r13: two date_format patterns on one column are DISTINCT keys") {
+    // the certificate id embeds the pattern — month and day labels over
+    // the same ts must not dedup into one key
+    val dp = graft.operators.Indexed.eventsDayParts(spark, sf("sf0.001"))
+    def q = dp.groupBy(date_format(col("ts"), "yyyy-MM").as("mlbl"),
+        date_format(col("ts"), "yyyy-MM-dd").as("dlbl"))
+      .agg(count(lit(1)).as("n"))
+    assert(folded(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.collect().sortBy(_.toString)
+    spark.conf.set("spark.graft.statsAggPushdown", "false")
+    val want = try q.collect().sortBy(_.toString)
+      finally spark.conf.unset("spark.graft.statsAggPushdown")
+    assert(got === want)
+    assert(got.forall(r => r.getString(1).startsWith(r.getString(0))))
+  }
+
   test("r13: global MIN/MAX/COUNT of determined parts fold from constancy") {
     def scanOf(mk: => DataFrame): Array[org.apache.spark.sql.Row] = {
       spark.conf.set("spark.graft.statsAggPushdown", "false")

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+
+/** st9: the r13 determined-part certificates composed with STREAMING
+  * ingest — IndexedSink maintains footer stats and the user_id sum
+  * ledger per daily micro-batch, and the seasonality rollup folds from
+  * exactly those catalog rows (nothing re-indexed after the stream
+  * stops). Pins (1) the fold really happens — a LocalRelation plan, zero
+  * data jobs — on the sink-built catalog, (2) kill-switch equality, and
+  * (3) the scan-path refinement (PartPrune) fires on the streamed layout
+  * too. Incremental-ingest-equals-batch for the certificate family,
+  * through the streaming seam. */
+class StreamedDaypartsSpec extends SparkSpec {
+
+  private def folded(df: DataFrame): Boolean = {
+    val p = df.queryExecution.optimizedPlan
+    p.collectFirst { case l: LocalRelation => l }.isDefined &&
+      p.collectFirst { case r: LogicalRelation => r }.isEmpty
+  }
+
+  test("the sink-maintained catalog serves the day-of-week rollup with zero data jobs") {
+    graft.streaming.EventStreams.withStreamedDayparts(spark, sf("sf0.001")) { df =>
+      def roll = df.groupBy(dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("su"),
+          min(col("ts")).as("mnts"), max(col("ts")).as("mxts"))
+      assert(folded(roll), roll.queryExecution.optimizedPlan.toString)
+      val got = roll.collect().sortBy(_.toString)
+      assert(got.length >= 2, "fixture produced fewer than 2 weekday groups")
+      spark.conf.set("spark.graft.statsAggPushdown", "false")
+      val want = try roll.collect().sortBy(_.toString)
+        finally spark.conf.unset("spark.graft.statsAggPushdown")
+      assert(got === want)
+
+      // the scan path prunes the streamed day files by part constancy too
+      val sel = df.filter(dayofweek(col("ts")) === lit(got.head.getInt(0)))
+        .select("event_id")
+      val rows = sel.collect()
+      spark.conf.set("spark.graft.partPrune", "false")
+      val wantRows = try sel.collect()
+        finally spark.conf.unset("spark.graft.partPrune")
+      assert(rows.map(_.getLong(0)).sorted === wantRows.map(_.getLong(0)).sorted)
+    }
+  }
+}
