@@ -105,9 +105,11 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     // the Filter, and PullOutGroupingExpressions adds COMPUTED aliases
     // (`_groupingexpression`) — both are row-preserving, so traversal is
     // sound; certification of anything referencing a computed alias is
-    // the caller's job (unindexed attrs decline by default)
-    case Project(projectList, child) if projectList.forall(passThrough) =>
+    // the caller's job (unindexed attrs decline by default), and an
+    // alias SHADOWING an indexed name declines inside passThrough
+    case Project(projectList, child) =>
       fileIndexOrAllPassFiltered(child)
+        .filter(idx => projectList.forall(passThrough(_, idx)))
     case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
       fileIndexOf(f.child).filter(idx => allPassFilter(f.condition, idx))
     case other => fileIndexOf(other)
@@ -119,8 +121,9 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
   private def fileIndexFiltered(
       p: LogicalPlan): Option[(IndexedParquetFileIndex, Option[Expression])] =
     p match {
-      case Project(projectList, child) if projectList.forall(passThrough) =>
+      case Project(projectList, child) =>
         fileIndexFiltered(child)
+          .filter { case (idx, _) => projectList.forall(passThrough(_, idx)) }
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         fileIndexOf(f.child).map(idx => (idx, Some(f.condition)))
       case other => fileIndexOf(other).map((_, None))
@@ -313,13 +316,25 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     }
     def keyEvaluator(cj: Expression): Option[Key => Option[Boolean]] = {
       if (!cj.deterministic) return None
-      def subst(key: Key): Expression = cj.transformDown {
-        case s if keyIdxOf(s) >= 0 =>
-          val i = keyIdxOf(s)
+      // compile ONCE: replace each key occurrence with a placeholder
+      // attribute, so the per-group pass substitutes by exprId instead
+      // of re-running semanticEquals recognition on every node
+      val placeholders = gs.indices.map(i =>
+        AttributeReference(s"__graft_gk$i", gs(i).keyType)())
+      val phIdx: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Int] =
+        placeholders.zipWithIndex.map { case (p, i) => p.exprId -> i }.toMap
+      val template = cj.transformDown {
+        case s if keyIdxOf(s) >= 0 => placeholders(keyIdxOf(s))
+      }
+      // anything left referencing a non-key column declines the conjunct
+      if (!template.references.forall(a => phIdx.contains(a.exprId)))
+        return None
+      def subst(key: Key): Expression = template.transformDown {
+        case a: AttributeReference if phIdx.contains(a.exprId) =>
+          val i = phIdx(a.exprId)
           Literal(key(i).flatMap(internal(_, gs(i).keyType)).orNull,
             gs(i).keyType)
       }
-      if (subst(Vector.fill(gs.size)(None)).references.nonEmpty) return None
       Some(key => scala.util.Try(subst(key).eval(null)).toOption
         .map(v => v == true))
     }
@@ -572,94 +587,121 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
           a.name -> acc
         }.toMap
       }
-    // one output cell per (aggregate expression, group)
+    // one output cell per (aggregate expression, group). Expression
+    // recognition (gIdx/gIdxE scans, castsOver, imageAgg's full
+    // KeyImage walk) depends only on the EXPRESSION, not the group —
+    // compile each output column to a closure ONCE, then run the
+    // closures per group (a day-partitioned table spanning years yields
+    // thousands of groups; re-recognizing per group is pure driver
+    // waste inside the optimizer rule).
+    type CellFn = (Key, Long) => Option[Any]
     def keyCell(i: Int, key: Key): Option[Any] =
       Some(key(i).flatMap(internal(_, gs(i).keyType)).orNull)
-    def cellAgg(ae: AggregateExpression, key: Key, rows: Long): Option[Any] =
+    def compileAgg(ae: AggregateExpression): Option[CellFn] =
       if (ae.isDistinct || ae.filter.nonEmpty) None
       else ae.aggregateFunction match {
-            case Count(Seq(l: Literal)) if l.value != null => Some(rows)
+            case Count(Seq(l: Literal)) if l.value != null =>
+              Some((_, rows) => Some(rows))
             case Count(Seq(a: AttributeReference))
                 if gs.exists(_.attr.exprId == a.exprId) =>
               // counting the key's underlying column: null-preserving
               // images make "a is null" ⟺ "the key is null", so the
               // count is the group's rows (0 for the NULL group)
               val i = gs.indexWhere(_.attr.exprId == a.exprId)
-              Some(if (key(i).isDefined) rows else 0L)
+              Some((key, rows) => Some(if (key(i).isDefined) rows else 0L))
             case Min(a: AttributeReference) if gIdx(a) >= 0 =>
-              keyCell(gIdx(a), key)
+              val i = gIdx(a); Some((key, _) => keyCell(i, key))
             case Max(a: AttributeReference) if gIdx(a) >= 0 =>
-              keyCell(gIdx(a), key)
+              val i = gIdx(a); Some((key, _) => keyCell(i, key))
             // the grouping EXPRESSION itself under an aggregate — the key
             // is constant per group, so MIN/MAX are the key and COUNT is
             // the group's rows (images are null-preserving)
             case Count(Seq(e)) if gIdxE(e) >= 0 =>
-              Some(if (key(gIdxE(e)).isDefined) rows else 0L)
-            case Min(e) if gIdxE(e) >= 0 => keyCell(gIdxE(e), key)
-            case Max(e) if gIdxE(e) >= 0 => keyCell(gIdxE(e), key)
+              val i = gIdxE(e)
+              Some((key, rows) => Some(if (key(i).isDefined) rows else 0L))
+            case Min(e) if gIdxE(e) >= 0 =>
+              val i = gIdxE(e); Some((key, _) => keyCell(i, key))
+            case Max(e) if gIdxE(e) >= 0 =>
+              val i = gIdxE(e); Some((key, _) => keyCell(i, key))
             case Min(a: AttributeReference) if otherExtremes.contains(a.name) =>
-              Some(otherExtremes(a.name).getOrElse(key, (None, None))._1
-                .flatMap(internal(_, a.dataType)).orNull)
+              val m = otherExtremes(a.name)
+              Some((key, _) => Some(m.getOrElse(key, (None, None))._1
+                .flatMap(internal(_, a.dataType)).orNull))
             case Max(a: AttributeReference) if otherExtremes.contains(a.name) =>
-              Some(otherExtremes(a.name).getOrElse(key, (None, None))._2
-                .flatMap(internal(_, a.dataType)).orNull)
+              val m = otherExtremes(a.name)
+              Some((key, _) => Some(m.getOrElse(key, (None, None))._2
+                .flatMap(internal(_, a.dataType)).orNull))
             // MIN/MAX of an image over an OTHER column: the image of the
             // group's raw extreme (r13)
             case Min(e) if imageAgg(e).exists(t => otherExtremes.contains(t._1.name)) =>
               val (a, img) = imageAgg(e).get
-              Some(otherExtremes(a.name).getOrElse(key, (None, None))._1
+              val m = otherExtremes(a.name)
+              Some((key, _) => Some(m.getOrElse(key, (None, None))._1
                 .flatMap(v => scala.util.Try(img(v)).toOption)
-                .flatMap(internal(_, img.resultType)).orNull)
+                .flatMap(internal(_, img.resultType)).orNull))
             case Max(e) if imageAgg(e).exists(t => otherExtremes.contains(t._1.name)) =>
               val (a, img) = imageAgg(e).get
-              Some(otherExtremes(a.name).getOrElse(key, (None, None))._2
+              val m = otherExtremes(a.name)
+              Some((key, _) => Some(m.getOrElse(key, (None, None))._2
                 .flatMap(v => scala.util.Try(img(v)).toOption)
-                .flatMap(internal(_, img.resultType)).orNull)
+                .flatMap(internal(_, img.resultType)).orNull))
             case su: Sum => su.child match {
               case a: AttributeReference if otherSums.contains(a.name) =>
-                otherSums(a.name).get(key) match {
+                val m = otherSums(a.name)
+                Some((key, _) => m.get(key) match {
                   // zero non-null rows in the group ⇒ SQL NULL
                   case Some((sv, nn)) if nn > 0 =>
                     ledgerSum(su.dataType, a.dataType, sv) // None ⇒ abort
                   case _ => Some(null)
-                }
+                })
               case _ => None
             }
             // per-group AVG (r13): the group's ledger sum over its
             // non-null tally through Average's own evaluateExpression
             case av: Average => av.child match {
               case a: AttributeReference if otherSums.contains(a.name) =>
-                otherSums(a.name).get(key) match {
+                val m = otherSums(a.name)
+                Some((key, _) => m.get(key) match {
                   case Some((sv, nn)) => avgFromLedger(av, a.dataType, sv, nn)
                   case None => Some(null)
-                }
+                })
               case _ => None
             }
             case Count(Seq(a: AttributeReference))
                 if otherCounts.contains(a.name) =>
-              Some(otherCounts(a.name).getOrElse(key, 0L))
+              val m = otherCounts(a.name)
+              Some((key, _) => Some(m.getOrElse(key, 0L)))
             case _ => None
           }
-    def cell(ne: NamedExpression, key: Key, rows: Long): Option[Any] =
+    def compileCell(ne: NamedExpression): Option[CellFn] =
       ne match {
-        case a: AttributeReference if gIdx(a) >= 0 => keyCell(gIdx(a), key)
-        case a: AttributeReference if gIdxE(a) >= 0 => keyCell(gIdxE(a), key)
+        case a: AttributeReference if gIdx(a) >= 0 =>
+          val i = gIdx(a); Some((key, _) => keyCell(i, key))
+        case a: AttributeReference if gIdxE(a) >= 0 =>
+          val i = gIdxE(a); Some((key, _) => keyCell(i, key))
         case Alias(a: AttributeReference, _) if gIdx(a) >= 0 =>
-          keyCell(gIdx(a), key)
+          val i = gIdx(a); Some((key, _) => keyCell(i, key))
         // an IMAGE grouping key's output column (`Alias(cast(ts AS date),
         // "day")`): the certified key value — must match BEFORE the
         // generic Cast case (a cast grouping expr is not a render cast)
-        case Alias(e, _) if gIdxE(e) >= 0 => keyCell(gIdxE(e), key)
+        case Alias(e, _) if gIdxE(e) >= 0 =>
+          val i = gIdxE(e); Some((key, _) => keyCell(i, key))
         case Alias(e, _) => castsOver(e).flatMap { case (ae, cs) =>
-          cellAgg(ae, key, rows).flatMap(replayCasts(cs, _)) }
+          compileAgg(ae).map(f =>
+            (key: Key, rows: Long) => f(key, rows).flatMap(replayCasts(cs, _))) }
         case _ => None
       }
+    // an unservable output column declines up front — including the
+    // zero-surviving-groups case, where the old per-group evaluation
+    // never ran (declining there is equally sound, just explicit)
+    val cellFns: Seq[CellFn] =
+      agg.aggregateExpressions.map(ne => compileCell(ne).getOrElse(return None))
     val rows = byKey.toSeq.flatMap { case (key, n) =>
       groupKeep(key) match {
         case None        => return None // eval failure: fail closed
         case Some(false) => Nil // the predicate drops this group wholesale
         case Some(true) =>
-          val cells = agg.aggregateExpressions.map(cell(_, key, n))
+          val cells = cellFns.map(_(key, n))
           if (cells.exists(_.isEmpty)) return None
           Seq(InternalRow.fromSeq(cells.map(_.get)))
       }
@@ -727,20 +769,26 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     * joins, computed projections) disqualifies the rewrite. */
   private def fileIndexOf(p: LogicalPlan): Option[IndexedParquetFileIndex] = p match {
     case l: LogicalRelation => fromRelation(l)
-    case Project(projectList, l: LogicalRelation)
-        if projectList.forall(passThrough) =>
-      fromRelation(l)
+    case Project(projectList, l: LogicalRelation) =>
+      fromRelation(l).filter(idx => projectList.forall(passThrough(_, idx)))
     case _ => None
   }
 
   /** A projection entry the aggregate rewrites may traverse: a plain
     * attribute, or a DETERMINISTIC computed alias (row-preserving, so
     * counts and per-row-group stats of the RELATION's columns are
-    * untouched; anything referencing the alias certifies — or declines —
-    * on its own merits). */
-  private def passThrough(ne: NamedExpression): Boolean = ne match {
+    * untouched). A computed alias MUST NOT reuse an indexed column's
+    * name: every certification site below matches attributes by
+    * name+type against the indexedSchema, so a shadowing alias
+    * (`withColumn("k", k % 10)`, or a rename onto an indexed name)
+    * would be silently served from the RAW column's statistics — wrong
+    * results, not a decline. Shadows of non-indexed names are harmless
+    * (nothing certifies them). */
+  private def passThrough(
+      ne: NamedExpression, idx: IndexedParquetFileIndex): Boolean = ne match {
     case _: AttributeReference => true
-    case al: Alias => al.child.deterministic
+    case al: Alias => al.child.deterministic &&
+      !idx.statsIndex.indexedSchema.fields.exists(_.name == al.name)
     case _ => false
   }
 
@@ -1280,28 +1328,6 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     * internals); strings arrive as java.lang.String and numerics as their
     * boxed JDBC classes (SMALLINT widens byte/short to Integer). Types
     * without a certified bridge return None ⇒ no rewrite. */
-  private def internal(v: Any, dt: DataType): Option[Any] = dt match {
-    // a DeterminedConstKey's value is Spark's own eval output — already
-    // internal (UTF8String); catalog JDBC strings still bridge
-    case StringType => v match {
-      case u: UTF8String => Some(u)
-      case s: String => Some(UTF8String.fromString(s))
-      case _ => None
-    }
-    case ByteType => Some(v.asInstanceOf[Number].byteValue)
-    case ShortType => Some(v.asInstanceOf[Number].shortValue)
-    case IntegerType | DateType => Some(v.asInstanceOf[Number].intValue)
-    case LongType | TimestampType | TimestampNTZType =>
-      Some(v.asInstanceOf[Number].longValue)
-    case FloatType => Some(v.asInstanceOf[Number].floatValue)
-    case DoubleType => Some(v.asInstanceOf[Number].doubleValue)
-    // a stored decimal stat is an actual column value, so it fits the
-    // column's (precision, scale) — a value that somehow doesn't (e.g. a
-    // foreign catalog) degrades to no-rewrite rather than a wrong literal
-    case d: DecimalType =>
-      scala.util.Try(org.apache.spark.sql.types.Decimal(
-        BigDecimal(v.asInstanceOf[java.math.BigDecimal]),
-        d.precision, d.scale)).toOption
-    case _ => None
-  }
+  private def internal(v: Any, dt: DataType): Option[Any] =
+    graft.index.StatsBridge.internal(v, dt)
 }

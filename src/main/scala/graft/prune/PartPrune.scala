@@ -62,10 +62,8 @@ object PartPrune {
     else (refined, Seq(s"part-const(dropped=$dropped)"))
   }
 
-  private def split(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => split(l) ++ split(r)
-    case x => Seq(x)
-  }
+  private def split(e: Expression): Seq[Expression] =
+    graft.index.StatsBridge.conjuncts(e)
 
   /** A conjunct fully closed over constancy-certifiable key expressions,
     * with at least one key the interval walk cannot already serve (a
@@ -156,13 +154,9 @@ object PartPrune {
       f.name == a.name && f.dataType == a.dataType)
 
   /** Raw columns whose catalog extremes are VERBATIM values (so min = max
-    * certifies constancy): integrals, dates, timestamps. Strings decline
-    * (truncated minima are bounds); FP declines (±0.0/NaN hazards). */
-  private def constancyExact(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType | DateType |
-        TimestampType | TimestampNTZType => true
-    case _ => false
-  }
+    * certifies constancy) — the shared gate, see [[StatsBridge]]. */
+  private def constancyExact(dt: DataType): Boolean =
+    graft.index.StatsBridge.verbatimExact(dt)
 
   private def timeOrdered(dt: DataType): Boolean = dt match {
     case DateType | TimestampType | TimestampNTZType => true
@@ -170,18 +164,7 @@ object PartPrune {
   }
 
   /** Catalog JDBC value (or eval-internal value from a determined key) →
-    * Catalyst internal for the Literal substitution. */
-  private def internal(v: Any, dt: DataType): Option[Any] = dt match {
-    case StringType => v match {
-      case u: UTF8String => Some(u)
-      case s: String => Some(UTF8String.fromString(s))
-      case _ => None
-    }
-    case ByteType => Some(v.asInstanceOf[Number].byteValue)
-    case ShortType => Some(v.asInstanceOf[Number].shortValue)
-    case IntegerType | DateType => Some(v.asInstanceOf[Number].intValue)
-    case LongType | TimestampType | TimestampNTZType =>
-      Some(v.asInstanceOf[Number].longValue)
-    case _ => None
-  }
+    * Catalyst internal for the Literal substitution — see [[StatsBridge]]. */
+  private def internal(v: Any, dt: DataType): Option[Any] =
+    graft.index.StatsBridge.internal(v, dt)
 }

@@ -861,6 +861,29 @@ class StatsAggPushdownSpec extends SparkSpec {
     }
   }
 
+  test("an alias shadowing an indexed column declines every fold (soundness)") {
+    // withColumn("k", k % 10): same name+type as the indexed column but
+    // different values — serving it from the raw catalog stats would be
+    // wrong ANSWERS, so the traversal must decline, not certify
+    val shadowed = indexed.withColumn("k", pmod(col("k"), lit(10L)))
+    def g = shadowed.agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+      sum(col("k")).as("su"))
+    assert(!folded(g), g.queryExecution.optimizedPlan.toString)
+    val r = g.collect().head
+    assert(r.getLong(0) === 0L)
+    assert(r.getLong(1) === 9L)
+    // the grouped fold and a rename onto an indexed name decline too
+    val g2 = shadowed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    assert(!folded(g2), g2.queryExecution.optimizedPlan.toString)
+    val renamed = indexed.select(col("s").as("k"))
+      .agg(count(col("k")).as("c"))
+    assert(!folded(renamed), renamed.queryExecution.optimizedPlan.toString)
+    // a non-shadowing computed alias still traverses: the fold survives
+    val benign = indexed.withColumn("k2", pmod(col("k"), lit(10L)))
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+    assert(folded(benign), benign.queryExecution.optimizedPlan.toString)
+  }
+
   test("r13: two date_format patterns on one column are DISTINCT keys") {
     // the certificate id embeds the pattern — month and day labels over
     // the same ts must not dedup into one key
