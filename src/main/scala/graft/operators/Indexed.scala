@@ -1206,6 +1206,31 @@ object Indexed {
       Some("""SELECT event_id, user_id, ts FROM events
              |WHERE dayofweek(ts) IN (0, 6)""".stripMargin)),
 
+    // the combined weekend daily report (idx58, r13): a determined-part
+    // FILTER (rg-wholesale keep/drop, the idx47 engine) under a
+    // two-label GROUP BY (date_format day + dayname) with count, ledger
+    // SUM, ledger AVG, and footer extremes — the full r13 certificate
+    // stack in one query, still zero data jobs
+    QueryDef(
+      "idx58_weekend_daily_report",
+      (s, dir) => eventsDayParts(s, dir)
+        .filter(dayofweek(col("ts")).isin(1, 7))
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day_lbl"),
+          dayname(col("ts")).as("dn"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("su"),
+          avg(col("user_id")).as("au"),
+          min(col("ts")).as("mnts"), max(col("ts")).as("mxts"))
+        .select(col("day_lbl"), col("dn"), col("n"), col("su"),
+          col("au").cast("decimal(18,4)").cast("string").as("au"),
+          col("mnts"), col("mxts")),
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS day_lbl,
+             |  strftime(ts, '%a') AS dn, count(*) AS n,
+             |  CAST(sum(user_id) AS BIGINT) AS su,
+             |  CAST(CAST(avg(user_id) AS DECIMAL(18,4)) AS VARCHAR) AS au,
+             |  min(ts) AS mnts, max(ts) AS mxts
+             |FROM events WHERE dayofweek(ts) IN (0, 6)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // DISTINCT over determined labels (idx57, r13): the agg-less grouped
     // fold — the distinct (dayname, monthname) pairs are exactly the
     // row groups' certified constants, deduplicated catalog-side

@@ -108,6 +108,23 @@ class PartPruneSpec extends SparkSpec {
     assert(!fi.lastExecution.get.route.exists(_.startsWith("part-const(")))
   }
 
+  test("a determined-part filter under ORDER BY ... LIMIT still prunes the scan") {
+    // the top-k certificate can't consume a determined part (not
+    // monotone), so the plan falls to TakeOrderedAndProject over the
+    // scan — where the constancy refinement drops the weekday files
+    val dp = graft.operators.Indexed.eventsDayParts(spark, sf("sf0.001"))
+    def q = dp.filter(dayofweek(col("ts")).isin(1, 7))
+      .orderBy(col("ts").desc, col("event_id").desc).limit(5)
+      .select("event_id", "ts")
+    val rows = q.collect()
+    val ex = graft.operators.Indexed.lastDayPartsExecution(spark, sf("sf0.001")).get
+    assert(ex.route.exists(_.startsWith("part-const(")), ex.route)
+    assert(ex.scannedFiles.size < ex.totalFiles, ex.render)
+    val want = noPrune(q.collect())
+    assert(rows.map(_.toString) === want.map(_.toString))
+    assert(rows.length === 5)
+  }
+
   test("part and raw conjuncts compose: both prunes intersect in one pass") {
     val (df, fi, plain) = nfx
     // raw range keeps groups 2-3 via the interval walk; the part

@@ -708,7 +708,8 @@ class StatsAggPushdownSpec extends SparkSpec {
     for (name <- Seq("idx48_groupby_dow", "idx49_agg_filtered_dow",
         "idx50_groupby_dom", "idx51_groupby_daylabel",
         "idx52_groupby_dayname", "idx53_groupby_monthanchor",
-        "idx54_agg_filtered_label", "idx57_distinct_labels")) {
+        "idx54_agg_filtered_label", "idx57_distinct_labels",
+        "idx58_weekend_daily_report")) {
       val q = SparkEntry.registry.find(_.name == name).get
       val df = q.fn(spark, sf("sf0.001"))
       assert(folded(df), name + ": " + df.queryExecution.optimizedPlan.toString)
