@@ -1,0 +1,89 @@
+package graft
+
+import graft.index.KeyImage
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property pin for the r13 determined-part certificate
+  * ([[graft.index.DeterminedConstKey]]): for ANY interval [mn, mx] of
+  * raw timestamp micros, if `constantOf(mn, mx)` certifies a constant
+  * `c`, then EVERY value in the interval evaluates the original
+  * expression to exactly `c` — the certificate may fail closed (None)
+  * as often as it likes, but it must never lie. Sweeps fixed-offset
+  * zones (incl. the half-hour offset that mis-aligns hour grids),
+  * NTZ and LTZ legs, and pre-1970 negative micros with sub-second
+  * components — the classic floor-vs-truncate hazards. 500 random
+  * intervals per (part, zone), log-uniform spans from ~100 µs to ~4
+  * months so every grid granularity gets both certifying and
+  * straddling samples. */
+class DeterminedKeySoundnessSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(20260815L)
+
+  test("a determined-part certificate never lies (500 intervals x parts x zones)") {
+    val micros50y = 50L * 365 * 86400 * 1000000L
+    for (zone <- Seq("UTC", "+05:30", "-08:00")) {
+      val tzs = Option(zone)
+      val ltz = AttributeReference("ts", TimestampType)()
+      val ntz = AttributeReference("tn", TimestampNTZType)()
+      def castD(a: AttributeReference) = Cast(a, DateType, tzs)
+      def fmt(a: AttributeReference, p: String) =
+        DateFormatClass(a, Literal(UTF8String.fromString(p), StringType), tzs)
+      val parts: Seq[(String, AttributeReference, Expression)] = Seq(
+        ("month", ltz, Month(castD(ltz))),
+        ("quarter", ltz, Quarter(castD(ltz))),
+        ("dayofweek", ltz, DayOfWeek(castD(ltz))),
+        ("dayofmonth", ltz, DayOfMonth(castD(ltz))),
+        ("dayofyear", ltz, DayOfYear(castD(ltz))),
+        ("weekofyear", ltz, WeekOfYear(castD(ltz))),
+        ("hour", ltz, Hour(ltz, tzs)),
+        ("minute", ltz, Minute(ltz, tzs)),
+        ("second", ltz, Second(ltz, tzs)),
+        ("monthname", ltz, MonthName(castD(ltz))),
+        ("dayname", ltz, DayName(castD(ltz))),
+        ("last_day", ltz, LastDay(castD(ltz))),
+        ("fmt-month", ltz, fmt(ltz, "yyyy-MM")),
+        ("fmt-day", ltz, fmt(ltz, "yyyy-MM-dd (EEEE)")),
+        ("fmt-hour", ltz, fmt(ltz, "yyyy-MM-dd HH")),
+        ("fmt-ampm", ltz, fmt(ltz, "a")),
+        ("month-ntz", ntz, Month(Cast(ntz, DateType, tzs))),
+        ("hour-ntz", ntz, Hour(ntz, tzs)))
+      for ((tag, ar, e) <- parts) {
+        val ck = KeyImage.constKeyOf(e, _ => true)
+        assert(ck.isDefined, s"$tag @$zone: recognizer declined a fixed offset")
+        val (kar, key) = ck.get
+        assert(kar.exprId == ar.exprId, s"$tag @$zone: wrong leg")
+        def evalAt(v: Long): Any = e.transformUp {
+          case x: AttributeReference if x.exprId == ar.exprId =>
+            Literal(java.lang.Long.valueOf(v), ar.dataType)
+        }.eval(null)
+        var certified = 0
+        (1 to 500).foreach { _ =>
+          val a = ((rnd.nextDouble() * 2 - 1) * micros50y).toLong
+          val span = math.pow(10, 2 + rnd.nextDouble() * 11).toLong
+          val mn = a
+          val mx = a + span
+          key.constantOf(java.lang.Long.valueOf(mn), java.lang.Long.valueOf(mx)) match {
+            case Some(c) =>
+              certified += 1
+              (1 to 10).foreach { _ =>
+                val v = mn + (rnd.nextDouble() * span).toLong
+                val got = evalAt(v)
+                assert(got == c,
+                  s"$tag @$zone: [$mn,$mx] certified $c but micros $v evals $got")
+              }
+            case None => () // fail-closed is always sound
+          }
+        }
+        assert(certified > 0, s"$tag @$zone never certified — vacuous sweep")
+      }
+    }
+    // a GEOGRAPHIC zone must decline instant-reading parts outright
+    val ltz = AttributeReference("ts", TimestampType)()
+    assert(KeyImage.constKeyOf(
+      Hour(ltz, Some("America/New_York")), _ => true).isEmpty)
+    assert(KeyImage.constKeyOf(
+      Month(Cast(ltz, DateType, Some("America/New_York"))), _ => true).isEmpty)
+  }
+}
