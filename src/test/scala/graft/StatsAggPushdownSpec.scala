@@ -885,6 +885,23 @@ class StatsAggPushdownSpec extends SparkSpec {
     assert(folded(benign), benign.queryExecution.optimizedPlan.toString)
   }
 
+  test("r13: SQL-surface forms (extract / date_part) reach the same certificate") {
+    // extract(DOW FROM ts) and date_part('month', ts) are
+    // RuntimeReplaceable — the optimizer rewrites them to the same
+    // field-extraction expressions the recognizer serves
+    val dp = graft.operators.Indexed.eventsDayParts(spark, sf("sf0.001"))
+    dp.createOrReplaceTempView("dayparts_sql")
+    def q = spark.sql(
+      """SELECT extract(DOW FROM ts) AS dw, date_part('month', ts) AS m,
+        |  count(*) AS n FROM dayparts_sql GROUP BY 1, 2""".stripMargin)
+    assert(folded(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.collect().sortBy(_.toString)
+    spark.conf.set("spark.graft.statsAggPushdown", "false")
+    val want = try q.collect().sortBy(_.toString)
+      finally spark.conf.unset("spark.graft.statsAggPushdown")
+    assert(got === want)
+  }
+
   test("r13: two date_format patterns on one column are DISTINCT keys") {
     // the certificate id embeds the pattern — month and day labels over
     // the same ts must not dedup into one key
