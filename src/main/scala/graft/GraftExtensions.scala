@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ORDER BY c LIMIT k over the index-backed relation → scan only row
     // groups the catalog proves can contribute to the top k
     ext.injectOptimizerRule(session => graft.plans.TopKPushdown(session))
+    // WHERE over determined parts / unrenderable images that narrows
+    // WITHIN files → byte-range RowGroupScan (runs after the folds, so a
+    // successful catalog fold always wins)
+    ext.injectOptimizerRule(session => graft.plans.PartPruneScan(session))
   }
 }

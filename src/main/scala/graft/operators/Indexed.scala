@@ -1231,6 +1231,22 @@ object Indexed {
              |FROM events WHERE dayofweek(ts) IN (0, 6)
              |GROUP BY 1, 2""".stripMargin)),
 
+    // WITHIN-file physical row-group skip (idx59, r13): a year slice of
+    // the range-sorted lineitemTime layout — the year predicate renders
+    // no Derby SQL and the parquet reader can't push a computed key, so
+    // PartPruneScan substitutes the byte-range RowGroupScan leaf and the
+    // off-year row groups inside each file are never read. The filter
+    // re-applies above (Inexact), so straddler groups stay exact.
+    QueryDef(
+      "idx59_filter_year_rows",
+      (s, dir) => lineitemTime(s, dir)
+        .filter(year(col("l_shipdate")) === lit(1996) &&
+          col("l_linenumber") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate")),
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+             |WHERE year(l_shipdate) = 1996 AND l_linenumber <= 2"""
+        .stripMargin)),
+
     // DISTINCT over determined labels (idx57, r13): the agg-less grouped
     // fold — the distinct (dayname, monthname) pairs are exactly the
     // row groups' certified constants, deduplicated catalog-side

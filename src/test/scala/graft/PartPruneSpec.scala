@@ -55,6 +55,35 @@ class PartPruneSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("within-file narrowing takes the byte-range RowGroupScan leaf") {
+    // nfx is ONE file of four day-constant row groups: the Saturday
+    // slice narrows inside the file, which listFiles cannot make
+    // physical — PartPruneScan substitutes the byte-range leaf
+    val (df, fi, _) = nfx
+    def q = df.filter(dayofweek(col("ts")) === lit(7)).select("k")
+    assert(q.queryExecution.optimizedPlan.collectFirst {
+      case r: graft.plans.RowGroupScan => r
+    }.isDefined, q.queryExecution.optimizedPlan.toString)
+    val rows = q.collect().map(_.getLong(0)).sorted
+    assert(rows === (100L until 150L).toArray)
+    val ex = fi.lastExecution.get
+    assert(ex.route.contains("part-rowgroup-scan"), ex.route.toString)
+    // Saturday plus the conservatively-kept partial-null group; the
+    // re-applied filter above the leaf removes the latter's rows
+    assert(ex.scannedRowGroups === 2, ex.render)
+    assert(ex.render.contains("[Scan, Skip, Scan, Skip]"), ex.render)
+    // the scan-leaf kill switch alone reverts to the listFiles path —
+    // same rows, no RowGroupScan node
+    spark.conf.set("spark.graft.partPruneScan", "false")
+    try {
+      assert(q.queryExecution.optimizedPlan.collectFirst {
+        case r: graft.plans.RowGroupScan => r
+      }.isEmpty)
+      assert(q.collect().map(_.getLong(0)).sorted ===
+        (100L until 150L).toArray)
+    } finally spark.conf.unset("spark.graft.partPruneScan")
+  }
+
   // four 50-row day-constant row groups; the first has 25 NULL ts — the
   // partial-null and IS NULL hazards the refinement must survive
   private lazy val nfx: (DataFrame,
