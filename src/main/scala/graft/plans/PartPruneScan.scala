@@ -37,13 +37,20 @@ final case class PartPruneScan(session: SparkSession) extends Rule[LogicalPlan] 
     if (session.conf.get("spark.graft.partPrune", "true") != "true") return plan
     if (session.conf.get("spark.graft.partPruneScan", "true") != "true") return plan
     plan.transform {
+      // the render Project above the Filter fixes the column set — fold
+      // it into the leaf's required schema so kept row groups read only
+      // the consumed column chunks
+      case p @ Project(pl, f @ Filter(cond, child)) if cond.deterministic =>
+        rewrite(f, cond, child, Some(pl.flatMap(_.references.map(_.name)).toSet))
+          .map(nf => p.copy(child = nf)).getOrElse(p)
       case f @ Filter(cond, child) if cond.deterministic =>
-        rewrite(f, cond, child).getOrElse(f)
+        rewrite(f, cond, child, None).getOrElse(f)
     }
   }
 
   private def rewrite(
-      f: Filter, cond: Expression, child: LogicalPlan): Option[LogicalPlan] = {
+      f: Filter, cond: Expression, child: LogicalPlan,
+      consumed: Option[Set[String]]): Option[LogicalPlan] = {
     def strip(p: LogicalPlan): Option[LogicalRelation] = p match {
       case l: LogicalRelation => Some(l)
       case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
@@ -60,6 +67,10 @@ final case class PartPruneScan(session: SparkSession) extends Rule[LogicalPlan] 
       case _ => return None
     }
     val idx = fi.statsIndex
+    // cheap pure-expression gate BEFORE any catalog IO: ordinary
+    // predicates (no determined part / unrenderable image) never pay a
+    // planning-time stats fetch here
+    if (!graft.prune.PartPrune.qualifies(idx, Seq(cond))) return None
     // the stats walk's plans are what listFiles would hand the reader —
     // the baseline; the refinement must narrow WITHIN a file to justify
     // the byte-range leaf (whole-file drops are already physical)
@@ -80,11 +91,12 @@ final case class PartPruneScan(session: SparkSession) extends Rule[LogicalPlan] 
       idx.allFiles().map(_.rowGroupCount).sum,
       route = partRoute :+ "part-rowgroup-scan"))
     // every column any surviving node consumes must resolve against the
-    // substituted scan (same contract as the top-k substitution)
+    // substituted scan (same contract as the top-k substitution); a
+    // known render Project narrows it to the actually-consumed set
     val needed = (child.collect {
       case p: Project => p.projectList.map(_.name)
     }.flatten ++ cond.references.map(_.name).toSeq ++
-      child.output.map(_.name)).toSet
+      consumed.getOrElse(child.output.map(_.name).toSet)).toSet
     val required = StructType(h.dataSchema.filter(fl => needed.contains(fl.name)))
     val scan = RowGroupScan(
       DataTypeUtils.toAttributes(required),

@@ -28,6 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PartPrune {
 
+  /** Pure-expression pre-check (no catalog IO): does ANY conjunct close
+    * over the constancy keys with a novel member? Callers use this to
+    * skip the stats fetch entirely on ordinary predicates. */
+  def qualifies(index: StatsIndex, dataFilters: Seq[Expression]): Boolean =
+    dataFilters.flatMap(split).exists(q => closeOver(index, q).isDefined)
+
   /** Refine `plans` against `dataFilters`; returns the narrowed plans and
     * a route tag when anything dropped (empty route = pass-through). */
   def refine(
