@@ -1247,6 +1247,22 @@ object Indexed {
              |WHERE year(l_shipdate) = 1996 AND l_linenumber <= 2"""
         .stripMargin)),
 
+    // year labels over an NTZ leg (idx60, r13): date_format on the
+    // TIMESTAMP_NTZ shipdate goes through the analyzer's cast-to-instant
+    // — the NTZ branch of the date_format recognizer (zone-equal shift,
+    // year trunc grid) — and folds on the year-partitioned layout
+    // exactly where idx41's year(ts) key does
+    QueryDef(
+      "idx60_groupby_yearlabel",
+      (s, dir) => lineitemYearParts(s, dir)
+        .groupBy(date_format(col("l_shipdate"), "yyyy").as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sok"),
+          min(col("l_orderkey")).as("okmin")),
+      Some("""SELECT strftime(l_shipdate, '%Y') AS y, count(*) AS n,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS sok,
+             |  min(l_orderkey) AS okmin
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
     // DISTINCT over determined labels (idx57, r13): the agg-less grouped
     // fold — the distinct (dayname, monthname) pairs are exactly the
     // row groups' certified constants, deduplicated catalog-side

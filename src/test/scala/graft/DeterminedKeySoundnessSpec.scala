@@ -48,7 +48,15 @@ class DeterminedKeySoundnessSpec extends SparkSpec {
         ("fmt-hour", ltz, fmt(ltz, "yyyy-MM-dd HH")),
         ("fmt-ampm", ltz, fmt(ltz, "a")),
         ("month-ntz", ntz, Month(Cast(ntz, DateType, tzs))),
-        ("hour-ntz", ntz, Hour(ntz, tzs)))
+        ("hour-ntz", ntz, Hour(ntz, tzs)),
+        // the analyzer serves date_format(ntz) via cast-to-instant at
+        // the SAME zone — the recognizer's zone-equal NTZ shift branch
+        ("fmt-day-ntz", ntz,
+          DateFormatClass(Cast(ntz, TimestampType, tzs),
+            Literal(UTF8String.fromString("yyyy-MM-dd")), tzs)),
+        ("fmt-hour-ntz", ntz,
+          DateFormatClass(Cast(ntz, TimestampType, tzs),
+            Literal(UTF8String.fromString("yyyy-MM-dd HH")), tzs)))
       for ((tag, ar, e) <- parts) {
         val ck = KeyImage.constKeyOf(e, _ => true)
         assert(ck.isDefined, s"$tag @$zone: recognizer declined a fixed offset")

@@ -709,7 +709,7 @@ class StatsAggPushdownSpec extends SparkSpec {
         "idx50_groupby_dom", "idx51_groupby_daylabel",
         "idx52_groupby_dayname", "idx53_groupby_monthanchor",
         "idx54_agg_filtered_label", "idx57_distinct_labels",
-        "idx58_weekend_daily_report")) {
+        "idx58_weekend_daily_report", "idx60_groupby_yearlabel")) {
       val q = SparkEntry.registry.find(_.name == name).get
       val df = q.fn(spark, sf("sf0.001"))
       assert(folded(df), name + ": " + df.queryExecution.optimizedPlan.toString)
