@@ -149,11 +149,7 @@ object DocumentStreams {
         // Derby database must be shut down BEFORE its directory goes away
         // (close() only closes the connection; the engine's background
         // writer would otherwise error against the deleted store)
-        // close() may itself throw (e.g. connection already dead); the
-        // shutdown + rmrf must still run or the temp copy leaks
-        try index.close() catch { case _: Throwable => () }
-        graft.index.DerbyStatsIndex.shutdownDatabase(s"$base/db")
-        rmrf(base)
+        EventStreams.cleanupIndexTemp(index, base)
       }
     out
   }
@@ -179,7 +175,11 @@ object DocumentStreams {
         val src = s.readStream.schema(docsSchema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
         // compactEvery = 1: see streamComponentsQuery — the gate proves
-        // the scheduled fold preserves the maintained view
+        // the scheduled fold preserves the maintained view. With the
+        // 2-batch fixture this is already the MINIMUM cadence that
+        // exercises the path: batch 0 never folds (batchId > 0 guard),
+        // so exactly one fold runs (at batch 1). Production sets
+        // compactEvery >> 1; the gate pays one fold by design.
         val q = IndexedSink.start(src, s"$base/data", index, Seq("doc_id"),
           s"$base/ckpt", pairStatsArtifacts = Some(s"$base/art"),
           compactEvery = 1)
@@ -191,11 +191,7 @@ object DocumentStreams {
       } finally {
         // see streamComponentsQuery: cleanup on every path, database shut
         // down before the directory is removed
-        // close() may itself throw (e.g. connection already dead); the
-        // shutdown + rmrf must still run or the temp copy leaks
-        try index.close() catch { case _: Throwable => () }
-        graft.index.DerbyStatsIndex.shutdownDatabase(s"$base/db")
-        rmrf(base)
+        EventStreams.cleanupIndexTemp(index, base)
       }
     out
   }

@@ -295,6 +295,24 @@ object EventStreams {
     del(new java.io.File(p))
   }
 
+  /** Shared per-run temp teardown: close the index connection, shut the
+    * booted Derby engine down BEFORE its directory goes away, then delete
+    * the temp copy. close() may itself throw (e.g. connection already
+    * dead) — NonFatal failures are expected there and swallowed so the
+    * shutdown + rmrf still run; a FATAL error (OutOfMemoryError,
+    * InterruptedException) still propagates, after the cleanup, so the
+    * temp copy never leaks on that path either. */
+  private[streaming] def cleanupIndexTemp(
+      index: graft.index.DerbyStatsIndex, base: String): Unit = {
+    val fatal = try { index.close(); None } catch {
+      case scala.util.control.NonFatal(_) => None
+      case t: Throwable => Some(t)
+    }
+    graft.index.DerbyStatsIndex.shutdownDatabase(s"$base/db")
+    rmrf(base)
+    fatal.foreach(throw _)
+  }
+
   private val dayStream = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Once per sfDir: the FIRST FOUR calendar days of events, one parquet
@@ -370,12 +388,7 @@ object EventStreams {
       val (df, _) = graft.sources.IndexedParquet.read(
         s, s"$base/data", index, srcSchema)
       body(df)
-    } finally {
-      // close() may itself throw; the shutdown + rmrf must still run
-      try index.close() catch { case _: Throwable => () }
-      graft.index.DerbyStatsIndex.shutdownDatabase(s"$base/db")
-      rmrf(base)
-    }
+    } finally cleanupIndexTemp(index, base)
   }
 
   /** `st9_stream_dayparts`: the day-of-week seasonality rollup served
