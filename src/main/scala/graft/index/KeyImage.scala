@@ -196,6 +196,7 @@ object KeyImage {
     fromDataExpr(e, isIndexed)
       .map { case (ar, img) => (ar, ImageConstKey(img)) }
       .orElse(determinedOf(e, isIndexed))
+      .orElse(piecewiseConstKeyOf(e, isIndexed))
 
   /** The determined-part half of [[constKeyOf]]. The constant VALUE is
     * Spark's OWN eval of the original expression at the group's raw
@@ -345,6 +346,154 @@ object KeyImage {
       case m: Minute     => timePart(m.child, "minute", m.timeZoneId)
       case s: Second     => timePart(s.child, "second", s.timeZoneId)
       case _             => None
+    }
+  }
+
+  /** A VALID geographic (transition-bearing) zone — the complement of
+    * [[fixedOffsetSeconds]]'s precondition. None for fixed offsets (the
+    * monotone/determined machinery already serves those) and for
+    * unparseable ids. */
+  def geoZoneOfName(tz: String): Option[java.time.ZoneId] =
+    try {
+      val z = org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(tz)
+      if (z.getRules.isFixedOffset) None else Some(z)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def geoZoneOf(tzOpt: Option[String]): Option[java.time.ZoneId] =
+    tzOpt.flatMap(geoZoneOfName)
+
+  /** DST-PIECEWISE constancy recognizer (r14, SURVEY §8.8 limit (b)):
+    * calendar keys read through a GEOGRAPHIC zone — `CAST(ts AS DATE)`
+    * under an America/New_York session, `month(from_utc_timestamp(ts,
+    * 'Europe/Berlin'))`, `date_format(...)` labels — which the monotone
+    * machinery must decline globally (a backward DST fold breaks
+    * monotonicity SOMEWHERE on the time line). But constancy is a
+    * per-row-group question: if the zone has NO transition inside the
+    * group's raw instant range, its offset is one constant there, local
+    * wall time is the instant plus that constant, and the fixed-offset
+    * determiner grids apply verbatim on that piece. The certificate
+    * checks transition-freedom from the zone rules (`nextTransition`) at
+    * each row group's footer extremes, then delegates to the grid at the
+    * piece's offset; a group straddling a transition fails closed (the
+    * scan serves it). Values are always Spark's OWN eval of the original
+    * expression at the raw minimum — real zone rules, never re-derived.
+    * ONLY constancy-based serving may consume these keys (grouped folds,
+    * wholesale filters, distinct, part extremes) — never top-k or
+    * image-of-extreme, which need global monotonicity. */
+  def piecewiseConstKeyOf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      isIndexed: org.apache.spark.sql.catalyst.expressions.AttributeReference => Boolean)
+      : Option[(org.apache.spark.sql.catalyst.expressions.AttributeReference, RgConstKey)] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, DateFormatClass, DayName, DayOfMonth, DayOfWeek, DayOfYear, FromUTCTimestamp, Hour, LastDay, Literal, Minute, Month, MonthName, Quarter, Second, TruncTimestamp, WeekDay, WeekOfYear, Year}
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+    def evalAt(ar: AttributeReference): Any => Any = v => {
+      val sub = e.transformUp {
+        case a: AttributeReference if a.exprId == ar.exprId =>
+          Literal(v, ar.dataType)
+      }
+      sub.eval(null)
+    }
+    // The instant leg the consuming expression reads through a GEOGRAPHIC
+    // zone: the raw LTZ attribute read directly in a geographic `outerTz`
+    // (base shift 0), or `from_utc_timestamp(attr, geoZoneLit)` whose
+    // OUTPUT — stored micros already shifted by the zone offset AT the
+    // instant — is read at a FIXED-offset outerTz (base = that offset;
+    // the wall clock the consumer sees is raw + (zoneOff + base)).
+    // Exactly one geographic zone per leg.
+    def zonedLeg(x: org.apache.spark.sql.catalyst.expressions.Expression,
+        outerTz: Option[String])
+        : Option[(AttributeReference, java.time.ZoneId, Int)] = x match {
+      case ar: AttributeReference
+          if ar.dataType == TimestampType && isIndexed(ar) =>
+        geoZoneOf(outerTz).map(z => (ar, z, 0))
+      case f: FromUTCTimestamp => (f.left, f.right) match {
+        case (ar: AttributeReference, Literal(zs: UTF8String, StringType))
+            if ar.dataType == TimestampType && isIndexed(ar) && zs != null =>
+          for {
+            z <- geoZoneOfName(zs.toString)
+            base <- fixedOffsetSeconds(outerTz)
+          } yield (ar, z, base)
+        case _ => None
+      }
+      case _ => None
+    }
+    // determiner grids over the RAW micros, parameterized by the zone
+    // offset the transition-free row group certifies
+    def dayGrid(base: Int): Int => Option[KeyImage] =
+      off => Some(castDate(off + base))
+    def calGrid(unit: String, base: Int): Int => Option[KeyImage] =
+      off => TruncDateImage.forUnit(unit)
+        .map(t => ChainedImage(castDate(off + base), t))
+    def timeGrid(unit: String, base: Int): Int => Option[KeyImage] =
+      off => TruncTimestampImage.forUnit(unit, off + base)
+    def mk(partId: String, ar: AttributeReference, zone: java.time.ZoneId,
+        grid: Int => Option[KeyImage], rt: DataType)
+        : Option[(AttributeReference, RgConstKey)] =
+      Some((ar, PiecewiseZoneConstKey(partId, zone, grid, rt, evalAt(ar))))
+    // the analyzer's cast-to-date over a zoned instant leg (date parts)
+    def zonedDateLeg(x: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[(AttributeReference, java.time.ZoneId, Int)] = x match {
+      case c: Cast if c.dataType == DateType => zonedLeg(c.child, c.timeZoneId)
+      case _ => None
+    }
+    def datePart(x: org.apache.spark.sql.catalyst.expressions.Expression,
+        unit: Option[String], partId: String, rt: DataType = IntegerType)
+        : Option[(AttributeReference, RgConstKey)] =
+      zonedDateLeg(x).flatMap { case (ar, z, base) =>
+        mk(partId, ar, z,
+          unit.fold(dayGrid(base))(u => calGrid(u, base)), rt)
+      }
+    def fmtOf(x: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[String] = x match {
+      case Literal(f: UTF8String, StringType) if f != null => Some(f.toString)
+      case _ => None
+    }
+    e match {
+      case c: Cast if c.dataType == DateType =>
+        zonedLeg(c.child, c.timeZoneId).flatMap { case (ar, z, base) =>
+          mk("date", ar, z, dayGrid(base), DateType)
+        }
+      case t: TruncTimestamp =>
+        for {
+          fmt <- fmtOf(t.format)
+          (ar, z, base) <- zonedLeg(t.timestamp, t.timeZoneId)
+          r <- mk(s"trunc-$fmt", ar, z, timeGrid(fmt, base), TimestampType)
+        } yield r
+      case dfc: DateFormatClass =>
+        for {
+          f <- fmtOf(dfc.right)
+          gran <- formatGranularity(f)
+          (ar, z, base) <- zonedLeg(dfc.left, dfc.timeZoneId)
+          grid = gran match {
+            case 0 => calGrid("year", base)
+            case 1 => calGrid("quarter", base)
+            case 2 => calGrid("month", base)
+            case 4 => dayGrid(base)
+            case g => timeGrid(granUnit(g), base)
+          }
+          r <- mk(s"datefmt[$f]", ar, z, grid, StringType)
+        } yield r
+      case Year(x)       => datePart(x, Some("year"), "year")
+      case Month(x)      => datePart(x, Some("month"), "month")
+      case Quarter(x)    => datePart(x, Some("quarter"), "quarter")
+      case WeekOfYear(x) => datePart(x, Some("week"), "weekofyear")
+      case DayOfMonth(x) => datePart(x, None, "dayofmonth")
+      case DayOfWeek(x)  => datePart(x, None, "dayofweek")
+      case WeekDay(x)    => datePart(x, None, "weekday")
+      case DayOfYear(x)  => datePart(x, None, "dayofyear")
+      case MonthName(x)  => datePart(x, Some("month"), "monthname", StringType)
+      case DayName(x)    => datePart(x, None, "dayname", StringType)
+      case LastDay(x)    => datePart(x, Some("month"), "last_day", DateType)
+      case h: Hour =>
+        zonedLeg(h.child, h.timeZoneId).flatMap { case (ar, z, base) =>
+          mk("hour", ar, z, timeGrid("hour", base), IntegerType) }
+      case m: Minute =>
+        zonedLeg(m.child, m.timeZoneId).flatMap { case (ar, z, base) =>
+          mk("minute", ar, z, timeGrid("minute", base), IntegerType) }
+      case s: Second =>
+        zonedLeg(s.child, s.timeZoneId).flatMap { case (ar, z, base) =>
+          mk("second", ar, z, timeGrid("second", base), IntegerType) }
+      case _ => None
     }
   }
 
@@ -715,5 +864,53 @@ final case class DeterminedConstKey(
       case None    => mn == mx
     }
     if (const) Option(eval(mn)) else None
+  }
+}
+
+/** A DST-PIECEWISE constancy certificate (r14): a calendar key read
+  * through a GEOGRAPHIC zone, certified per row group on the pieces
+  * where the zone's offset is constant. [[constantOf]] receives the
+  * group's raw instant extremes (catalog BIGINT micros); if the zone
+  * rules place NO transition inside `(mn, mx]`, the offset over the
+  * whole group is `getOffset(mn)` — local wall time on that piece is the
+  * instant plus that one constant, so the FIXED-OFFSET determiner grid
+  * `gridAt(offset)` applies verbatim: grid-bucket equality at the
+  * extremes proves every row shares the bucket (the shifted grid is
+  * monotone on the piece), the key is a function of the bucket, and the
+  * value is Spark's own eval of the original expression at the raw
+  * minimum (real zone rules — the grid only ever answers the equality
+  * question, never renders a value). A group straddling a transition,
+  * an unbuildable grid, or non-micros stats fail closed (None — the
+  * scan serves that group). Boundary semantics: `nextTransition(mn)` is
+  * strictly after `mn`, and `getOffset` at an exact transition instant
+  * is the post-transition offset, so a group whose minimum sits ON a
+  * transition certifies with the offset actually in force there.
+  *
+  * All recognized shapes are null-preserving (casts, from_utc_timestamp,
+  * field extractions, names, anchors, date_format), the precondition for
+  * COUNT(key) = COUNT(operand). */
+final case class PiecewiseZoneConstKey(
+    partId: String,
+    zone: java.time.ZoneId,
+    gridAt: Int => Option[KeyImage],
+    resultType: DataType,
+    eval: Any => Any,
+    nullPreserving: Boolean = true) extends RgConstKey {
+  def id: String = s"pw-$partId@${zone.getId}"
+  def constantOf(mn: Any, mx: Any): Option[Any] = (mn, mx) match {
+    case (a: java.lang.Number, b: java.lang.Number) =>
+      val (av, bv) = (a.longValue, b.longValue)
+      val ia = DateTimeUtils.microsToInstant(av)
+      val ib = DateTimeUtils.microsToInstant(bv)
+      val rules = zone.getRules
+      val tr = rules.nextTransition(ia)
+      if (tr != null && !tr.getInstant.isAfter(ib)) None // straddler
+      else {
+        val off = rules.getOffset(ia).getTotalSeconds
+        gridAt(off).flatMap { g =>
+          if (g(av) == g(bv)) Option(eval(av)) else None
+        }
+      }
+    case _ => None
   }
 }

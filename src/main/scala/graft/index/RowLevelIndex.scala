@@ -43,8 +43,9 @@ object RowLevelIndex {
       plans: Seq[FileScanPlan],
       dataSchema: StructType,
       keyCol: String,
-      indexDir: String): Unit = {
-    buildPlan(spark, dir, plans, dataSchema, keyCol)
+      indexDir: String,
+      withRowNumbers: Boolean = false): Unit = {
+    buildPlan(spark, dir, plans, dataSchema, keyCol, withRowNumbers)
       .write.mode("overwrite").parquet(indexDir)
     writeCoverage(spark, indexDir, plans.map(_.fileName))
   }
@@ -81,9 +82,10 @@ object RowLevelIndex {
       newPlans: Seq[FileScanPlan],
       dataSchema: StructType,
       keyCol: String,
-      indexDir: String): Unit = {
+      indexDir: String,
+      withRowNumbers: Boolean = false): Unit = {
     if (newPlans.isEmpty) return
-    buildPlan(spark, dir, newPlans, dataSchema, keyCol)
+    buildPlan(spark, dir, newPlans, dataSchema, keyCol, withRowNumbers)
       .write.mode("append").parquet(indexDir)
     val prev = coveredFiles(spark, indexDir).getOrElse(Set.empty)
     writeCoverage(spark, indexDir,
@@ -107,27 +109,90 @@ object RowLevelIndex {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** The build dataflow, exposed for plan-shape assertions. */
+  /** The build dataflow, exposed for plan-shape assertions.
+    *
+    * `withRowNumbers=false` (default): one posting per DISTINCT
+    * (key, row group) pair — compact (O(distinct keys × row groups
+    * containing them)), the right shape for "which row groups hold this
+    * key" routing.
+    *
+    * `withRowNumbers=true` (r14): the reference sketch's FULL shape — "a
+    * key/value map from `id` to (file_name, row_group, row_number)"
+    * (/root/reference/sqlx-sqlite/src/index.rs:30-35) — one posting per
+    * ROW, `row_number` the row's ordinal WITHIN ITS FILE (the same
+    * numbering Spark's `_metadata.row_index` exposes). O(rows) storage,
+    * the standard cost of a precise secondary index; lookups via
+    * [[pointQueryRows]] then select exact rows, not whole row groups.
+    * The ordinal is reconstructed distributively: `mergeRuns=false`
+    * makes partition-id ↔ row-group identity, the parquet reader yields
+    * a split's rows in file order, and `monotonically_increasing_id`'s
+    * documented layout (record number in the low 33 bits, reset per
+    * partition) gives the position inside the group — added to the
+    * group's first-row offset (cumulated from the catalog's per-group
+    * row counts; no footer read). The scan pushes NO filters, so no
+    * page is skipped and the ordinal is exact. */
   def buildPlan(
       spark: SparkSession,
       dir: String,
       plans: Seq[FileScanPlan],
       dataSchema: StructType,
-      keyCol: String): DataFrame = {
+      keyCol: String,
+      withRowNumbers: Boolean = false): DataFrame = {
     import spark.implicits._
     val rgMeta = graft.plans.RowGroupScan.perRowGroupMeta(plans)
-    val meta = rgMeta.zipWithIndex
-      .map { case ((f, rg), pid) => (pid, f, rg) }
-      .toDF("pid", "file_name", "row_group")
     val indexFiles = math.max(1, rgMeta.size / 64)
-    RowGroupSkipScan.scan(spark, dir, plans, dataSchema,
-        mergeRuns = false, requiredCols = Seq(keyCol))
-      .select(col(keyCol).as("key"), spark_partition_id().as("pid"))
-      .distinct() // partial agg first: only distinct (key, rg) pairs shuffle
-      .join(broadcast(meta), "pid")
-      .select("key", "file_name", "row_group")
-      .repartitionByRange(indexFiles, col("key"))
-      .sortWithinPartitions("key")
+    val scan = RowGroupSkipScan.scan(spark, dir, plans, dataSchema,
+      mergeRuns = false, requiredCols = Seq(keyCol))
+    if (withRowNumbers) {
+      val firstRow = firstRowOffsets(plans).getOrElse(
+        throw new IllegalArgumentException(
+          "row-number build needs complete per-row-group row counts " +
+            "(catalog rows missing for some groups)"))
+      val meta = rgMeta.zipWithIndex
+        .map { case ((f, rg), pid) => (pid, f, rg, firstRow((f, rg))) }
+        .toDF("pid", "file_name", "row_group", "first_row")
+      scan
+        .select(col(keyCol).as("key"), spark_partition_id().as("pid"),
+          monotonically_increasing_id()
+            .bitwiseAND(lit((1L << 33) - 1)).as("pos"))
+        .join(broadcast(meta), "pid")
+        .select(col("key"), col("file_name"), col("row_group"),
+          (col("first_row") + col("pos")).as("row_number"))
+        .repartitionByRange(indexFiles, col("key"))
+        .sortWithinPartitions("key")
+    } else {
+      val meta = rgMeta.zipWithIndex
+        .map { case ((f, rg), pid) => (pid, f, rg) }
+        .toDF("pid", "file_name", "row_group")
+      scan
+        .select(col(keyCol).as("key"), spark_partition_id().as("pid"))
+        .distinct() // partial agg first: only distinct (key, rg) pairs shuffle
+        .join(broadcast(meta), "pid")
+        .select("key", "file_name", "row_group")
+        .repartitionByRange(indexFiles, col("key"))
+        .sortWithinPartitions("key")
+    }
+  }
+
+  /** Within-file FIRST-ROW offset of every selected row group, cumulated
+    * from the catalog's per-group row counts — None when any group of a
+    * file (selected or not: the ordinal is a file-level position) is
+    * missing its row count. */
+  private def firstRowOffsets(
+      plans: Seq[FileScanPlan]): Option[Map[(String, Int), Long]] = {
+    val out = Map.newBuilder[(String, Int), Long]
+    plans.foreach { p =>
+      var acc = 0L
+      (0 until p.rowGroupCount).foreach { rg =>
+        if (p.scanRowGroups.contains(rg)) out += ((p.fileName, rg) -> acc)
+        acc += (p.rowGroupRows.get(rg) match {
+          case Some(n) => n
+          case None if rg >= p.scanRowGroups.lastOption.getOrElse(-1) => 0L
+          case None => return None // a gap below a selected group
+        })
+      }
+    }
+    Some(out.result())
   }
 
   /** Driver-side posting cap for [[lookup]]: past this many postings the
@@ -222,5 +287,93 @@ object RowLevelIndex {
     else
       RowGroupSkipScan.scan(spark, dir, plans, dataSchema)
         .filter(col(keyCol) === lit(key))
+  }
+
+  /** Raw ROW-precision postings for `key` from a `withRowNumbers=true`
+    * index: per file, the (row_group, within-file row_number) pairs where
+    * the key occurs. None = the index has no row_number column (built
+    * compact), or the key is too hot for the driver-side cap — callers
+    * degrade to [[pointQuery]]/rg-level routing. */
+  def postingsRows(
+      spark: SparkSession,
+      indexDir: String,
+      key: Any,
+      maxPostings: Int = MaxPostings): Option[Map[String, Seq[(Int, Long)]]] = {
+    val pq = spark.read.parquet(indexDir)
+    if (!pq.schema.fieldNames.contains("row_number")) return None
+    val rows = pq.filter(col("key") === lit(key))
+      .select("file_name", "row_group", "row_number")
+      .limit(maxPostings + 1)
+      .collect()
+    if (rows.length > maxPostings) None
+    else Some(rows
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getLong(2))).toSeq).toMap)
+  }
+
+  /** Point query at the reference sketch's ROW-NUMBER precision
+    * (/root/reference/sqlx-sqlite/src/index.rs:30-35): the posting rows
+    * name the exact (file, row_group, row_number) locations, the scan
+    * reads ONLY the posting row groups (byte-range splits), and a
+    * broadcast semi-join on the reconstructed within-file ordinal keeps
+    * exactly the posting rows — selection precision is the ROW, not the
+    * row group. The decode unit remains the row group (Spark's parquet
+    * reader has no public sub-group seam; pushing the key predicate
+    * would enable page skipping but breaks ordinal reconstruction, so
+    * this path pushes nothing and [[pointQuery]] stays the page-skip
+    * route when the predicate itself is pushable). The key predicate is
+    * re-applied above as stale-index defense — same degrade contract as
+    * [[lookup]]. Falls back to [[pointQuery]] when the index carries no
+    * row numbers, the key overflows the posting cap, or the catalog
+    * lacks the row counts the ordinal needs. */
+  def pointQueryRows(
+      spark: SparkSession,
+      dir: String,
+      indexDir: String,
+      statsPlans: Seq[FileScanPlan],
+      dataSchema: StructType,
+      keyCol: String,
+      key: Any,
+      maxPostings: Int = MaxPostings): DataFrame = {
+    def fallback() =
+      pointQuery(spark, dir, indexDir, statsPlans, dataSchema, keyCol, key)
+    postingsRows(spark, indexDir, key, maxPostings) match {
+      case None => fallback()
+      case Some(hits) if hits.isEmpty =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), dataSchema)
+      case Some(hits) =>
+        val byFile = statsPlans.map(p => p.fileName -> p).toMap
+        val plans = hits.toSeq.sortBy(_._1).flatMap { case (f, prs) =>
+          byFile.get(f).map(p =>
+            p.copy(scanRowGroups = SortedSet.from(prs.map(_._1))))
+        }
+        if (plans.isEmpty)
+          return spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), dataSchema)
+        val firstRow = firstRowOffsets(plans).getOrElse(return fallback())
+        import spark.implicits._
+        val rgMeta = graft.plans.RowGroupScan.perRowGroupMeta(plans)
+        val meta = rgMeta.zipWithIndex
+          .map { case ((f, rg), pid) => (pid, f, firstRow((f, rg))) }
+          .toDF("__pid", "__file", "__first_row")
+        val posting = hits.toSeq
+          .flatMap { case (f, prs) => prs.map { case (_, rn) => (f, rn) } }
+          .toDF("__pfile", "__prn")
+        // ordinal reconstruction: same contract as the build — one
+        // partition per row group, rows in file order, NO pushed filters
+        RowGroupSkipScan.scan(spark, dir, plans, dataSchema,
+            mergeRuns = false)
+          .withColumn("__pid", spark_partition_id())
+          .withColumn("__pos", monotonically_increasing_id()
+            .bitwiseAND(lit((1L << 33) - 1)))
+          .join(broadcast(meta), "__pid")
+          .withColumn("__rn", col("__first_row") + col("__pos"))
+          .join(broadcast(posting),
+            col("__file") === col("__pfile") && col("__rn") === col("__prn"),
+            "leftsemi")
+          .filter(col(keyCol) === lit(key)) // stale-index defense
+          .select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+    }
   }
 }

@@ -1288,7 +1288,80 @@ object Indexed {
           .select("l_orderkey", "l_linenumber", "l_quantity")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-             |WHERE l_orderkey = 1000""".stripMargin))
+             |WHERE l_orderkey = 1000""".stripMargin)),
+
+    // ROW-NUMBER precision point lookup (idx61, r14): the reference
+    // sketch's full key -> (file_name, row_group, row_number) map
+    // (index.rs:30-35) — the scan reads only the posting row groups and
+    // a broadcast semi-join on the reconstructed within-file ordinal
+    // keeps exactly the posting ROWS (row-precision selection; the
+    // rg-level idx9 path remains the page-skip route)
+    QueryDef(
+      "idx61_rowfetch",
+      (s, dir) => {
+        val e = cached(s, dir)
+        val idxDir = rowLevelRowsDir(s, dir, e)
+        graft.index.RowLevelIndex.pointQueryRows(
+          s, e.dataDir, idxDir, e.index.allFiles(), e.dataSchema,
+          "l_orderkey", 1500L)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_orderkey = 1500""".stripMargin)),
+
+    // LOCAL-calendar-day rollup in a GEOGRAPHIC zone (idx62, r14): the
+    // classic "daily report in the org's home timezone". A DST zone has
+    // no global monotone image, so the r13 machinery declined it; the
+    // DST-piecewise certificate checks transition-freedom per row group
+    // from the zone rules and folds at the group's own constant offset —
+    // zero data jobs on the NY-day-partitioned layout. Values are
+    // Spark's own eval (real zone rules); DuckDB mirrors via ICU.
+    QueryDef(
+      "idx62_groupby_nyday",
+      (s, dir) => eventsNyDayParts(s, dir)
+        .groupBy(to_date(from_utc_timestamp(col("ts"), "America/New_York"))
+          .as("ny_day"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("su"),
+          avg(col("user_id")).as("au"))
+        .select(col("ny_day"), col("n"), col("su"),
+          col("au").cast("decimal(18,4)").cast("string").as("au")),
+      Some("""SELECT CAST(timezone('America/New_York', timezone('UTC', ts)) AS DATE) AS ny_day,
+             |  count(*) AS n, CAST(sum(user_id) AS BIGINT) AS su,
+             |  CAST(CAST(avg(user_id) AS DECIMAL(18,4)) AS VARCHAR) AS au
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // local weekday + day-label report (idx63, r14): determined parts
+    // and date_format labels through the piecewise grid — dayofweek is
+    // not monotone anywhere and the label's zone is geographic, so both
+    // certify via transition-free constancy; footer extremes ride along
+    QueryDef(
+      "idx63_groupby_nydow",
+      (s, dir) => eventsNyDayParts(s, dir)
+        .groupBy(
+          dayofweek(from_utc_timestamp(col("ts"), "America/New_York"))
+            .as("dow"),
+          date_format(from_utc_timestamp(col("ts"), "America/New_York"),
+            "yyyy-MM-dd").as("day_lbl"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("mnts")),
+      Some("""SELECT dayofweek(timezone('America/New_York', timezone('UTC', ts))) + 1 AS dow,
+             |  strftime(timezone('America/New_York', timezone('UTC', ts)), '%Y-%m-%d') AS day_lbl,
+             |  count(*) AS n, min(ts) AS mnts
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // a local-weekend ROW filter (idx64, r14): no aggregate to fold —
+    // the scan-path constancy engine (PartPrune) evaluates the weekend
+    // conjunct once per row group at its piecewise-certified constant
+    // and drops local-weekday groups (and whole day files) before the
+    // reader opens them; Spark re-applies the filter (over-scan-only)
+    QueryDef(
+      "idx64_filter_nyweekend",
+      (s, dir) => eventsNyDayParts(s, dir)
+        .filter(dayofweek(from_utc_timestamp(col("ts"), "America/New_York"))
+          .isin(1, 7))
+        .select(col("event_id"), col("user_id"), col("ts")),
+      Some("""SELECT event_id, user_id, ts FROM events
+             |WHERE dayofweek(timezone('America/New_York', timezone('UTC', ts))) IN (0, 6)"""
+        .stripMargin))
   )
 
   private val rowLevelCache = TrieMap.empty[String, String]
@@ -1300,6 +1373,17 @@ object Indexed {
       if (!Files.exists(Paths.get(dir, "_SUCCESS")))
         graft.index.RowLevelIndex.build(
           spark, e.dataDir, e.index.allFiles(), e.dataSchema, "l_orderkey", dir)
+      dir
+    })
+
+  private val rowLevelRowsCache = TrieMap.empty[String, String]
+  private def rowLevelRowsDir(spark: SparkSession, sfDir: String, e: Entry): String =
+    rowLevelRowsCache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      val dir = e.dataDir + "-rowidx-rows-v1"
+      if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+        graft.index.RowLevelIndex.build(
+          spark, e.dataDir, e.index.allFiles(), e.dataSchema, "l_orderkey", dir,
+          withRowNumbers = true)
       dir
     })
 
@@ -1828,6 +1912,60 @@ object Indexed {
         withMicrosTimestamps(spark) {
           days.zipWithIndex.foreach { case (d, i) =>
             src.filter(to_date(col("ts")) === lit(d))
+              .repartitionByRange(2, col("ts"), col("event_id"))
+              .sortWithinPartitions("ts", "event_id")
+              .write.mode(if (i == 0) "overwrite" else "append")
+              .option("parquet.block.row.count.limit", "2048")
+              .option("parquet.block.size", (1L * 1024 * 1024).toString)
+              .parquet(dataDir)
+          }
+        }
+      }
+      val (index, dataSchema) = IndexedParquet.buildIndex(
+        spark, dataDir, Seq("ts", "event_id", "user_id"), db)
+      val hasSums = index.rowGroupStats("user_id")
+        .exists(_.exists(_.sumVal.isDefined))
+      if (!hasSums)
+        graft.index.SumShadow.build(spark, dataDir, index.allFiles(),
+          dataSchema, "user_id", db)
+      val (df, fileIndex) = IndexedParquet.read(spark, dataDir, index, dataSchema)
+      Entry(df, fileIndex, dataDir, index, dataSchema)
+    })
+
+  private val nyDayPartsCache = TrieMap.empty[String, Entry]
+
+  /** An events layout partitioned by LOCAL calendar day in a GEOGRAPHIC
+    * (DST-observing) zone — America/New_York — the shape every
+    * region-local warehouse ingest produces. Row groups are constant in
+    * the NY-local day WITHOUT being constant in any single fixed-offset
+    * image valid for all time, which is exactly what the r14
+    * DST-piecewise certificates serve: each group's raw instant range is
+    * transition-free, so the local-day key, its determined parts, and
+    * its labels certify per row group at the group's own constant
+    * offset. Indexed on (ts, event_id, user_id) with the user_id sum
+    * ledger. */
+  def eventsNyDayParts(spark: SparkSession, sfDir: String): DataFrame =
+    nyDayPartsEntry(spark, sfDir).df
+
+  def lastNyDayPartsExecution(spark: SparkSession, sfDir: String) =
+    nyDayPartsEntry(spark, sfDir).fileIndex.lastExecution
+
+  private def nyDayPartsEntry(spark: SparkSession, sfDir: String): Entry =
+    nyDayPartsCache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = new java.io.File(s"target/tmp/indexed/$safe").getAbsolutePath
+      val dataDir = s"$base/events-nydayparts-v1"
+      val db = s"$base/statsdb-nydayparts-v1"
+      if (!Files.exists(Paths.get(dataDir, "_SUCCESS"))) {
+        rmrf(new java.io.File(db))
+        val src = graft.Tables.loadEvents(spark, sfDir)
+        val nyDay = to_date(from_utc_timestamp(col("ts"), "America/New_York"))
+        // one month of events — a bounded driver loop over local days
+        val days = src.select(nyDay.as("d")).distinct()
+          .collect().map(_.getDate(0)).sortBy(_.getTime)
+        withMicrosTimestamps(spark) {
+          days.zipWithIndex.foreach { case (d, i) =>
+            src.filter(nyDay === lit(d))
               .repartitionByRange(2, col("ts"), col("event_id"))
               .sortWithinPartitions("ts", "event_id")
               .write.mode(if (i == 0) "overwrite" else "append")

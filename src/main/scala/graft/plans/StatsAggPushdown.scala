@@ -329,13 +329,28 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       // anything left referencing a non-key column declines the conjunct
       if (!template.references.forall(a => phIdx.contains(a.exprId)))
         return None
-      def subst(key: Key): Expression = template.transformDown {
-        case a: AttributeReference if phIdx.contains(a.exprId) =>
-          val i = phIdx(a.exprId)
-          Literal(key(i).flatMap(internal(_, gs(i).keyType)).orNull,
-            gs(i).keyType)
+      // fail closed when a DEFINED key value doesn't bridge: a future
+      // key type missing a StatsBridge case must decline the fold, not
+      // evaluate the predicate at NULL and silently drop groups. A None
+      // slot is the genuine NULL group and substitutes as SQL NULL.
+      def subst(key: Key): Option[Expression] = {
+        var bridged = true
+        val r = template.transformDown {
+          case a: AttributeReference if phIdx.contains(a.exprId) =>
+            val i = phIdx(a.exprId)
+            val v = key(i) match {
+              case Some(raw) => internal(raw, gs(i).keyType) match {
+                case Some(iv) => iv
+                case None => bridged = false; null
+              }
+              case None => null
+            }
+            Literal(v, gs(i).keyType)
+        }
+        if (bridged) Some(r) else None
       }
-      Some(key => scala.util.Try(subst(key).eval(null)).toOption
+      Some(key => subst(key)
+        .flatMap(s => scala.util.Try(s.eval(null)).toOption)
         .map(v => v == true))
     }
     // conjuncts that are neither vacuous nor key-only spill into rgLive:
@@ -595,8 +610,12 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     // thousands of groups; re-recognizing per group is pure driver
     // waste inside the optimizer rule).
     type CellFn = (Key, Long) => Option[Any]
-    def keyCell(i: Int, key: Key): Option[Any] =
-      Some(key(i).flatMap(internal(_, gs(i).keyType)).orNull)
+    // None (abort the fold) when a DEFINED key value doesn't bridge —
+    // an .orNull here would render an unbridgeable value as SQL NULL
+    def keyCell(i: Int, key: Key): Option[Any] = key(i) match {
+      case Some(raw) => internal(raw, gs(i).keyType)
+      case None => Some(null)
+    }
     def compileAgg(ae: AggregateExpression): Option[CellFn] =
       if (ae.isDistinct || ae.filter.nonEmpty) None
       else ae.aggregateFunction match {
@@ -853,7 +872,13 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     * Spark's, not re-derived here. Zero non-null rows short-circuits to
     * SQL NULL (never dividing by zero under ANSI). For an integral
     * column the Double sum buffer gets the correctly-rounded value of
-    * the TRUE sum — at least as accurate as the scan's running FP sum. */
+    * the TRUE sum — at least as accurate as the scan's running FP sum,
+    * but therefore PLAN-DEPENDENT in the last ULP: the un-folded scan's
+    * running floating-point sum may round differently, so a catalog-
+    * folded AVG can differ from the scan's by one ulp (intentional;
+    * oracle-green). A bit-exact-reproducibility user must pin one plan
+    * via the kill switches (`spark.graft.groupByAggPushdown=false` /
+    * `spark.graft.aggPushdown=false`). */
   private def avgFromLedger(
       av: Average, colType: DataType, sv: Long, nn: Long): Option[Any] = {
     if (nn == 0) return Some(null)
@@ -909,15 +934,19 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         // extreme of that set — `min(dayname(ts))` etc. from the
         // catalog alone. COUNT needs only null-preservation (field
         // extraction nulls iff its operand does); next_day declines.
-        case Min(e) if constKeyOf(index, e)
-            .exists(_._2.isInstanceOf[graft.index.DeterminedConstKey]) =>
+        case Min(e) if constKeyOf(index, e).exists(k =>
+            k._2.isInstanceOf[graft.index.DeterminedConstKey] ||
+              k._2.isInstanceOf[graft.index.PiecewiseZoneConstKey]) =>
           partExtreme(index, e, isMin = true)
-        case Max(e) if constKeyOf(index, e)
-            .exists(_._2.isInstanceOf[graft.index.DeterminedConstKey]) =>
+        case Max(e) if constKeyOf(index, e).exists(k =>
+            k._2.isInstanceOf[graft.index.DeterminedConstKey] ||
+              k._2.isInstanceOf[graft.index.PiecewiseZoneConstKey]) =>
           partExtreme(index, e, isMin = false)
         case Count(Seq(e)) => constKeyOf(index, e) match {
           case Some((a, d: graft.index.DeterminedConstKey))
               if d.nullPreserving => index.nonNullCount(a.name)
+          case Some((a, p: graft.index.PiecewiseZoneConstKey))
+              if p.nullPreserving => index.nonNullCount(a.name)
           case _ => None
         }
         // global SUM from the SumShadow ledger (r11; r13 decimal): exact
@@ -1107,12 +1136,22 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       var keep = true
       live.foreach { cj =>
         if (keep) {
+          // as in keyEvaluator's subst: an unbridgeable DEFINED value
+          // declines (fail closed) instead of evaluating at NULL
+          var bridged = true
           val sub = cj.transformDown {
             case s if keyIdxOf(s) >= 0 =>
               val i = keyIdxOf(s)
-              Literal(vals(i).flatMap(internal(_, keyType(i))).orNull,
-                keyType(i))
+              val v = vals(i) match {
+                case Some(raw) => internal(raw, keyType(i)) match {
+                  case Some(iv) => iv
+                  case None => bridged = false; null
+                }
+                case None => null
+              }
+              Literal(v, keyType(i))
           }
+          if (!bridged) return None
           scala.util.Try(sub.eval(null)).toOption match {
             case Some(v) => keep = v == true
             case None => return None

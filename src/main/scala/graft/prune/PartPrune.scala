@@ -149,6 +149,7 @@ object PartPrune {
     // the value-add gate: something the interval rewrite can't serve
     val novel = keys.exists {
       case (_, _, _: DeterminedConstKey) => true
+      case (_, _, _: graft.index.PiecewiseZoneConstKey) => true
       case (_, _, ImageConstKey(img)) => img.derbySql.isEmpty
       case _ => false
     }

@@ -87,11 +87,20 @@ class DeterminedKeySoundnessSpec extends SparkSpec {
         assert(certified > 0, s"$tag @$zone never certified — vacuous sweep")
       }
     }
-    // a GEOGRAPHIC zone must decline instant-reading parts outright
+    // a GEOGRAPHIC zone must never reach the monotone/determined
+    // machinery — since r14 it routes to the DST-piecewise certificate
+    // (transition-checked per row group) instead of declining outright
     val ltz = AttributeReference("ts", TimestampType)()
-    assert(KeyImage.constKeyOf(
-      Hour(ltz, Some("America/New_York")), _ => true).isEmpty)
-    assert(KeyImage.constKeyOf(
-      Month(Cast(ltz, DateType, Some("America/New_York"))), _ => true).isEmpty)
+    assert(KeyImage.fromDataExpr(
+      Cast(ltz, DateType, Some("America/New_York")), _ => true).isEmpty,
+      "geographic zones must stay out of the MONOTONE recognizer")
+    Seq(
+      Hour(ltz, Some("America/New_York")),
+      Month(Cast(ltz, DateType, Some("America/New_York")))).foreach { e =>
+      KeyImage.constKeyOf(e, _ => true) match {
+        case Some((_, _: graft.index.PiecewiseZoneConstKey)) => ()
+        case other => fail(s"geo zone should yield a piecewise key, got $other")
+      }
+    }
   }
 }

@@ -101,4 +101,97 @@ class RowLevelIndexSpec extends SparkSpec {
       assert(got == want, s"key $k")
     }
   }
+
+  // ---- row-number precision (r14, the reference sketch's full shape) ----
+
+  private lazy val rowsIdxDir = {
+    val (dir, idxDir, plans, schema, _) = env
+    val d = idxDir + "-rows"
+    RowLevelIndex.build(spark, dir, plans, schema, "k", d,
+      withRowNumbers = true)
+    d
+  }
+
+  test("row-number postings equal Spark's own _metadata.row_index, per key") {
+    val (dir, _, _, _, _) = env
+    rowsIdxDir // force build
+    // ground truth from Spark's native parquet metadata column — the
+    // SAME within-file numbering our distributed ordinal reconstruction
+    // must reproduce exactly
+    val truth = spark.read.parquet(dir)
+      .select(col("k"), col("_metadata.file_name").as("f"),
+        col("_metadata.row_index").as("rn"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.map(r => (r.getString(1), r.getLong(2))).toSet).toMap
+    Seq(0, 3, 102, 201, 1000, 1003).foreach { k =>
+      val got = RowLevelIndex.postingsRows(spark, rowsIdxDir, k).get
+        .toSeq.flatMap { case (f, prs) => prs.map { case (_, rn) => (f, rn) } }
+        .toSet
+      assert(got == truth.getOrElse(k, Set.empty), s"key $k")
+    }
+  }
+
+  test("row postings carry the right row GROUP for each row number") {
+    val (_, _, plans, _, _) = env
+    // fixture files have 2 row groups of 50 rows each: the group of a
+    // row number is its ordinal / 50
+    val all = spark.read.parquet(rowsIdxDir)
+      .select("file_name", "row_group", "row_number").collect()
+    assert(all.nonEmpty)
+    all.foreach { r =>
+      assert(r.getInt(1) == (r.getLong(2) / 50).toInt,
+        s"${r.getString(0)} rn=${r.getLong(2)} rg=${r.getInt(1)}")
+    }
+    // and the posting count is O(rows): one per data row
+    assert(all.length == plans.map(_.rowGroupRows.values.sum).sum)
+  }
+
+  test("row-precision point query matches a plain scan, incl. misses") {
+    val (dir, _, plans, schema, _) = env
+    val plain = spark.read.parquet(dir)
+    Seq(3, 102, 201, 1003, -5, 1000).foreach { k =>
+      val got = RowLevelIndex.pointQueryRows(
+        spark, dir, rowsIdxDir, plans, schema, "k", k)
+        .select("payload").collect().map(_.getString(0)).sorted.toSeq
+      val want = plain.filter(col("k") === k)
+        .select("payload").collect().map(_.getString(0)).sorted.toSeq
+      assert(got == want, s"key $k")
+    }
+  }
+
+  test("row-precision query degrades on a compact index and on hot keys") {
+    val (dir, idxDir, plans, schema, _) = env
+    // a compact (no row_number column) index: postingsRows declines,
+    // pointQueryRows falls back to the rg-level path — still correct
+    assert(RowLevelIndex.postingsRows(spark, idxDir, 3).isEmpty)
+    val viaFallback = RowLevelIndex.pointQueryRows(
+      spark, dir, idxDir, plans, schema, "k", 3)
+      .select("payload").collect().map(_.getString(0)).sorted.toSeq
+    val want = spark.read.parquet(dir).filter(col("k") === 3)
+      .select("payload").collect().map(_.getString(0)).sorted.toSeq
+    assert(viaFallback == want)
+    // a hot key past the cap: postingsRows declines instead of
+    // materializing every row position on the driver
+    assert(RowLevelIndex.postingsRows(
+      spark, rowsIdxDir, 1000, maxPostings = 3).isEmpty)
+    val hot = RowLevelIndex.pointQueryRows(
+      spark, dir, rowsIdxDir, plans, schema, "k", 1000, maxPostings = 3)
+      .select("payload").collect().map(_.getString(0)).sorted.toSeq
+    val wantHot = spark.read.parquet(dir).filter(col("k") === 1000)
+      .select("payload").collect().map(_.getString(0)).sorted.toSeq
+    assert(hot == wantHot)
+  }
+
+  test("row-precision scan reads only the posting row groups") {
+    val (dir, _, plans, schema, _) = env
+    // key 102 lives only in f2 row group 1: the underlying scan must be
+    // pruned to that single row group before the ordinal semi-join
+    val df = RowLevelIndex.pointQueryRows(
+      spark, dir, rowsIdxDir, plans, schema, "k", 102)
+    assert(df.rdd.getNumPartitions == 1,
+      "one posting row group must scan as one partition")
+    val got = df.select("payload").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("f2-r50"))
+  }
 }

@@ -742,9 +742,16 @@ class StatsAggPushdownSpec extends SparkSpec {
     // minutes vary within every row group: minute(ts) fails closed
     val m = df.groupBy(minute(col("ts")).as("mi")).agg(count(lit(1)).as("n"))
     assert(!folded(m), m.queryExecution.optimizedPlan.toString)
-    // a geographic session zone has no fixed offset: fail closed
+    // a geographic session zone has no fixed offset — since r14 the
+    // DST-PIECEWISE certificate serves it anyway: the fixture's groups
+    // are transition-free and NY's offsets are whole hours, so the hour
+    // grid at the per-group offset stays row-group aligned. Folds, and
+    // equals the scan built under the SAME zone.
     graft.operators.Indexed.withSessionTz(spark, "America/New_York") {
-      assert(!folded(q(df)))
+      val zg = q(df)
+      assert(folded(zg), zg.queryExecution.optimizedPlan.toString)
+      assert(zg.collect().sortBy(_.getInt(0)) ===
+        q(plainDf).collect().sortBy(_.getInt(0)))
     }
     // a half-hour offset shifts the hour grid off the row-group
     // alignment: buckets straddle, fail closed
@@ -780,9 +787,15 @@ class StatsAggPushdownSpec extends SparkSpec {
     // sub-second and zone tokens decline outright
     assert(!folded(q(df, "HH:mm:ss.SSS")))
     assert(!folded(q(df, "yyyy z")))
-    // a geographic session zone has no fixed offset: declines
+    // a geographic session zone: since r14 the DST-piecewise grid
+    // serves the label too (transition-free groups, whole-hour NY
+    // offsets keep the hour grid aligned) — folds, equals the scan
+    // built under the SAME zone
     graft.operators.Indexed.withSessionTz(spark, "America/New_York") {
-      assert(!folded(q(df, "yyyy-MM-dd HH")))
+      val zg = q(df, "yyyy-MM-dd HH")
+      assert(folded(zg), zg.queryExecution.optimizedPlan.toString)
+      assert(zg.collect().sortBy(_.getString(0)) ===
+        scanOf(q(df, "yyyy-MM-dd HH")).sortBy(_.getString(0)))
     }
     // a whole-hour offset keeps the hour grid aligned: folds, equals the
     // scan built under the SAME zone (labels shift together)
