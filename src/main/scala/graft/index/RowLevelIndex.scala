@@ -273,6 +273,15 @@ object RowLevelIndex {
 
   /** Point query through the row-level index: scan exactly the posting
     * row groups, re-apply the predicate. */
+  /** Project `dataSchema` to `requiredCols` (+ `keyCol`, which the
+    * re-applied predicate needs) in schema order; Nil = all columns. */
+  private def requiredSchema(
+      dataSchema: StructType, keyCol: String,
+      requiredCols: Seq[String]): StructType =
+    if (requiredCols.isEmpty) dataSchema
+    else StructType(dataSchema.filter(f =>
+      requiredCols.contains(f.name) || f.name == keyCol))
+
   def pointQuery(
       spark: SparkSession,
       dir: String,
@@ -280,28 +289,32 @@ object RowLevelIndex {
       statsPlans: Seq[FileScanPlan],
       dataSchema: StructType,
       keyCol: String,
-      key: Any): DataFrame = {
+      key: Any,
+      requiredCols: Seq[String] = Nil): DataFrame = {
+    val required = requiredSchema(dataSchema, keyCol, requiredCols)
     val plans = lookup(spark, indexDir, key, statsPlans)
     if (plans.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), dataSchema)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), required)
     else
-      RowGroupSkipScan.scan(spark, dir, plans, dataSchema)
+      RowGroupSkipScan.scan(spark, dir, plans, dataSchema,
+          requiredCols = required.fieldNames.toSeq)
         .filter(col(keyCol) === lit(key))
   }
 
-  /** Raw ROW-precision postings for `key` from a `withRowNumbers=true`
-    * index: per file, the (row_group, within-file row_number) pairs where
-    * the key occurs. None = the index has no row_number column (built
-    * compact), or the key is too hot for the driver-side cap — callers
-    * degrade to [[pointQuery]]/rg-level routing. */
+  /** Raw ROW-precision postings for `keys` (OR-semantics) from a
+    * `withRowNumbers=true` index: per file, the (row_group, within-file
+    * row_number) pairs where ANY of the keys occurs. None = the index
+    * has no row_number column (built compact), or the key set is too hot
+    * for the driver-side cap — callers degrade to [[pointQuery]]/rg-level
+    * routing. */
   def postingsRows(
       spark: SparkSession,
       indexDir: String,
-      key: Any,
+      keys: Seq[Any],
       maxPostings: Int = MaxPostings): Option[Map[String, Seq[(Int, Long)]]] = {
     val pq = spark.read.parquet(indexDir)
     if (!pq.schema.fieldNames.contains("row_number")) return None
-    val rows = pq.filter(col("key") === lit(key))
+    val rows = pq.filter(col("key").isin(keys: _*))
       .select("file_name", "row_group", "row_number")
       .limit(maxPostings + 1)
       .collect()
@@ -334,23 +347,59 @@ object RowLevelIndex {
       dataSchema: StructType,
       keyCol: String,
       key: Any,
-      maxPostings: Int = MaxPostings): DataFrame = {
-    def fallback() =
-      pointQuery(spark, dir, indexDir, statsPlans, dataSchema, keyCol, key)
-    postingsRows(spark, indexDir, key, maxPostings) match {
+      maxPostings: Int = MaxPostings,
+      requiredCols: Seq[String] = Nil): DataFrame =
+    fetchRows(spark, dir, indexDir, statsPlans, dataSchema, keyCol,
+      Seq(key), maxPostings, requiredCols)
+
+  /** Multi-key row fetch — the "gather training examples by id" shape:
+    * `keyCol IN (keys...)` served at ROW precision through a
+    * `withRowNumbers=true` index. Same machinery as the single-key
+    * [[pointQueryRows]]: byte-range scan of only the posting row groups,
+    * broadcast semi-join on the reconstructed within-file ordinal, key
+    * predicate re-applied above as stale-index defense (a replayed
+    * streaming batch can leave stale postings for a SAME-NAME rewritten
+    * file: those only ADD candidate positions — the fresh postings are
+    * complete, so true matches are never missed, and the key filter
+    * drops any stale position whose current row doesn't match).
+    * Degrades: no row_number column or a too-hot key set falls to
+    * rg-level postings (over-scan + filter); posting overflow there
+    * falls to the caller's full plans. */
+  def fetchRows(
+      spark: SparkSession,
+      dir: String,
+      indexDir: String,
+      statsPlans: Seq[FileScanPlan],
+      dataSchema: StructType,
+      keyCol: String,
+      keys: Seq[Any],
+      maxPostings: Int = MaxPostings,
+      requiredCols: Seq[String] = Nil): DataFrame = {
+    val required = requiredSchema(dataSchema, keyCol, requiredCols)
+    def empty() = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), required)
+    val byFile = statsPlans.map(p => p.fileName -> p).toMap
+    def fallback(): DataFrame = {
+      val plans = postings(spark, indexDir, keys, maxPostings) match {
+        case None => statsPlans // over-scan, never wrong
+        case Some(hits) => hits.toSeq.sortBy(_._1).flatMap { case (f, rgs) =>
+          byFile.get(f).map(p => p.copy(scanRowGroups = rgs))
+        }
+      }
+      if (plans.isEmpty) empty()
+      else RowGroupSkipScan.scan(spark, dir, plans, dataSchema,
+          requiredCols = required.fieldNames.toSeq)
+        .filter(col(keyCol).isin(keys: _*))
+    }
+    postingsRows(spark, indexDir, keys, maxPostings) match {
       case None => fallback()
-      case Some(hits) if hits.isEmpty =>
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), dataSchema)
+      case Some(hits) if hits.isEmpty => empty()
       case Some(hits) =>
-        val byFile = statsPlans.map(p => p.fileName -> p).toMap
         val plans = hits.toSeq.sortBy(_._1).flatMap { case (f, prs) =>
           byFile.get(f).map(p =>
             p.copy(scanRowGroups = SortedSet.from(prs.map(_._1))))
         }
-        if (plans.isEmpty)
-          return spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), dataSchema)
+        if (plans.isEmpty) return empty()
         val firstRow = firstRowOffsets(plans).getOrElse(return fallback())
         import spark.implicits._
         val rgMeta = graft.plans.RowGroupScan.perRowGroupMeta(plans)
@@ -363,7 +412,7 @@ object RowLevelIndex {
         // ordinal reconstruction: same contract as the build — one
         // partition per row group, rows in file order, NO pushed filters
         RowGroupSkipScan.scan(spark, dir, plans, dataSchema,
-            mergeRuns = false)
+            mergeRuns = false, requiredCols = required.fieldNames.toSeq)
           .withColumn("__pid", spark_partition_id())
           .withColumn("__pos", monotonically_increasing_id()
             .bitwiseAND(lit((1L << 33) - 1)))
@@ -372,8 +421,8 @@ object RowLevelIndex {
           .join(broadcast(posting),
             col("__file") === col("__pfile") && col("__rn") === col("__prn"),
             "leftsemi")
-          .filter(col(keyCol) === lit(key)) // stale-index defense
-          .select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+          .filter(col(keyCol).isin(keys: _*)) // stale-index defense
+          .select(required.fieldNames.map(col).toIndexedSeq: _*)
     }
   }
 }

@@ -49,7 +49,8 @@ object IndexedSink {
       pairStatsArtifacts: Option[String] = None,
       compactEvery: Int = 0,
       freqShadowCols: Seq[String] = Nil,
-      sumShadowCols: Seq[String] = Nil): StreamingQuery = {
+      sumShadowCols: Seq[String] = Nil,
+      rowLevelRowNumbers: Boolean = false): StreamingQuery = {
     val spark = source.sparkSession
     val hconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     source.writeStream
@@ -59,7 +60,7 @@ object IndexedSink {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitBatch(batch, batchId, dataDir, index, indexedCols, hconf,
           rowLevel, dedupArtifacts, pairStatsArtifacts, compactEvery,
-          freqShadowCols, sumShadowCols)
+          freqShadowCols, sumShadowCols, rowLevelRowNumbers)
       }
       .start()
   }
@@ -76,7 +77,15 @@ object IndexedSink {
       pairStatsArtifacts: Option[String] = None,
       compactEvery: Int = 0,
       freqShadowCols: Seq[String] = Nil,
-      sumShadowCols: Seq[String] = Nil): Unit = {
+      sumShadowCols: Seq[String] = Nil,
+      /** Maintain the rowLevel postings at ROW-NUMBER precision (r14):
+        * each batch's postings carry the within-file ordinal so
+        * [[graft.index.RowLevelIndex.fetchRows]] serves id->row fetches
+        * on the growing table. Replay leaves only harmless stale
+        * postings for same-name rewritten files — they ADD candidate
+        * positions (fresh postings stay complete) and the fetch path's
+        * key re-filter drops non-matching rows. */
+      rowLevelRowNumbers: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val dirPath = new Path(dataDir)
     val fs = dirPath.getFileSystem(hconf.value)
@@ -140,7 +149,8 @@ object IndexedSink {
           freqShadowCols, sumShadowCols)
         rowLevel.foreach { case (colName, idxDir) =>
           graft.index.RowLevelIndex.append(
-            spark, dataDir, newPlans, batch.schema, colName, idxDir)
+            spark, dataDir, newPlans, batch.schema, colName, idxDir,
+            withRowNumbers = rowLevelRowNumbers)
         }
       }
     }

@@ -187,4 +187,60 @@ class IndexedSinkSpec extends SparkSpec {
     assert(fi.lastExecution.get.scannedRowGroups === 1)
     index.close()
   }
+
+  test("rowLevelRowNumbers maintenance keeps id->row fetches exact as batches land") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sink-rownum").toString
+    val dataDir = s"$base/data"
+    val rowIdx = s"$base/rowidx-k"
+    new java.io.File(dataDir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("p", LongType)))
+    val index = new DerbyStatsIndex(s"$base/db", schema)
+    index.initialize(schema)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rowLevel = Map("k" -> rowIdx)
+    def commit(ks: Seq[Long], batchId: Long): Unit =
+      IndexedSink.commitBatch(
+        ks.map(k => (k, k * 10)).toDF("k", "p").repartition(2),
+        batchId, dataDir, index, Seq("k"), hconf, rowLevel,
+        rowLevelRowNumbers = true)
+    commit(0L until 100L, 0L)
+    commit(1000L until 1100L, 1L)
+    // ground truth: the maintained postings equal Spark's own
+    // _metadata.row_index over the grown table, per key
+    val truth = spark.read.parquet(dataDir)
+      .select(col("k"), col("_metadata.file_name").as("f"),
+        col("_metadata.row_index").as("rn"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getString(1), r.getLong(2))).toSet).toMap
+    Seq(0L, 50L, 1050L, 1099L).foreach { k =>
+      val got = graft.index.RowLevelIndex
+        .postingsRows(spark, rowIdx, Seq(Long.box(k))).get
+        .toSeq.flatMap { case (f, prs) => prs.map { case (_, rn) => (f, rn) } }
+        .toSet
+      assert(got == truth(k), s"key $k")
+    }
+    // fetch across batches at row precision
+    val got = graft.index.RowLevelIndex.fetchRows(
+      spark, dataDir, rowIdx, index.allFiles(), schema, "k",
+      Seq(50L, 1050L).map(Long.box))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((50L, 500L), (1050L, 10500L)))
+    // a REPLAYED batch (same id, different partitioning => same-name file
+    // rewrite) leaves at worst stale extra postings: fetch stays exact
+    IndexedSink.commitBatch(
+      (1000L until 1100L).map(k => (k, k * 10)).toDF("k", "p").repartition(3),
+      1L, dataDir, index, Seq("k"), hconf, rowLevel,
+      rowLevelRowNumbers = true)
+    val replayed = graft.index.RowLevelIndex.fetchRows(
+      spark, dataDir, rowIdx, index.allFiles(), schema, "k",
+      Seq(50L, 1050L).map(Long.box))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(replayed == Seq((50L, 500L), (1050L, 10500L)),
+      "replay with a repartitioned batch broke the row fetch")
+    index.close()
+  }
 }

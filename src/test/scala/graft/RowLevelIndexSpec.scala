@@ -125,7 +125,7 @@ class RowLevelIndexSpec extends SparkSpec {
       .groupBy(_.getInt(0))
       .view.mapValues(_.map(r => (r.getString(1), r.getLong(2))).toSet).toMap
     Seq(0, 3, 102, 201, 1000, 1003).foreach { k =>
-      val got = RowLevelIndex.postingsRows(spark, rowsIdxDir, k).get
+      val got = RowLevelIndex.postingsRows(spark, rowsIdxDir, Seq(k)).get
         .toSeq.flatMap { case (f, prs) => prs.map { case (_, rn) => (f, rn) } }
         .toSet
       assert(got == truth.getOrElse(k, Set.empty), s"key $k")
@@ -164,7 +164,7 @@ class RowLevelIndexSpec extends SparkSpec {
     val (dir, idxDir, plans, schema, _) = env
     // a compact (no row_number column) index: postingsRows declines,
     // pointQueryRows falls back to the rg-level path — still correct
-    assert(RowLevelIndex.postingsRows(spark, idxDir, 3).isEmpty)
+    assert(RowLevelIndex.postingsRows(spark, idxDir, Seq(3)).isEmpty)
     val viaFallback = RowLevelIndex.pointQueryRows(
       spark, dir, idxDir, plans, schema, "k", 3)
       .select("payload").collect().map(_.getString(0)).sorted.toSeq
@@ -174,13 +174,33 @@ class RowLevelIndexSpec extends SparkSpec {
     // a hot key past the cap: postingsRows declines instead of
     // materializing every row position on the driver
     assert(RowLevelIndex.postingsRows(
-      spark, rowsIdxDir, 1000, maxPostings = 3).isEmpty)
+      spark, rowsIdxDir, Seq(1000), maxPostings = 3).isEmpty)
     val hot = RowLevelIndex.pointQueryRows(
       spark, dir, rowsIdxDir, plans, schema, "k", 1000, maxPostings = 3)
       .select("payload").collect().map(_.getString(0)).sorted.toSeq
     val wantHot = spark.read.parquet(dir).filter(col("k") === 1000)
       .select("payload").collect().map(_.getString(0)).sorted.toSeq
     assert(hot == wantHot)
+  }
+
+  test("multi-key row fetch (IN-list) matches a plain scan, incl. degrades") {
+    val (dir, idxDir, plans, schema, _) = env
+    val plain = spark.read.parquet(dir)
+    def want(ks: Seq[Int]) = plain.filter(col("k").isin(ks.map(Int.box): _*))
+      .select("payload").collect().map(_.getString(0)).sorted.toSeq
+    def got(ix: String, ks: Seq[Int], cap: Int = RowLevelIndex.MaxPostings) =
+      RowLevelIndex.fetchRows(spark, dir, ix, plans, schema, "k",
+        ks.map(Int.box), cap)
+        .select("payload").collect().map(_.getString(0)).sorted.toSeq
+    val ks = Seq(3, 102, 201, -5)
+    assert(got(rowsIdxDir, ks) == want(ks))
+    // with a hot key in the set: past the cap, degrades but stays exact
+    val hot = Seq(3, 1000)
+    assert(got(rowsIdxDir, hot, cap = 3) == want(hot))
+    // compact (rg-level) index: fetchRows degrades to postings + filter
+    assert(got(idxDir, ks) == want(ks))
+    // empty key set / all-miss set
+    assert(got(rowsIdxDir, Seq(-7, -8)) == Seq.empty)
   }
 
   test("row-precision scan reads only the posting row groups") {

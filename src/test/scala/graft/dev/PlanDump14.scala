@@ -18,8 +18,8 @@ object PlanDump14 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("idx61_rowfetch", "idx62_groupby_nyday", "idx63_groupby_nydow",
-      "idx64_filter_nyweekend").foreach { name =>
+    Seq("idx61_rowfetch", "idx65_rowfetch_in", "idx62_groupby_nyday",
+      "idx63_groupby_nydow", "idx64_filter_nyweekend").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"\n===== $name =====")
       println(df.queryExecution.executedPlan.toString.take(2000))
