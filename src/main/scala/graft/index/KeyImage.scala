@@ -497,6 +497,58 @@ object KeyImage {
     }
   }
 
+  /** A per-piece MONOTONE leg (r14): an expression over an indexed LTZ
+    * attribute, read through a GEOGRAPHIC zone, whose VALUE on any
+    * transition-free instant interval equals a fixed-offset image of the
+    * raw micros — so per row group its exact value range is
+    * [img(min), img(max)] once the piece certifies transition-free.
+    * This is what serves RANGE/equality comparisons that Spark's own
+    * optimizer produces by unwrapping `cast(from_utc_timestamp(ts, z)
+    * AS date) = d` into `from_utc_timestamp(ts, z) >= A AND < B`.
+    * Recognized legs (both EXACT under a piece-constant offset — pure
+    * wall-clock floors, no back-conversion through the zone):
+    *  - `from_utc_timestamp(attr, geoZone)` itself (value = raw + off);
+    *  - `CAST(from_utc_timestamp(attr, geoZone) AS DATE)` at a
+    *    fixed-offset outer zone (value = epoch-day floor of the shifted
+    *    wall clock).
+    * `date_trunc` legs are deliberately NOT recognized: the trunc's
+    * back-conversion to an instant uses the offset AT THE BUCKET START,
+    * which can differ from the piece's offset even on a transition-free
+    * [min, max] — deciding comparisons from the fixed-offset image
+    * there would be unsound. Returns (attr, zone, grid) where
+    * `grid(pieceOffsetSeconds)` is the exact value image on the piece. */
+  def piecewiseMonotoneOf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      isIndexed: org.apache.spark.sql.catalyst.expressions.AttributeReference => Boolean)
+      : Option[(org.apache.spark.sql.catalyst.expressions.AttributeReference,
+        java.time.ZoneId, Int => Option[KeyImage])] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, FromUTCTimestamp, Literal}
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+    def futcLeg(x: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[(AttributeReference, java.time.ZoneId)] = x match {
+      case f: FromUTCTimestamp => (f.left, f.right) match {
+        case (ar: AttributeReference, Literal(zs: UTF8String, StringType))
+            if ar.dataType == TimestampType && isIndexed(ar) && zs != null =>
+          geoZoneOfName(zs.toString).map(z => (ar, z))
+        case _ => None
+      }
+      case _ => None
+    }
+    e match {
+      case f: FromUTCTimestamp =>
+        futcLeg(f).map { case (ar, z) =>
+          (ar, z, (off: Int) => Option[KeyImage](
+            ShiftMicrosImage(off.toLong * MicrosPerSecond)))
+        }
+      case c: Cast if c.dataType == DateType =>
+        for {
+          (ar, z) <- futcLeg(c.child)
+          base <- fixedOffsetSeconds(c.timeZoneId)
+        } yield (ar, z, (off: Int) => Option[KeyImage](castDate(off + base)))
+      case _ => None
+    }
+  }
+
   /** Granularity a `date_format` pattern needs its determiner grid at:
     * 0=year 1=quarter 2=month 4=day 5=hour 6=minute 7=second — the max
     * over the pattern's field tokens (quoted runs are literal text).
@@ -784,6 +836,22 @@ final case class InputShiftImage(deltaMicros: Long, inner: KeyImage)
       v.asInstanceOf[java.lang.Number].longValue + deltaMicros))
   def derbySql: Option[String => String] =
     inner.derbySql.map(f => (e: String) => f(s"(($e) + $deltaMicros)"))
+}
+
+/** `v -> v + deltaMicros` (r14): the piecewise-monotone leg's own value
+  * space — `from_utc_timestamp(ts, zone)` on a transition-free piece IS
+  * the raw micros plus the piece's constant offset. Monotone (constant
+  * shift); used only planner-side by the piecewise interval refinement
+  * (its Derby rendering exists but no catalog path consumes it — the
+  * per-piece offset varies by row group). */
+final case class ShiftMicrosImage(deltaMicros: Long) extends KeyImage {
+  def id: String = s"shift@$deltaMicros"
+  def acceptsInput(dt: DataType): Boolean = dt == TimestampType
+  def resultType: DataType = TimestampType
+  def apply(v: Any): Any =
+    java.lang.Long.valueOf(v.asInstanceOf[java.lang.Number].longValue + deltaMicros)
+  def derbySql: Option[String => String] =
+    Some(e => s"(($e) + $deltaMicros)")
 }
 
 /** Monotone composition `outer ∘ inner` (r12) — e.g. `year(ts)` is

@@ -1284,7 +1284,8 @@ object Indexed {
         val idxDir = rowLevelDir(s, dir, e)
         graft.index.RowLevelIndex.pointQuery(
           s, e.dataDir, idxDir, e.index.allFiles(), e.dataSchema,
-          "l_orderkey", 1000L)
+          "l_orderkey", 1000L,
+          requiredCols = Seq("l_orderkey", "l_linenumber", "l_quantity"))
           .select("l_orderkey", "l_linenumber", "l_quantity")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
@@ -1303,11 +1304,31 @@ object Indexed {
         val idxDir = rowLevelRowsDir(s, dir, e)
         graft.index.RowLevelIndex.pointQueryRows(
           s, e.dataDir, idxDir, e.index.allFiles(), e.dataSchema,
-          "l_orderkey", 1500L)
+          "l_orderkey", 1400L,
+          requiredCols = Seq("l_orderkey", "l_linenumber", "l_quantity"))
           .select("l_orderkey", "l_linenumber", "l_quantity")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-             |WHERE l_orderkey = 1500""".stripMargin)),
+             |WHERE l_orderkey = 1400""".stripMargin)),
+
+    // multi-key row fetch (idx65, r14): `key IN (ids...)` served at ROW
+    // precision — the "gather training examples by id" shape. One
+    // pushdown-pruned posting read resolves every id to its exact
+    // (file, row_group, row_number); the scan reads only those row
+    // groups and the ordinal semi-join keeps only those rows.
+    QueryDef(
+      "idx65_rowfetch_in",
+      (s, dir) => {
+        val e = cached(s, dir)
+        val idxDir = rowLevelRowsDir(s, dir, e)
+        graft.index.RowLevelIndex.fetchRows(
+          s, e.dataDir, idxDir, e.index.allFiles(), e.dataSchema,
+          "l_orderkey", Seq(3L, 1000L, 1400L),
+          requiredCols = Seq("l_orderkey", "l_linenumber", "l_quantity"))
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_orderkey IN (3, 1000, 1400)""".stripMargin)),
 
     // LOCAL-calendar-day rollup in a GEOGRAPHIC zone (idx62, r14): the
     // classic "daily report in the org's home timezone". A DST zone has
@@ -1361,7 +1382,47 @@ object Indexed {
         .select(col("event_id"), col("user_id"), col("ts")),
       Some("""SELECT event_id, user_id, ts FROM events
              |WHERE dayofweek(timezone('America/New_York', timezone('UTC', ts))) IN (0, 6)"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ONE-local-day drill-down (idx66, r14): equality on the piecewise
+    // local-day key — the "what happened on the 15th, our time" fetch.
+    // PartPrune keeps only the one local day's row groups (and files)
+    QueryDef(
+      "idx66_filter_nyday_eq",
+      (s, dir) => eventsNyDayParts(s, dir)
+        .filter(to_date(from_utc_timestamp(col("ts"), "America/New_York"))
+          === lit(java.sql.Date.valueOf("2024-01-15")))
+        .select(col("event_id"), col("user_id"), col("ts")),
+      Some("""SELECT event_id, user_id, ts FROM events
+             |WHERE CAST(timezone('America/New_York', timezone('UTC', ts)) AS DATE) = DATE '2024-01-15'"""
+        .stripMargin)),
+
+    // the combined LOCAL-time weekend report (idx67, r14): a piecewise
+    // determined-part FILTER (rg-wholesale keep/drop) under a piecewise
+    // LABEL group-by with count, ledger SUM, ledger AVG, and footer
+    // extremes — the full idx58 certificate stack transposed to a
+    // geographic zone, still zero data jobs
+    QueryDef(
+      "idx67_ny_weekend_report",
+      (s, dir) => eventsNyDayParts(s, dir)
+        .filter(dayofweek(from_utc_timestamp(col("ts"), "America/New_York"))
+          .isin(1, 7))
+        .groupBy(date_format(
+          from_utc_timestamp(col("ts"), "America/New_York"), "yyyy-MM-dd")
+          .as("day_lbl"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("su"),
+          avg(col("user_id")).as("au"),
+          min(col("ts")).as("mnts"), max(col("ts")).as("mxts"))
+        .select(col("day_lbl"), col("n"), col("su"),
+          col("au").cast("decimal(18,4)").cast("string").as("au"),
+          col("mnts"), col("mxts")),
+      Some("""SELECT strftime(timezone('America/New_York', timezone('UTC', ts)), '%Y-%m-%d') AS day_lbl,
+             |  count(*) AS n, CAST(sum(user_id) AS BIGINT) AS su,
+             |  CAST(CAST(avg(user_id) AS DECIMAL(18,4)) AS VARCHAR) AS au,
+             |  min(ts) AS mnts, max(ts) AS mxts
+             |FROM events
+             |WHERE dayofweek(timezone('America/New_York', timezone('UTC', ts))) IN (0, 6)
+             |GROUP BY 1""".stripMargin))
   )
 
   private val rowLevelCache = TrieMap.empty[String, String]

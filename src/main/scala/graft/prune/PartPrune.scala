@@ -46,7 +46,8 @@ object PartPrune {
     if (qualifying.isEmpty) return (plans, Nil)
 
     // one stats fetch per referenced column, keyed (file, rowGroup)
-    val colNames = qualifying.flatMap(_.keys.map(_._2.name)).distinct
+    val colNames = (qualifying.flatMap(_.keys.map(_._2.name)) ++
+      qualifying.flatMap(_.cmps.map(_.ar.name))).distinct
     val statsBy: Map[String, Map[(String, Int), RowGroupStat]] =
       colNames.flatMap { c =>
         index.rowGroupStats(c)
@@ -71,17 +72,36 @@ object PartPrune {
   private def split(e: Expression): Seq[Expression] =
     graft.index.StatsBridge.conjuncts(e)
 
-  /** A conjunct fully closed over constancy-certifiable key expressions,
-    * with at least one key the interval walk cannot already serve (a
-    * determined part, or an image with no Derby rendering) — raw-only or
+  /** A comparison of a piecewise-MONOTONE leg (r14 —
+    * [[KeyImage.piecewiseMonotoneOf]]: `from_utc_timestamp(ts, geoZone)`
+    * or its cast-to-date) against literal(s), decided WHOLESALE per row
+    * group: on a transition-free piece the leg's exact value range is
+    * [grid(off)(min), grid(off)(max)], so the comparison is all-true,
+    * all-false, or mixed for the whole group. `decide(lo, hi)` returns
+    * Some(b) when every row agrees, None when mixed (keep). This is
+    * what serves the range form Spark's optimizer itself produces by
+    * unwrapping a local-calendar-day equality. */
+  private final case class PwCmp(
+      node: Expression,
+      ar: AttributeReference,
+      zone: java.time.ZoneId,
+      grid: Int => Option[KeyImage],
+      decide: (Long, Long) => Option[Boolean])
+
+  /** A conjunct fully closed over constancy-certifiable key expressions
+    * and/or piecewise-monotone comparisons, with at least one member the
+    * interval walk cannot already serve (a determined part, an image
+    * with no Derby rendering, or any piecewise member) — raw-only or
     * renderable-image-only conjuncts stay with the stats-space rewrite. */
   private final case class Closed(
       conjunct: Expression,
-      keys: IndexedSeq[(Expression, AttributeReference, RgConstKey)]) {
+      keys: IndexedSeq[(Expression, AttributeReference, RgConstKey)],
+      cmps: IndexedSeq[PwCmp] = IndexedSeq.empty) {
 
     /** True when the stats PROVE every row of (file, rg) fails the
-      * conjunct: all keys certified constant over a zero-null group and
-      * the conjunct at those constants is not true. */
+      * conjunct: all keys certified constant and all piecewise
+      * comparisons decided wholesale over a zero-null group, and the
+      * conjunct at those constants is not true. */
     def drops(
         statsBy: Map[String, Map[(String, Int), RowGroupStat]],
         file: String, rg: Int): Boolean = {
@@ -102,7 +122,45 @@ object PartPrune {
         consts(i) = internal(v, keyTypeOf(ar, ck)).getOrElse(return false)
         i += 1
       }
+      val cmpVals = new Array[Any](cmps.size)
+      var j = 0
+      while (j < cmps.size) {
+        val c = cmps(j)
+        val st = statsBy.get(c.ar.name).flatMap(_.get((file, rg)))
+          .getOrElse(return false)
+        if (rows < 0) rows = st.rowCount
+        else if (rows != st.rowCount) return false
+        if (!st.nullCount.contains(0L)) return false
+        val mn = st.min.getOrElse(return false)
+        val mx = st.max.getOrElse(return false)
+        val decided: Option[Boolean] = scala.util.Try {
+          val a = mn.asInstanceOf[java.lang.Number].longValue
+          val b = mx.asInstanceOf[java.lang.Number].longValue
+          val rules = c.zone.getRules
+          val ia = org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .microsToInstant(a)
+          val ib = org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .microsToInstant(b)
+          val tr = rules.nextTransition(ia)
+          if (tr != null && !tr.getInstant.isAfter(ib)) None // straddler
+          else {
+            val off = rules.getOffset(ia).getTotalSeconds
+            c.grid(off).flatMap { img =>
+              val lo = img(mn).asInstanceOf[java.lang.Number].longValue
+              val hi = img(mx).asInstanceOf[java.lang.Number].longValue
+              c.decide(lo, hi)
+            }
+          }
+        }.toOption.flatten
+        decided match {
+          case Some(bv) => cmpVals(j) = bv
+          case None => return false // undecidable wholesale: keep
+        }
+        j += 1
+      }
       val sub = conjunct.transformDown {
+        case s if cmpIdxOf(s) >= 0 =>
+          Literal(cmpVals(cmpIdxOf(s)), BooleanType)
         case s if idxOf(s) >= 0 =>
           val k = idxOf(s)
           Literal(consts(k), keyTypeOf(keys(k)._2, keys(k)._3))
@@ -115,6 +173,8 @@ object PartPrune {
 
     private def idxOf(s: Expression): Int =
       keys.indexWhere(_._1.semanticEquals(s))
+    private def cmpIdxOf(s: Expression): Int =
+      cmps.indexWhere(_.node.semanticEquals(s))
   }
 
   private def keyTypeOf(ar: AttributeReference, ck: RgConstKey): DataType =
@@ -139,7 +199,12 @@ object PartPrune {
         case other => KeyImage.constKeyOf(other,
           ar => indexed(index, ar) && timeOrdered(ar.dataType))
       }
+    val cmps = scala.collection.mutable.ArrayBuffer.empty[PwCmp]
+    def cmpIdxOf(s: Expression): Int = cmps.indexWhere(_.node.semanticEquals(s))
     val closed = cj.transformDown {
+      case s if cmpIdxOf(s) >= 0 => Literal(null, BooleanType)
+      case s if pwCompare(index, s).isDefined =>
+        cmps += pwCompare(index, s).get; Literal(null, BooleanType)
       case s if idxOf(s) >= 0 => Literal(null, s.dataType)
       case s if keyish(s).isDefined =>
         val (ar, ck) = keyish(s).get
@@ -147,13 +212,72 @@ object PartPrune {
     }
     if (closed.references.nonEmpty) return None
     // the value-add gate: something the interval rewrite can't serve
-    val novel = keys.exists {
+    val novel = cmps.nonEmpty || keys.exists {
       case (_, _, _: DeterminedConstKey) => true
       case (_, _, _: graft.index.PiecewiseZoneConstKey) => true
       case (_, _, ImageConstKey(img)) => img.derbySql.isEmpty
       case _ => false
     }
-    if (novel) Some(Closed(cj, keys.toIndexedSeq)) else None
+    if (novel) Some(Closed(cj, keys.toIndexedSeq, cmps.toIndexedSeq)) else None
+  }
+
+  /** Recognize `cmp(pwLeg, literal)` (either operand order) and IN-lists
+    * over a piecewise-monotone leg, with the wholesale decision rule for
+    * the leg's exact per-group value interval [lo, hi] (endpoints
+    * ATTAINED — footer extremes are real values of verbatim-exact
+    * types). Mixed groups return None (keep). */
+  private def pwCompare(index: StatsIndex, e: Expression): Option[PwCmp] = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+    def leg(x: Expression) = KeyImage.piecewiseMonotoneOf(x,
+      ar => indexed(index, ar) && ar.dataType == TimestampType)
+    def litNum(x: Expression): Option[Long] = x match {
+      case Literal(v: java.lang.Number, _) if v != null => Some(v.longValue)
+      case _ => None
+    }
+    def dec(op: String, lt: Long): (Long, Long) => Option[Boolean] =
+      (lo, hi) => op match {
+        case "<"  => if (hi < lt) Some(true)
+                     else if (lo >= lt) Some(false) else None
+        case "<=" => if (hi <= lt) Some(true)
+                     else if (lo > lt) Some(false) else None
+        case ">"  => if (lo > lt) Some(true)
+                     else if (hi <= lt) Some(false) else None
+        case ">=" => if (lo >= lt) Some(true)
+                     else if (hi < lt) Some(false) else None
+        case _    => if (lo == lt && hi == lt) Some(true) // "=" / "<=>"
+                     else if (lt < lo || lt > hi) Some(false) else None
+      }
+    def flip(op: String): String = op match {
+      case "<" => ">"; case "<=" => ">="
+      case ">" => "<"; case ">=" => "<="; case x => x
+    }
+    def bin(n: Expression, l: Expression, r: Expression, op: String)
+        : Option[PwCmp] =
+      leg(l).flatMap(lg => litNum(r).map(v =>
+          PwCmp(n, lg._1, lg._2, lg._3, dec(op, v))))
+        .orElse(leg(r).flatMap(lg => litNum(l).map(v =>
+          PwCmp(n, lg._1, lg._2, lg._3, dec(flip(op), v)))))
+    e match {
+      case n @ LessThan(l, r)           => bin(n, l, r, "<")
+      case n @ LessThanOrEqual(l, r)    => bin(n, l, r, "<=")
+      case n @ GreaterThan(l, r)        => bin(n, l, r, ">")
+      case n @ GreaterThanOrEqual(l, r) => bin(n, l, r, ">=")
+      case n @ EqualTo(l, r)            => bin(n, l, r, "=")
+      case n @ EqualNullSafe(l, r)      => bin(n, l, r, "=") // zero-null groups only
+      case n @ In(x, lits) =>
+        leg(x).flatMap { lg =>
+          val vs = lits.map(litNum)
+          if (vs.exists(_.isEmpty)) None
+          else {
+            val set = vs.flatten
+            Some(PwCmp(n, lg._1, lg._2, lg._3, (lo, hi) =>
+              if (set.forall(v => v < lo || v > hi)) Some(false)
+              else if (lo == hi && set.contains(lo)) Some(true)
+              else None))
+          }
+        }
+      case _ => None
+    }
   }
 
   private def indexed(index: StatsIndex, a: AttributeReference): Boolean =

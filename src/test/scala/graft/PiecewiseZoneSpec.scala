@@ -192,6 +192,117 @@ class PiecewiseZoneSpec extends SparkSpec {
     assert(got === want, "piecewise scan-path filter diverged")
   }
 
+  test("idx66 one-local-day drill-down narrows; idx67 filtered report folds") {
+    // equality on the piecewise local-day key keeps ~1 of ~31 day files
+    val q66 = SparkEntry.registry.find(_.name == "idx66_filter_nyday_eq").get
+    val got66 = q66.fn(spark, sf("sf0.001")).collect().map(_.toString).sorted.toSeq
+    assert(got66.nonEmpty)
+    val ex = graft.operators.Indexed
+      .lastNyDayPartsExecution(spark, sf("sf0.001")).get
+    assert(ex.scannedRowGroups * 10 < ex.totalRowGroups,
+      s"one local day should scan ~1/31 of the groups: $ex")
+    spark.conf.set("spark.graft.partPrune", "false")
+    val want66 = try q66.fn(spark, sf("sf0.001")).collect().map(_.toString).sorted.toSeq
+      finally spark.conf.unset("spark.graft.partPrune")
+    assert(got66 === want66)
+
+    // the combined local-weekend report: piecewise filter + piecewise
+    // label + ledgers, one LocalRelation, equals the kill-switched scan
+    val q67 = SparkEntry.registry.find(_.name == "idx67_ny_weekend_report").get
+    val df67 = q67.fn(spark, sf("sf0.001"))
+    assert(folded(df67), df67.queryExecution.optimizedPlan.toString)
+    val viaFold = df67.collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.groupByAggPushdown", "false")
+    val viaScan = try q67.fn(spark, sf("sf0.001")).collect().map(_.toString).sorted.toSeq
+      finally spark.conf.unset("spark.graft.groupByAggPushdown")
+    assert(viaFold === viaScan, "combined piecewise report diverged from the scan")
+  }
+
+  test("interval narrowing INSIDE a file takes the byte-range scan leaf") {
+    import spark.implicits._
+    // a ts-SORTED events layout (one file, many row groups): a
+    // one-local-day drill-down narrows WITHIN the file, where listFiles
+    // can only drop whole files — PartPruneScan must substitute the
+    // byte-range RowGroupScan leaf so off-day groups are never read
+    val base = Files.createTempDirectory("graft-pwz-sorted").toString
+    val dir = s"$base/data"
+    val start = micros("2024-01-01T00:00:00Z")
+    val src = (0 until 24 * 20).map(h => (start + h * 3600000000L, h.toLong))
+      .toDF("us", "v")
+      .select(timestamp_micros(col("us")).as("ts"), col("v"))
+    graft.operators.Indexed.withMicrosTimestamps(spark) {
+      src.orderBy("ts").coalesce(1)
+        .write.option("parquet.block.row.count.limit", "48")
+        .mode("overwrite").parquet(dir)
+    }
+    val (idx, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("ts", "v"), s"$base/db")
+    val (df, fi) = IndexedParquet.read(spark, dir, idx, schema)
+    val nyDay = to_date(from_utc_timestamp(col("ts"), NY))
+    val q = df.filter(nyDay === lit(java.sql.Date.valueOf("2024-01-10")))
+    val got = q.collect().map(_.getLong(1)).sorted.toSeq
+    val want = spark.read.parquet(dir)
+      .filter(nyDay === lit(java.sql.Date.valueOf("2024-01-10")))
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(got === want)
+    assert(got.size === 24)
+    val ex = fi.lastExecution.get
+    assert(ex.scannedRowGroups < ex.totalRowGroups,
+      s"within-file narrowing missing: $ex")
+    // the narrowed groups live INSIDE the single file, so the plan must
+    // carry the byte-range RowGroupScan leaf (whole-file drops can't serve)
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("RowGroupScan"),
+      s"expected the byte-range leaf, got:\n${planStr.take(1200)}")
+  }
+
+  test("a sink-built catalog serves the piecewise fold (streaming composition)") {
+    import spark.implicits._
+    // three NY-local days land as three micro-batches through
+    // IndexedSink; the local-day rollup must fold from exactly the
+    // catalog the SINK built, through the piecewise certificate
+    val base = Files.createTempDirectory("graft-pwz-sink").toString
+    val dataDir = s"$base/data"
+    new java.io.File(dataDir).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val index = new graft.index.DerbyStatsIndex(s"$base/db", schema)
+    index.initialize(schema)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val day0 = micros("2024-01-05T05:00:00Z") // NY-local midnight
+    graft.operators.Indexed.withMicrosTimestamps(spark) {
+      (0 until 3).foreach { d =>
+        val rows = (0 until 24).map { h =>
+          (day0 + (d * 24 + h) * 3600000000L, (d * 100 + h).toLong)
+        }
+        graft.streaming.IndexedSink.commitBatch(
+          rows.toDF("us", "v")
+            .select(timestamp_micros(col("us")).as("ts"), col("v")),
+          d.toLong, dataDir, index, Seq("ts", "v"), hconf)
+      }
+    }
+    graft.index.SumShadow.build(spark, dataDir, index.allFiles(), schema,
+      "v", s"$base/db")
+    val (df, _) = IndexedParquet.read(spark, dataDir, index, schema)
+    val nyDay = to_date(from_utc_timestamp(col("ts"), NY))
+    val g = df.groupBy(nyDay.as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(folded(g), g.queryExecution.optimizedPlan.toString)
+    val got = g.collect().map(r =>
+      (r.getDate(0).toString, r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val want = spark.read.parquet(dataDir).groupBy(nyDay.as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r =>
+        (r.getDate(0).toString, r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got === want, "sink-built piecewise fold diverged from the scan")
+    assert(got.size === 3)
+    index.close()
+  }
+
   test("a transition-straddling row group fails the fold closed, stays correct") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-pwz").toString
@@ -226,5 +337,18 @@ class PiecewiseZoneSpec extends SparkSpec {
       .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
       .sortBy(_._1).toSeq
     assert(got === want, "declined fold must still answer via the scan")
+    // the piecewise INTERVAL engine across the same transition: a
+    // local-day equality (Spark unwraps it to a from_utc range) must
+    // keep the straddling Mar 10 group (undecidable wholesale) and
+    // still answer exactly on every day, transition day included
+    Seq("2024-03-09", "2024-03-10", "2024-03-11").foreach { d =>
+      val gotDay = df.filter(nyDay === lit(java.sql.Date.valueOf(d)))
+        .collect().map(_.getLong(1)).sorted.toSeq
+      val wantDay = spark.read.parquet(dir)
+        .filter(nyDay === lit(java.sql.Date.valueOf(d)))
+        .collect().map(_.getLong(1)).sorted.toSeq
+      assert(gotDay === wantDay, s"local day $d through the interval engine")
+      assert(gotDay.nonEmpty, s"local day $d unexpectedly empty")
+    }
   }
 }

@@ -19,7 +19,8 @@ object PlanDump14 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Seq("idx61_rowfetch", "idx65_rowfetch_in", "idx62_groupby_nyday",
-      "idx63_groupby_nydow", "idx64_filter_nyweekend").foreach { name =>
+      "idx63_groupby_nydow", "idx64_filter_nyweekend",
+      "idx66_filter_nyday_eq", "idx67_ny_weekend_report").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"\n===== $name =====")
       println(df.queryExecution.executedPlan.toString.take(2000))
