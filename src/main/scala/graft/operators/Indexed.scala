@@ -69,6 +69,15 @@ object Indexed {
     }
   }
 
+  /** (allFiles plans, data schema, data dir) of the registered lineitem
+    * fixture — the raw handles spec-side index builds need (e.g. the
+    * ScaleTrendSpec posting-build timing) without re-deriving the layout. */
+  private[graft] def indexHandles(spark: SparkSession, sfDir: String)
+      : (Seq[graft.index.FileScanPlan], org.apache.spark.sql.types.StructType, String) = {
+    val e = cached(spark, sfDir)
+    (e.index.allFiles(), e.dataSchema, e.dataDir)
+  }
+
   private def cached(spark: SparkSession, sfDir: String): Entry =
     cache.getOrElseUpdate(sfDir + "@" + spark.hashCode(), {
       val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -1422,7 +1431,41 @@ object Indexed {
              |  min(ts) AS mnts, max(ts) AS mxts
              |FROM events
              |WHERE dayofweek(timezone('America/New_York', timezone('UTC', ts))) IN (0, 6)
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // DISTINCT local labels (idx68, r14): the agg-less grouped fold over
+    // piecewise name keys — distinct (local dayname, local monthname)
+    // pairs are exactly the row groups' certified constants
+    QueryDef(
+      "idx68_distinct_nylabels",
+      (s, dir) => eventsNyDayParts(s, dir)
+        .select(
+          dayname(from_utc_timestamp(col("ts"), "America/New_York")).as("dn"),
+          monthname(from_utc_timestamp(col("ts"), "America/New_York")).as("mn"))
+        .distinct(),
+      Some("""SELECT DISTINCT strftime(timezone('America/New_York', timezone('UTC', ts)), '%a') AS dn,
+             |  strftime(timezone('America/New_York', timezone('UTC', ts)), '%b') AS mn
+             |FROM events""".stripMargin)),
+
+    // global extremes/COUNT of piecewise parts (idx69, r14): the idx55
+    // walk over the constant set, under a geographic zone — every row
+    // group certifies its local part, the extreme is over those
+    // constants, and COUNT rides null-preservation
+    QueryDef(
+      "idx69_agg_nyextremes",
+      (s, dir) => eventsNyDayParts(s, dir)
+        .agg(
+          min(dayofweek(from_utc_timestamp(col("ts"), "America/New_York")))
+            .as("mndow"),
+          max(date_format(
+            from_utc_timestamp(col("ts"), "America/New_York"), "yyyy-MM-dd"))
+            .as("mxlbl"),
+          count(month(from_utc_timestamp(col("ts"), "America/New_York")))
+            .as("cm")),
+      Some("""SELECT min(dayofweek(timezone('America/New_York', timezone('UTC', ts)))) + 1 AS mndow,
+             |  max(strftime(timezone('America/New_York', timezone('UTC', ts)), '%Y-%m-%d')) AS mxlbl,
+             |  count(month(timezone('America/New_York', timezone('UTC', ts)))) AS cm
+             |FROM events""".stripMargin))
   )
 
   private val rowLevelCache = TrieMap.empty[String, String]

@@ -218,6 +218,23 @@ class PiecewiseZoneSpec extends SparkSpec {
     assert(viaFold === viaScan, "combined piecewise report diverged from the scan")
   }
 
+  test("idx68 distinct local labels and idx69 part extremes fold") {
+    Seq("idx68_distinct_nylabels", "idx69_agg_nyextremes").foreach { name =>
+      val q = SparkEntry.registry.find(_.name == name).get
+      val df = q.fn(spark, sf("sf0.001"))
+      assert(folded(df), s"$name: " + df.queryExecution.optimizedPlan.toString)
+      val viaFold = df.collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.statsAggPushdown", "false")
+      spark.conf.set("spark.graft.groupByAggPushdown", "false")
+      val viaScan = try q.fn(spark, sf("sf0.001")).collect().map(_.toString).sorted.toSeq
+        finally {
+          spark.conf.unset("spark.graft.statsAggPushdown")
+          spark.conf.unset("spark.graft.groupByAggPushdown")
+        }
+      assert(viaFold === viaScan, s"$name diverged from the scan")
+    }
+  }
+
   test("interval narrowing INSIDE a file takes the byte-range scan leaf") {
     import spark.implicits._
     // a ts-SORTED events layout (one file, many row groups): a

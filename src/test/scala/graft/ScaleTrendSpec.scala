@@ -66,6 +66,31 @@ class ScaleTrendSpec extends SparkSpec {
         "super-linear growth, check the MaxPosting cap")
   }
 
+  test("row-number posting build (r14): sf0.01 → sf0.1 stays ~linear") {
+    // the O(rows) posting build's quadratic risks: a lost broadcast on
+    // the pid→(file, rg, first_row) meta join (would shuffle the scan
+    // twice) or a per-row-group plan blowup. Build into a throwaway temp
+    // dir at each scale, uncached.
+    import graft.index.RowLevelIndex
+    // warmup (fixture+catalog builds land here, not in the timings)
+    Seq(sf("sf0.001"), sf("sf0.01"), sf("sf0.1"))
+      .foreach(d => graft.operators.Indexed.lineitemIndexed(spark, d).count())
+    def timedBuild(sfd: String): Double = bestOf(2) {
+      val (plans, schema, dataDir) =
+        graft.operators.Indexed.indexHandles(spark, sfd)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-sts-idx").toString + "/rows"
+      RowLevelIndex.build(spark, dataDir, plans, schema, "l_orderkey", out,
+        withRowNumbers = true)
+    }
+    val tSmall = timedBuild(sf("sf0.01"))
+    val tBig = timedBuild(sf("sf0.1"))
+    val ratio = tBig / tSmall
+    assert(ratio <= 30.0,
+      f"row-number build: $tSmall%.2fs → $tBig%.2fs (${ratio}%.1f×) for 10× " +
+        "input — super-linear growth, check the meta broadcast / plan size")
+  }
+
   heavy.foreach { name =>
     test(s"$name: sf0.01 → sf0.1 runtime stays ~linear in input size") {
       val fn = SparkEntry.queries(name)
