@@ -55,18 +55,27 @@ object PartPrune {
       }.toMap
 
     var dropped = 0
+    var pwDropped = 0 // drops decided by a piecewise-interval conjunct
     val refined = plans.flatMap { p =>
       val kept = p.scanRowGroups.filter { rg =>
-        val keep = !qualifying.exists(_.drops(statsBy, p.fileName, rg))
-        if (!keep) dropped += 1
-        keep
+        val dropper = qualifying.find(_.drops(statsBy, p.fileName, rg))
+        if (dropper.isDefined) {
+          dropped += 1
+          if (dropper.exists(_.cmps.nonEmpty)) pwDropped += 1
+        }
+        dropper.isEmpty
       }
       if (kept.isEmpty) None
       else if (kept.size == p.scanRowGroups.size) Some(p)
       else Some(p.copy(scanRowGroups = kept))
     }
     if (dropped == 0) (plans, Nil)
-    else (refined, Seq(s"part-const(dropped=$dropped)"))
+    else if (pwDropped == 0) (refined, Seq(s"part-const(dropped=$dropped)"))
+    else if (pwDropped == dropped)
+      (refined, Seq(s"part-pw-interval(dropped=$dropped)"))
+    else (refined, Seq(
+      s"part-const(dropped=${dropped - pwDropped})",
+      s"part-pw-interval(dropped=$pwDropped)"))
   }
 
   private def split(e: Expression): Seq[Expression] =

@@ -201,6 +201,8 @@ class PiecewiseZoneSpec extends SparkSpec {
       .lastNyDayPartsExecution(spark, sf("sf0.001")).get
     assert(ex.scannedRowGroups * 10 < ex.totalRowGroups,
       s"one local day should scan ~1/31 of the groups: $ex")
+    assert(ex.route.exists(_.startsWith("part-pw-interval")),
+      s"interval drops must carry their own route tag: ${ex.route}")
     spark.conf.set("spark.graft.partPrune", "false")
     val want66 = try q66.fn(spark, sf("sf0.001")).collect().map(_.toString).sorted.toSeq
       finally spark.conf.unset("spark.graft.partPrune")
@@ -271,6 +273,56 @@ class PiecewiseZoneSpec extends SparkSpec {
     val planStr = q.queryExecution.executedPlan.toString
     assert(planStr.contains("RowGroupScan"),
       s"expected the byte-range leaf, got:\n${planStr.take(1200)}")
+  }
+
+  test("interval engine soundness sweep: random local ranges across both 2024 transitions") {
+    import spark.implicits._
+    // ~12 days of 10-minute ticks around BOTH 2024 NY transitions,
+    // 4-row row groups: ~430 groups, many straddling candidates. Every
+    // random local-date range filtered through the indexed read (the
+    // interval engine decides keep/drop per group) must equal the plain
+    // scan — a single wrong wholesale drop shows up as missing rows.
+    val base = Files.createTempDirectory("graft-pwz-sweep").toString
+    val dir = s"$base/data"
+    val spans = Seq(
+      micros("2024-03-07T00:00:00Z") -> (6 * 144),  // Mar 7-13
+      micros("2024-10-31T00:00:00Z") -> (6 * 144))  // Oct 31 - Nov 6
+    val rows = spans.flatMap { case (s0, n) =>
+      (0 until n).map(i => (s0 + i * 600000000L, i.toLong))
+    }
+    graft.operators.Indexed.withMicrosTimestamps(spark) {
+      rows.toDF("us", "v")
+        .select(timestamp_micros(col("us")).as("ts"), col("v"))
+        .orderBy("ts").coalesce(1)
+        .write.option("parquet.block.row.count.limit", "4")
+        .mode("overwrite").parquet(dir)
+    }
+    val (idx, schema) = IndexedParquet.buildIndex(
+      spark, dir, Seq("ts", "v"), s"$base/db")
+    val (df, fi) = IndexedParquet.read(spark, dir, idx, schema)
+    val plain = spark.read.parquet(dir)
+    val nyDay = to_date(from_utc_timestamp(col("ts"), NY))
+    val rnd = new scala.util.Random(20260815L)
+    val days = Seq("2024-03-08", "2024-03-09", "2024-03-10", "2024-03-11",
+      "2024-11-01", "2024-11-02", "2024-11-03", "2024-11-04")
+    var narrowed = 0
+    (1 to 60).foreach { i =>
+      val d1 = java.sql.Date.valueOf(days(rnd.nextInt(days.size)))
+      val d2 = java.sql.Date.valueOf(days(rnd.nextInt(days.size)))
+      val (lo, hi) = if (d1.before(d2)) (d1, d2) else (d2, d1)
+      val pred = i % 4 match {
+        case 0 => nyDay >= lit(lo) && nyDay <= lit(hi) // range
+        case 1 => nyDay === lit(lo)                    // equality
+        case 2 => nyDay =!= lit(lo)                    // negation (Not∘decided)
+        case _ => nyDay.isin(lo, hi)                   // IN-list
+      }
+      val got = df.filter(pred).collect().map(_.getLong(1)).sorted.toSeq
+      val want = plain.filter(pred).collect().map(_.getLong(1)).sorted.toSeq
+      assert(got === want, s"shape ${i % 4} [$lo, $hi] diverged through the engine")
+      val ex = fi.lastExecution.get
+      if (ex.scannedRowGroups < ex.totalRowGroups) narrowed += 1
+    }
+    assert(narrowed > 0, "the sweep never narrowed — vacuous")
   }
 
   test("a sink-built catalog serves the piecewise fold (streaming composition)") {
