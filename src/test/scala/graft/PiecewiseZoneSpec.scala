@@ -76,7 +76,11 @@ class PiecewiseZoneSpec extends SparkSpec {
   test("piecewise certificates never lie (sweep around DST transitions)") {
     val rnd = new scala.util.Random(20260815L)
     val t2023 = micros("2023-01-01T00:00:00Z")
-    for (zone <- Seq(NY, "Europe/Berlin", "Australia/Sydney")) {
+    // Lord Howe Island is the adversarial zone: base offset +10:30, DST
+    // delta only 30 MINUTES (+11:00) — half-hour offsets mis-align hour
+    // grids and the transition shift is smaller than any other zone's
+    for (zone <- Seq(NY, "Europe/Berlin", "Australia/Sydney",
+        "Australia/Lord_Howe")) {
       val ltz = AttributeReference("ts", TimestampType)()
       val zlit = Literal(UTF8String.fromString(zone), StringType)
       def futc = FromUTCTimestamp(ltz, zlit)
