@@ -832,8 +832,9 @@ final case class InputShiftImage(deltaMicros: Long, inner: KeyImage)
   def acceptsInput(dt: DataType): Boolean = dt == TimestampNTZType
   def resultType: DataType = inner.resultType
   def apply(v: Any): Any =
-    inner(java.lang.Long.valueOf(
-      v.asInstanceOf[java.lang.Number].longValue + deltaMicros))
+    // addExact: same fail-closed overflow posture as ShiftMicrosImage
+    inner(java.lang.Long.valueOf(Math.addExact(
+      v.asInstanceOf[java.lang.Number].longValue, deltaMicros)))
   def derbySql: Option[String => String] =
     inner.derbySql.map(f => (e: String) => f(s"(($e) + $deltaMicros)"))
 }
@@ -849,7 +850,11 @@ final case class ShiftMicrosImage(deltaMicros: Long) extends KeyImage {
   def acceptsInput(dt: DataType): Boolean = dt == TimestampType
   def resultType: DataType = TimestampType
   def apply(v: Any): Any =
-    java.lang.Long.valueOf(v.asInstanceOf[java.lang.Number].longValue + deltaMicros)
+    // addExact: near the micros domain extremes an unchecked sum could
+    // wrap and silently invert an interval decision — overflow throws
+    // instead and the Try-wrapped decision path fails closed (keep)
+    java.lang.Long.valueOf(Math.addExact(
+      v.asInstanceOf[java.lang.Number].longValue, deltaMicros))
   def derbySql: Option[String => String] =
     Some(e => s"(($e) + $deltaMicros)")
 }

@@ -396,8 +396,18 @@ object RowLevelIndex {
       case Some(hits) if hits.isEmpty => empty()
       case Some(hits) =>
         val plans = hits.toSeq.sortBy(_._1).flatMap { case (f, prs) =>
-          byFile.get(f).map(p =>
-            p.copy(scanRowGroups = SortedSet.from(prs.map(_._1))))
+          byFile.get(f).flatMap { p =>
+            // stale-index defense, planning side: a same-name rewritten
+            // file can leave postings for row groups the current file no
+            // longer has. firstRowOffsets enumerates 0 until rowGroupCount,
+            // so such a group would miss its offset and throw at planning —
+            // drop it instead (fresh postings are complete, so no true
+            // match is lost; the key filter below handles stale POSITIONS
+            // inside live groups).
+            val live = prs.map(_._1).filter(_ < p.rowGroupCount)
+            if (live.isEmpty) None
+            else Some(p.copy(scanRowGroups = SortedSet.from(live)))
+          }
         }
         if (plans.isEmpty) return empty()
         val firstRow = firstRowOffsets(plans).getOrElse(return fallback())

@@ -103,4 +103,38 @@ class DeterminedKeySoundnessSpec extends SparkSpec {
       }
     }
   }
+
+  test("week-based date_format letters stay fail-closed (eval-throw pinned)") {
+    // formatGranularity maps 'w'/'W'/'Y' to the DAY grid (a calendar day
+    // always determines them — the grid is sound), but Spark 3+ rejects
+    // week-based pattern letters at datetime-formatter construction, so
+    // the rendered VALUE (always Spark's own eval) THROWS and every
+    // Try-wrapped consumer (PartPrune.drops, the catalog fold) declines
+    // the group — fail-closed, never a wrong fold. Pin the throw: a Spark
+    // upgrade that silently starts evaluating week letters must surface
+    // here, because the day grid's soundness for ISO week anchors would
+    // then need review (week-year boundaries are locale/zone business).
+    val tzs = Option("UTC")
+    val ltz = AttributeReference("ts", TimestampType)()
+    for (p <- Seq("w", "W", "YYYY-'X'ww")) {
+      val e = DateFormatClass(
+        ltz, Literal(UTF8String.fromString(p), StringType), tzs)
+      val ck = KeyImage.constKeyOf(e, _ => true)
+      assert(ck.isDefined, s"pattern $p: day-grid recognition regressed")
+      val thrown = intercept[Throwable] {
+        // one hour into 1970-01-01 — a within-day interval, so the grid
+        // certifies and the value render is reached
+        ck.get._2.constantOf(
+          java.lang.Long.valueOf(3600000000L),
+          java.lang.Long.valueOf(3600000001L))
+      }
+      // Spark 4 raises SparkUpgradeException (DATETIME_PATTERN_RECOGNITION,
+      // "Fail to recognize 'w' pattern"); 3.x said "week-based patterns
+      // are unsupported" — accept either phrasing, require the rejection
+      val msg = Option(thrown.getMessage).getOrElse("").toLowerCase
+      assert(msg.contains("week-based") ||
+        (msg.contains("pattern") && msg.contains("fail to recognize")),
+        s"pattern $p: expected Spark's week-letter rejection, got $thrown")
+    }
+  }
 }

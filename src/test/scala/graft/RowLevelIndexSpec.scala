@@ -203,6 +203,29 @@ class RowLevelIndexSpec extends SparkSpec {
     assert(got(rowsIdxDir, Seq(-7, -8)) == Seq.empty)
   }
 
+  test("stale postings beyond a file's current group count degrade, not throw") {
+    val (dir, _, plans, schema, _) = env
+    import spark.implicits._
+    val staleDir = rowsIdxDir + "-stale"
+    // copy the live index, then append stale postings claiming key 3 lives
+    // in row groups the (same-name, rewritten-smaller) files no longer
+    // have: one in a file with NO live posting for the key (its plan must
+    // drop entirely) and one in the file that DOES hold the key (its plan
+    // must keep only the live group). Before the planning-side defense,
+    // firstRowOffsets missed (f, 99) and fetchRows threw
+    // NoSuchElementException instead of degrading.
+    spark.read.parquet(rowsIdxDir).write.mode("overwrite").parquet(staleDir)
+    Seq((3, "f0.parquet", 99, 4950L), (3, "f3.parquet", 99, 4951L))
+      .toDF("key", "file_name", "row_group", "row_number")
+      .write.mode("append").parquet(staleDir)
+    val got = RowLevelIndex.fetchRows(spark, dir, staleDir, plans, schema,
+        "k", Seq(Int.box(3)))
+      .select("payload").collect().map(_.getString(0)).sorted.toSeq
+    val want = spark.read.parquet(dir).filter(col("k") === 3)
+      .select("payload").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == want)
+  }
+
   test("row-precision scan reads only the posting row groups") {
     val (dir, _, plans, schema, _) = env
     // key 102 lives only in f2 row group 1: the underlying scan must be
