@@ -183,6 +183,29 @@ final class DerbyStatsIndex(
       try it.foreach(s => DerbyStatsIndex.ingestFile(c, cols, s))
       finally c.close()
     }
+    settleAfterBulkIngest()
+  }
+
+  /** Absorb the deferred cost of a bulk ingest NOW, on the ingest path,
+    * instead of letting the first planning query pay it: a checkpoint
+    * flushes the burst's dirty pages (the first post-ingest scan
+    * otherwise contends with the background writer — measured 34 s vs
+    * 0.3 s warm on a 1M-row-group catalog), and fresh index cardinality
+    * statistics keep the optimizer off degenerate join orders for the
+    * pruning walk. Both are proportional to the ingest they follow;
+    * failures degrade silently (the catalog stays correct — only the
+    * first-query latency and plan quality are at stake). */
+  private def settleAfterBulkIngest(): Unit = conn.synchronized {
+    val st = conn.createStatement()
+    try {
+      try st.execute("CALL SYSCS_UTIL.SYSCS_CHECKPOINT_DATABASE()")
+      catch { case _: java.sql.SQLException => () }
+      Seq("FILE_STATISTICS", "ROW_GROUP_STATISTICS").foreach { t =>
+        try st.execute(
+          s"CALL SYSCS_UTIL.SYSCS_UPDATE_STATISTICS('APP', '$t', NULL)")
+        catch { case _: java.sql.SQLException => () }
+      }
+    } finally st.close()
   }
   override def retainOnly(fileNames: Set[String]): Unit = {
     val st = conn.createStatement()
@@ -887,20 +910,34 @@ final class DerbyStatsIndex(
   }
 
   override def rowGroupStats(colName: String): Option[Seq[RowGroupStat]] =
+    rowGroupStatsChunks(colName, Seq(None))
+
+  /** File-restricted stats fetch, pushed into the store as chunked
+    * prepared `file_name IN (…)` queries (Derby walks the file_name
+    * unique index, then the rg PK per file) — O(restricted files), not
+    * O(catalog). The chunking bounds each statement's parameter count. */
+  override def rowGroupStatsFor(
+      colName: String, files: Set[String]): Option[Seq[RowGroupStat]] =
+    if (files.isEmpty) Some(Nil)
+    else rowGroupStatsChunks(colName,
+      files.toSeq.sorted.grouped(DerbyStatsIndex.FileInChunk).map(Some(_)).toSeq)
+
+  private def rowGroupStatsChunks(
+      colName: String,
+      chunks: Seq[Option[Seq[String]]]): Option[Seq[RowGroupStat]] =
     conn.synchronized {
       require(indexedCols.exists(_.name == colName), s"$colName is not indexed")
       // bit-data collation in Derby differs from unsigned-lexicographic —
       // binary stats are not certified for ordering, same as min/max scalars
       if (indexedCols.exists(f => f.name == colName && f.dataType == BinaryType))
         return None
-      val st = conn.createStatement()
       val withFreq = indexedCols.exists(f =>
         f.name == colName && FreqShadow.supported(f.dataType))
       val isString = indexedCols.exists(f =>
         f.name == colName && f.dataType == StringType)
       val withSum = indexedCols.exists(f =>
         f.name == colName && SumShadow.supported(f.dataType))
-      def query(extra: Boolean): Seq[RowGroupStat] = {
+      def query(extra: Boolean, chunk: Option[Seq[String]]): Seq[RowGroupStat] = {
         // optional shadow columns appended in a FIXED order; their result
         // positions follow the 6 core columns
         val freqSel =
@@ -912,33 +949,43 @@ final class DerbyStatsIndex(
           if (extra && withSum) s", rg.${colName}_sum" else ""
         val exactPos = 7 + (if (extra && withFreq) 2 else 0)
         val sumPos = exactPos + (if (extra && isString) 1 else 0)
-        val rs = st.executeQuery(
+        val whereSql = chunk.fold("")(c =>
+          s"\nWHERE f.file_name IN (${c.map(_ => "?").mkString(", ")})")
+        val ps = conn.prepareStatement(
           s"""SELECT f.file_name, rg.row_group, rg.${colName}_min,
              |  rg.${colName}_max, rg.row_count, rg.${colName}_null_count$freqSel$exactSel$sumSel
              |FROM row_group_statistics rg
-             |JOIN file_statistics f ON rg.file_id = f.file_id""".stripMargin)
-        val buf = mutable.ArrayBuffer.empty[RowGroupStat]
-        while (rs.next()) {
-          val mn = Option(rs.getObject(3))
-          val mx = Option(rs.getObject(4))
-          val rows = rs.getLong(5)
-          val nulls = { val n = rs.getLong(6); if (rs.wasNull()) None else Some(n) }
-          def optLong(on: Boolean, i: Int): Option[Long] =
-            if (!on) None
-            else { val v = rs.getLong(i); if (rs.wasNull()) None else Some(v) }
-          val exact =
-            if (!(extra && isString)) None
-            else {
-              val v = rs.getInt(exactPos); if (rs.wasNull()) None else Some(v == 1)
-            }
-          buf += RowGroupStat(rs.getString(1), rs.getInt(2), mn, mx, rows, nulls,
-            optLong(extra && withFreq, 7), optLong(extra && withFreq, 8),
-            exact, optLong(extra && withSum, sumPos))
-        }
-        rs.close()
-        buf.toSeq
+             |JOIN file_statistics f ON rg.file_id = f.file_id$whereSql""".stripMargin)
+        try {
+          chunk.foreach(_.zipWithIndex.foreach { case (n, i) =>
+            ps.setString(i + 1, n)
+          })
+          val rs = ps.executeQuery()
+          val buf = mutable.ArrayBuffer.empty[RowGroupStat]
+          while (rs.next()) {
+            val mn = Option(rs.getObject(3))
+            val mx = Option(rs.getObject(4))
+            val rows = rs.getLong(5)
+            val nulls = { val n = rs.getLong(6); if (rs.wasNull()) None else Some(n) }
+            def optLong(on: Boolean, i: Int): Option[Long] =
+              if (!on) None
+              else { val v = rs.getLong(i); if (rs.wasNull()) None else Some(v) }
+            val exact =
+              if (!(extra && isString)) None
+              else {
+                val v = rs.getInt(exactPos); if (rs.wasNull()) None else Some(v == 1)
+              }
+            buf += RowGroupStat(rs.getString(1), rs.getInt(2), mn, mx, rows, nulls,
+              optLong(extra && withFreq, 7), optLong(extra && withFreq, 8),
+              exact, optLong(extra && withSum, sumPos))
+          }
+          rs.close()
+          buf.toSeq
+        } finally ps.close()
       }
-      try Some(query(extra = true))
+      def queryAll(extra: Boolean): Seq[RowGroupStat] =
+        chunks.flatMap(c => query(extra, c))
+      try Some(queryAll(extra = true))
       catch {
         // 42X04 = column does not exist: a catalog created before the
         // freq shadow / min-exact marker and never re-initialized — read
@@ -948,10 +995,10 @@ final class DerbyStatsIndex(
         // certificate).
         case e: java.sql.SQLException
             if (withFreq || isString || withSum) && e.getSQLState == "42X04" =>
-          try Some(query(extra = false))
+          try Some(queryAll(extra = false))
           catch { case _: java.sql.SQLException => None }
         case _: java.sql.SQLException => None
-      } finally st.close()
+      }
     }
 
   /** Per-file bloom maintenance: one [[BloomIndex.build]] job per bloom
@@ -1029,6 +1076,12 @@ final class DerbyStatsIndex(
 object DerbyStatsIndex {
   /** Stats strings longer than this are truncated (min) or dropped (max). */
   val MaxStringLen = 1024
+
+  /** Parameter-count bound per file-restricted stats query chunk
+    * ([[DerbyStatsIndex.rowGroupStatsFor]]): each chunk is one prepared
+    * `IN (?,…,?)` statement — 512 keeps statements well under Derby's
+    * practical parameter limits while amortizing round trips. */
+  val FileInChunk = 512
 
   /** Shut ONE embedded database down (close() only closes a connection —
     * the engine keeps the database booted for the life of the JVM, with a

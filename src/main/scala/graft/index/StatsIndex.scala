@@ -122,6 +122,18 @@ trait StatsIndex extends AutoCloseable {
     * callers must then skip the optimization, never guess. */
   def rowGroupStats(colName: String): Option[Seq[RowGroupStat]] = None
 
+  /** [[rowGroupStats]] restricted to the given FILES — the O(survivors)
+    * face for planner passes that refine an already-pruned plan set
+    * (PartPrune): at catalog scale (millions of row groups) fetching the
+    * whole column's stats to refine a handful of surviving groups is the
+    * walk that stops being O(index-slice). Implementations should push
+    * the restriction into the store; the default filters the full fetch
+    * (correct, not scaled). Empty `files` ⇒ Some(Nil). */
+  def rowGroupStatsFor(
+      colName: String, files: Set[String]): Option[Seq[RowGroupStat]] =
+    if (files.isEmpty) Some(Nil)
+    else rowGroupStats(colName).map(_.filter(s => files.contains(s.fileName)))
+
   /** Catalog-computed `ORDER BY colName LIMIT k` survivors: the plans for
     * just the row groups that might hold a top-k row, with the threshold
     * discovery AND the survivor filter both evaluated inside the catalog —

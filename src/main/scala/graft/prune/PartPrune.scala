@@ -23,8 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * between reading 7/7 and 2/7 of the files for a weekend slice: whole
   * files whose row groups all drop never reach the reader.
   *
-  * Driver cost: O(index) — one stats fetch per referenced column, one
-  * in-memory pass over (conjunct × row group). No data jobs.
+  * Driver cost: O(surviving plans) — one file-restricted stats fetch per
+  * referenced column ([[graft.index.StatsIndex.rowGroupStatsFor]]), one
+  * in-memory pass over (conjunct × surviving row group). No data jobs.
   */
 object PartPrune {
 
@@ -45,12 +46,16 @@ object PartPrune {
     val qualifying = conjuncts.flatMap(q => closeOver(index, q))
     if (qualifying.isEmpty) return (plans, Nil)
 
-    // one stats fetch per referenced column, keyed (file, rowGroup)
+    // one stats fetch per referenced column, keyed (file, rowGroup) —
+    // restricted to the SURVIVING plans' files (r15): refining a narrow
+    // plan set must cost O(survivors), not O(catalog); at millions of
+    // row groups the unrestricted fetch was the walk that didn't scale
+    val fileSet = plans.map(_.fileName).toSet
     val colNames = (qualifying.flatMap(_.keys.map(_._2.name)) ++
       qualifying.flatMap(_.cmps.map(_.ar.name))).distinct
     val statsBy: Map[String, Map[(String, Int), RowGroupStat]] =
       colNames.flatMap { c =>
-        index.rowGroupStats(c)
+        index.rowGroupStatsFor(c, fileSet)
           .map(s => c -> s.map(st => (st.fileName, st.rowGroup) -> st).toMap)
       }.toMap
 
@@ -210,13 +215,20 @@ object PartPrune {
       }
     val cmps = scala.collection.mutable.ArrayBuffer.empty[PwCmp]
     def cmpIdxOf(s: Expression): Int = cmps.indexWhere(_.node.semanticEquals(s))
+    // extractor objects so each recognizer runs ONCE per node (the
+    // isDefined-then-get shape would re-run recognition — pure driver waste)
+    object Pw {
+      def unapply(s: Expression): Option[PwCmp] = pwCompare(index, s)
+    }
+    object Keyish {
+      def unapply(s: Expression): Option[(AttributeReference, RgConstKey)] =
+        keyish(s)
+    }
     val closed = cj.transformDown {
       case s if cmpIdxOf(s) >= 0 => Literal(null, BooleanType)
-      case s if pwCompare(index, s).isDefined =>
-        cmps += pwCompare(index, s).get; Literal(null, BooleanType)
+      case Pw(c) => cmps += c; Literal(null, BooleanType)
       case s if idxOf(s) >= 0 => Literal(null, s.dataType)
-      case s if keyish(s).isDefined =>
-        val (ar, ck) = keyish(s).get
+      case s @ Keyish((ar, ck)) =>
         keys += ((s, ar, ck)); Literal(null, s.dataType)
     }
     if (closed.references.nonEmpty) return None
