@@ -116,7 +116,11 @@ final class DerbyStatsIndex(
         // per-row-group sum shadow, attached post-ingest by
         // SumShadow.build; NULL until then
         (if (SumShadow.supported(f.dataType))
-           Seq(s"${f.name}_sum BIGINT") else Nil)
+           Seq(s"${f.name}_sum BIGINT") else Nil) ++
+        // per-row-group HLL register ledger (r15), attached post-ingest
+        // by HllShadow.build; NULL until then ("no sketch ⇒ no estimate")
+        (if (HllShadow.supported(f.dataType))
+           Seq(s"${f.name}_hll VARCHAR(32672) FOR BIT DATA") else Nil)
     }
     createIfMissing(
       s"""CREATE TABLE row_group_statistics (
@@ -156,7 +160,9 @@ final class DerbyStatsIndex(
         (if (f.dataType == StringType)
           Seq(s"${f.name}_min_exact SMALLINT") else Nil) ++
         (if (SumShadow.supported(f.dataType))
-          Seq(s"${f.name}_sum BIGINT") else Nil)).foreach { c =>
+          Seq(s"${f.name}_sum BIGINT") else Nil) ++
+        (if (HllShadow.supported(f.dataType))
+          Seq(s"${f.name}_hll VARCHAR(32672) FOR BIT DATA") else Nil)).foreach { c =>
         try st.execute(s"ALTER TABLE row_group_statistics ADD COLUMN $c")
         catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
       }
@@ -177,13 +183,21 @@ final class DerbyStatsIndex(
   override def ingestAll(stats: org.apache.spark.rdd.RDD[FileStats]): Unit = {
     val url = s"jdbc:derby:$dbPath"
     val cols = indexedCols
+    val ingested = stats.sparkContext.longAccumulator("graft.ingestedRowGroups")
     stats.foreachPartition { (it: Iterator[FileStats]) =>
       DerbyStatsIndex.ensureDriver()
       val c = DriverManager.getConnection(url)
-      try it.foreach(s => DerbyStatsIndex.ingestFile(c, cols, s))
+      try it.foreach { s =>
+        DerbyStatsIndex.ingestFile(c, cols, s)
+        ingested.add(s.rowGroups.size.toLong)
+      }
       finally c.close()
     }
-    settleAfterBulkIngest()
+    // settle only after a genuinely BULK load: streaming sinks call
+    // ingestAll per micro-batch, and paying an O(catalog) statistics
+    // rebuild per small batch would be the scale bug this guards against
+    if (ingested.value >= DerbyStatsIndex.SettleThresholdRowGroups)
+      settleAfterBulkIngest()
   }
 
   /** Absorb the deferred cost of a bulk ingest NOW, on the ingest path,
@@ -1035,6 +1049,73 @@ final class DerbyStatsIndex(
         .foreach(c => SumShadow.build(spark, dir, plans, dataSchema, c, dbPath))
     }
 
+  override def rebuildHll(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      plans: Seq[FileScanPlan],
+      dataSchema: StructType,
+      hllCols: Seq[String]): Unit =
+    if (plans.nonEmpty)
+      hllCols.distinct.sorted
+        .filter(c => dataSchema.fieldNames.contains(c) &&
+          indexedCols.exists(f => f.name == c && HllShadow.supported(f.dataType)))
+        .foreach(c => HllShadow.build(spark, dir, plans, dataSchema, c, dbPath))
+
+  override def approxDistinct(
+      colName: String,
+      plans: Option[Seq[FileScanPlan]] = None): Option[Long] = conn.synchronized {
+    require(indexedCols.exists(_.name == colName), s"$colName is not indexed")
+    if (!indexedCols.exists(f =>
+        f.name == colName && HllShadow.supported(f.dataType))) return None
+    // which (file, row group) pairs the estimate must cover
+    val wanted: Option[Map[String, SortedSet[Int]]] =
+      plans.map(_.map(p => p.fileName -> p.scanRowGroups).toMap)
+    if (wanted.exists(_.values.forall(_.isEmpty))) return Some(0L)
+    val chunks: Seq[Option[Seq[String]]] = wanted match {
+      case None => Seq(None)
+      case Some(w) => w.keys.toSeq.sorted
+        .grouped(DerbyStatsIndex.FileInChunk).map(Some(_)).toSeq
+    }
+    val regs = new Array[Byte](HllShadow.M)
+    var covered = 0L
+    try {
+      chunks.foreach { chunk =>
+        val whereSql = chunk.fold("")(c =>
+          s"\nWHERE f.file_name IN (${c.map(_ => "?").mkString(", ")})")
+        val ps = conn.prepareStatement(
+          s"""SELECT f.file_name, rg.row_group, rg.${colName}_hll
+             |FROM row_group_statistics rg
+             |JOIN file_statistics f ON rg.file_id = f.file_id$whereSql""".stripMargin)
+        try {
+          chunk.foreach(_.zipWithIndex.foreach { case (n, i) =>
+            ps.setString(i + 1, n)
+          })
+          val rs = ps.executeQuery()
+          while (rs.next()) {
+            val selected = wanted.forall(
+              _.get(rs.getString(1)).exists(_.contains(rs.getInt(2))))
+            if (selected) {
+              val bytes = rs.getBytes(3)
+              // an unsketched selected group can hide ANY number of
+              // distinct values — fail closed, never guess
+              if (bytes == null) { rs.close(); return None }
+              HllShadow.merge(regs, bytes)
+              covered += 1
+            }
+          }
+          rs.close()
+        } finally ps.close()
+      }
+    } catch { case _: java.sql.SQLException => return None }
+    // coverage: every selected group contributed (a plan naming a group
+    // the catalog has no row for would otherwise silently undercount)
+    wanted match {
+      case Some(w) if covered != w.values.map(_.size.toLong).sum => None
+      case _ if covered == 0 && wanted.isEmpty => Some(0L) // empty catalog
+      case _ => Some(HllShadow.estimate(regs))
+    }
+  }
+
   override def allFiles(): Seq[FileScanPlan] = runPlanQuery(
     """SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
       |  rg.rg_start_bytes, rg.rg_compressed_bytes, rg.row_count
@@ -1076,6 +1157,12 @@ final class DerbyStatsIndex(
 object DerbyStatsIndex {
   /** Stats strings longer than this are truncated (min) or dropped (max). */
   val MaxStringLen = 1024
+
+  /** Row-group count past which [[DerbyStatsIndex.ingestAll]] settles the
+    * load (checkpoint + optimizer statistics): big enough that per-batch
+    * streaming ingest never pays the O(catalog) statistics pass, small
+    * enough that any real bulk (re)index does. */
+  val SettleThresholdRowGroups = 10000L
 
   /** Parameter-count bound per file-restricted stats query chunk
     * ([[DerbyStatsIndex.rowGroupStatsFor]]): each chunk is one prepared

@@ -253,6 +253,38 @@ trait StatsIndex extends AutoCloseable {
       freqCols: Seq[String],
       sumCols: Seq[String]): Unit = ()
 
+  /** Rebuild the per-row-group HYPERLOGLOG ledgers for JUST the given
+    * plans' files — the distinct-count member of the shadow family
+    * (r15, [[HllShadow]]): one register array per (row group, column),
+    * merged at PLANNING time by [[approxDistinct]]. Same O(changed
+    * files) maintenance contract as [[rebuildBlooms]]/[[rebuildShadows]];
+    * columns absent from `dataSchema` or unsupported are skipped (their
+    * sketches stay NULL, which only declines the estimate — sound).
+    * Default: no-op. */
+  def rebuildHll(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      plans: Seq[FileScanPlan],
+      dataSchema: StructType,
+      hllCols: Seq[String]): Unit = ()
+
+  /** Catalog-side APPROXIMATE distinct-value count of an indexed column
+    * (non-null values, like COUNT(DISTINCT)) from the [[HllShadow]]
+    * ledger — one merge over the selected row groups' register arrays,
+    * O(selection × 2 KB) transfer, ZERO data jobs. `plans` restricts the
+    * estimate to a row-group SUBSET (e.g. the survivors of a stats-pruned
+    * time slice — note the estimate then covers every row OF THOSE
+    * GROUPS, including rows a re-applied filter would drop: it is the
+    * planning-grade "NDV of the slice's groups", not of the filtered
+    * rows); None = the whole catalog. Returns None unless EVERY selected
+    * row group carries a sketch (an unknown group can hide any number of
+    * distinct values — fail closed, never guess); empty selection ⇒
+    * Some(0). NEVER substituted for an exact aggregate in a plan rewrite
+    * — this is an explicit API capability, rse ≈ 2.3% at m = 2048. */
+  def approxDistinct(
+      colName: String,
+      plans: Option[Seq[FileScanPlan]] = None): Option[Long] = None
+
   /** Catalog-side scalar: the EXACT global minimum value of an indexed
     * column, computed as MIN over the per-row-group minima already in the
     * catalog — ONE O(index) round trip that never touches data.

@@ -1465,8 +1465,132 @@ object Indexed {
       Some("""SELECT min(dayofweek(timezone('America/New_York', timezone('UTC', ts)))) + 1 AS mndow,
              |  max(strftime(timezone('America/New_York', timezone('UTC', ts)), '%Y-%m-%d')) AS mxlbl,
              |  count(month(timezone('America/New_York', timezone('UTC', ts)))) AS cm
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // CATALOG-served approximate NDV (idx70, r15): the per-row-group HLL
+    // ledger (index/HllShadow) merged at planning time — a table's
+    // distinct-key estimate with ZERO data jobs and O(groups x 2 KB)
+    // catalog transfer, on both an integral key and a high-cardinality
+    // string key. Estimates are engine/hash-specific by construction, so
+    // (sk1 precedent) the driver-visible output is accuracy booleans:
+    // |est - exact| within 4 sigma of HLL's rse at m=2048 (= 9.2%); the
+    // exact side is computed here, the oracle emits the pre-verified TRUE.
+    QueryDef(
+      "idx70_catalog_ndv",
+      (s, dir) => {
+        val e = cached(s, dir)
+        hllReady(s, e)
+        val estOrd = e.index.approxDistinct("l_orderkey")
+          .getOrElse(sys.error("catalog declined a fully-sketched NDV"))
+        val estUkey = e.index.approxDistinct("l_ukey")
+          .getOrElse(sys.error("catalog declined a fully-sketched NDV"))
+        val ex = e.df.agg(
+          countDistinct(col("l_orderkey")).as("xo"),
+          countDistinct(col("l_ukey")).as("xu")).collect()(0)
+        import s.implicits._
+        Seq((
+          math.abs(estOrd - ex.getLong(0)) <= ex.getLong(0) * 0.092,
+          math.abs(estUkey - ex.getLong(1)) <= ex.getLong(1) * 0.092))
+          .toDF("orderkey_ndv_ok", "ukey_ndv_ok")
+      },
+      Some("SELECT TRUE AS orderkey_ndv_ok, TRUE AS ukey_ndv_ok")),
+
+    // SLICED approximate NDV (idx71, r15): the ledger composes with the
+    // pruning walk — "how many distinct orders in this key range" merges
+    // ONLY the surviving row groups' sketches (the planning-grade NDV of
+    // the slice's groups; a group-boundary straddler's rows count, which
+    // is exactly what a join-size or shuffle-width estimate wants). The
+    // exact side scans the SAME groups through the byte-range leaf, so
+    // the accuracy boolean pins estimate-vs-truth on an identical row set.
+    QueryDef(
+      "idx71_catalog_ndv_sliced",
+      (s, dir) => {
+        val e = cached(s, dir)
+        hllReady(s, e)
+        val pred = graft.sources.RowGroupSkipScan.resolvePredicate(
+          s, e.dataSchema, col("l_orderkey") <= 5000L)
+        val plans = e.index.getFiles(pred)
+        val total = e.index.allFiles().map(_.scanRowGroups.size).sum
+        val sliceGroups = plans.map(_.scanRowGroups.size).sum
+        val est = e.index.approxDistinct("l_orderkey", Some(plans))
+          .getOrElse(sys.error("catalog declined a fully-sketched slice NDV"))
+        val exact = graft.sources.RowGroupSkipScan.scan(
+            s, e.dataDir, plans, e.dataSchema,
+            requiredCols = Seq("l_orderkey"))
+          .agg(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+        import s.implicits._
+        Seq((
+          sliceGroups < total,
+          math.abs(est - exact) <= math.max(4L, (exact * 0.092).toLong)))
+          .toDF("slice_pruned", "slice_ndv_ok")
+      },
+      Some("SELECT TRUE AS slice_pruned, TRUE AS slice_ndv_ok")),
+
+    // PER-GROUP approximate NDV (idx72, r15): "distinct users per day"
+    // with zero data jobs on the estimate side — the HLL ledger composes
+    // with the catalog's day-CONSTANCY (the same per-row-group min/max
+    // that powers the idx48 folds assigns every group its calendar day;
+    // the fixture is day-partitioned, so assignment is total), and each
+    // day's NDV is one merge over its groups' sketches. This is the
+    // shape a 100 TB ingest dashboard wants: day × distinct-key curves
+    // from the catalog alone. Exact side computed here per the sk1
+    // convention; per-day booleans at 4 sigma.
+    QueryDef(
+      "idx72_catalog_ndv_by_day",
+      (s, dir) => {
+        val e = dayPartsEntry(s, dir)
+        hllReady(s, e, Seq("user_id"))
+        val all = e.index.allFiles()
+        val stats = e.index.rowGroupStats("ts")
+          .getOrElse(sys.error("catalog cannot serve ts stats"))
+        val dayOf: Map[(String, Int), Long] = stats.map { st =>
+          require(st.nullCount.contains(0L), "fixture ts has nulls")
+          def day(v: Any) = Math.floorDiv(
+            v.asInstanceOf[java.lang.Number].longValue, 86_400_000_000L)
+          val d0 = day(st.min.getOrElse(sys.error("no ts min")))
+          val d1 = day(st.max.getOrElse(sys.error("no ts max")))
+          require(d0 == d1, s"${st.fileName}#${st.rowGroup} straddles days")
+          (st.fileName, st.rowGroup) -> d0
+        }.toMap
+        val estByDay = dayOf.values.toSeq.distinct.sorted.map { d =>
+          val plans = all.flatMap { p =>
+            val rgs = p.scanRowGroups
+              .filter(rg => dayOf.get((p.fileName, rg)).contains(d))
+            if (rgs.isEmpty) None else Some(p.copy(scanRowGroups = rgs))
+          }
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)) ->
+            e.index.approxDistinct("user_id", Some(plans))
+              .getOrElse(sys.error(s"day $d declined"))
+        }
+        val exact = e.df.groupBy(to_date(col("ts")).as("day"))
+          .agg(countDistinct(col("user_id")).as("x")).collect()
+          .map(r => r.getDate(0) -> r.getLong(1)).toMap
+        import s.implicits._
+        estByDay.map { case (day, est) =>
+          val x = exact(day)
+          (day, math.abs(est - x) <= math.max(4L, (x * 0.092).toLong))
+        }.toDF("day", "ndv_ok")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, TRUE AS ndv_ok
+             |FROM events GROUP BY 1""".stripMargin))
   )
+
+  // once-per-session HLL ledger attach for the registered fixture: the
+  // session's buildIndex re-ingest wipes prior sessions' sketches (stale
+  // shadows must not survive a re-index), so probe-and-rebuild here —
+  // idempotent, O(missing columns) scans
+  private val hllCache = TrieMap.empty[String, String]
+  private def hllReady(spark: SparkSession, e: Entry,
+      cols: Seq[String] = Seq("l_orderkey", "l_ukey")): Unit = {
+    hllCache.getOrElseUpdate(e.dataDir + "@" + spark.hashCode(), {
+      val missing = cols.filterNot(c => e.index.approxDistinct(c).isDefined)
+      if (missing.nonEmpty)
+        e.index.rebuildHll(spark, e.dataDir, e.index.allFiles(), e.dataSchema,
+          missing)
+      "built"
+    })
+    ()
+  }
 
   private val rowLevelCache = TrieMap.empty[String, String]
   private def rowLevelDir(spark: SparkSession, sfDir: String, e: Entry): String =

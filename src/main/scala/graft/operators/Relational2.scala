@@ -675,6 +675,33 @@ object Relational2 {
              |  bit_xor(l_orderkey) AS bxor,
              |  bool_and(l_quantity > 25.0) AS ba,
              |  bool_or(l_quantity > 49.0) AS bo
-             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ----- UNPIVOT / melt (q46, r15) -----------------------------------------
+    // The wide-to-long reshape (SQL-standard UNPIVOT, pandas melt):
+    // Spark 3.4+'s native Dataset.unpivot — a zero-shuffle Expand over
+    // the wide frame (each input row emits one row per value column), so
+    // at 100 TB it costs exactly the wide aggregate that feeds it. All
+    // three measures are BIGINT so the single long `value` column is
+    // exact; DuckDB runs its native UNPIVOT.
+    QueryDef(
+      "q46_unpivot",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_linenumber").cast("long")).as("sln"),
+          max(col("l_orderkey")).as("mxo"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("cnt"), col("sln"), col("mxo")),
+          "metric", "value"),
+      Some("""WITH wide AS (
+             |  SELECT l_returnflag, count(*) AS cnt,
+             |    CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sln,
+             |    max(l_orderkey) AS mxo
+             |  FROM lineitem GROUP BY 1)
+             |UNPIVOT wide ON cnt, sln, mxo INTO NAME metric VALUE value"""
+        .stripMargin))
   )
 }

@@ -357,12 +357,14 @@ object EventStreams {
     })
 
   /** Stream the 4-day fixture through [[IndexedSink]] (footer stats +
-    * user_id sum ledger maintained per micro-batch), hand the body the
-    * INDEXED read of the maintained table, then tear the temp copy down
-    * on every path. The body's answers must come from the catalog the
-    * SINK built — nothing is re-indexed after the stream stops. */
+    * user_id sum and HLL ledgers maintained per micro-batch), hand the
+    * body the INDEXED read of the maintained table plus the index itself
+    * (for explicit-API capabilities like approxDistinct), then tear the
+    * temp copy down on every path. The body's answers must come from the
+    * catalog the SINK built — nothing is re-indexed after the stream
+    * stops. */
   private[graft] def withStreamedDayparts[T](s: SparkSession, sfDir: String)(
-      body: DataFrame => T): T = {
+      body: (DataFrame, graft.index.DerbyStatsIndex) => T): T = {
     val dir = dayStreamDir(s, sfDir)
     val base = java.nio.file.Files.createTempDirectory("graft-st9").toString
     val srcSchema = s.read.parquet(dir).schema
@@ -380,14 +382,15 @@ object EventStreams {
       // the batch fixtures — see Indexed.timeEntry's -v2 note)
       val q = graft.operators.Indexed.withMicrosTimestamps(s) {
         val started = IndexedSink.start(src, s"$base/data", index, idxCols,
-          s"$base/ckpt", sumShadowCols = Seq("user_id"))
+          s"$base/ckpt", sumShadowCols = Seq("user_id"),
+          hllShadowCols = Seq("user_id"))
         try started.awaitTermination() finally started.stop()
         started
       }
       q.exception.foreach(e => throw e)
       val (df, _) = graft.sources.IndexedParquet.read(
         s, s"$base/data", index, srcSchema)
-      body(df)
+      body(df, index)
     } finally cleanupIndexTemp(index, base)
   }
 
@@ -399,14 +402,38 @@ object EventStreams {
     * family, through the streaming seam; StreamedDaypartsSpec pins that
     * the plan really folds (zero data jobs) and equals the scan. */
   def streamDaypartsQuery(s: SparkSession, sfDir: String): DataFrame =
-    withStreamedDayparts(s, sfDir) { df =>
+    withStreamedDayparts(s, sfDir) { (df, _) =>
       df.groupBy(dayofweek(col("ts")).as("dow"))
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("su"),
           min(col("ts")).as("mnts"), max(col("ts")).as("mxts"))
         .localCheckpoint()
     }
 
+  /** `st10_stream_ndv`: continuous DISTINCT-count maintenance — each
+    * day's micro-batch sketches its new files into the HLL ledger
+    * (IndexedSink's `hllShadowCols`), and the distinct-user estimate is
+    * then served from exactly the catalog the sink built, zero data jobs
+    * (the one scan below is the EXACT side of the accuracy boolean, sk1
+    * convention — estimates are hash-specific, so the driver-visible
+    * output is |est − exact| within 4σ of HLL's rse). The streaming
+    * story mirrors st9: incremental-ingest-equals-batch, now for the
+    * sketch ledger. */
+  def streamNdvQuery(s: SparkSession, sfDir: String): DataFrame =
+    withStreamedDayparts(s, sfDir) { (df, index) =>
+      val est = index.approxDistinct("user_id").getOrElse(
+        sys.error("sink-maintained catalog declined the NDV estimate"))
+      val exact = df.agg(countDistinct(col("user_id")))
+        .collect()(0).getLong(0)
+      import s.implicits._
+      Seq(math.abs(est - exact) <= math.max(4L, (exact * 0.092).toLong))
+        .toDF("stream_ndv_ok")
+    }
+
   val defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef(
+      "st10_stream_ndv",
+      (s, dir) => streamNdvQuery(s, dir),
+      Some("SELECT TRUE AS stream_ndv_ok")),
     graft.QueryDef(
       "st9_stream_dayparts",
       (s, dir) => streamDaypartsQuery(s, dir),

@@ -50,7 +50,8 @@ object IndexedSink {
       compactEvery: Int = 0,
       freqShadowCols: Seq[String] = Nil,
       sumShadowCols: Seq[String] = Nil,
-      rowLevelRowNumbers: Boolean = false): StreamingQuery = {
+      rowLevelRowNumbers: Boolean = false,
+      hllShadowCols: Seq[String] = Nil): StreamingQuery = {
     val spark = source.sparkSession
     val hconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     source.writeStream
@@ -60,7 +61,7 @@ object IndexedSink {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitBatch(batch, batchId, dataDir, index, indexedCols, hconf,
           rowLevel, dedupArtifacts, pairStatsArtifacts, compactEvery,
-          freqShadowCols, sumShadowCols, rowLevelRowNumbers)
+          freqShadowCols, sumShadowCols, rowLevelRowNumbers, hllShadowCols)
       }
       .start()
   }
@@ -85,7 +86,12 @@ object IndexedSink {
         * postings for same-name rewritten files — they ADD candidate
         * positions (fresh postings stay complete) and the fetch path's
         * key re-filter drops non-matching rows. */
-      rowLevelRowNumbers: Boolean = false): Unit = {
+      rowLevelRowNumbers: Boolean = false,
+      /** Maintain the per-row-group HLL ledgers (r15) for these columns —
+        * each batch sketches just its new files, so catalog NDV estimates
+        * ([[graft.index.StatsIndex.approxDistinct]]) keep serving on the
+        * growing table instead of declining on the unsketched tail. */
+      hllShadowCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val dirPath = new Path(dataDir)
     val fs = dirPath.getFileSystem(hconf.value)
@@ -131,7 +137,8 @@ object IndexedSink {
       // a replayed batch overwrites its own catalog rows
       index.ingestAll(statsRdd)
       if (rowLevel.nonEmpty || index.bloomCols.nonEmpty ||
-          freqShadowCols.nonEmpty || sumShadowCols.nonEmpty) {
+          freqShadowCols.nonEmpty || sumShadowCols.nonEmpty ||
+          hllShadowCols.nonEmpty) {
         // incremental bloom + shadow + posting maintenance for JUST this
         // batch's files: blooms keep equality probes precise on the
         // growing table (an absent bloom is only "might match"), the
@@ -147,6 +154,7 @@ object IndexedSink {
         index.rebuildBlooms(spark, dataDir, newPlans, batch.schema)
         index.rebuildShadows(spark, dataDir, newPlans, batch.schema,
           freqShadowCols, sumShadowCols)
+        index.rebuildHll(spark, dataDir, newPlans, batch.schema, hllShadowCols)
         rowLevel.foreach { case (colName, idxDir) =>
           graft.index.RowLevelIndex.append(
             spark, dataDir, newPlans, batch.schema, colName, idxDir,

@@ -23,7 +23,7 @@ class StreamedDaypartsSpec extends SparkSpec {
   }
 
   test("the sink-maintained catalog serves the day-of-week rollup with zero data jobs") {
-    graft.streaming.EventStreams.withStreamedDayparts(spark, sf("sf0.001")) { df =>
+    graft.streaming.EventStreams.withStreamedDayparts(spark, sf("sf0.001")) { (df, index) =>
       def roll = df.groupBy(dayofweek(col("ts")).as("dow"))
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("su"),
           min(col("ts")).as("mnts"), max(col("ts")).as("mxts"))
@@ -43,6 +43,15 @@ class StreamedDaypartsSpec extends SparkSpec {
       val wantRows = try sel.collect()
         finally spark.conf.unset("spark.graft.partPrune")
       assert(rows.map(_.getLong(0)).sorted === wantRows.map(_.getLong(0)).sorted)
+
+      // the sink also maintained the HLL ledger per batch (r15): the
+      // distinct-user estimate serves from the catalog it built, within
+      // 4 sigma of the exact count over the streamed table
+      val est = index.approxDistinct("user_id")
+        .getOrElse(fail("sink-maintained HLL ledger missing"))
+      val exact = df.agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+      assert(math.abs(est - exact) <= math.max(4L, (exact * 0.092).toLong),
+        s"est=$est exact=$exact")
     }
   }
 }
