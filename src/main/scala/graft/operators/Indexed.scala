@@ -1572,7 +1572,107 @@ object Indexed {
         }.toDF("day", "ndv_ok")
       },
       Some("""SELECT CAST(ts AS DATE) AS day, TRUE AS ndv_ok
-             |FROM events GROUP BY 1""".stripMargin))
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // CATALOG SEMI-JOIN pruning (idx73, r15, prune/JoinPrune): dynamic
+    // partition pruning at ROW-GROUP granularity — the star-schema shape.
+    // The filtered dim side's join keys are materialized at planning time
+    // (exactly Spark's own DPP protocol, one level finer than its
+    // partition-directory grain) and a small set routes through the
+    // existing pruning walk as an IN probe: OR-of-point intervals in
+    // stats space, in-catalog blooms where built. The scan reads only
+    // surviving row groups through the byte-range leaf; the EXACT
+    // broadcast semi-join on top removes false positives (Inexact
+    // contract — over-scan possible, wrong answers impossible). At
+    // 100 TB: an unpartitioned ingest-clustered fact table gets the
+    // skip Spark's DPP reserves for Hive-partitioned layouts.
+    QueryDef(
+      "idx73_semijoin_inprobe",
+      (s, dir) => {
+        val e = cached(s, dir)
+        val dim = graft.Tables.load(s, dir, "orders")
+          .filter(col("o_totalprice") > 499000.0)
+          .select("o_orderkey")
+        val (scan, _) = graft.prune.JoinPrune.semiJoinScan(
+          s, e.dataDir, e.index, e.dataSchema, "l_orderkey", dim,
+          requiredCols = Seq("l_orderkey", "l_returnflag", "l_linenumber"))
+        val keys = dim.distinct()
+        scan.join(broadcast(keys),
+            scan("l_orderkey") === keys("o_orderkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_linenumber").cast("long")).as("sln"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sln
+             |FROM lineitem
+             |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+             |                     WHERE o_totalprice > 499000.0)
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // ENVELOPE-REFINE semi-join pruning (idx74, r15): a dim key set past
+    // the IN-probe bound takes the two-phase route — one `k BETWEEN
+    // min(keys) AND max(keys)` catalog walk bounds the candidates
+    // (O(envelope survivors) transfer via the file-restricted stats
+    // fetch), then a planner-side binary search of each candidate
+    // group's [min, max] against the sorted key set keeps only groups
+    // whose range contains a key. Effective exactly when dim keys are
+    // range-correlated with the fact's clustering — the incremental-
+    // reprocess shape (both sides ingest-ordered); here the cohort is a
+    // key-range slice of orders, so ~4/5 of the fact's row groups never
+    // reach the scan (JoinPruneSpec pins it).
+    QueryDef(
+      "idx74_semijoin_envelope",
+      (s, dir) => {
+        val e = cached(s, dir)
+        val dim = graft.Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") < 3000L &&
+            col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        val (scan, _) = graft.prune.JoinPrune.semiJoinScan(
+          s, e.dataDir, e.index, e.dataSchema, "l_orderkey", dim,
+          requiredCols = Seq("l_orderkey", "l_returnflag", "l_quantity"))
+        val keys = dim.distinct()
+        scan.join(broadcast(keys),
+            scan("l_orderkey") === keys("o_orderkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("double")).as("sq"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sq
+             |FROM lineitem
+             |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+             |                     WHERE o_orderkey < 3000
+             |                       AND o_orderpriority = '1-URGENT')
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // BLOOM semi-join pruning (idx75, r15): the key the range layout
+    // cannot prune — l_ukey (md5 of the row identity) spans ~the whole
+    // hex domain in every row group, so min/max containment keeps
+    // everything; the IN-probe route's in-catalog per-row-group bloom
+    // probes keep only groups where some probe key might OCCUR
+    // (~|keys| groups of ~40). The dim side is itself an index-pruned
+    // scan (l_orderkey < 3 through the same catalog) — the gather-
+    // related-rows-by-content-hash shape of a dedup pipeline.
+    QueryDef(
+      "idx75_semijoin_bloom",
+      (s, dir) => {
+        val e = cached(s, dir)
+        val dim = lineitemIndexed(s, dir)
+          .filter(col("l_orderkey") < 3L)
+          .select(col("l_ukey").as("probe"))
+        val (scan, _) = graft.prune.JoinPrune.semiJoinScan(
+          s, e.dataDir, e.index, e.dataSchema, "l_ukey", dim,
+          requiredCols = Seq("l_ukey", "l_orderkey", "l_linenumber", "l_quantity"))
+        val keys = dim.distinct()
+        scan.join(broadcast(keys),
+            scan("l_ukey") === keys("probe"), "left_semi")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) IN
+             |  (SELECT md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))
+             |   FROM lineitem WHERE l_orderkey < 3)""".stripMargin))
   )
 
   // once-per-session HLL ledger attach for the registered fixture: the
