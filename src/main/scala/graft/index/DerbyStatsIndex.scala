@@ -120,7 +120,11 @@ final class DerbyStatsIndex(
         // per-row-group HLL register ledger (r15), attached post-ingest
         // by HllShadow.build; NULL until then ("no sketch ⇒ no estimate")
         (if (HllShadow.supported(f.dataType))
-           Seq(s"${f.name}_hll VARCHAR(32672) FOR BIT DATA") else Nil)
+           Seq(s"${f.name}_hll VARCHAR(32672) FOR BIT DATA") else Nil) ++
+        // per-row-group quantile summary (r15), attached post-ingest by
+        // QuantileShadow.build; NULL until then (fail-closed estimate)
+        (if (QuantileShadow.supported(f.dataType))
+           Seq(s"${f.name}_qsk VARCHAR(32672) FOR BIT DATA") else Nil)
     }
     createIfMissing(
       s"""CREATE TABLE row_group_statistics (
@@ -162,7 +166,9 @@ final class DerbyStatsIndex(
         (if (SumShadow.supported(f.dataType))
           Seq(s"${f.name}_sum BIGINT") else Nil) ++
         (if (HllShadow.supported(f.dataType))
-          Seq(s"${f.name}_hll VARCHAR(32672) FOR BIT DATA") else Nil)).foreach { c =>
+          Seq(s"${f.name}_hll VARCHAR(32672) FOR BIT DATA") else Nil) ++
+        (if (QuantileShadow.supported(f.dataType))
+          Seq(s"${f.name}_qsk VARCHAR(32672) FOR BIT DATA") else Nil)).foreach { c =>
         try st.execute(s"ALTER TABLE row_group_statistics ADD COLUMN $c")
         catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
       }
@@ -1060,6 +1066,75 @@ final class DerbyStatsIndex(
         .filter(c => dataSchema.fieldNames.contains(c) &&
           indexedCols.exists(f => f.name == c && HllShadow.supported(f.dataType)))
         .foreach(c => HllShadow.build(spark, dir, plans, dataSchema, c, dbPath))
+
+  override def rebuildQuantiles(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      plans: Seq[FileScanPlan],
+      dataSchema: StructType,
+      quantileCols: Seq[String]): Unit =
+    if (plans.nonEmpty)
+      quantileCols.distinct.sorted
+        .filter(c => dataSchema.fieldNames.contains(c) &&
+          indexedCols.exists(f => f.name == c && QuantileShadow.supported(f.dataType)))
+        .foreach(c => QuantileShadow.build(spark, dir, plans, dataSchema, c, dbPath))
+
+  override def approxQuantiles(
+      colName: String,
+      qs: Seq[Double],
+      plans: Option[Seq[FileScanPlan]] = None): Option[Seq[Double]] =
+    conn.synchronized {
+      require(indexedCols.exists(_.name == colName), s"$colName is not indexed")
+      if (!indexedCols.exists(f =>
+          f.name == colName && QuantileShadow.supported(f.dataType))) return None
+      val wanted: Option[Map[String, SortedSet[Int]]] =
+        plans.map(_.map(p => p.fileName -> p.scanRowGroups).toMap)
+      // a quantile of zero rows is undefined
+      if (wanted.exists(_.values.forall(_.isEmpty))) return None
+      val chunks: Seq[Option[Seq[String]]] = wanted match {
+        case None => Seq(None)
+        case Some(w) => w.keys.toSeq.sorted
+          .grouped(DerbyStatsIndex.FileInChunk).map(Some(_)).toSeq
+      }
+      val summaries = Seq.newBuilder[(Array[Double], Long)]
+      var covered = 0L
+      try {
+        chunks.foreach { chunk =>
+          val whereSql = chunk.fold("")(c =>
+            s"\nWHERE f.file_name IN (${c.map(_ => "?").mkString(", ")})")
+          val ps = conn.prepareStatement(
+            s"""SELECT f.file_name, rg.row_group, rg.${colName}_qsk
+               |FROM row_group_statistics rg
+               |JOIN file_statistics f ON rg.file_id = f.file_id$whereSql""".stripMargin)
+          try {
+            chunk.foreach(_.zipWithIndex.foreach { case (n, i) =>
+              ps.setString(i + 1, n)
+            })
+            val rs = ps.executeQuery()
+            while (rs.next()) {
+              val selected = wanted.forall(
+                _.get(rs.getString(1)).exists(_.contains(rs.getInt(2))))
+              if (selected) {
+                val bytes = rs.getBytes(3)
+                // an unsummarized selected group can hold values at ANY
+                // rank — fail closed, never guess
+                if (bytes == null) { rs.close(); return None }
+                summaries += QuantileShadow.deserialize(bytes)
+                covered += 1
+              }
+            }
+            rs.close()
+          } finally ps.close()
+        }
+      } catch { case _: java.sql.SQLException => return None }
+      // coverage: every selected group contributed (same contract as
+      // approxDistinct — a plan naming an uncataloged group must decline)
+      if (wanted.exists(w => covered != w.values.map(_.size.toLong).sum))
+        return None
+      val merged = summaries.result()
+      val out = qs.map(q => QuantileShadow.quantile(merged, q))
+      if (out.exists(_.isEmpty)) None else Some(out.map(_.get))
+    }
 
   override def approxDistinct(
       colName: String,

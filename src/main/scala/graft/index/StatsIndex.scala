@@ -268,6 +268,38 @@ trait StatsIndex extends AutoCloseable {
       dataSchema: StructType,
       hllCols: Seq[String]): Unit = ()
 
+  /** Rebuild the per-row-group QUANTILE ledgers for JUST the given
+    * plans' files — the order-statistics member of the shadow family
+    * (r15, [[QuantileShadow]]): one K-point equi-depth summary per
+    * (row group, column), merged at PLANNING time by
+    * [[approxQuantiles]]. Same O(changed files) maintenance contract as
+    * the other shadows; unsupported/absent columns are skipped (their
+    * summaries stay NULL, which only declines the estimate — sound).
+    * Default: no-op. */
+  def rebuildQuantiles(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      plans: Seq[FileScanPlan],
+      dataSchema: StructType,
+      quantileCols: Seq[String]): Unit = ()
+
+  /** Catalog-side APPROXIMATE quantiles of an indexed numeric column
+    * (non-null, non-NaN values) from the [[QuantileShadow]] ledger —
+    * one weighted merge over the selected row groups' summaries,
+    * O(selection × 520 B) transfer, ZERO data jobs; rank error bounded
+    * by N/(2K) ≈ 0.78 % of the selected population. `plans` restricts
+    * to a row-group subset with the same slice semantics as
+    * [[approxDistinct]] (every row OF THOSE GROUPS counts); None = the
+    * whole catalog. Returns None unless EVERY selected row group
+    * carries a summary (fail closed, never guess) or when the merged
+    * population is empty (a quantile of zero rows is undefined). NEVER
+    * substituted for an exact aggregate in a plan rewrite — explicit
+    * API capability, like [[approxDistinct]]. */
+  def approxQuantiles(
+      colName: String,
+      qs: Seq[Double],
+      plans: Option[Seq[FileScanPlan]] = None): Option[Seq[Double]] = None
+
   /** Catalog-side APPROXIMATE distinct-value count of an indexed column
     * (non-null values, like COUNT(DISTINCT)) from the [[HllShadow]]
     * ledger — one merge over the selected row groups' register arrays,

@@ -1672,7 +1672,77 @@ object Indexed {
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
              |WHERE md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) IN
              |  (SELECT md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))
-             |   FROM lineitem WHERE l_orderkey < 3)""".stripMargin))
+             |   FROM lineitem WHERE l_orderkey < 3)""".stripMargin)),
+
+    // CATALOG-served approximate quantiles (idx76, r15): the per-row-group
+    // QUANTILE ledger (index/QuantileShadow — K=64 equi-depth order
+    // statistics per group) merged at planning time — percentiles of the
+    // table with ZERO data jobs and O(groups × 520 B) catalog transfer.
+    // The merged rank error is bounded at N/(2K) ≈ 0.78 %, so (sk1
+    // convention — estimates are engine-specific) the driver-visible
+    // output is accuracy booleans: each estimate must land inside the
+    // exact ±3 %-rank value bracket, computed here; the oracle emits the
+    // pre-verified TRUE. QuantileShadowSpec pins the rank bound directly.
+    QueryDef(
+      "idx76_quantile_ledger",
+      (s, dir) => {
+        val e = cached(s, dir)
+        quantileReady(s, e)
+        val Seq(q50, q90, q99) = e.index
+          .approxQuantiles("l_quantity", Seq(0.5, 0.9, 0.99))
+          .getOrElse(sys.error("catalog declined a fully-summarized quantile"))
+        val Seq(k50) = e.index.approxQuantiles("l_orderkey", Seq(0.5))
+          .getOrElse(sys.error("catalog declined a fully-summarized quantile"))
+        val brackets = e.df.agg(
+          expr("percentile(l_quantity, array(0.47, 0.53, 0.87, 0.93, 0.96, 1.0))"),
+          expr("percentile(l_orderkey, array(0.47, 0.53))")).collect()(0)
+        val qb = brackets.getSeq[Double](0)
+        val kb = brackets.getSeq[Double](1)
+        import s.implicits._
+        Seq((
+          q50 >= qb(0) && q50 <= qb(1),
+          q90 >= qb(2) && q90 <= qb(3),
+          q99 >= qb(4) && q99 <= qb(5),
+          k50 >= kb(0) && k50 <= kb(1)))
+          .toDF("qty_p50_ok", "qty_p90_ok", "qty_p99_ok", "okey_p50_ok")
+      },
+      Some("""SELECT TRUE AS qty_p50_ok, TRUE AS qty_p90_ok,
+             |  TRUE AS qty_p99_ok, TRUE AS okey_p50_ok""".stripMargin)),
+
+    // SLICED approximate quantiles (idx77, r15): the ledger composes with
+    // the pruning walk exactly like the HLL ledger (idx71) — "the p50/p95
+    // price-of-admission of THIS key slice" merges only the surviving row
+    // groups' summaries. The exact side scans the SAME groups through the
+    // byte-range leaf, so the accuracy boolean pins estimate-vs-truth on
+    // an identical row set. This is the planning-grade shape: shuffle
+    // sizing, skew thresholds, and salting cutoffs all want "a quantile
+    // of the slice" without a data job.
+    QueryDef(
+      "idx77_quantile_sliced",
+      (s, dir) => {
+        val e = cached(s, dir)
+        quantileReady(s, e)
+        val pred = graft.sources.RowGroupSkipScan.resolvePredicate(
+          s, e.dataSchema, col("l_orderkey") <= 5000L)
+        val plans = e.index.getFiles(pred)
+        val total = e.index.allFiles().map(_.scanRowGroups.size).sum
+        val sliceGroups = plans.map(_.scanRowGroups.size).sum
+        val Seq(q50, q95) = e.index
+          .approxQuantiles("l_quantity", Seq(0.5, 0.95), Some(plans))
+          .getOrElse(sys.error("catalog declined a fully-summarized slice"))
+        val b = graft.sources.RowGroupSkipScan.scan(
+            s, e.dataDir, plans, e.dataSchema, requiredCols = Seq("l_quantity"))
+          .agg(expr("percentile(l_quantity, array(0.47, 0.53, 0.92, 0.98))"))
+          .collect()(0).getSeq[Double](0)
+        import s.implicits._
+        Seq((
+          sliceGroups < total,
+          q50 >= b(0) && q50 <= b(1),
+          q95 >= b(2) && q95 <= b(3)))
+          .toDF("slice_pruned", "slice_p50_ok", "slice_p95_ok")
+      },
+      Some("""SELECT TRUE AS slice_pruned, TRUE AS slice_p50_ok,
+             |  TRUE AS slice_p95_ok""".stripMargin))
   )
 
   // once-per-session HLL ledger attach for the registered fixture: the
@@ -1687,6 +1757,23 @@ object Indexed {
       if (missing.nonEmpty)
         e.index.rebuildHll(spark, e.dataDir, e.index.allFiles(), e.dataSchema,
           missing)
+      "built"
+    })
+    ()
+  }
+
+  // once-per-session quantile ledger attach, same probe-and-rebuild
+  // posture as hllReady (a session's re-ingest wipes prior sessions'
+  // summaries; the probe is one cheap catalog merge)
+  private val qskCache = TrieMap.empty[String, String]
+  private def quantileReady(spark: SparkSession, e: Entry,
+      cols: Seq[String] = Seq("l_quantity", "l_orderkey")): Unit = {
+    qskCache.getOrElseUpdate(e.dataDir + "@" + spark.hashCode(), {
+      val missing = cols.filterNot(c =>
+        e.index.approxQuantiles(c, Seq(0.5)).isDefined)
+      if (missing.nonEmpty)
+        e.index.rebuildQuantiles(spark, e.dataDir, e.index.allFiles(),
+          e.dataSchema, missing)
       "built"
     })
     ()

@@ -383,7 +383,8 @@ object EventStreams {
       val q = graft.operators.Indexed.withMicrosTimestamps(s) {
         val started = IndexedSink.start(src, s"$base/data", index, idxCols,
           s"$base/ckpt", sumShadowCols = Seq("user_id"),
-          hllShadowCols = Seq("user_id"))
+          hllShadowCols = Seq("user_id"),
+          quantileShadowCols = Seq("user_id"))
         try started.awaitTermination() finally started.stop()
         started
       }
@@ -429,11 +430,35 @@ object EventStreams {
         .toDF("stream_ndv_ok")
     }
 
+  /** `st11_stream_quantile`: continuous QUANTILE maintenance — each
+    * day's micro-batch summarizes its new files into the quantile ledger
+    * (IndexedSink's `quantileShadowCols`), and the user_id percentile
+    * estimate is served from exactly the catalog the sink built, zero
+    * data jobs (the scan below is the EXACT side of the accuracy
+    * boolean, sk1 convention: the merged-summary rank error is
+    * ≤ N/(2K) ≈ 0.78 %, checked against the exact ±3 %-rank bracket). */
+  def streamQuantileQuery(s: SparkSession, sfDir: String): DataFrame =
+    withStreamedDayparts(s, sfDir) { (df, index) =>
+      val Seq(est50, est90) = index
+        .approxQuantiles("user_id", Seq(0.5, 0.9))
+        .getOrElse(sys.error("sink-maintained catalog declined the quantile"))
+      val b = df.agg(
+          expr("percentile(user_id, array(0.47, 0.53, 0.87, 0.93))"))
+        .collect()(0).getSeq[Double](0)
+      import s.implicits._
+      Seq((est50 >= b(0) && est50 <= b(1), est90 >= b(2) && est90 <= b(3)))
+        .toDF("stream_p50_ok", "stream_p90_ok")
+    }
+
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef(
       "st10_stream_ndv",
       (s, dir) => streamNdvQuery(s, dir),
       Some("SELECT TRUE AS stream_ndv_ok")),
+    graft.QueryDef(
+      "st11_stream_quantile",
+      (s, dir) => streamQuantileQuery(s, dir),
+      Some("SELECT TRUE AS stream_p50_ok, TRUE AS stream_p90_ok")),
     graft.QueryDef(
       "st9_stream_dayparts",
       (s, dir) => streamDaypartsQuery(s, dir),

@@ -51,7 +51,8 @@ object IndexedSink {
       freqShadowCols: Seq[String] = Nil,
       sumShadowCols: Seq[String] = Nil,
       rowLevelRowNumbers: Boolean = false,
-      hllShadowCols: Seq[String] = Nil): StreamingQuery = {
+      hllShadowCols: Seq[String] = Nil,
+      quantileShadowCols: Seq[String] = Nil): StreamingQuery = {
     val spark = source.sparkSession
     val hconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     source.writeStream
@@ -61,7 +62,8 @@ object IndexedSink {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         commitBatch(batch, batchId, dataDir, index, indexedCols, hconf,
           rowLevel, dedupArtifacts, pairStatsArtifacts, compactEvery,
-          freqShadowCols, sumShadowCols, rowLevelRowNumbers, hllShadowCols)
+          freqShadowCols, sumShadowCols, rowLevelRowNumbers, hllShadowCols,
+          quantileShadowCols)
       }
       .start()
   }
@@ -91,7 +93,12 @@ object IndexedSink {
         * each batch sketches just its new files, so catalog NDV estimates
         * ([[graft.index.StatsIndex.approxDistinct]]) keep serving on the
         * growing table instead of declining on the unsketched tail. */
-      hllShadowCols: Seq[String] = Nil): Unit = {
+      hllShadowCols: Seq[String] = Nil,
+      /** Maintain the per-row-group quantile ledgers (r15) likewise —
+        * each batch summarizes just its new files, so catalog quantile
+        * estimates ([[graft.index.StatsIndex.approxQuantiles]]) keep
+        * serving on the growing table. */
+      quantileShadowCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val dirPath = new Path(dataDir)
     val fs = dirPath.getFileSystem(hconf.value)
@@ -138,7 +145,7 @@ object IndexedSink {
       index.ingestAll(statsRdd)
       if (rowLevel.nonEmpty || index.bloomCols.nonEmpty ||
           freqShadowCols.nonEmpty || sumShadowCols.nonEmpty ||
-          hllShadowCols.nonEmpty) {
+          hllShadowCols.nonEmpty || quantileShadowCols.nonEmpty) {
         // incremental bloom + shadow + posting maintenance for JUST this
         // batch's files: blooms keep equality probes precise on the
         // growing table (an absent bloom is only "might match"), the
@@ -155,6 +162,8 @@ object IndexedSink {
         index.rebuildShadows(spark, dataDir, newPlans, batch.schema,
           freqShadowCols, sumShadowCols)
         index.rebuildHll(spark, dataDir, newPlans, batch.schema, hllShadowCols)
+        index.rebuildQuantiles(spark, dataDir, newPlans, batch.schema,
+          quantileShadowCols)
         rowLevel.foreach { case (colName, idxDir) =>
           graft.index.RowLevelIndex.append(
             spark, dataDir, newPlans, batch.schema, colName, idxDir,
