@@ -11,7 +11,8 @@ object SparkEntry {
       operators.Indexed.defs ++
       operators.TextAnalysis.defs ++ operators.Dedup.defs ++
       operators.AnnSearch.defs ++ operators.Multimodal.defs ++
-      operators.Sketches.defs ++ operators.AsOf.defs ++
+      operators.Sketches.defs ++ operators.Sampling.defs ++
+      operators.AsOf.defs ++
       operators.Skew.defs ++ operators.Graph.defs ++
       sources.Compaction.defs ++ sources.MergeUpsert.defs ++
       streaming.EventStreams.defs ++ streaming.DocumentStreams.defs
