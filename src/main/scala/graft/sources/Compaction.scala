@@ -126,7 +126,18 @@ object Compaction {
       indexedCols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024,
       smallThresholdBytes: Long = 32L * 1024 * 1024,
-      rowLevel: Map[String, String] = Map.empty): Int = {
+      rowLevel: Map[String, String] = Map.empty,
+      // shadow-ledger maintenance (r15): a compaction re-ingests the
+      // rewritten files' catalog rows, which WIPES their freq/sum/HLL/
+      // quantile ledgers — sound (estimates decline, folds fall back to
+      // the scan) but a serving regression on exactly the files a
+      // maintenance pass touched. Passing the ledgered columns here
+      // rebuilds them over just the new files, same O(changed files)
+      // contract as the blooms.
+      freqShadowCols: Seq[String] = Nil,
+      sumShadowCols: Seq[String] = Nil,
+      hllShadowCols: Seq[String] = Nil,
+      quantileShadowCols: Seq[String] = Nil): Int = {
     val r = compactDetailed(spark, dir, targetBytes, smallThresholdBytes)
     if (r.newFiles.nonEmpty) {
       index.removeFiles(r.removedFiles.map(new Path(_).getName).toSet)
@@ -138,12 +149,18 @@ object Compaction {
           spark.sparkContext.defaultParallelism)))
         .map(f => graft.index.FooterStats.read(new Path(f), serConf.value, cols))
       index.ingestAll(statsRdd)
-      if (index.bloomCols.nonEmpty || rowLevel.nonEmpty) {
+      if (index.bloomCols.nonEmpty || rowLevel.nonEmpty ||
+          freqShadowCols.nonEmpty || sumShadowCols.nonEmpty ||
+          hllShadowCols.nonEmpty || quantileShadowCols.nonEmpty) {
         val names = r.newFiles.map(new Path(_).getName).toSet
         val newPlans = index.allFiles().filter(p => names.contains(p.fileName))
         val schema = footerSchema(
           new Path(r.newFiles.head), spark.sparkContext.hadoopConfiguration)
         index.rebuildBlooms(spark, dir, newPlans, schema)
+        index.rebuildShadows(spark, dir, newPlans, schema,
+          freqShadowCols, sumShadowCols)
+        index.rebuildHll(spark, dir, newPlans, schema, hllShadowCols)
+        index.rebuildQuantiles(spark, dir, newPlans, schema, quantileShadowCols)
         rowLevel.foreach { case (colName, idxDir) =>
           graft.index.RowLevelIndex.append(
             spark, dir, newPlans, schema, colName, idxDir)

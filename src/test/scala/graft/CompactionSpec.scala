@@ -123,4 +123,39 @@ class CompactionSpec extends SparkSpec {
     assert(fileIndex.lastExecution.get.scannedFiles.nonEmpty)
     assert(df.count() == 300)
   }
+
+  test("compactIndexed rebuilds the shadow ledgers over the new files") {
+    val base = Files.createTempDirectory("graft-compact-ledger").toString
+    val dir = s"$base/data"
+    Files.createDirectories(Paths.get(dir))
+    import spark.implicits._
+    (1 to 6).foreach { fi =>
+      val tmp = s"$base/tmp-$fi"
+      (0 until 50).map(v => (v + fi * 1000, s"r$v")).toDF("k", "s").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dir, s"f$fi.parquet"))
+    }
+    val (index, schema) = IndexedParquet.buildIndex(spark, dir, Seq("k"), s"$base/db")
+    index.rebuildHll(spark, dir, index.allFiles(), schema, Seq("k"))
+    index.rebuildQuantiles(spark, dir, index.allFiles(), schema, Seq("k"))
+    assert(index.approxDistinct("k").isDefined)
+    assert(index.approxQuantiles("k", Seq(0.5)).isDefined)
+
+    val bins = Compaction.compactIndexed(spark, dir, index, Seq("k"),
+      targetBytes = 1L << 20, smallThresholdBytes = 1L << 20,
+      hllShadowCols = Seq("k"), quantileShadowCols = Seq("k"))
+    assert(bins >= 1)
+    // the re-ingest wiped the rewritten files' ledgers; the maintenance
+    // hook must have rebuilt them — both estimates keep serving
+    val ndv = index.approxDistinct("k")
+      .getOrElse(fail("NDV declined after a maintained compaction"))
+    assert(math.abs(ndv - 300L) <= math.max(4L, (300 * 0.092).toLong))
+    val Seq(p50) = index.approxQuantiles("k", Seq(0.5))
+      .getOrElse(fail("quantile declined after a maintained compaction"))
+    // k values: 1000..1049, 2000..2049, …, 6000..6049 — median ≈ 3025
+    assert(p50 >= 2000 && p50 <= 4049, s"p50=$p50")
+  }
 }
