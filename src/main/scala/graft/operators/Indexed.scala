@@ -1742,7 +1742,43 @@ object Indexed {
           .toDF("slice_pruned", "slice_p50_ok", "slice_p95_ok")
       },
       Some("""SELECT TRUE AS slice_pruned, TRUE AS slice_p50_ok,
-             |  TRUE AS slice_p95_ok""".stripMargin))
+             |  TRUE AS slice_p95_ok""".stripMargin)),
+
+    // ROLLUP from the catalog (idx78, r15): the multi-level seasonality
+    // report — (month × weekday), per-month, and grand total — composed
+    // from THREE catalog folds, one per grouping set, unioned with
+    // ROLLUP's null-padding convention. Each leg is a shape the fold
+    // rules already serve on the day-partitioned layout (idx50's two-key
+    // determined group-by, idx48's one-key, the global ledger fold), so
+    // the whole report is a union of LocalRelations — ZERO data jobs
+    // (RollupFoldSpec pins it). Catalyst's own ROLLUP lowers to
+    // Expand + Aggregate, which no per-group certificate can serve (the
+    // Expand multiplies rows); decomposing by grouping set is the
+    // composition that CAN — and is plan-identical to what a warehouse
+    // materializes for rollup reports anyway.
+    QueryDef(
+      "idx78_rollup_fold",
+      (s, dir) => {
+        val src = eventsDayParts(s, dir)
+        def aggs = Seq(count(lit(1)).as("n"), sum(col("user_id")).as("su"))
+        val lvl2 = src
+          .groupBy(month(col("ts")).as("m"), dayofweek(col("ts")).as("dow"))
+          .agg(aggs.head, aggs.tail: _*)
+        val lvl1 = src.groupBy(month(col("ts")).as("m"))
+          .agg(aggs.head, aggs.tail: _*)
+          .withColumn("dow", lit(null).cast("int"))
+        val lvl0 = src.agg(aggs.head, aggs.tail: _*)
+          .withColumn("m", lit(null).cast("int"))
+          .withColumn("dow", lit(null).cast("int"))
+        lvl2.unionByName(lvl1.select("m", "dow", "n", "su"))
+          .unionByName(lvl0.select("m", "dow", "n", "su"))
+      },
+      Some("""SELECT month(ts) AS m,
+             |  CASE WHEN dayofweek(ts) IS NULL THEN NULL
+             |       ELSE dayofweek(ts) + 1 END AS dow,
+             |  count(*) AS n, CAST(sum(user_id) AS BIGINT) AS su
+             |FROM events GROUP BY ROLLUP(month(ts), dayofweek(ts))"""
+        .stripMargin))
   )
 
   // once-per-session HLL ledger attach for the registered fixture: the

@@ -66,7 +66,8 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
             // days" from the stats alone on an aligned layout
             val values = agg.aggregateExpressions.map(ne =>
               catalogValue(idx.statsIndex, ne)
-                .orElse(distinctCell(idx.statsIndex, ne)))
+                .orElse(distinctCell(idx.statsIndex, ne))
+                .orElse(foldableCell(ne)))
             if (values.forall(_.isDefined))
               LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.map(_.get))))
             else distinctRewrite(agg, idx).getOrElse(agg)
@@ -705,6 +706,13 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
         // generic Cast case (a cast grouping expr is not a render cast)
         case Alias(e, _) if gIdxE(e) >= 0 =>
           val i = gIdxE(e); Some((key, _) => keyCell(i, key))
+        // a FOLDABLE output column (r15: ROLLUP's `null AS dow` padding,
+        // constant report labels — CollapseProject folds them into the
+        // aggregate list): one value for every group, no catalog
+        // involvement. Foldable excludes aggregates and attributes by
+        // construction; evaluated once at rule time.
+        case Alias(e, _) if e.foldable =>
+          val v = e.eval(); Some((_, _) => Some(v))
         case Alias(e, _) => castsOver(e).flatMap { case (ae, cs) =>
           compileAgg(ae).map(f =>
             (key: Key, rows: Long) => f(key, rows).flatMap(replayCasts(cs, _))) }
@@ -827,6 +835,16 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
     * fixed-scale string cast) INTO the aggregate list — a Cast over a
     * certified aggregate is served by evaluating Spark's own cast on the
     * catalog value. */
+  /** A FOLDABLE output column of a global aggregate (r15: ROLLUP's
+    * `null AS <col>` padding, constant report labels — CollapseProject
+    * folds them into the aggregate list): its one constant value, in
+    * internal encoding, evaluated once at rule time. Foldable excludes
+    * aggregates and attributes by construction. */
+  private def foldableCell(ne: Expression): Option[Any] = ne match {
+    case Alias(e, _) if e.foldable => Some(e.eval())
+    case _ => None
+  }
+
   private def catalogValue(index: StatsIndex, ne: Expression): Option[Any] = ne match {
     case Alias(e, _) => castsOver(e).flatMap { case (ae, cs) =>
       aggValue(index, ae).flatMap(replayCasts(cs, _)) }
