@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // WITHIN files → byte-range RowGroupScan (runs after the folds, so a
     // successful catalog fold always wins)
     ext.injectOptimizerRule(session => graft.plans.PartPruneScan(session))
+    // equi-join against the indexed relation with a plan-time-small dim
+    // side → fact row groups pruned by the dim's materialized keys (the
+    // DPP protocol at row-group granularity)
+    ext.injectOptimizerRule(session => graft.plans.JoinPruneRule(session))
   }
 }

@@ -1191,6 +1191,19 @@ final class DerbyStatsIndex(
     }
   }
 
+  override def catalogCounts(): Option[(Long, Long)] = conn.synchronized {
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs1 = st.executeQuery("SELECT COUNT(*) FROM file_statistics")
+        rs1.next(); val nf = rs1.getLong(1); rs1.close()
+        val rs2 = st.executeQuery("SELECT COUNT(*) FROM row_group_statistics")
+        rs2.next(); val ng = rs2.getLong(1); rs2.close()
+        Some((nf, ng))
+      } finally st.close()
+    } catch { case _: java.sql.SQLException => None }
+  }
+
   override def allFiles(): Seq[FileScanPlan] = runPlanQuery(
     """SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
       |  rg.rg_start_bytes, rg.rg_compressed_bytes, rg.row_count

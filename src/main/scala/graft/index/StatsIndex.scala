@@ -115,6 +115,17 @@ trait StatsIndex extends AutoCloseable {
   /** All indexed files (for sizeInBytes / inputFiles / no-predicate scans). */
   def allFiles(): Seq[FileScanPlan]
 
+  /** Cheap catalog cardinalities — (file count, row-group count) as two
+    * COUNT(*) queries, O(1) transfer — for planner observability
+    * (pruned/total ratios) where fetching [[allFiles]]' full plan rows
+    * would itself be the O(catalog) walk the caller is avoiding. None on
+    * store failure; the default derives from allFiles (correct, not
+    * scaled). */
+  def catalogCounts(): Option[(Long, Long)] = {
+    val all = allFiles()
+    Some((all.size.toLong, all.map(_.rowGroupCount.toLong).sum))
+  }
+
   /** Every row group's (min, max, row count, null count) for one indexed
     * column — O(index) rows, the raw material for planner-side pruning
     * strategies beyond predicate rewrite (e.g. top-k pruning). None =

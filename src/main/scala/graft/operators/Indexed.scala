@@ -1778,7 +1778,85 @@ object Indexed {
              |       ELSE dayofweek(ts) + 1 END AS dow,
              |  count(*) AS n, CAST(sum(user_id) AS BIGINT) AS su
              |FROM events GROUP BY ROLLUP(month(ts), dayofweek(ts))"""
-        .stripMargin))
+        .stripMargin)),
+
+    // AUTOMATIC semi-join pruning (idx79, r15, plans/JoinPruneRule): the
+    // idx73 star join written as a PLAIN `fact.join(dim, k)` — no
+    // explicit API call. The injected rule recognizes the equi-join
+    // against the indexed relation, checks the dim side is plan-time-
+    // small by the optimizer's own size estimate (the DPP posture),
+    // materializes its distinct keys, and substitutes the byte-range
+    // RowGroupScan leaf for the fact relation; the Join stays above and
+    // re-applies the real condition (Inexact). This is the one-scan-seam
+    // story of idx13's routing, extended to joins: the USER writes
+    // declarative Spark, the catalog prunes. JoinPruneRuleSpec pins the
+    // route tag, the kill switch, and outer-join/huge-dim declines.
+    QueryDef(
+      "idx79_semijoin_routed",
+      (s, dir) => {
+        val fact = lineitemIndexed(s, dir)
+        val dim = graft.Tables.load(s, dir, "orders")
+          .filter(col("o_totalprice") > 499000.0)
+          .select("o_orderkey")
+        fact.join(dim, fact("l_orderkey") === dim("o_orderkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_linenumber").cast("long")).as("sln"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sln
+             |FROM lineitem
+             |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+             |                     WHERE o_totalprice > 499000.0)
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // PER-DAY approximate quantiles (idx80, r15): the quantile ledger
+    // composed with the catalog's day-constancy exactly like idx72's
+    // NDV — "the p90 engagement value per ingest day" as one summary
+    // merge per day, zero data jobs on the estimate side. Day
+    // assignment comes from the same per-row-group ts min/max the idx48
+    // folds use; the day-partitioned fixture makes it total. Exact side
+    // per the sk1 convention: each day's estimate must land inside that
+    // day's exact ±3 %-rank bracket.
+    QueryDef(
+      "idx80_quantile_by_day",
+      (s, dir) => {
+        val e = dayPartsEntry(s, dir)
+        quantileReady(s, e, Seq("user_id"))
+        val all = e.index.allFiles()
+        val stats = e.index.rowGroupStats("ts")
+          .getOrElse(sys.error("catalog cannot serve ts stats"))
+        val dayOf: Map[(String, Int), Long] = stats.map { st =>
+          require(st.nullCount.contains(0L), "fixture ts has nulls")
+          def day(v: Any) = Math.floorDiv(
+            v.asInstanceOf[java.lang.Number].longValue, 86_400_000_000L)
+          val d0 = day(st.min.getOrElse(sys.error("no ts min")))
+          val d1 = day(st.max.getOrElse(sys.error("no ts max")))
+          require(d0 == d1, s"${st.fileName}#${st.rowGroup} straddles days")
+          (st.fileName, st.rowGroup) -> d0
+        }.toMap
+        val estByDay = dayOf.values.toSeq.distinct.sorted.map { d =>
+          val plans = all.flatMap { p =>
+            val rgs = p.scanRowGroups
+              .filter(rg => dayOf.get((p.fileName, rg)).contains(d))
+            if (rgs.isEmpty) None else Some(p.copy(scanRowGroups = rgs))
+          }
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)) ->
+            e.index.approxQuantiles("user_id", Seq(0.9), Some(plans))
+              .getOrElse(sys.error(s"day $d declined")).head
+        }
+        val brackets = e.df.groupBy(to_date(col("ts")).as("day"))
+          .agg(expr("percentile(user_id, array(0.87, 0.93))").as("b"))
+          .collect()
+          .map(r => r.getDate(0) -> r.getSeq[Double](1)).toMap
+        import s.implicits._
+        estByDay.map { case (day, est) =>
+          val b = brackets(day)
+          (day, est >= b(0) && est <= b(1))
+        }.toDF("day", "p90_ok")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, TRUE AS p90_ok
+             |FROM events GROUP BY 1""".stripMargin))
   )
 
   // once-per-session HLL ledger attach for the registered fixture: the

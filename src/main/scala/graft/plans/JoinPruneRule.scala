@@ -1,0 +1,168 @@
+package graft.plans
+
+import graft.sources.{IndexedParquetFileIndex, PruneExecution, RowGroupSkipScan}
+import org.apache.spark.sql.{GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.planning.ExtractEquiJoinKeys
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.StructType
+
+/** AUTOMATIC catalog semi-join pruning (r15) — [[graft.prune.JoinPrune]]
+  * at the one-scan seam: a plain `fact.join(dim, fact.k === dim.k)`
+  * against the index-backed relation gets its fact row groups pruned by
+  * the dim side's materialized keys, with no explicit API call. This is
+  * the protocol of Spark's own dynamic partition pruning — materialize
+  * the small side's join keys, prune the big side's scan — applied at
+  * ROW-GROUP granularity through the external catalog instead of at
+  * partition directories.
+  *
+  * When it fires (all must hold, else the declarative join stands):
+  *  - an Inner or LeftSemi equi-join whose LEFT (streamed/fact) side
+  *    strips to the indexed relation through attribute-only Projects —
+  *    outer joins never fire (an unmatched fact row must survive them,
+  *    and EqualNullSafe never fires: NULL <=> NULL matches, so the
+  *    all-NULL-group skip would be unsound);
+  *  - some equi-key pair is (indexed fact column, dim-side attribute);
+  *  - the dim side is plan-time-small by the optimizer's own size
+  *    estimate (≤ spark.sql.autoBroadcastJoinThreshold — the same bound
+  *    DPP's broadcast reuse applies) and not streaming;
+  *  - materializing its distinct keys stays within
+  *    [[graft.prune.JoinPrune.DefaultMaxKeys]] (the collect is
+  *    limit-bounded, so an estimate that lied costs maxKeys+1 rows, not
+  *    an unbounded driver set);
+  *  - the pruning decision narrows the scan, and every kept group has a
+  *    byte range.
+  *
+  * Exactness is untouched: only the fact LEAF is substituted (same
+  * remap-Project-over-RowGroupScan pattern as [[PartPruneScan]], exprIds
+  * preserved); the Join itself stays and re-applies the real condition,
+  * so false positives cost IO only. The dim side is executed ONCE at
+  * planning per execution (a recursive optimizer entry — guarded
+  * re-entrant, and the substituted leaf cannot match again, so the
+  * fixed-point batch converges).
+  *
+  * Cost honesty: the dim materialization is a plan-time data job — the
+  * price DPP pays too (its subquery broadcast runs before the main
+  * stages). The size gate keeps it to genuinely-small sides; a query
+  * that cannot afford it sets the kill switch
+  * `spark.graft.joinPrune=false`.
+  */
+final case class JoinPruneRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (session.conf.get("spark.graft.joinPrune", "true") != "true") return plan
+    if (JoinPruneRule.reentrant.get()) return plan
+    plan.transform {
+      case j @ Join(_, _, Inner | LeftSemi, Some(_), _) =>
+        scala.util.Try(rewrite(j)).toOption.flatten.getOrElse(j)
+    }
+  }
+
+  private def rewrite(j: Join): Option[LogicalPlan] = {
+    if (j.right.isStreaming) return None
+    // the fact side must BE the indexed relation, modulo column-pruning
+    // Projects and deterministic Filters (the optimizer infers
+    // `isnotnull(key)` onto the join's left side) — both stay in place
+    // above the substituted leaf, so traversal is sound
+    def strip(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case l: LogicalRelation => Some(l)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(c)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.deterministic => strip(f.child)
+      case _ => None
+    }
+    val rel = strip(j.left).getOrElse(return None)
+    // every column any surviving left-side node consumes must resolve
+    // against the substituted scan: the side's output plus every
+    // Filter/Project reference below it
+    val keptCols = (j.left.output.map(_.name) ++ j.left.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSeq
+      case p: Project => p.projectList.flatMap(_.references.map(_.name))
+    }.flatten).distinct
+    val h = rel.relation match {
+      case h: HadoopFsRelation if h.partitionSchema.isEmpty => h
+      case _ => return None
+    }
+    val fi = h.location match {
+      case fi: IndexedParquetFileIndex => fi
+      case _ => return None
+    }
+    val idx = fi.statsIndex
+
+    // equi-key pairs via Catalyst's own extractor (it normalizes sides:
+    // leftKeys come from j.left); keep plain attribute pairs whose fact
+    // attribute is indexed — EqualTo only (the extractor models <=> as
+    // Coalesce-wrapped keys, which never look like bare attributes here)
+    val (leftKeys, rightKeys) = j match {
+      case ExtractEquiJoinKeys(_, lk, rk, _, _, _, _, _) => (lk, rk)
+      case _ => return None
+    }
+    val pair = leftKeys.zip(rightKeys).collectFirst {
+      case (la: AttributeReference, ra: AttributeReference)
+          if rel.outputSet.contains(la) &&
+            idx.indexedSchema.fieldNames.contains(la.name) => (la, ra)
+    }
+    val (factKey, dimKey) = pair.getOrElse(return None)
+
+    // dim side must be plan-time-small by the optimizer's OWN estimate —
+    // the DPP posture; a missing/huge estimate declines (typed conf: the
+    // raw string form is "10MB", not a number)
+    val threshold = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold <= 0 || j.right.stats.sizeInBytes > threshold) return None
+
+    // materialize the dim keys: a recursive optimizer entry, guarded
+    val keys =
+      try {
+        JoinPruneRule.reentrant.set(true)
+        GraftSqlShim.ofRows(session, Project(Seq(dimKey), j.right))
+          .na.drop().distinct()
+          .limit(graft.prune.JoinPrune.DefaultMaxKeys + 1)
+          .collect().map(_.get(0)).toSeq
+      } finally JoinPruneRule.reentrant.set(false)
+    if (keys.size > graft.prune.JoinPrune.DefaultMaxKeys) return None
+
+    val dec = graft.prune.JoinPrune.prunePlans(
+      session, idx, h.dataSchema, factKey.name, keys)
+    if (dec.route.startsWith("degrade")) return None
+    if (dec.scannedGroups >= dec.totalGroups) return None
+    // byte ranges must exist for every kept group (pre-range catalogs
+    // degrade to the unpruned relation)
+    if (dec.plans.exists(p =>
+        p.scanRowGroups.exists(rg => !p.rowGroupRanges.contains(rg))))
+      return None
+
+    // observability totals via the O(1) counts, never an allFiles fetch
+    val (nf, ng) = idx.catalogCounts().getOrElse((-1L, -1L))
+    fi.lastExecution = Some(PruneExecution(
+      Nil, dec.plans, nf.toInt, ng.toInt,
+      route = Seq(s"join-prune:${dec.route}", s"keys:${dec.keyCount}")))
+
+    val required = StructType(h.dataSchema.filter(f => keptCols.contains(f.name)))
+    val scan = RowGroupScan(
+      DataTypeUtils.toAttributes(required),
+      fi.rootPaths.head.toString, dec.plans, h.dataSchema, required,
+      mergeRuns = true,
+      pushedFilters = Nil)
+    val byName = scan.output.map(o => o.name -> o).toMap
+    val remap = Project(
+      rel.output.filter(o => keptCols.contains(o.name)).map(o =>
+        Alias(byName(o.name), o.name)(exprId = o.exprId, qualifier = o.qualifier)),
+      scan)
+    Some(j.copy(left = j.left.transformUp {
+      case l: LogicalRelation if l eq rel => remap
+    }))
+  }
+}
+
+object JoinPruneRule {
+  /** Guards the recursive optimizer entry of the dim-side collect. */
+  private val reentrant: ThreadLocal[Boolean] =
+    ThreadLocal.withInitial(() => false)
+}

@@ -105,20 +105,23 @@ object JoinPrune {
       colName: String,
       keys: Seq[Any],
       maxKeys: Int = DefaultMaxKeys): Decision = {
-    val all = index.allFiles()
-    val totalGroups = all.map(_.scanRowGroups.size).sum
+    // observability total via the O(1) count — fetching allFiles' plan
+    // rows here would itself be the O(catalog) walk this prune avoids;
+    // the degrade routes fetch them because the SCAN then needs them
+    val totalGroups = index.catalogCounts().map(_._2.toInt).getOrElse(-1)
     def decision(plans: Seq[FileScanPlan], route: String) =
       Decision(plans, route, keys.size,
         plans.map(_.scanRowGroups.size).sum, totalGroups)
 
     if (keys.isEmpty) return decision(Nil, "empty")
-    if (keys.size > maxKeys) return decision(all, "degrade-cardinality")
+    if (keys.size > maxKeys)
+      return decision(index.allFiles(), "degrade-cardinality")
 
     val dt = dataSchema(colName).dataType
     val ord = TopKPruning.ordering(dt)
     val encoded = keys.map(encodeKey(dt, _))
     if (ord.isEmpty || encoded.exists(_.isEmpty))
-      return decision(all, "degrade-type")
+      return decision(index.allFiles(), "degrade-type")
 
     if (keys.size <= MaxProbeKeys) {
       // the existing pruning walk already does point-interval union AND

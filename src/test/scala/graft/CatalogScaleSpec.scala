@@ -139,6 +139,33 @@ class CatalogScaleSpec extends SparkSpec {
     assert(t < 2.0, f"refinement took $t%.1f s — O(catalog) fetch is back?")
   }
 
+  test("semi-join envelope-refine stays bounded at 1M row groups") {
+    val ix = index // force the fixture outside the timed window
+    // a range-correlated dim key set (the incremental-reprocess shape):
+    // 1000 keys inside a 600-group envelope, one key per ~0.6 groups —
+    // the envelope walk bounds candidates, the binary-search refinement
+    // keeps only key-holding groups
+    val keys = (499_700L * 1000L until 500_300L * 1000L by 600L).map(Long.box)
+    assert(keys.size == 1000)
+    val (dec, t) = timed(graft.prune.JoinPrune.prunePlans(
+      spark, ix, schema, "v", keys))
+    info(f"semi-join prune of ${keys.size} keys: $t%.2f s (${dec.route})")
+    assert(dec.route == "envelope-refine")
+    // every 1000-wide group inside the envelope holds a key at step 600
+    assert(dec.scannedGroups == 600 && dec.totalGroups == 1_000_000)
+    // budget: one envelope walk + O(survivors) fetch + binary searches —
+    // an O(catalog × keys) scan or a catalog-wide fetch would blow this
+    assert(t < 12.0, f"semi-join prune took $t%.1f s on 1M row groups")
+
+    // sparse keys: 10 keys, each in its own group — in-probe route
+    val sparse = (0 until 10).map(i => Long.box(i * 100_000_000L))
+    val (dec2, t2) = timed(graft.prune.JoinPrune.prunePlans(
+      spark, ix, schema, "v", sparse))
+    info(f"in-probe prune of 10 keys: $t2%.2f s (${dec2.route})")
+    assert(dec2.route == "in-probe" && dec2.scannedGroups == 10)
+    assert(t2 < 12.0, f"in-probe took $t2%.1f s on 1M row groups")
+  }
+
   test("file-restricted stats fetch matches the unrestricted fetch, faster") {
     val ix = index // force the fixture outside the timed window
     val files = Set(fileName(0), fileName(2117), fileName(NFiles - 1))
