@@ -450,11 +450,44 @@ object EventStreams {
         .toDF("stream_p50_ok", "stream_p90_ok")
     }
 
+  /** `st12_stream_semijoin`: the AUTOMATIC semi-join pruning rule
+    * (plans/JoinPruneRule) firing on a catalog a STREAMING sink built —
+    * a plain `fact.join(dim, k)` over the maintained table scans only
+    * the row groups holding a dim key. event_id is ingest-sequential,
+    * so each daily batch file covers a disjoint id range and three point
+    * keys (min, mid, max — derived from the CATALOG's certified
+    * extremes, zero data jobs) prune the four day files to at most
+    * three. The same derivation is pure SQL for the oracle; a mid key
+    * that happens not to exist matches nothing on both sides. */
+  def streamSemijoinQuery(s: SparkSession, sfDir: String): DataFrame =
+    withStreamedDayparts(s, sfDir) { (df, index) =>
+      val lo = index.minIndexedValue("event_id")
+        .getOrElse(sys.error("catalog declined the event_id min"))
+        .asInstanceOf[Number].longValue
+      val hi = index.maxIndexedValue("event_id")
+        .getOrElse(sys.error("catalog declined the event_id max"))
+        .asInstanceOf[Number].longValue
+      import s.implicits._
+      val dim = Seq(lo, (lo + hi) / 2, hi).toDF("k")
+      df.join(dim, df("event_id") === dim("k"), "left_semi")
+        .select("event_id", "user_id", "event_type")
+        .localCheckpoint()
+    }
+
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef(
       "st10_stream_ndv",
       (s, dir) => streamNdvQuery(s, dir),
       Some("SELECT TRUE AS stream_ndv_ok")),
+    graft.QueryDef(
+      "st12_stream_semijoin",
+      (s, dir) => streamSemijoinQuery(s, dir),
+      Some("""WITH days AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events ORDER BY 1 LIMIT 4),
+             |e AS (SELECT * FROM events WHERE CAST(ts AS DATE) IN (SELECT d FROM days)),
+             |b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM e)
+             |SELECT event_id, user_id, event_type FROM e, b
+             |WHERE event_id IN (lo, (lo + hi) // 2, hi)""".stripMargin)),
     graft.QueryDef(
       "st11_stream_quantile",
       (s, dir) => streamQuantileQuery(s, dir),

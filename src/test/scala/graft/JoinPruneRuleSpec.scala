@@ -65,6 +65,20 @@ class JoinPruneRuleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("a fact-side Filter is traversed and stays above the substituted leaf") {
+    val q = fact.filter(col("l_quantity") > 10.0)
+      .join(dim, fact("l_orderkey") === dim("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val p = q.queryExecution.optimizedPlan
+    assert(p.collectFirst { case s: plans.RowGroupScan => s }.isDefined,
+      s"rule did not traverse the fact-side Filter:\n$p")
+    val got = q.collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.joinPrune", "false")
+    val want = try q.collect().map(_.toString).sorted
+      finally spark.conf.unset("spark.graft.joinPrune")
+    assert(got === want)
+  }
+
   test("an over-limit key set declines (bounded collect, unpruned plan)") {
     // every orderkey qualifies -> key count > DefaultMaxKeys only if the
     // fixture were big enough; emulate by dropping the limit to the conf?

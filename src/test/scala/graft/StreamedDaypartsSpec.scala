@@ -52,6 +52,23 @@ class StreamedDaypartsSpec extends SparkSpec {
       val exact = df.agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
       assert(math.abs(est - exact) <= math.max(4L, (exact * 0.092).toLong),
         s"est=$est exact=$exact")
+
+      // the AUTOMATIC semi-join rule (r15) fires on the sink-built
+      // catalog too: three point keys prune the four day files, the
+      // exact join stays above, the kill switch restores equality
+      val lo = index.minIndexedValue("event_id").get
+        .asInstanceOf[Number].longValue
+      val hi = index.maxIndexedValue("event_id").get
+        .asInstanceOf[Number].longValue
+      import spark.implicits._
+      val dim = Seq(lo, hi).toDF("k")
+      def semi = df.join(dim, df("event_id") === dim("k"), "left_semi")
+        .select("event_id")
+      val semiRows = semi.collect().map(_.getLong(0)).sorted
+      assert(semiRows.toSeq == Seq(lo, hi))
+      val p = semi.queryExecution.optimizedPlan
+      assert(p.collectFirst { case s: graft.plans.RowGroupScan => s }.isDefined,
+        s"join-prune did not fire on the streamed catalog:\n$p")
     }
   }
 }
