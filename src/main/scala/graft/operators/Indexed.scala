@@ -1760,24 +1760,39 @@ object Indexed {
       "idx78_rollup_fold",
       (s, dir) => {
         val src = eventsDayParts(s, dir)
-        def aggs = Seq(count(lit(1)).as("n"), sum(col("user_id")).as("su"))
-        val lvl2 = src
-          .groupBy(month(col("ts")).as("m"), dayofweek(col("ts")).as("dow"))
-          .agg(aggs.head, aggs.tail: _*)
-        val lvl1 = src.groupBy(month(col("ts")).as("m"))
-          .agg(aggs.head, aggs.tail: _*)
-          .withColumn("dow", lit(null).cast("int"))
-        val lvl0 = src.agg(aggs.head, aggs.tail: _*)
-          .withColumn("m", lit(null).cast("int"))
-          .withColumn("dow", lit(null).cast("int"))
-        lvl2.unionByName(lvl1.select("m", "dow", "n", "su"))
-          .unionByName(lvl0.select("m", "dow", "n", "su"))
+        val keys = Seq(
+          "m" -> month(col("ts")), "dow" -> dayofweek(col("ts")))
+        foldGroupingSets(src, keys, Seq(Seq("m", "dow"), Seq("m"), Nil),
+          Seq(count(lit(1)).as("n"), sum(col("user_id")).as("su")),
+          Seq("n", "su"))
       },
       Some("""SELECT month(ts) AS m,
              |  CASE WHEN dayofweek(ts) IS NULL THEN NULL
              |       ELSE dayofweek(ts) + 1 END AS dow,
              |  count(*) AS n, CAST(sum(user_id) AS BIGINT) AS su
              |FROM events GROUP BY ROLLUP(month(ts), dayofweek(ts))"""
+        .stripMargin)),
+
+    // CUBE from the catalog (idx81, r15): the 4-set cube through the
+    // same per-grouping-set decomposition — all four legs fold, the
+    // report is a union of four LocalRelations, zero data jobs. The
+    // weekday-only leg is the idx48 shape; the rest are idx78's.
+    QueryDef(
+      "idx81_cube_fold",
+      (s, dir) => {
+        val src = eventsDayParts(s, dir)
+        val keys = Seq(
+          "m" -> month(col("ts")), "dow" -> dayofweek(col("ts")))
+        foldGroupingSets(src, keys,
+          Seq(Seq("m", "dow"), Seq("m"), Seq("dow"), Nil),
+          Seq(count(lit(1)).as("n"), sum(col("user_id")).as("su")),
+          Seq("n", "su"))
+      },
+      Some("""SELECT month(ts) AS m,
+             |  CASE WHEN dayofweek(ts) IS NULL THEN NULL
+             |       ELSE dayofweek(ts) + 1 END AS dow,
+             |  count(*) AS n, CAST(sum(user_id) AS BIGINT) AS su
+             |FROM events GROUP BY CUBE(month(ts), dayofweek(ts))"""
         .stripMargin)),
 
     // AUTOMATIC semi-join pruning (idx79, r15, plans/JoinPruneRule): the
@@ -1874,6 +1889,42 @@ object Indexed {
       "built"
     })
     ()
+  }
+
+  /** Multi-grouping-set report as a UNION of per-set aggregates with
+    * SQL's null-padding convention (r15, idx78/idx81): each leg is a
+    * shape the catalog fold rules serve on an aligned layout, so the
+    * whole ROLLUP/CUBE/GROUPING SETS report optimizes to a union of
+    * LocalRelations — zero data jobs — where Catalyst's own lowering
+    * (Expand + Aggregate) could never fold (the Expand multiplies
+    * rows). On an unaligned layout every leg falls back to the scan
+    * independently; results are identical either way (RollupFoldSpec
+    * pins both the folds and kill-switch equality). */
+  private[graft] def foldGroupingSets(
+      src: DataFrame,
+      keys: Seq[(String, org.apache.spark.sql.Column)],
+      sets: Seq[Seq[String]],
+      aggs: Seq[org.apache.spark.sql.Column],
+      aggNames: Seq[String]): DataFrame = {
+    val keyTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      src.select(keys.map { case (n, c) => c.as(n) }: _*)
+        .schema.fields.map(f => f.name -> f.dataType).toMap
+    val outCols = keys.map(_._1) ++ aggNames
+    val legs = sets.map { set =>
+      val base =
+        if (set.isEmpty) src.agg(aggs.head, aggs.tail: _*)
+        else {
+          val gs = keys.filter(k => set.contains(k._1))
+            .map { case (n, c) => c.as(n) }
+          src.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
+        }
+      val padded = keys.foldLeft(base) { case (df, (n, _)) =>
+        if (set.contains(n)) df
+        else df.withColumn(n, lit(null).cast(keyTypes(n)))
+      }
+      padded.select(outCols.head, outCols.tail: _*)
+    }
+    legs.reduce(_ unionByName _)
   }
 
   // once-per-session quantile ledger attach, same probe-and-rebuild

@@ -24,4 +24,19 @@ class RollupFoldSpec extends SparkSpec {
     // ROLLUP shape: exactly one grand-total row, n legs consistent
     assert(got.length >= 3)
   }
+
+  test("the cube union folds all four legs and equals the scan answer") {
+    val dir = sf("sf0.001")
+    def q = SparkEntry.queries("idx81_cube_fold")(spark, dir)
+    val p = q.queryExecution.optimizedPlan
+    assert(p.collect { case l: LocalRelation => l }.size == 4,
+      s"expected 4 folded legs:\n$p")
+    assert(p.collectFirst { case r: LogicalRelation => r }.isEmpty,
+      s"a leg fell back to the scan:\n$p")
+    val got = q.collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.statsAggPushdown", "false")
+    val want = try q.collect().map(_.toString).sorted
+      finally spark.conf.unset("spark.graft.statsAggPushdown")
+    assert(got === want)
+  }
 }
