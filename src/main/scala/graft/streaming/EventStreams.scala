@@ -364,7 +364,15 @@ object EventStreams {
     * catalog the SINK built — nothing is re-indexed after the stream
     * stops. */
   private[graft] def withStreamedDayparts[T](s: SparkSession, sfDir: String)(
-      body: (DataFrame, graft.index.DerbyStatsIndex) => T): T = {
+      body: (DataFrame, graft.index.DerbyStatsIndex) => T): T =
+    withStreamedDaypartsFull(s, sfDir)((df, ix, _, _) => body(df, ix))
+
+  /** [[withStreamedDayparts]] plus the maintained table's data dir and
+    * schema — the handles version-aware reads (IndexedSink.readAsOf)
+    * need. */
+  private[graft] def withStreamedDaypartsFull[T](s: SparkSession, sfDir: String)(
+      body: (DataFrame, graft.index.DerbyStatsIndex, String,
+        org.apache.spark.sql.types.StructType) => T): T = {
     val dir = dayStreamDir(s, sfDir)
     val base = java.nio.file.Files.createTempDirectory("graft-st9").toString
     val srcSchema = s.read.parquet(dir).schema
@@ -391,7 +399,7 @@ object EventStreams {
       q.exception.foreach(e => throw e)
       val (df, _) = graft.sources.IndexedParquet.read(
         s, s"$base/data", index, srcSchema)
-      body(df, index)
+      body(df, index, s"$base/data", srcSchema)
     } finally cleanupIndexTemp(index, base)
   }
 
@@ -474,7 +482,31 @@ object EventStreams {
         .localCheckpoint()
     }
 
+  /** `st13_time_travel`: the sink-maintained table read AS OF an earlier
+    * batch (IndexedSink.readAsOf) — each daily micro-batch is a version,
+    * the deterministic `b<id>-<k>` names are the manifest, and the
+    * snapshot's file set derives from the CATALOG alone. AS OF batch 1 =
+    * the first two ingested days; the per-day rollup over that snapshot
+    * must equal the batch answer over those days (which is the oracle). */
+  def streamTimeTravelQuery(s: SparkSession, sfDir: String): DataFrame =
+    withStreamedDaypartsFull(s, sfDir) { (_, index, dataDir, schema) =>
+      IndexedSink.readAsOf(s, dataDir, index, schema, maxBatchId = 1L,
+          requiredCols = Seq("ts", "user_id"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("su"))
+        .localCheckpoint()
+    }
+
   val defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef(
+      "st13_time_travel",
+      (s, dir) => streamTimeTravelQuery(s, dir),
+      Some("""WITH days AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events ORDER BY 1 LIMIT 2)
+             |SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+             |  CAST(sum(user_id) AS BIGINT) AS su
+             |FROM events WHERE CAST(ts AS DATE) IN (SELECT d FROM days)
+             |GROUP BY 1""".stripMargin)),
     graft.QueryDef(
       "st10_stream_ndv",
       (s, dir) => streamNdvQuery(s, dir),

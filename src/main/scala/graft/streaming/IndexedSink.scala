@@ -190,4 +190,38 @@ object IndexedSink {
         DedupMaintenance.compactPairStats(spark, artDir, hconf))
     ()
   }
+
+  /** The batch id a sink-committed file belongs to — the `b<id>-<k>`
+    * naming IS the version manifest (deterministic, replay-stable). */
+  private[graft] def batchIdOf(fileName: String): Option[Long] =
+    "^b(\\d+)-\\d+\\.parquet$".r.findFirstMatchIn(fileName)
+      .map(_.group(1).toLong)
+
+  /** TIME-TRAVEL read (r15): the sink-maintained table AS OF `maxBatchId`
+    * — exactly the rows the table held after that batch committed. The
+    * snapshot's file set derives from the CATALOG alone (the sink's
+    * deterministic `b<id>-<k>` names are the version manifest; no
+    * directory listing, no snapshot files to maintain), and the scan is
+    * the byte-range RowGroupScan leaf over those plans with
+    * `requiredCols` pruning. Files the sink did not commit (no batch id)
+    * are excluded — a snapshot of the STREAM's history, by construction.
+    *
+    * Deliberately NOT an [[graft.sources.IndexedParquet.read]] relation:
+    * the fold/top-k/join-prune rules consult the WHOLE catalog through
+    * that seam, and on a version-filtered relation a catalog fold would
+    * answer from rows outside the snapshot — the plan-leaf scan has no
+    * such rule surface, so AS-OF answers are scan-true by construction.
+    * Pushed filters still reach the reader for page-level skipping. */
+  def readAsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      dataDir: String,
+      index: StatsIndex,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      maxBatchId: Long,
+      requiredCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val plans = index.allFiles()
+      .filter(p => batchIdOf(p.fileName).exists(_ <= maxBatchId))
+    graft.sources.RowGroupSkipScan.scan(
+      spark, dataDir, plans, dataSchema, requiredCols = requiredCols)
+  }
 }

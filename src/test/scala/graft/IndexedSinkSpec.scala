@@ -96,6 +96,48 @@ class IndexedSinkSpec extends SparkSpec {
     index.close()
   }
 
+  test("readAsOf serves each version exactly, across replay and later batches") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sink-asof").toString
+    val dataDir = s"$base/data"
+    new java.io.File(dataDir).mkdirs()
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val index = new DerbyStatsIndex(s"$base/db", schema)
+    index.initialize(schema)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+
+    IndexedSink.commitBatch((0L until 100L).toDF("k"), 0L, dataDir, index, Seq("k"), hconf)
+    IndexedSink.commitBatch((100L until 150L).toDF("k"), 1L, dataDir, index, Seq("k"), hconf)
+    // batch 1 replays with DIFFERENT content and partitioning — the
+    // snapshot must reflect the LAST committed attempt, nothing doubled
+    IndexedSink.commitBatch((100L until 160L).toDF("k").repartition(2),
+      1L, dataDir, index, Seq("k"), hconf)
+    IndexedSink.commitBatch((200L until 210L).toDF("k"), 2L, dataDir, index, Seq("k"), hconf)
+
+    def asOf(b: Long): Seq[Long] =
+      IndexedSink.readAsOf(spark, dataDir, index, schema, b)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(asOf(0L) == (0L until 100L))
+    assert(asOf(1L) == (0L until 160L))
+    assert(asOf(2L) == ((0L until 160L) ++ (200L until 210L)))
+    // a file the sink did not commit is OUTSIDE stream history: invisible
+    // to every snapshot even once cataloged
+    (990L until 995L).toDF("k").coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/tmp-x")
+    val part = Files.list(java.nio.file.Paths.get(s"$base/tmp-x")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, java.nio.file.Paths.get(dataDir, "manual.parquet"))
+    index.addFile(graft.index.FooterStats.read(
+      new org.apache.hadoop.fs.Path(s"$dataDir/manual.parquet"),
+      spark.sparkContext.hadoopConfiguration, Seq("k")))
+    assert(asOf(2L) == ((0L until 160L) ++ (200L until 210L)))
+    assert(IndexedSink.batchIdOf("b12-3.parquet") == Some(12L))
+    assert(IndexedSink.batchIdOf("manual.parquet").isEmpty)
+    index.close()
+  }
+
   test("shadow maintenance keeps SUM folds and freq certificates served as batches land") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-sink-shadow").toString
