@@ -1795,6 +1795,39 @@ object Indexed {
              |FROM events GROUP BY CUBE(month(ts), dayofweek(ts))"""
         .stripMargin)),
 
+    // CLUSTERING-HEALTH advisor (idx82, r15, index/ClusterHealth): the
+    // mean row-group range-overlap degree per column — the column's read
+    // amplification under stats pruning — from the catalog alone, zero
+    // data jobs. On the range-clustered fixture l_orderkey sits near 1
+    // (disjoint ranges: the layout the writes bought), l_quantity spans
+    // the domain in every group (degree ≈ G: pruning-blind, the advisor
+    // says re-cluster if the workload filters on it), and the string key
+    // declines by design (truncated minima would overstate health).
+    // Booleans per the sk1 convention; exact degrees pinned in
+    // ClusterHealthSpec.
+    QueryDef(
+      "idx82_cluster_health",
+      (s, dir) => {
+        val e = cached(s, dir)
+        import graft.index.ClusterHealth
+        val (okDeg, g) = ClusterHealth.overlapDegree(e.index, "l_orderkey")
+          .getOrElse(sys.error("catalog declined the clustered column"))
+        val (qtyDeg, _) = ClusterHealth.overlapDegree(e.index, "l_quantity")
+          .getOrElse(sys.error("catalog declined the scattered column"))
+        import s.implicits._
+        Seq((
+          okDeg < 3.0,
+          qtyDeg > g / 2.0,
+          ClusterHealth.overlapDegree(e.index, "l_ukey").isEmpty,
+          ClusterHealth.wantsRecluster(e.index, "l_quantity").contains(true),
+          ClusterHealth.wantsRecluster(e.index, "l_orderkey").contains(false)))
+          .toDF("orderkey_clustered", "quantity_scattered", "ukey_declines",
+            "advise_quantity", "keep_orderkey")
+      },
+      Some("""SELECT TRUE AS orderkey_clustered, TRUE AS quantity_scattered,
+             |  TRUE AS ukey_declines, TRUE AS advise_quantity,
+             |  TRUE AS keep_orderkey""".stripMargin)),
+
     // AUTOMATIC semi-join pruning (idx79, r15, plans/JoinPruneRule): the
     // idx73 star join written as a PLAIN `fact.join(dim, k)` — no
     // explicit API call. The injected rule recognizes the equi-join
