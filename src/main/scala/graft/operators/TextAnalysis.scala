@@ -838,7 +838,31 @@ object TextAnalysis {
            |SELECT doc_id, q, nt, cum_tokens FROM c
            |WHERE cum_tokens <=
            |  (SELECT CAST(sum(nt) / 2 AS BIGINT) FROM scored)""".stripMargin
-      })
+      }),
+
+    // ----- denylist scrubbing (tx22, r15) ------------------------------------
+    // The redaction face of decontamination: whole-word occurrences of a
+    // denied term list replaced in place, per-document hit counts and a
+    // content digest of the SCRUBBED text emitted (the digest is what a
+    // downstream exact-dedup pass would key on, so scrub-then-dedup
+    // composes). Map-only, zero shuffles; the regex is RE2-safe (plain
+    // alternation + \b word boundaries — identical semantics in Java and
+    // DuckDB's RE2 for ASCII tokens), so the oracle hash-matches the
+    // scrubbed digests exactly. The same shape serves PII patterns
+    // (emails/phones) — the term list is the only thing that changes.
+    QueryDef(
+      "tx22_denylist_scrub",
+      (s, dir) => {
+        val pat = "\\b(customer|merge)\\b"
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_count(col("text"), lit(pat)).cast("long").as("n_hits"),
+            md5(regexp_replace(col("text"), pat, "<X>")).as("scrubbed_md5"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '\b(customer|merge)\b')) AS BIGINT) AS n_hits,
+             |  md5(regexp_replace(text, '\b(customer|merge)\b', '<X>', 'g')) AS scrubbed_md5
+             |FROM documents""".stripMargin))
   )
 
   /** Word n-grams of the materialized token array `w` as joined strings
