@@ -1828,6 +1828,28 @@ object Indexed {
              |  TRUE AS ukey_declines, TRUE AS advise_quantity,
              |  TRUE AS keep_orderkey""".stripMargin)),
 
+    // the classic star-join INNER shape (idx83, r15): dim columns kept in
+    // the output (a semi-join cannot express this), dim written FIRST —
+    // `dim.join(fact)` — so the rule's mirrored recognition fires; the
+    // pruned fact leaf feeds the exact broadcast join, and the report
+    // groups by a DIM attribute
+    QueryDef(
+      "idx83_starjoin_inner",
+      (s, dir) => {
+        val fact = lineitemIndexed(s, dir)
+        val dim = graft.Tables.load(s, dir, "orders")
+          .filter(col("o_totalprice") > 499000.0)
+          .select("o_orderkey", "o_orderpriority")
+        dim.join(fact, fact("l_orderkey") === dim("o_orderkey"), "inner")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("double")).as("sq"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sq
+             |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE o_totalprice > 499000.0
+             |GROUP BY o_orderpriority""".stripMargin)),
+
     // AUTOMATIC semi-join pruning (idx79, r15, plans/JoinPruneRule): the
     // idx73 star join written as a PLAIN `fact.join(dim, k)` — no
     // explicit API call. The injected rule recognizes the equi-join

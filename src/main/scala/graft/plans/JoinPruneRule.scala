@@ -21,11 +21,12 @@ import org.apache.spark.sql.types.StructType
   * partition directories.
   *
   * When it fires (all must hold, else the declarative join stands):
-  *  - an Inner or LeftSemi equi-join whose LEFT (streamed/fact) side
-  *    strips to the indexed relation through attribute-only Projects —
-  *    outer joins never fire (an unmatched fact row must survive them,
-  *    and EqualNullSafe never fires: NULL <=> NULL matches, so the
-  *    all-NULL-group skip would be unsound);
+  *  - an Inner equi-join with the indexed relation on EITHER side, or a
+  *    LeftSemi with it on the LEFT (the streamed side); the fact side
+  *    strips to the relation through attribute-only Projects and
+  *    deterministic Filters. Outer joins never fire (an unmatched fact
+  *    row must survive them), and EqualNullSafe never fires: NULL <=>
+  *    NULL matches, so the all-NULL-group skip would be unsound;
   *  - some equi-key pair is (indexed fact column, dim-side attribute);
   *  - the dim side is plan-time-small by the optimizer's own size
   *    estimate (≤ spark.sql.autoBroadcastJoinThreshold — the same bound
@@ -62,11 +63,19 @@ final case class JoinPruneRule(session: SparkSession) extends Rule[LogicalPlan] 
     }
   }
 
-  private def rewrite(j: Join): Option[LogicalPlan] = {
-    if (j.right.isStreaming) return None
+  private def rewrite(j: Join): Option[LogicalPlan] =
+    // the fact may sit on EITHER side of an Inner join (`dim.join(fact)`
+    // is as common as the reverse); LeftSemi streams its left side only
+    attempt(j, factLeft = true).orElse(
+      if (j.joinType == Inner) attempt(j, factLeft = false) else None)
+
+  private def attempt(j: Join, factLeft: Boolean): Option[LogicalPlan] = {
+    val factPlan = if (factLeft) j.left else j.right
+    val dimPlan = if (factLeft) j.right else j.left
+    if (dimPlan.isStreaming) return None
     // the fact side must BE the indexed relation, modulo column-pruning
     // Projects and deterministic Filters (the optimizer infers
-    // `isnotnull(key)` onto the join's left side) — both stay in place
+    // `isnotnull(key)` onto the join's sides) — both stay in place
     // above the substituted leaf, so traversal is sound
     def strip(p: LogicalPlan): Option[LogicalRelation] = p match {
       case l: LogicalRelation => Some(l)
@@ -76,11 +85,11 @@ final case class JoinPruneRule(session: SparkSession) extends Rule[LogicalPlan] 
           if f.condition.deterministic => strip(f.child)
       case _ => None
     }
-    val rel = strip(j.left).getOrElse(return None)
-    // every column any surviving left-side node consumes must resolve
+    val rel = strip(factPlan).getOrElse(return None)
+    // every column any surviving fact-side node consumes must resolve
     // against the substituted scan: the side's output plus every
     // Filter/Project reference below it
-    val keptCols = (j.left.output.map(_.name) ++ j.left.collect {
+    val keptCols = (factPlan.output.map(_.name) ++ factPlan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition.references.map(_.name).toSeq
       case p: Project => p.projectList.flatMap(_.references.map(_.name))
@@ -103,10 +112,13 @@ final case class JoinPruneRule(session: SparkSession) extends Rule[LogicalPlan] 
       case ExtractEquiJoinKeys(_, lk, rk, _, _, _, _, _) => (lk, rk)
       case _ => return None
     }
-    val pair = leftKeys.zip(rightKeys).collectFirst {
-      case (la: AttributeReference, ra: AttributeReference)
-          if rel.outputSet.contains(la) &&
-            idx.indexedSchema.fieldNames.contains(la.name) => (la, ra)
+    // factLeft: fact attrs are leftKeys; mirrored Inner: rightKeys
+    val (factSideKeys, dimSideKeys) =
+      if (factLeft) (leftKeys, rightKeys) else (rightKeys, leftKeys)
+    val pair = factSideKeys.zip(dimSideKeys).collectFirst {
+      case (fa: AttributeReference, da: AttributeReference)
+          if rel.outputSet.contains(fa) &&
+            idx.indexedSchema.fieldNames.contains(fa.name) => (fa, da)
     }
     val (factKey, dimKey) = pair.getOrElse(return None)
 
@@ -115,13 +127,13 @@ final case class JoinPruneRule(session: SparkSession) extends Rule[LogicalPlan] 
     // raw string form is "10MB", not a number)
     val threshold = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.conf.autoBroadcastJoinThreshold
-    if (threshold <= 0 || j.right.stats.sizeInBytes > threshold) return None
+    if (threshold <= 0 || dimPlan.stats.sizeInBytes > threshold) return None
 
     // materialize the dim keys: a recursive optimizer entry, guarded
     val keys =
       try {
         JoinPruneRule.reentrant.set(true)
-        GraftSqlShim.ofRows(session, Project(Seq(dimKey), j.right))
+        GraftSqlShim.ofRows(session, Project(Seq(dimKey), dimPlan))
           .na.drop().distinct()
           .limit(graft.prune.JoinPrune.DefaultMaxKeys + 1)
           .collect().map(_.get(0)).toSeq
@@ -155,9 +167,10 @@ final case class JoinPruneRule(session: SparkSession) extends Rule[LogicalPlan] 
       rel.output.filter(o => keptCols.contains(o.name)).map(o =>
         Alias(byName(o.name), o.name)(exprId = o.exprId, qualifier = o.qualifier)),
       scan)
-    Some(j.copy(left = j.left.transformUp {
+    val newFact = factPlan.transformUp {
       case l: LogicalRelation if l eq rel => remap
-    }))
+    }
+    Some(if (factLeft) j.copy(left = newFact) else j.copy(right = newFact))
   }
 }
 

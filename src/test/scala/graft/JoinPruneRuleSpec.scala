@@ -79,6 +79,20 @@ class JoinPruneRuleSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("an INNER join with the fact on the RIGHT fires via the mirror") {
+    val q = dim.join(fact, fact("l_orderkey") === dim("o_orderkey"), "inner")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sk"))
+    val p = q.queryExecution.optimizedPlan
+    assert(p.collectFirst { case s: plans.RowGroupScan => s }.isDefined,
+      s"mirror did not fire:\n$p")
+    val got = q.collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.joinPrune", "false")
+    val want = try q.collect().map(_.toString).sorted
+      finally spark.conf.unset("spark.graft.joinPrune")
+    assert(got === want)
+  }
+
   test("an over-limit key set declines (bounded collect, unpruned plan)") {
     // every orderkey qualifies -> key count > DefaultMaxKeys only if the
     // fixture were big enough; emulate by dropping the limit to the conf?
