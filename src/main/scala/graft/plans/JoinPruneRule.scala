@@ -59,7 +59,11 @@ final case class JoinPruneRule(session: SparkSession) extends Rule[LogicalPlan] 
     if (JoinPruneRule.reentrant.get()) return plan
     plan.transform {
       case j @ Join(_, _, Inner | LeftSemi, Some(_), _) =>
-        scala.util.Try(rewrite(j)).toOption.flatten.getOrElse(j)
+        // decline-on-failure is sound (the declarative join stands), but
+        // a throw here is a bug worth seeing, not swallowing silently
+        scala.util.Try(rewrite(j)).recover { case e =>
+          logWarning(s"join-prune declined on error: $e"); None
+        }.toOption.flatten.getOrElse(j)
     }
   }
 

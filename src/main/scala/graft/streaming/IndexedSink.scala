@@ -211,7 +211,16 @@ object IndexedSink {
     * that seam, and on a version-filtered relation a catalog fold would
     * answer from rows outside the snapshot — the plan-leaf scan has no
     * such rule surface, so AS-OF answers are scan-true by construction.
-    * Pushed filters still reach the reader for page-level skipping. */
+    * Pushed filters still reach the reader for page-level skipping.
+    *
+    * Scope: the APPEND-ONLY sink layout. A compaction pass rewrites
+    * committed batches into files outside the `b<id>` namespace, so it
+    * collapses history — snapshots AS OF batches before the compaction
+    * no longer reconstruct (their rows now live in unversioned files).
+    * Retaining history across compaction needs a real version manifest
+    * that records rewrites (the Delta/Iceberg design); this API
+    * deliberately stops at the append-only contract the sink itself
+    * guarantees. */
   def readAsOf(
       spark: org.apache.spark.sql.SparkSession,
       dataDir: String,

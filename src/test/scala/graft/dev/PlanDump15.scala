@@ -21,7 +21,8 @@ object PlanDump15 {
     spark.sparkContext.setLogLevel("WARN")
     Seq("idx73_semijoin_inprobe", "idx74_semijoin_envelope",
       "idx75_semijoin_bloom", "idx79_semijoin_routed",
-      "idx78_rollup_fold", "sm1_bernoulli_sample", "sm4_uniform_k")
+      "idx83_starjoin_inner", "idx78_rollup_fold", "idx81_cube_fold",
+      "sm1_bernoulli_sample", "sm4_uniform_k")
       .foreach { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         println(s"\n===== $name =====")
