@@ -124,7 +124,11 @@ final class DerbyStatsIndex(
         // per-row-group quantile summary (r15), attached post-ingest by
         // QuantileShadow.build; NULL until then (fail-closed estimate)
         (if (QuantileShadow.supported(f.dataType))
-           Seq(s"${f.name}_qsk VARCHAR(32672) FOR BIT DATA") else Nil)
+           Seq(s"${f.name}_qsk VARCHAR(32672) FOR BIT DATA") else Nil) ++
+        // per-row-group count-min table (r15), attached post-ingest by
+        // CmsShadow.build; NULL until then (fail-closed estimate)
+        (if (CmsShadow.supported(f.dataType))
+           Seq(s"${f.name}_cms VARCHAR(32672) FOR BIT DATA") else Nil)
     }
     createIfMissing(
       s"""CREATE TABLE row_group_statistics (
@@ -168,7 +172,9 @@ final class DerbyStatsIndex(
         (if (HllShadow.supported(f.dataType))
           Seq(s"${f.name}_hll VARCHAR(32672) FOR BIT DATA") else Nil) ++
         (if (QuantileShadow.supported(f.dataType))
-          Seq(s"${f.name}_qsk VARCHAR(32672) FOR BIT DATA") else Nil)).foreach { c =>
+          Seq(s"${f.name}_qsk VARCHAR(32672) FOR BIT DATA") else Nil) ++
+        (if (CmsShadow.supported(f.dataType))
+          Seq(s"${f.name}_cms VARCHAR(32672) FOR BIT DATA") else Nil)).foreach { c =>
         try st.execute(s"ALTER TABLE row_group_statistics ADD COLUMN $c")
         catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
       }
@@ -1078,6 +1084,80 @@ final class DerbyStatsIndex(
         .filter(c => dataSchema.fieldNames.contains(c) &&
           indexedCols.exists(f => f.name == c && QuantileShadow.supported(f.dataType)))
         .foreach(c => QuantileShadow.build(spark, dir, plans, dataSchema, c, dbPath))
+
+  override def rebuildCms(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      plans: Seq[FileScanPlan],
+      dataSchema: StructType,
+      cmsCols: Seq[String]): Unit =
+    if (plans.nonEmpty)
+      cmsCols.distinct.sorted
+        .filter(c => dataSchema.fieldNames.contains(c) &&
+          indexedCols.exists(f => f.name == c && CmsShadow.supported(f.dataType)))
+        .foreach(c => CmsShadow.build(spark, dir, plans, dataSchema, c, dbPath))
+
+  override def approxFrequency(
+      colName: String,
+      value: Any,
+      plans: Option[Seq[FileScanPlan]] = None): Option[Long] =
+    conn.synchronized {
+      require(indexedCols.exists(_.name == colName), s"$colName is not indexed")
+      require(value != null, "NULL is not a frequency (COUNT semantics)")
+      val dt = indexedCols.find(_.name == colName).get.dataType
+      if (!CmsShadow.supported(dt)) return None
+      // the probe hashes through Spark's OWN XxHash64 on the typed
+      // literal - writer and reader share one hash code path
+      val hash =
+        try new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(value, dt)), 42L)
+          .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Long]
+        catch { case scala.util.control.NonFatal(_) => return None }
+      val wanted: Option[Map[String, SortedSet[Int]]] =
+        plans.map(_.map(p => p.fileName -> p.scanRowGroups).toMap)
+      if (wanted.exists(_.values.forall(_.isEmpty))) return Some(0L)
+      val chunks: Seq[Option[Seq[String]]] = wanted match {
+        case None => Seq(None)
+        case Some(w) => w.keys.toSeq.sorted
+          .grouped(DerbyStatsIndex.FileInChunk).map(Some(_)).toSeq
+      }
+      val merged = new Array[Int](CmsShadow.Depth * CmsShadow.Width)
+      var covered = 0L
+      try {
+        chunks.foreach { chunk =>
+          val whereSql = chunk.fold("")(c =>
+            s"\nWHERE f.file_name IN (${c.map(_ => "?").mkString(", ")})")
+          val ps = conn.prepareStatement(
+            s"""SELECT f.file_name, rg.row_group, rg.${colName}_cms
+               |FROM row_group_statistics rg
+               |JOIN file_statistics f ON rg.file_id = f.file_id$whereSql""".stripMargin)
+          try {
+            chunk.foreach(_.zipWithIndex.foreach { case (n, i) =>
+              ps.setString(i + 1, n)
+            })
+            val rs = ps.executeQuery()
+            while (rs.next()) {
+              val selected = wanted.forall(
+                _.get(rs.getString(1)).exists(_.contains(rs.getInt(2))))
+              if (selected) {
+                val bytes = rs.getBytes(3)
+                // an untabled selected group can hold any count - fail
+                // closed, never guess
+                if (bytes == null) { rs.close(); return None }
+                CmsShadow.merge(merged, CmsShadow.deserialize(bytes))
+                covered += 1
+              }
+            }
+            rs.close()
+          } finally ps.close()
+        }
+      } catch { case _: java.sql.SQLException => return None }
+      if (wanted.exists(w => covered != w.values.map(_.size.toLong).sum))
+        return None
+      if (covered == 0 && wanted.isEmpty) return Some(0L) // empty catalog
+      Some(CmsShadow.estimate(merged, hash))
+    }
 
   override def approxQuantiles(
       colName: String,

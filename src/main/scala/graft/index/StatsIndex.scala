@@ -311,6 +311,35 @@ trait StatsIndex extends AutoCloseable {
       qs: Seq[Double],
       plans: Option[Seq[FileScanPlan]] = None): Option[Seq[Double]] = None
 
+  /** Rebuild the per-row-group COUNT-MIN ledgers for JUST the given
+    * plans' files — the point-frequency member of the shadow family
+    * (r15, [[CmsShadow]]). Same O(changed files) maintenance contract;
+    * unsupported/absent columns are skipped (sound decline). Default:
+    * no-op. */
+  def rebuildCms(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      plans: Seq[FileScanPlan],
+      dataSchema: StructType,
+      cmsCols: Seq[String]): Unit = ()
+
+  /** Catalog-side APPROXIMATE frequency of ONE value of an indexed
+    * column — "how many rows equal v" — from the [[CmsShadow]] ledger:
+    * one cell-wise merge over the selected row groups' counter tables,
+    * O(selection × 16 KB) transfer, ZERO data jobs. Guarantees per the
+    * sketch: the estimate never undercounts, and overcounts by ≤ ε·N of
+    * the selected population w.h.p. (ε = 2/width ≈ 0.2 %). `value` is an
+    * EXTERNAL (driver-side) value of the column's type; NULL is not a
+    * frequency (COUNT semantics) and must not be passed. `plans`
+    * restricts to a row-group subset with [[approxDistinct]]'s slice
+    * semantics; None = whole catalog. Returns None unless EVERY selected
+    * group carries a table (fail closed); empty selection ⇒ Some(0).
+    * NEVER substituted for an exact aggregate in a plan rewrite. */
+  def approxFrequency(
+      colName: String,
+      value: Any,
+      plans: Option[Seq[FileScanPlan]] = None): Option[Long] = None
+
   /** Catalog-side APPROXIMATE distinct-value count of an indexed column
     * (non-null values, like COUNT(DISTINCT)) from the [[HllShadow]]
     * ledger — one merge over the selected row groups' register arrays,

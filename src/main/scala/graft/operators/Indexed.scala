@@ -1850,6 +1850,39 @@ object Indexed {
              |WHERE o_totalprice > 499000.0
              |GROUP BY o_orderpriority""".stripMargin)),
 
+    // CATALOG point-frequency estimates (idx84, r15, index/CmsShadow):
+    // "how many rows equal THIS value" from the count-min ledger — the
+    // selectivity / heavy-hitter estimate behind broadcast decisions,
+    // shuffle sizing, and salting cutoffs, with zero data jobs. The
+    // sketch never undercounts and overcounts by ≤ ~0.2 % of the
+    // population w.h.p., so (sk1 convention) the output is per-value
+    // accuracy booleans at a 0.5 % slack, plus the absent-key bound
+    // (a value not in the data estimates ≤ the same slack) and the
+    // skew verdict the frequencies imply (the heaviest flag holds
+    // > 20 % of rows — the cutoff a salting advisor would act on).
+    QueryDef(
+      "idx84_catalog_freq",
+      (s, dir) => {
+        val e = cached(s, dir)
+        cmsReady(s, e)
+        val n = e.index.totalRowCount()
+          .getOrElse(sys.error("catalog declined the row count"))
+        val slack = math.max(4L, (n * 0.005).toLong)
+        val exact = e.df.groupBy("l_returnflag").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        def est(v: String): Long = e.index.approxFrequency("l_returnflag", v)
+          .getOrElse(sys.error("catalog declined a fully-tabled frequency"))
+        import s.implicits._
+        val flags = exact.keys.toSeq.sorted
+        val ok = flags.map(f => est(f) >= exact(f) && est(f) <= exact(f) + slack)
+        Seq((ok.forall(identity),
+          est("Z_ABSENT") <= slack,
+          exact.values.max.toDouble / n > 0.2))
+          .toDF("freqs_ok", "absent_ok", "hot_flag_detected")
+      },
+      Some("""SELECT TRUE AS freqs_ok, TRUE AS absent_ok,
+             |  TRUE AS hot_flag_detected""".stripMargin)),
+
     // AUTOMATIC semi-join pruning (idx79, r15, plans/JoinPruneRule): the
     // idx73 star join written as a PLAIN `fact.join(dim, k)` — no
     // explicit API call. The injected rule recognizes the equi-join
@@ -1993,6 +2026,21 @@ object Indexed {
         e.index.approxQuantiles(c, Seq(0.5)).isDefined)
       if (missing.nonEmpty)
         e.index.rebuildQuantiles(spark, e.dataDir, e.index.allFiles(),
+          e.dataSchema, missing)
+      "built"
+    })
+    ()
+  }
+
+  // once-per-session CMS ledger attach, same probe-and-rebuild posture
+  private val cmsCache = TrieMap.empty[String, String]
+  private def cmsReady(spark: SparkSession, e: Entry,
+      cols: Seq[String] = Seq("l_returnflag")): Unit = {
+    cmsCache.getOrElseUpdate(e.dataDir + "@" + spark.hashCode(), {
+      val missing = cols.filterNot(c =>
+        e.index.approxFrequency(c, " probe").isDefined)
+      if (missing.nonEmpty)
+        e.index.rebuildCms(spark, e.dataDir, e.index.allFiles(),
           e.dataSchema, missing)
       "built"
     })

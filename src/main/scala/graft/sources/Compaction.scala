@@ -137,7 +137,8 @@ object Compaction {
       freqShadowCols: Seq[String] = Nil,
       sumShadowCols: Seq[String] = Nil,
       hllShadowCols: Seq[String] = Nil,
-      quantileShadowCols: Seq[String] = Nil): Int = {
+      quantileShadowCols: Seq[String] = Nil,
+      cmsShadowCols: Seq[String] = Nil): Int = {
     val r = compactDetailed(spark, dir, targetBytes, smallThresholdBytes)
     if (r.newFiles.nonEmpty) {
       index.removeFiles(r.removedFiles.map(new Path(_).getName).toSet)
@@ -151,7 +152,8 @@ object Compaction {
       index.ingestAll(statsRdd)
       if (index.bloomCols.nonEmpty || rowLevel.nonEmpty ||
           freqShadowCols.nonEmpty || sumShadowCols.nonEmpty ||
-          hllShadowCols.nonEmpty || quantileShadowCols.nonEmpty) {
+          hllShadowCols.nonEmpty || quantileShadowCols.nonEmpty ||
+          cmsShadowCols.nonEmpty) {
         val names = r.newFiles.map(new Path(_).getName).toSet
         val newPlans = index.allFiles().filter(p => names.contains(p.fileName))
         val schema = footerSchema(
@@ -161,6 +163,7 @@ object Compaction {
           freqShadowCols, sumShadowCols)
         index.rebuildHll(spark, dir, newPlans, schema, hllShadowCols)
         index.rebuildQuantiles(spark, dir, newPlans, schema, quantileShadowCols)
+        index.rebuildCms(spark, dir, newPlans, schema, cmsShadowCols)
         rowLevel.foreach { case (colName, idxDir) =>
           graft.index.RowLevelIndex.append(
             spark, dir, newPlans, schema, colName, idxDir)

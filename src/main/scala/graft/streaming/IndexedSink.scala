@@ -52,7 +52,8 @@ object IndexedSink {
       sumShadowCols: Seq[String] = Nil,
       rowLevelRowNumbers: Boolean = false,
       hllShadowCols: Seq[String] = Nil,
-      quantileShadowCols: Seq[String] = Nil): StreamingQuery = {
+      quantileShadowCols: Seq[String] = Nil,
+      cmsShadowCols: Seq[String] = Nil): StreamingQuery = {
     val spark = source.sparkSession
     val hconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     source.writeStream
@@ -63,7 +64,7 @@ object IndexedSink {
         commitBatch(batch, batchId, dataDir, index, indexedCols, hconf,
           rowLevel, dedupArtifacts, pairStatsArtifacts, compactEvery,
           freqShadowCols, sumShadowCols, rowLevelRowNumbers, hllShadowCols,
-          quantileShadowCols)
+          quantileShadowCols, cmsShadowCols)
       }
       .start()
   }
@@ -98,7 +99,9 @@ object IndexedSink {
         * each batch summarizes just its new files, so catalog quantile
         * estimates ([[graft.index.StatsIndex.approxQuantiles]]) keep
         * serving on the growing table. */
-      quantileShadowCols: Seq[String] = Nil): Unit = {
+      quantileShadowCols: Seq[String] = Nil,
+      /** Maintain the per-row-group count-min ledgers (r15) likewise. */
+      cmsShadowCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val dirPath = new Path(dataDir)
     val fs = dirPath.getFileSystem(hconf.value)
@@ -145,7 +148,8 @@ object IndexedSink {
       index.ingestAll(statsRdd)
       if (rowLevel.nonEmpty || index.bloomCols.nonEmpty ||
           freqShadowCols.nonEmpty || sumShadowCols.nonEmpty ||
-          hllShadowCols.nonEmpty || quantileShadowCols.nonEmpty) {
+          hllShadowCols.nonEmpty || quantileShadowCols.nonEmpty ||
+          cmsShadowCols.nonEmpty) {
         // incremental bloom + shadow + posting maintenance for JUST this
         // batch's files: blooms keep equality probes precise on the
         // growing table (an absent bloom is only "might match"), the
@@ -164,6 +168,7 @@ object IndexedSink {
         index.rebuildHll(spark, dataDir, newPlans, batch.schema, hllShadowCols)
         index.rebuildQuantiles(spark, dataDir, newPlans, batch.schema,
           quantileShadowCols)
+        index.rebuildCms(spark, dataDir, newPlans, batch.schema, cmsShadowCols)
         rowLevel.foreach { case (colName, idxDir) =>
           graft.index.RowLevelIndex.append(
             spark, dataDir, newPlans, batch.schema, colName, idxDir,
