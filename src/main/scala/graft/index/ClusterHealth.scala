@@ -57,31 +57,43 @@ object ClusterHealth {
     // missing a bound fails closed
     val ranged = stats.filterNot(s => s.nullCount.contains(s.rowCount))
     if (ranged.isEmpty) return None
-    def asD(v: Any): Option[Double] = v match {
-      case n: java.lang.Number => Some(n.doubleValue)
-      case _ => None
+    // endpoints compare in STORAGE space (r16): squeezing long-encoded
+    // min/max (bigint, timestamp micros) through Double loses ULPs past
+    // 2^53, which can collapse or reorder interval endpoints — exactly
+    // the timestamp-clustered columns this advisor targets. Integrals /
+    // temporals compare as longs; float/double (already doubles in the
+    // catalog) via the total IEEE order.
+    val cmp: java.util.Comparator[Any] = dt match {
+      case FloatType | DoubleType =>
+        (a: Any, b: Any) => java.lang.Double.compare(
+          a.asInstanceOf[Number].doubleValue, b.asInstanceOf[Number].doubleValue)
+      case _ =>
+        (a: Any, b: Any) => java.lang.Long.compare(
+          a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
     }
     val ivsOpt = ranged.map { s =>
-      for (lo <- s.min.flatMap(asD); hi <- s.max.flatMap(asD)) yield (lo, hi)
+      for (lo <- s.min.collect { case n: java.lang.Number => n: Any };
+           hi <- s.max.collect { case n: java.lang.Number => n: Any })
+        yield (lo, hi)
     }
     if (ivsOpt.exists(_.isEmpty)) return None
     val ivs = ivsOpt.map(_.get)
-    val starts = ivs.map(_._1).sorted.toArray
-    val ends = ivs.map(_._2).sorted.toArray
-    def countLeq(arr: Array[Double], v: Double): Int = {
+    val starts = ivs.map(_._1).sortWith(cmp.compare(_, _) < 0).toArray
+    val ends = ivs.map(_._2).sortWith(cmp.compare(_, _) < 0).toArray
+    def countLeq(arr: Array[Any], v: Any): Int = {
       // first index with arr(i) > v
       var lo = 0; var hi = arr.length
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
-        if (arr(mid) <= v) lo = mid + 1 else hi = mid
+        if (cmp.compare(arr(mid), v) <= 0) lo = mid + 1 else hi = mid
       }
       lo
     }
-    def countLt(arr: Array[Double], v: Double): Int = {
+    def countLt(arr: Array[Any], v: Any): Int = {
       var lo = 0; var hi = arr.length
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
-        if (arr(mid) < v) lo = mid + 1 else hi = mid
+        if (cmp.compare(arr(mid), v) < 0) lo = mid + 1 else hi = mid
       }
       lo
     }

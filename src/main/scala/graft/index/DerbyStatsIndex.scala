@@ -1291,6 +1291,36 @@ final class DerbyStatsIndex(
       |JOIN file_statistics f ON rg.file_id = f.file_id
       |ORDER BY f.file_name, rg.row_group""".stripMargin)
 
+  override def fileNames(): Option[Seq[String]] = conn.synchronized {
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          "SELECT file_name FROM file_statistics ORDER BY file_name")
+        val b = Seq.newBuilder[String]
+        while (rs.next()) b += rs.getString(1)
+        rs.close()
+        Some(b.result())
+      } finally st.close()
+    } catch { case _: java.sql.SQLException => None }
+  }
+
+  /** Name filter pushed into the catalog query via chunked IN lists —
+    * transfer is O(requested files' row groups); the chunking keeps each
+    * statement inside Derby's parameter-list comfort zone. */
+  override def filesNamed(names: Set[String]): Seq[FileScanPlan] =
+    if (names.isEmpty) Seq.empty
+    else names.toSeq.sorted.grouped(400).flatMap { chunk =>
+      val in = chunk.map(n => s"'${n.replace("'", "''")}'").mkString(", ")
+      runPlanQuery(
+        s"""SELECT f.file_name, f.file_size_bytes, f.row_group_count, rg.row_group,
+           |  rg.rg_start_bytes, rg.rg_compressed_bytes, rg.row_count
+           |FROM row_group_statistics rg
+           |JOIN file_statistics f ON rg.file_id = f.file_id
+           |WHERE f.file_name IN ($in)
+           |ORDER BY f.file_name, rg.row_group""".stripMargin)
+    }.toSeq
+
   // concurrent planning threads share one embedded connection; serialize.
   // `keepRow` filters candidate rows as they STREAM (the planner-side
   // bloom probe) — per-row state only, never a materialized byte buffer

@@ -126,6 +126,24 @@ trait StatsIndex extends AutoCloseable {
     Some((all.size.toLong, all.map(_.rowGroupCount.toLong).sum))
   }
 
+  /** Every indexed file NAME — O(#files) strings, never the O(#row
+    * groups) plan rows [[allFiles]] materializes. The cheap input for
+    * coverage/provenance checks (does the catalog hold exactly these
+    * files?) where the caller needs names, not scan plans. None on store
+    * failure; the default derives from allFiles (correct, not scaled). */
+  def fileNames(): Option[Seq[String]] =
+    Some(allFiles().map(_.fileName))
+
+  /** Scan plans for an EXPLICIT file-name set — the name filter runs
+    * catalog-side, so the transfer is O(requested files' row groups),
+    * never the full catalog. Unknown names are simply absent from the
+    * result (same contract as [[removeFiles]]). The seam snapshot reads
+    * (time travel) and O(new files) maintenance passes use instead of
+    * `allFiles().filter(...)`. */
+  def filesNamed(names: Set[String]): Seq[FileScanPlan] =
+    if (names.isEmpty) Seq.empty
+    else allFiles().filter(p => names.contains(p.fileName))
+
   /** Every row group's (min, max, row count, null count) for one indexed
     * column — O(index) rows, the raw material for planner-side pruning
     * strategies beyond predicate rewrite (e.g. top-k pruning). None =

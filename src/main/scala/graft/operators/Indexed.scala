@@ -1510,7 +1510,10 @@ object Indexed {
         val pred = graft.sources.RowGroupSkipScan.resolvePredicate(
           s, e.dataSchema, col("l_orderkey") <= 5000L)
         val plans = e.index.getFiles(pred)
-        val total = e.index.allFiles().map(_.scanRowGroups.size).sum
+        // O(1) catalog count for the "slice < total" observability bit —
+        // never an allFiles fetch (O(catalog) at 1M row groups)
+        val total = e.index.catalogCounts()
+          .getOrElse(sys.error("catalog counts unavailable"))._2
         val sliceGroups = plans.map(_.scanRowGroups.size).sum
         val est = e.index.approxDistinct("l_orderkey", Some(plans))
           .getOrElse(sys.error("catalog declined a fully-sketched slice NDV"))
@@ -1725,7 +1728,10 @@ object Indexed {
         val pred = graft.sources.RowGroupSkipScan.resolvePredicate(
           s, e.dataSchema, col("l_orderkey") <= 5000L)
         val plans = e.index.getFiles(pred)
-        val total = e.index.allFiles().map(_.scanRowGroups.size).sum
+        // O(1) catalog count for the "slice < total" observability bit —
+        // never an allFiles fetch (O(catalog) at 1M row groups)
+        val total = e.index.catalogCounts()
+          .getOrElse(sys.error("catalog counts unavailable"))._2
         val sliceGroups = plans.map(_.scanRowGroups.size).sum
         val Seq(q50, q95) = e.index
           .approxQuantiles("l_quantity", Seq(0.5, 0.95), Some(plans))
@@ -2038,7 +2044,7 @@ object Indexed {
       cols: Seq[String] = Seq("l_returnflag")): Unit = {
     cmsCache.getOrElseUpdate(e.dataDir + "@" + spark.hashCode(), {
       val missing = cols.filterNot(c =>
-        e.index.approxFrequency(c, " probe").isDefined)
+        e.index.approxFrequency(c, "\u0000probe").isDefined)
       if (missing.nonEmpty)
         e.index.rebuildCms(spark, e.dataDir, e.index.allFiles(),
           e.dataSchema, missing)

@@ -86,9 +86,11 @@ final case class PartPruneScan(session: SparkSession) extends Rule[LogicalPlan] 
     if (refined.exists(p =>
         p.scanRowGroups.exists(rg => !p.rowGroupRanges.contains(rg))))
       return None
+    // observability totals via the O(1) counts, never an allFiles fetch
+    // (a full-catalog materialization per fired rewrite at 1M+ groups)
+    val (nf, ng) = idx.catalogCounts().getOrElse((-1L, -1L))
     fi.lastExecution = Some(PruneExecution(
-      Seq(cond), refined, idx.allFiles().size,
-      idx.allFiles().map(_.rowGroupCount).sum,
+      Seq(cond), refined, nf.toInt, ng.toInt,
       route = partRoute :+ "part-rowgroup-scan"))
     // every column any surviving node consumes must resolve against the
     // substituted scan (same contract as the top-k substitution); a

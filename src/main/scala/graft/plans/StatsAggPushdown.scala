@@ -777,9 +777,16 @@ final case class StatsAggPushdown(session: SparkSession) extends Rule[LogicalPla
       case Some(d) => d
       case None => return None
     }
-    val live = idx.statsIndex.allFiles().map(_.fileName).toSet
-    if (!graft.index.RowLevelIndex.coveredFiles(session, indexDir).contains(live))
-      return None
+    // coverage equality without the O(#row groups) allFiles fetch: the
+    // O(1) file COUNT gates first (any mismatch declines before any name
+    // transfer), then the O(#files) names-only stream confirms set
+    // equality — count equal + one-sided containment ⟺ equal sets
+    val covered = graft.index.RowLevelIndex.coveredFiles(session, indexDir)
+      .getOrElse(return None)
+    val liveCount = idx.statsIndex.catalogCounts().map(_._1).getOrElse(return None)
+    if (liveCount != covered.size.toLong) return None
+    val liveNames = idx.statsIndex.fileNames().getOrElse(return None)
+    if (!liveNames.forall(covered.contains)) return None
     val posting =
       try session.read.parquet(indexDir).select("key").queryExecution.analyzed
       catch { case scala.util.control.NonFatal(_) => return None }

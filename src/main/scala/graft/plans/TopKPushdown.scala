@@ -125,9 +125,15 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
     def keyTag(p: graft.index.SortKeySpec): String =
       p.image.fold(p.col)(img => s"${img.id}(${p.col})")
     val headTag = keyTag(headSpec)
+    // O(1) catalog cardinalities — the baseline for the unfiltered shape
+    // AND the observability totals below. Fetching allFiles() here would
+    // be a full-catalog materialization per fired rewrite (the exact
+    // driver-side bottleneck at 1M+ row groups); a store failure declines
+    // the rewrite (fail-closed — the declarative plan stands).
+    val (catFiles, catGroups) = idx.catalogCounts().getOrElse(return None)
     val (plans, baseline, routeTag) = cond match {
       case None =>
-        val total = idx.allFiles().map(_.scanRowGroups.size).sum
+        val total = catGroups
         if (prefix.sizeIs == 1 && headSpec.image.isEmpty)
           (TopKPruning.prune(idx, a.name, k.toLong, descending, nullsFirst),
             total, s"topk($headTag)")
@@ -159,7 +165,7 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
           (TopKPruning.pruneDisjunctive(
               idx, a.name, k.toLong, descending, nullsFirst,
               disjuncts, statsPlans),
-            statsPlans.map(_.scanRowGroups.size).sum,
+            statsPlans.map(_.scanRowGroups.size.toLong).sum,
             s"topk-$shape($headTag$suffix)")
         else
           // FILTERED lexicographic: the disjunctive all-pass certificate
@@ -167,7 +173,7 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
           // separate groups tied on the leading key inside the window
           (TopKPruning.pruneDisjunctiveLex(
               idx, prefix.toSeq, k.toLong, disjuncts, statsPlans),
-            statsPlans.map(_.scanRowGroups.size).sum,
+            statsPlans.map(_.scanRowGroups.size.toLong).sum,
             s"topk-$shape-lex${prefix.size}(" +
               s"${prefix.map(keyTag).mkString(",")}$suffix)")
     }
@@ -175,8 +181,8 @@ final case class TopKPushdown(session: SparkSession) extends Rule[LogicalPlan] {
     if (kept >= baseline) return None // no narrowing beyond the stats path
 
     fi.lastExecution = Some(PruneExecution(
-      cond.toSeq, plans, idx.allFiles().size,
-      idx.allFiles().map(_.rowGroupCount).sum, route = Seq(routeTag)))
+      cond.toSeq, plans, catFiles.toInt, catGroups.toInt,
+      route = Seq(routeTag)))
 
     // every column ANY node of the surviving Filter/Project chain consumes
     // (not just the top node's references — an intermediate Project or the

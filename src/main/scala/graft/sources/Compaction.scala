@@ -17,6 +17,42 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
+  /** The rewrite-recording manifest (r16): one line per compaction OUTPUT
+    * file — `out<TAB>in1,in2,…` — appended by every pass, so snapshot
+    * reads (IndexedSink.readAsOf) can resolve a compacted file back to
+    * the versioned originals it folded. Written BETWEEN the output
+    * renames and the input deletes: a crash before the record leaves the
+    * originals in place (pass replays), a crash after leaves a complete
+    * record — there is no window where history is collapsed unrecorded. */
+  private[graft] val RewritesFile = "_rewrites"
+
+  /** The manifest's rewrite map: output file name → the input file names
+    * it folded (possibly themselves outputs of an earlier pass — resolve
+    * transitively). Empty when no compaction ever ran. */
+  def readRewrites(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path): Map[String, Seq[String]] = {
+    val p = new Path(dir, RewritesFile)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty).map { line =>
+      val Array(out, ins) = line.split("\t", 2)
+      out -> ins.split(",").toSeq.filter(_.nonEmpty)
+    }.toMap
+  }
+
+  private def recordRewrites(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      entries: Seq[(String, Seq[String])]): Unit = {
+    val prev = readRewrites(fs, dir)
+    val all = (prev.toSeq ++ entries).sortBy(_._1)
+    val p = new Path(dir, RewritesFile)
+    val out = fs.create(p, true)
+    try out.write(all.map { case (o, ins) => s"$o\t${ins.mkString(",")}" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   final case class Plan(bins: Seq[Seq[String]], untouched: Seq[String])
 
   /** What a compaction pass changed: files written and files deleted. */
@@ -101,6 +137,9 @@ object Compaction {
       dest.toString
     }
     fs.delete(staging, true)
+    recordRewrites(fs, dirPath, written.zip(p.bins).map { case (out, bin) =>
+      new Path(out).getName -> bin.map(new Path(_).getName)
+    })
     binFiles.foreach(f => fs.delete(new Path(f), false))
     Result(written, binFiles)
   }
@@ -155,7 +194,9 @@ object Compaction {
           hllShadowCols.nonEmpty || quantileShadowCols.nonEmpty ||
           cmsShadowCols.nonEmpty) {
         val names = r.newFiles.map(new Path(_).getName).toSet
-        val newPlans = index.allFiles().filter(p => names.contains(p.fileName))
+        // catalog-side name filter — O(changed files), never a full
+        // catalog plan fetch per maintenance pass
+        val newPlans = index.filesNamed(names)
         val schema = footerSchema(
           new Path(r.newFiles.head), spark.sparkContext.hadoopConfiguration)
         index.rebuildBlooms(spark, dir, newPlans, schema)

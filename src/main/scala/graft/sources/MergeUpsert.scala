@@ -194,7 +194,9 @@ object MergeUpsert {
         idx.ingestAll(statsRdd)
         if (idx.bloomCols.nonEmpty || postingDir.nonEmpty) {
           val names = newNames.toSet
-          val newPlans = idx.allFiles().filter(p => names.contains(p.fileName))
+          // catalog-side name filter — O(new files), never a full
+          // catalog plan fetch per upsert
+          val newPlans = idx.filesNamed(names)
           val schema = Compaction.footerSchema(new Path(newPaths.head), hconf)
           idx.rebuildBlooms(spark, dir, newPlans, schema)
           postingDir.foreach(pd =>

@@ -161,7 +161,9 @@ object IndexedSink {
         // postings collapse in the lookup; postings for removed files
         // are never consulted); a periodic full rebuild compacts.
         val names = finals.map(_.getName).toSet
-        val newPlans = index.allFiles().filter(p => names.contains(p.fileName))
+        // catalog-side name filter — O(new files), never a full-catalog
+        // plan fetch per micro-batch
+        val newPlans = index.filesNamed(names)
         index.rebuildBlooms(spark, dataDir, newPlans, batch.schema)
         index.rebuildShadows(spark, dataDir, newPlans, batch.schema,
           freqShadowCols, sumShadowCols)
@@ -218,14 +220,23 @@ object IndexedSink {
     * such rule surface, so AS-OF answers are scan-true by construction.
     * Pushed filters still reach the reader for page-level skipping.
     *
-    * Scope: the APPEND-ONLY sink layout. A compaction pass rewrites
-    * committed batches into files outside the `b<id>` namespace, so it
-    * collapses history — snapshots AS OF batches before the compaction
-    * no longer reconstruct (their rows now live in unversioned files).
-    * Retaining history across compaction needs a real version manifest
-    * that records rewrites (the Delta/Iceberg design); this API
-    * deliberately stops at the append-only contract the sink itself
-    * guarantees. */
+    * CROSS-COMPACTION (r16): a compaction pass rewrites committed
+    * batches into `compacted-N` files, but records every fold in the
+    * directory's `_rewrites` manifest ([[graft.sources.Compaction]]), so
+    * a compacted file resolves — transitively, across re-compactions —
+    * back to the versioned originals it holds. A compacted file joins
+    * the snapshot when ALL its resolved batch ids are `<= maxBatchId`
+    * (compaction folds whole files, so inclusion is exact); when the
+    * AS-OF point falls INSIDE a fold (some originals before, some after)
+    * the snapshot is genuinely not reconstructible from whole files and
+    * this THROWS rather than returning partial data. Likewise any
+    * catalog file of unknown provenance (no batch id, no manifest entry)
+    * throws — silent exclusion would quietly drop committed rows.
+    *
+    * Catalog access is O(snapshot): one names-only fetch to classify
+    * (never the O(#row groups) allFiles materialization), then plan rows
+    * for exactly the snapshot's files via the catalog-side name filter
+    * ([[StatsIndex.filesNamed]]). */
   def readAsOf(
       spark: org.apache.spark.sql.SparkSession,
       dataDir: String,
@@ -233,9 +244,35 @@ object IndexedSink {
       dataSchema: org.apache.spark.sql.types.StructType,
       maxBatchId: Long,
       requiredCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
-    val plans = index.allFiles()
-      .filter(p => batchIdOf(p.fileName).exists(_ <= maxBatchId))
+    val dirPath = new Path(dataDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rewrites = graft.sources.Compaction.readRewrites(fs, dirPath)
+    // every original batch id a file (transitively) holds; None = some
+    // leaf has unknown provenance
+    def resolve(name: String): Option[Seq[Long]] = batchIdOf(name) match {
+      case Some(id) => Some(Seq(id))
+      case None => rewrites.get(name) match {
+        case Some(ins) =>
+          val per = ins.map(resolve)
+          if (per.exists(_.isEmpty)) None else Some(per.flatten.flatten)
+        case None => None
+      }
+    }
+    val names = index.fileNames().getOrElse(
+      sys.error("catalog file names unavailable — cannot derive a snapshot"))
+    val keep = names.filter { n =>
+      val ids = resolve(n).getOrElse(sys.error(
+        s"snapshot AS OF batch $maxBatchId cannot be derived: '$n' has no " +
+          "batch id and no _rewrites record — unknown provenance"))
+      val before = ids.count(_ <= maxBatchId)
+      if (before > 0 && before < ids.size) sys.error(
+        s"snapshot AS OF batch $maxBatchId is not reconstructible: " +
+          s"compaction folded batches ${ids.min}..${ids.max} into '$n' " +
+          "across the AS-OF point")
+      before == ids.size
+    }
     graft.sources.RowGroupSkipScan.scan(
-      spark, dataDir, plans, dataSchema, requiredCols = requiredCols)
+      spark, dataDir, index.filesNamed(keep.toSet), dataSchema,
+      requiredCols = requiredCols)
   }
 }
