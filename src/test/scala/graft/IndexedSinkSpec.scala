@@ -121,8 +121,10 @@ class IndexedSinkSpec extends SparkSpec {
     assert(asOf(0L) == (0L until 100L))
     assert(asOf(1L) == (0L until 160L))
     assert(asOf(2L) == ((0L until 160L) ++ (200L until 210L)))
-    // a file the sink did not commit is OUTSIDE stream history: invisible
-    // to every snapshot even once cataloged
+    // a cataloged file the sink did not commit (no batch id, no _rewrites
+    // record) makes snapshots UNDERIVABLE — readAsOf fails closed (r16:
+    // silent exclusion could quietly drop committed rows that merely lost
+    // their name; the ADVICE-endorsed unknown-provenance throw)
     (990L until 995L).toDF("k").coalesce(1).write.mode("overwrite")
       .parquet(s"$base/tmp-x")
     val part = Files.list(java.nio.file.Paths.get(s"$base/tmp-x")).toArray
@@ -132,7 +134,8 @@ class IndexedSinkSpec extends SparkSpec {
     index.addFile(graft.index.FooterStats.read(
       new org.apache.hadoop.fs.Path(s"$dataDir/manual.parquet"),
       spark.sparkContext.hadoopConfiguration, Seq("k")))
-    assert(asOf(2L) == ((0L until 160L) ++ (200L until 210L)))
+    val ex = intercept[RuntimeException](asOf(2L))
+    assert(ex.getMessage.contains("unknown provenance"), ex.getMessage)
     assert(IndexedSink.batchIdOf("b12-3.parquet") == Some(12L))
     assert(IndexedSink.batchIdOf("manual.parquet").isEmpty)
     index.close()
