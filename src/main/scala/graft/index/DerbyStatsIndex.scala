@@ -1097,6 +1097,38 @@ final class DerbyStatsIndex(
           indexedCols.exists(f => f.name == c && CmsShadow.supported(f.dataType)))
         .foreach(c => CmsShadow.build(spark, dir, plans, dataSchema, c, dbPath))
 
+  /** FUSED ledger maintenance (r16): validate each family's columns
+    * exactly as the individual hooks do, then build every surviving
+    * (family, column) in ONE [[LedgerBuild]] scan of the plans — the
+    * per-batch/per-compaction maintenance path reads the new files once
+    * instead of once per family. A single surviving family still goes
+    * through the fused pass (same scan count as the standalone build). */
+  override def rebuildLedgers(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      plans: Seq[FileScanPlan],
+      dataSchema: StructType,
+      freqCols: Seq[String],
+      sumCols: Seq[String],
+      hllCols: Seq[String],
+      quantileCols: Seq[String],
+      cmsCols: Seq[String],
+      blooms: Boolean): Unit = {
+    if (plans.isEmpty) return
+    def valid(cols: Seq[String], ok: DataType => Boolean): Seq[String] =
+      cols.distinct.sorted.filter(c => dataSchema.fieldNames.contains(c) &&
+        indexedCols.exists(f => f.name == c && ok(f.dataType)))
+    val b = if (blooms) bloomCols.toSeq.sorted
+      .filter(c => dataSchema.fieldNames.contains(c)) else Nil
+    LedgerBuild.buildAll(spark, dir, plans, dataSchema, dbPath,
+      bloomCols = b,
+      freqCols = valid(freqCols, FreqShadow.supported),
+      sumCols = valid(sumCols, SumShadow.supported),
+      hllCols = valid(hllCols, HllShadow.supported),
+      quantileCols = valid(quantileCols, QuantileShadow.supported),
+      cmsCols = valid(cmsCols, CmsShadow.supported))
+  }
+
   override def approxFrequency(
       colName: String,
       value: Any,

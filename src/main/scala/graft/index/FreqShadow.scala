@@ -51,7 +51,7 @@ object FreqShadow {
     * compare as long. The scan returns Catalyst EXTERNAL values, so
     * date/timestamp arrive as java.sql/java.time objects — compare via
     * their Catalyst integer encodings. */
-  private def compare(a: Any, b: Any): Int = (a, b) match {
+  private[index] def compareValues(a: Any, b: Any): Int = (a, b) match {
     case (x: String, y: String) =>
       var i = 0
       var j = 0
@@ -112,12 +112,12 @@ object FreqShadow {
             val v = r.get(0)
             if (mn == null) { mn = v; mx = v; cmn = 1L; cmx = 1L }
             else {
-              val cLo = compare(v, mn)
+              val cLo = compareValues(v, mn)
               if (cLo < 0) { mn = v; cmn = 1L }
               else if (cLo == 0) cmn += 1L
               // not an else-branch of the min test: a constant group's
               // value ties BOTH extremes and must count in both
-              val cHi = compare(v, mx)
+              val cHi = compareValues(v, mx)
               if (cHi > 0) { mx = v; cmx = 1L }
               else if (cHi == 0) cmx += 1L
             }

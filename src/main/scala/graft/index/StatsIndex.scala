@@ -341,6 +341,33 @@ trait StatsIndex extends AutoCloseable {
       dataSchema: StructType,
       cmsCols: Seq[String]): Unit = ()
 
+  /** Rebuild EVERY requested per-row-group ledger for JUST the given
+    * plans' files in as FEW data passes as the implementation manages
+    * (r16): the maintenance callers — the streaming sink's per-batch
+    * commit, compaction's re-attach — previously launched one scan per
+    * family over the same new files; implementations should fuse them
+    * into one ([[graft.index.LedgerBuild]]). Semantics are EXACTLY the
+    * individual hooks run in sequence, which is also the default. `blooms`
+    * additionally rebuilds every [[bloomCols]] column's blooms in the
+    * same pass. */
+  def rebuildLedgers(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      plans: Seq[FileScanPlan],
+      dataSchema: StructType,
+      freqCols: Seq[String] = Nil,
+      sumCols: Seq[String] = Nil,
+      hllCols: Seq[String] = Nil,
+      quantileCols: Seq[String] = Nil,
+      cmsCols: Seq[String] = Nil,
+      blooms: Boolean = false): Unit = {
+    if (blooms) rebuildBlooms(spark, dir, plans, dataSchema)
+    rebuildShadows(spark, dir, plans, dataSchema, freqCols, sumCols)
+    rebuildHll(spark, dir, plans, dataSchema, hllCols)
+    rebuildQuantiles(spark, dir, plans, dataSchema, quantileCols)
+    rebuildCms(spark, dir, plans, dataSchema, cmsCols)
+  }
+
   /** Catalog-side APPROXIMATE frequency of ONE value of an indexed
     * column — "how many rows equal v" — from the [[CmsShadow]] ledger:
     * one cell-wise merge over the selected row groups' counter tables,

@@ -442,16 +442,28 @@ object AnnSearch {
     QueryDef(
       "emb3_gram",
       (s, dir) => {
+        // r16: the explode-then-hash-aggregate shape (every row fanned
+        // into d(d+1)/2 struct rows, ~N·d²/2 (i,j)-keyed rows hashed)
+        // is replaced by ONE [[graft.functions.GramSum]] aggregate: a
+        // per-task d²/2-cell buffer with a tight multiply-add loop per
+        // row (outer-product additivity — no row needs another row),
+        // exchanged as one O(d²) array per task, then unpacked to the
+        // identical (i, j, g) rows by a literal index mapping. Same
+        // results (GramSumSpec pins equality with the exploded shape).
         val d = EmbeddingDim
-        val v = col("v")
+        val iArr: Seq[Int] = for (i <- 1 to d; j <- i to d) yield i
+        val jArr: Seq[Int] = for (i <- 1 to d; j <- i to d) yield j
+        val gram = org.apache.spark.sql.GraftSqlShim.column(
+          graft.functions.GramSum(
+            org.apache.spark.sql.GraftSqlShim.expression(
+              quant(col("embedding"))), d).toAggregateExpression())
         Tables.load(s, dir, "embeddings")
-          .select(quant(col("embedding")).as("v"))
-          .select(explode(flatten(transform(sequence(lit(1), lit(d)), i =>
-            transform(sequence(i, lit(d)), j =>
-              struct(i.cast("int").as("i"), j.cast("int").as("j"),
-                (element_at(v, i) * element_at(v, j)).as("p")))))).as("e"))
-          .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-          .agg(sum(col("e.p")).as("g"))
+          .agg(gram.as("gm"))
+          .select(posexplode(col("gm")).as(Seq("p", "g")))
+          .select(
+            element_at(typedlit(iArr), (col("p") + 1).cast("int")).as("i"),
+            element_at(typedlit(jArr), (col("p") + 1).cast("int")).as("j"),
+            col("g"))
       },
       Some(s"""WITH q AS (SELECT
              |    list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) v

@@ -141,29 +141,23 @@ object TextAnalysis {
     QueryDef(
       "tx5_winnow",
       (s, dir) => {
-        val K = 8; val W = 4 // W must stay a power of two for the doubling
-        // entirely narrow (no explode-then-window, no distinct exchange)
-        // and strictly O(n·log W): window minima come from log2(W)
-        // zip_with passes against shifted copies — arrays only ever appear
-        // as zip_with/slice ARGUMENTS (evaluated once per row), never
-        // inside a lambda body, so CollapseProject cannot inline the
-        // md5-array construction into a per-window re-evaluation (the
-        // O(n²) trap an array_min-over-slices formulation falls into).
-        // doc_ids are disjoint so per-doc array_distinct makes the output
-        // globally distinct with ZERO shuffles: one map-only pass at 100 TB.
-        def pairMin(a: Column, shift: Int): Column =
-          zip_with(a, slice(a, lit(shift + 1), size(a)),
-            (x, y) => when(y.isNull, x).otherwise(least(x, y)))
-        val df = Tables.load(s, dir, "documents")
+        val K = 8; val W = 4
+        // still entirely narrow (zero exchanges — one map-only pass at
+        // 100 TB; doc_ids are disjoint so per-doc distinct is globally
+        // distinct), and since r16 the whole per-row pipeline (k-gram
+        // md5 array → log₂(W) zip_with minima → slice → array_distinct,
+        // which materialized THREE n-length hex-string arrays per row)
+        // is the single fused codegen expression
+        // [[graft.functions.WinnowFps]] — one pass over the UTF-8 bytes,
+        // one digest instance per row, hex built only for window
+        // winners. Result-identical by construction (WinnowSpec pins
+        // equality against the expression pipeline on real documents).
+        val fps = org.apache.spark.sql.GraftSqlShim.column(
+          graft.functions.WinnowFps(
+            org.apache.spark.sql.GraftSqlShim.expression(col("text")), K, W))
+        Tables.load(s, dir, "documents")
           .where(length(col("text")) >= K + W - 1) // need >= 1 full window
-          .select(col("doc_id"),
-            transform(sequence(lit(0), length(col("text")) - K),
-              i => md5(col("text").substr(i + 1, lit(K)))).as("h1"),
-            (length(col("text")) - (K + W - 2)).as("nw")) // #windows
-          .select(col("doc_id"), col("nw"), pairMin(col("h1"), 1).as("h2"))
-          .select(col("doc_id"), col("nw"), pairMin(col("h2"), 2).as("h4"))
-        df.select(col("doc_id"),
-          explode(array_distinct(slice(col("h4"), lit(1), col("nw")))).as("fp"))
+          .select(col("doc_id"), explode(fps).as("fp"))
       },
       Some("""WITH g AS (SELECT doc_id, length(text) - 7 AS ng, i AS pos,
              |    md5(substr(text, CAST(i + 1 AS INT), 8)) AS h
@@ -746,13 +740,20 @@ object TextAnalysis {
     QueryDef(
       "tx20_bpe_pair_counts",
       (s, dir) => {
-        val pairsExpr = expr(
-          "transform(sequence(1, size(split(text, ' ')) - 1), " +
-            "i -> struct(element_at(split(text, ' '), i) AS l, " +
-            "            element_at(split(text, ' '), i + 1) AS r))")
+        // r16: the token array is materialized ONCE per row before the
+        // pair lambda — the original `element_at(split(text,' '), i)`
+        // inside the lambda re-split the whole text per pair element,
+        // O(n²) splits per document (the exact per-element-recompute trap
+        // Dedup.shinglesOf documents as measured 6x; guide §1.2 step 2).
+        // The filter between the two projections keeps CollapseProject
+        // from inlining the split back into the lambda.
+        val w = col("w")
+        val pairs = transform(sequence(lit(1), size(w) - 1), i =>
+          struct(element_at(w, i).as("l"), element_at(w, i + 1).as("r")))
         Tables.load(s, dir, "documents")
-          .where(size(split(col("text"), " ")) >= 2)
-          .select(explode(pairsExpr).as("p"))
+          .select(split(col("text"), " ").as("w"))
+          .where(size(w) >= 2)
+          .select(explode(pairs).as("p"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("l").asc, col("r").asc)

@@ -475,6 +475,14 @@ object TopKPruning {
         dataSchema: org.apache.spark.sql.types.StructType,
         freqCols: Seq[String], sumCols: Seq[String]): Unit =
       u.rebuildShadows(spark, dir, plans, dataSchema, freqCols, sumCols)
+    override def rebuildLedgers(spark: org.apache.spark.sql.SparkSession,
+        dir: String, plans: Seq[FileScanPlan],
+        dataSchema: org.apache.spark.sql.types.StructType,
+        freqCols: Seq[String], sumCols: Seq[String], hllCols: Seq[String],
+        quantileCols: Seq[String], cmsCols: Seq[String],
+        blooms: Boolean): Unit =
+      u.rebuildLedgers(spark, dir, plans, dataSchema, freqCols, sumCols,
+        hllCols, quantileCols, cmsCols, blooms)
     def close(): Unit = u.close()
   }
 

@@ -199,12 +199,12 @@ object Compaction {
         val newPlans = index.filesNamed(names)
         val schema = footerSchema(
           new Path(r.newFiles.head), spark.sparkContext.hadoopConfiguration)
-        index.rebuildBlooms(spark, dir, newPlans, schema)
-        index.rebuildShadows(spark, dir, newPlans, schema,
-          freqShadowCols, sumShadowCols)
-        index.rebuildHll(spark, dir, newPlans, schema, hllShadowCols)
-        index.rebuildQuantiles(spark, dir, newPlans, schema, quantileShadowCols)
-        index.rebuildCms(spark, dir, newPlans, schema, cmsShadowCols)
+        // r16: ONE fused scan re-attaches blooms + every shadow ledger
+        // over the rewritten files (was one scan per family)
+        index.rebuildLedgers(spark, dir, newPlans, schema,
+          freqCols = freqShadowCols, sumCols = sumShadowCols,
+          hllCols = hllShadowCols, quantileCols = quantileShadowCols,
+          cmsCols = cmsShadowCols, blooms = true)
         rowLevel.foreach { case (colName, idxDir) =>
           graft.index.RowLevelIndex.append(
             spark, dir, newPlans, schema, colName, idxDir)

@@ -104,8 +104,9 @@ object DedupMaintenance {
     * union pushes into every branch's scan. Empty — e.g. a store whose
     * only batches were empty — is the caller's case to handle. */
   private[graft] def bandStore(spark: org.apache.spark.sql.SparkSession,
-      artifactDir: String, hconf: SerializableConfiguration): DataFrame =
-    storeDirs(bandsRoot(artifactDir), hconf)
+      artifactDir: String, hconf: SerializableConfiguration,
+      excludeDir: Option[String] = None): DataFrame =
+    storeDirs(bandsRoot(artifactDir), hconf, excludeDir)
       .map(d => spark.read.parquet(d.toString))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
@@ -119,12 +120,13 @@ object DedupMaintenance {
     * bucket set is collected driver-side: ≤ [[BandBuckets]] values. */
   private[graft] def prunedBandStore(spark: org.apache.spark.sql.SparkSession,
       artifactDir: String, batchBands: DataFrame,
-      hconf: SerializableConfiguration): DataFrame = {
-    if (storeDirs(bandsRoot(artifactDir), hconf).isEmpty)
+      hconf: SerializableConfiguration,
+      excludeDir: Option[String] = None): DataFrame = {
+    if (storeDirs(bandsRoot(artifactDir), hconf, excludeDir).isEmpty)
       return batchBands.limit(0).select("band", "bkey", "doc_id")
     val buckets = batchBands.select(bandBucket.as("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    bandStore(spark, artifactDir, hconf)
+    bandStore(spark, artifactDir, hconf, excludeDir)
       .where(col("bucket").isNull || col("bucket").isin(buckets: _*))
       .select("band", "bkey", "doc_id")
   }
@@ -174,10 +176,17 @@ object DedupMaintenance {
   }
 
   private[streaming] def storeDirs(root: Path,
-      hconf: SerializableConfiguration): Seq[Path] = {
+      hconf: SerializableConfiguration,
+      excludeDir: Option[String] = None): Seq[Path] = {
     val fs = root.getFileSystem(hconf.value)
     if (!fs.exists(root)) return Seq.empty
+    // excludeDir is dropped BEFORE the containsParquet walk: the r16
+    // concurrent commit may still be WRITING that dir (its _temporary
+    // files appear and vanish under a recursive listing — a race the
+    // bucket-prune spec caught), and callers exclude it precisely
+    // because its content must come from memory, not disk
     val all = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .filterNot(st => excludeDir.contains(st.getPath.getName))
     val baseM = all
       .filter(st => st.getPath.getName.matches("base-\\d+") &&
         fs.exists(new Path(st.getPath, "_SUCCESS")))
@@ -238,17 +247,33 @@ object DedupMaintenance {
 
   def compactPairStats(spark: org.apache.spark.sql.SparkSession,
       artifactDir: String, hconf: SerializableConfiguration): Unit = {
+    // r16: the four store roots are disjoint directory trees with
+    // independent folds — submit them as concurrent driver jobs so one
+    // scheduled compaction pays one round of fixed job overhead, not
+    // four sequential ones (guide §2.6). Each fold's crash safety is
+    // per-root (versioned `base-<m>` + `_SUCCESS`), unchanged.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
     def compact(root: Path, fold: DataFrame => DataFrame,
-        partitionCols: Seq[String] = Nil): Unit =
-      compactStore(spark, root, hconf, fold, partitionCols)
-    compact(pdRoot(artifactDir), df =>
-      df.groupBy("a", "b").agg(sum(col("dc")).as("dc"))
-        .where(col("dc") =!= 0))
-    compact(shRoot(artifactDir), identity)
-    compact(nsRoot(artifactDir), identity)
-    // the band store folds too, preserving its bucket partitioning so
-    // the fold keeps pruning on later batches' candidate joins
-    compact(bandsRoot(artifactDir), identity, Seq("bucket"))
+        partitionCols: Seq[String] = Nil): scala.concurrent.Future[Unit] =
+      scala.concurrent.Future {
+        compactStore(spark, root, hconf, fold, partitionCols)
+      }
+    try
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(Seq(
+          compact(pdRoot(artifactDir), df =>
+            df.groupBy("a", "b").agg(sum(col("dc")).as("dc"))
+              .where(col("dc") =!= 0)),
+          compact(shRoot(artifactDir), identity),
+          compact(nsRoot(artifactDir), identity),
+          // the band store folds too, preserving its bucket partitioning
+          // so the fold keeps pruning on later batches' candidate joins
+          compact(bandsRoot(artifactDir), identity, Seq("bucket")))),
+        scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+    ()
   }
 
   /** Incremental PAIR-STATISTICS maintenance — dd2/dd9's shared overlap
@@ -287,13 +312,52 @@ object DedupMaintenance {
     val sh = Dedup.shinglesOf(docs.select(col("doc_id"), col("text")),
       hashed = true).persist()
     try {
-      sh.write.mode("overwrite")
-        .parquet(new Path(shRoot(artifactDir), s"b$batchId").toString)
-      sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-        .write.mode("overwrite")
-        .parquet(new Path(nsRoot(artifactDir), s"b$batchId").toString)
+      // the prior-store dir list is taken BEFORE the concurrent writes
+      // below so the delta pass can never observe this batch's
+      // half-written shingle dir (it filters its own name regardless)
       val priorDirs = storeDirs(shRoot(artifactDir), hconf)
         .filterNot(_.getName == s"b$batchId")
+      // r16: the shingle-store write runs FIRST — it is the job that
+      // materializes the persisted `sh` cache exactly once (concurrent
+      // first-touch jobs would each recompute the lineage and race the
+      // block store) — then the size-store write and the delta pass,
+      // which both only READ the now-cached `sh` and the stable prior
+      // store, run as concurrent driver jobs: the scheduler back-fills
+      // one job's task tail with the other's (guide §2.6) instead of
+      // paying two more sequential fixed-overhead rounds per
+      // micro-batch. Replay safety is unchanged: each write overwrites
+      // its own batchId-deterministic subdir, and a crash leaving any
+      // subset written is replaced wholesale on replay.
+      sh.write.mode("overwrite")
+        .parquet(new Path(shRoot(artifactDir), s"b$batchId").toString)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      def writes(): Seq[scala.concurrent.Future[Unit]] = Seq(
+        scala.concurrent.Future {
+          sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+            .write.mode("overwrite")
+            .parquet(new Path(nsRoot(artifactDir), s"b$batchId").toString)
+        },
+        scala.concurrent.Future {
+          writeDeltas(spark, sh, priorDirs, cap, artifactDir, batchId)
+        })
+      try
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(writes()),
+          scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    } finally sh.unpersist()
+    ()
+  }
+
+  /** The pair-delta computation + write of [[commitPairStats]] (factored
+    * so the concurrent commit submits it as one unit): deltas for batch
+    * `batchId` against the prior store dirs, written to
+    * `pairdeltas/b<batchId>`. */
+  private def writeDeltas(spark: org.apache.spark.sql.SparkSession,
+      sh: DataFrame, priorDirs: Seq[Path], cap: Int,
+      artifactDir: String, batchId: Long): Unit = {
       val batchBuckets = sh.groupBy("s")
         .agg(sort_array(collect_set(col("doc_id"))).as("bs"))
       val emptyOs = array().cast("array<bigint>")
@@ -331,8 +395,6 @@ object DedupMaintenance {
         .where(col("dc") =!= 0)
       deltas.write.mode("overwrite")
         .parquet(new Path(pdRoot(artifactDir), s"b$batchId").toString)
-    } finally sh.unpersist()
-    ()
   }
 
   /** The maintained pair-statistics view: deltas summed per pair, dead
@@ -417,11 +479,13 @@ object DedupMaintenance {
       // (task × bucket-value) pair, so without it every shuffle task
       // fans out into every bucket dir — O(tasks × buckets) small files
       // per batch; with it each bucket's rows sit in one task and the
-      // batch adds at most BandBuckets files
-      batchBands.withColumn("bucket", bandBucket)
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite")
-        .parquet(new Path(bandsRoot(artifactDir), s"b$batchId").toString)
+      // batch adds at most BandBuckets files.
+      // r16: submitted CONCURRENTLY with the label merge below (guide
+      // §2.6) — the candidate join no longer reads this batch's bands
+      // back from disk (step 3 unions them in memory), so the write is
+      // independent of everything but the batch itself. Awaited before
+      // returning: the checkpoint must not advance past an unwritten
+      // band append.
       // 2. the live labels (stored (v, l) rows; empty before the first
       // commit)
       val liveV = latestVersion(artifactDir, hconf)
@@ -433,11 +497,32 @@ object DedupMaintenance {
           import spark.implicits._
           Seq.empty[(Long, Long)].toDF("v", "l")
       }
-      // 3. the batch's new candidate pairs against the band store (which
-      // now includes this batch's own bands), bucket-pruned to the
-      // partitions the batch touches
-      val pairs = newPairs(prunedBandStore(spark, artifactDir, batchBands, hconf),
-        batchBands)
+      // 3. the batch's new candidate pairs against the PRIOR band store
+      // (bucket-pruned to the partitions the batch touches) unioned with
+      // the batch's own in-memory bands — exactly the post-write store:
+      // band content is a pure function of the batch rows, so prior ∪
+      // batch equals what a read-back after step 1 would see (a replayed
+      // attempt's own on-disk dir is EXCLUDED — its content is identical
+      // to batchBands, and reading it while step 1 rewrites it would
+      // race). This removes the write→read barrier that serialized the
+      // commit. prunedBandStore's bucket collect runs HERE, before the
+      // concurrent band write launches — that small job materializes the
+      // persisted batchBands cache exactly once (a concurrent first
+      // touch would recompute the banding lineage in both jobs).
+      val store = prunedBandStore(spark, artifactDir, batchBands, hconf,
+          excludeDir = Some(s"b$batchId"))
+        .unionByName(batchBands.select("band", "bkey", "doc_id"))
+      val pairs = newPairs(store, batchBands)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val bandWrite = scala.concurrent.Future {
+        batchBands.withColumn("bucket", bandBucket)
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(new Path(bandsRoot(artifactDir), s"b$batchId").toString)
+      }
+      try {
       // 4. merged labels — CC over the AFFECTED slice only (O(batch +
       // affected components), never O(corpus) star edges); untouched
       // labels carried forward verbatim. The version becomes live the
@@ -456,6 +541,12 @@ object DedupMaintenance {
         .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+") &&
           st.getPath.getName.drop(1).toLong < batchId)
         .foreach(st => fs.delete(st.getPath, true))
+      } finally {
+        // the band append must be durable before the batch commits
+        try scala.concurrent.Await.result(bandWrite,
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      }
     } finally batchBands.unpersist()
     ()
   }

@@ -136,7 +136,18 @@ object IndexedSink {
       tgt
     }
     fs.delete(staging, true)
-    if (finals.nonEmpty) {
+    // r16: the catalog chain (footer ingest → fused ledger/posting
+    // rebuild) and the dedup/pair-stats artifact commits are independent
+    // — the former reads the renamed data files and writes the Derby
+    // catalog, the latter read the materialized batch rows and write
+    // their own artifact roots. Overlap them (guide §2.6); the scheduled
+    // compaction below still runs strictly after both.
+    val artifactWork: Seq[() => Unit] =
+      dedupArtifacts.toSeq.map(artDir => () =>
+        DedupMaintenance.commitBatch(batch, batchId, artDir, hconf)) ++
+        pairStatsArtifacts.toSeq.map(artDir => () =>
+          DedupMaintenance.commitPairStats(batch, batchId, artDir, hconf))
+    val catalogWork: () => Unit = () => if (finals.nonEmpty) {
       val paths = finals.map(_.toString)
       val cols = indexedCols
       val statsRdd = spark.sparkContext
@@ -164,13 +175,13 @@ object IndexedSink {
         // catalog-side name filter — O(new files), never a full-catalog
         // plan fetch per micro-batch
         val newPlans = index.filesNamed(names)
-        index.rebuildBlooms(spark, dataDir, newPlans, batch.schema)
-        index.rebuildShadows(spark, dataDir, newPlans, batch.schema,
-          freqShadowCols, sumShadowCols)
-        index.rebuildHll(spark, dataDir, newPlans, batch.schema, hllShadowCols)
-        index.rebuildQuantiles(spark, dataDir, newPlans, batch.schema,
-          quantileShadowCols)
-        index.rebuildCms(spark, dataDir, newPlans, batch.schema, cmsShadowCols)
+        // r16: ONE fused scan builds blooms + every shadow ledger for the
+        // batch's files (was one scan per family — up to 5 reads of the
+        // same new data per commit)
+        index.rebuildLedgers(spark, dataDir, newPlans, batch.schema,
+          freqCols = freqShadowCols, sumCols = sumShadowCols,
+          hllCols = hllShadowCols, quantileCols = quantileShadowCols,
+          cmsCols = cmsShadowCols, blooms = true)
         rowLevel.foreach { case (colName, idxDir) =>
           graft.index.RowLevelIndex.append(
             spark, dataDir, newPlans, batch.schema, colName, idxDir,
@@ -180,12 +191,20 @@ object IndexedSink {
     }
     // incremental dedup-artifact maintenance (band append + star-merge
     // labels; optionally pair statistics) for document batches — same
-    // exactly-once discipline, see [[DedupMaintenance]]
-    dedupArtifacts.foreach { artDir =>
-      DedupMaintenance.commitBatch(batch, batchId, artDir, hconf)
-    }
-    pairStatsArtifacts.foreach { artDir =>
-      DedupMaintenance.commitPairStats(batch, batchId, artDir, hconf)
+    // exactly-once discipline, see [[DedupMaintenance]] — run
+    // CONCURRENTLY with the catalog chain above
+    if (artifactWork.isEmpty) catalogWork()
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(1 + artifactWork.size)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            (catalogWork +: artifactWork).map(w => scala.concurrent.Future(w()))),
+          scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     }
     // scheduled LSM compaction: every N batches, fold all artifact dirs
     // below the NEWEST (this batch — still replayable, never folded)

@@ -39,13 +39,30 @@ object SearchMaintenance {
     * batch-sized (doc, term) agg, two overwrite writes. O(batch). */
   private[graft] def commitBatch(docs: DataFrame, batchId: Long,
       artifactDir: String): Unit = {
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .write.mode("overwrite")
-      .parquet(new Path(postRoot(artifactDir), s"b$batchId").toString)
-    docs.agg(count(lit(1)).as("n"))
-      .write.mode("overwrite")
-      .parquet(new Path(nRoot(artifactDir), s"b$batchId").toString)
+    // r16: the two writes are independent pure functions of the
+    // already-materialized micro-batch rows — run them as concurrent
+    // driver jobs (guide §2.6) instead of two sequential fixed-overhead
+    // rounds; overwrite-idempotence under replay is unchanged
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(Seq(
+          scala.concurrent.Future {
+            docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+              .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+              .write.mode("overwrite")
+              .parquet(new Path(postRoot(artifactDir), s"b$batchId").toString)
+          },
+          scala.concurrent.Future {
+            docs.agg(count(lit(1)).as("n"))
+              .write.mode("overwrite")
+              .parquet(new Path(nRoot(artifactDir), s"b$batchId").toString)
+          })),
+        scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+    ()
   }
 
   /** THE rarity-weighted scorer — the one implementation ts3, the
@@ -72,9 +89,21 @@ object SearchMaintenance {
     * long-running stream; reads stay correct with or without it. */
   private[graft] def compact(spark: SparkSession, artifactDir: String,
       hconf: org.apache.spark.util.SerializableConfiguration): Unit = {
-    DedupMaintenance.compactStore(spark, postRoot(artifactDir), hconf, identity)
-    DedupMaintenance.compactStore(spark, nRoot(artifactDir), hconf,
-      df => df.agg(sum(col("n")).as("n")))
+    // r16: disjoint roots, independent folds — concurrent (guide §2.6)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(Seq(
+          scala.concurrent.Future(DedupMaintenance.compactStore(
+            spark, postRoot(artifactDir), hconf, identity)),
+          scala.concurrent.Future(DedupMaintenance.compactStore(
+            spark, nRoot(artifactDir), hconf,
+            df => df.agg(sum(col("n")).as("n")))))),
+        scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+    ()
   }
 
   /** ts3's rarity-weighted ranked retrieval over the maintained store —
