@@ -249,9 +249,7 @@ object AnnSearch {
         val q = quantized(s, dir)
         val cbs = fitPqCodebooks(s, dir)
         ann4Oracle = Some(ann4Sql(cbs))
-        val enc = (0 until PqM).foldLeft(q) { (df, m) =>
-          df.withColumn(s"c$m", pqCode(m, cbs(m)))
-        }
+        val enc = q.select(col("*") +: pqCodeCols(cbs): _*)
         val normTab: Int => Seq[Long] =
           m => cbs(m).map(cv => cv.map(x => x * x).sum).toSeq
         val nd = (0 until PqM).map { m =>
@@ -322,10 +320,8 @@ object AnnSearch {
         val scoreArr = cellScoreArr(s, cents)
         // corpus: one coarse cell + M codes per row; nd (decoded norm²)
         // from the plan-time per-code norm table — no decoded vector
-        val enc = (0 until PqM).foldLeft(
-          q.withColumn("cell", -array_max(scoreArr).getField("i"))) { (df, m) =>
-          df.withColumn(s"c$m", pqCode(m, cbs(m)))
-        }
+        val enc = q.withColumn("cell", -array_max(scoreArr).getField("i"))
+          .select(col("*") +: pqCodeCols(cbs): _*)
         val normTab: Int => Seq[Long] =
           m => cbs(m).map(cv => cv.map(x => x * x).sum).toSeq
         val nd = (0 until PqM).map { m =>
@@ -721,11 +717,26 @@ object AnnSearch {
       lit(0L), (acc, x) => acc + x)
 
   /** Argmin code for subspace m via the (dist·K + idx) integer-min trick —
-    * deterministic ties to the LOWER code, pure codegen. */
-  private def pqCode(m: Int, cbm: Array[Array[Long]]): Column =
+    * deterministic ties to the LOWER code, pure codegen. (Reference
+    * implementation; the encode PATH uses the fused [[pqCodeCols]] —
+    * PqCodesSpec pins their equality.) */
+  private[graft] def pqCode(m: Int, cbm: Array[Array[Long]]): Column =
     least(cbm.zipWithIndex.map { case (cv, c) =>
       pqDist(m, cv) * PqK + c
     }: _*) % PqK
+
+  /** All M code columns `c0..c7` from ONE fused codegen encode
+    * ([[graft.functions.PqEncode]] — r16): one M·K·subdim multiply-add
+    * loop per row instead of M·K slice+zip_with+aggregate chains. The
+    * element_at projections over the single `cs` array are eliminated as
+    * common subexpressions inside the one collapsed Project. */
+  private[graft] def pqCodeCols(cbs: Array[Array[Array[Long]]]): Seq[Column] = {
+    val all = org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftSqlShim.expression(col("v")),
+        cbs.map(_.map(_.toSeq).toSeq).toSeq))
+    (0 until PqM).map(m => element_at(all, m + 1).as(s"c$m"))
+  }
 
   /** Mean squared quantization error of a codebook set over the WHOLE
     * corpus — the fit-quality scalar (lower = the 8-byte codes lose less

@@ -177,7 +177,11 @@ object Dedup {
     * with tiny buckets — the shape that survives a 1000x corpus. Shared
     * by dd3 (emits the pairs) and dd6 (clusters them). */
   private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    bandPairs(bandKeys(shingleDf(s, dir)))
+    // r16: the map-only banding (row-identical to bandKeys — pinned by
+    // BandKeysEquivalence) replaces the explode+groupBy signature
+    // shuffle; the pipeline's only exchange is then the band-bucket join
+    // itself, exactly like the incremental/streaming faces (guide §2.4)
+    bandPairs(bandKeysMapOnly(Tables.load(s, dir, "documents")))
 
   /** Candidate pairs (a < b) from a melted `(doc_id, band, bkey)` band
     * frame: pair combinations inside each band bucket. Factored from

@@ -356,21 +356,36 @@ object EventStreams {
       out
     })
 
-  /** Stream the 4-day fixture through [[IndexedSink]] (footer stats +
-    * user_id sum and HLL ledgers maintained per micro-batch), hand the
-    * body the INDEXED read of the maintained table plus the index itself
-    * (for explicit-API capabilities like approxDistinct), then tear the
-    * temp copy down on every path. The body's answers must come from the
-    * catalog the SINK built — nothing is re-indexed after the stream
-    * stops. */
-  private[graft] def withStreamedDayparts[T](s: SparkSession, sfDir: String)(
+  /** Stream the 4-day fixture through [[IndexedSink]] (footer stats
+    * always; each requested shadow ledger maintained per micro-batch),
+    * hand the body the INDEXED read of the maintained table plus the
+    * index itself (for explicit-API capabilities like approxDistinct),
+    * then tear the temp copy down on every path. The body's answers must
+    * come from the catalog the SINK built — nothing is re-indexed after
+    * the stream stops.
+    *
+    * r16: each gate maintains ONLY the ledger its query consumes (st9
+    * the sum fold, st10 the HLL estimate, st11 the quantile estimate,
+    * st12/st13 footer stats alone) — maintaining all three per gate was
+    * redundant coverage paid 4 batches × 2 timed runs × 5 gates per
+    * bench (guide §1.2: don't compute what the query throws away); the
+    * ALL-ledgers-through-one-sink composition stays pinned by
+    * IndexedSinkSpec's shadow-maintenance test and LedgerFusionSpec. */
+  private[graft] def withStreamedDayparts[T](s: SparkSession, sfDir: String,
+      sumCols: Seq[String] = Seq("user_id"),
+      hllCols: Seq[String] = Nil,
+      quantileCols: Seq[String] = Nil)(
       body: (DataFrame, graft.index.DerbyStatsIndex) => T): T =
-    withStreamedDaypartsFull(s, sfDir)((df, ix, _, _) => body(df, ix))
+    withStreamedDaypartsFull(s, sfDir, sumCols, hllCols, quantileCols)(
+      (df, ix, _, _) => body(df, ix))
 
   /** [[withStreamedDayparts]] plus the maintained table's data dir and
     * schema — the handles version-aware reads (IndexedSink.readAsOf)
     * need. */
-  private[graft] def withStreamedDaypartsFull[T](s: SparkSession, sfDir: String)(
+  private[graft] def withStreamedDaypartsFull[T](s: SparkSession, sfDir: String,
+      sumCols: Seq[String] = Seq("user_id"),
+      hllCols: Seq[String] = Nil,
+      quantileCols: Seq[String] = Nil)(
       body: (DataFrame, graft.index.DerbyStatsIndex, String,
         org.apache.spark.sql.types.StructType) => T): T = {
     val dir = dayStreamDir(s, sfDir)
@@ -390,9 +405,9 @@ object EventStreams {
       // the batch fixtures — see Indexed.timeEntry's -v2 note)
       val q = graft.operators.Indexed.withMicrosTimestamps(s) {
         val started = IndexedSink.start(src, s"$base/data", index, idxCols,
-          s"$base/ckpt", sumShadowCols = Seq("user_id"),
-          hllShadowCols = Seq("user_id"),
-          quantileShadowCols = Seq("user_id"))
+          s"$base/ckpt", sumShadowCols = sumCols,
+          hllShadowCols = hllCols,
+          quantileShadowCols = quantileCols)
         try started.awaitTermination() finally started.stop()
         started
       }
@@ -428,7 +443,8 @@ object EventStreams {
     * story mirrors st9: incremental-ingest-equals-batch, now for the
     * sketch ledger. */
   def streamNdvQuery(s: SparkSession, sfDir: String): DataFrame =
-    withStreamedDayparts(s, sfDir) { (df, index) =>
+    withStreamedDayparts(s, sfDir,
+        sumCols = Nil, hllCols = Seq("user_id")) { (df, index) =>
       val est = index.approxDistinct("user_id").getOrElse(
         sys.error("sink-maintained catalog declined the NDV estimate"))
       val exact = df.agg(countDistinct(col("user_id")))
@@ -446,7 +462,8 @@ object EventStreams {
     * boolean, sk1 convention: the merged-summary rank error is
     * ≤ N/(2K) ≈ 0.78 %, checked against the exact ±3 %-rank bracket). */
   def streamQuantileQuery(s: SparkSession, sfDir: String): DataFrame =
-    withStreamedDayparts(s, sfDir) { (df, index) =>
+    withStreamedDayparts(s, sfDir,
+        sumCols = Nil, quantileCols = Seq("user_id")) { (df, index) =>
       val Seq(est50, est90) = index
         .approxQuantiles("user_id", Seq(0.5, 0.9))
         .getOrElse(sys.error("sink-maintained catalog declined the quantile"))
@@ -468,7 +485,7 @@ object EventStreams {
     * three. The same derivation is pure SQL for the oracle; a mid key
     * that happens not to exist matches nothing on both sides. */
   def streamSemijoinQuery(s: SparkSession, sfDir: String): DataFrame =
-    withStreamedDayparts(s, sfDir) { (df, index) =>
+    withStreamedDayparts(s, sfDir, sumCols = Nil) { (df, index) =>
       val lo = index.minIndexedValue("event_id")
         .getOrElse(sys.error("catalog declined the event_id min"))
         .asInstanceOf[Number].longValue
@@ -489,7 +506,7 @@ object EventStreams {
     * the first two ingested days; the per-day rollup over that snapshot
     * must equal the batch answer over those days (which is the oracle). */
   def streamTimeTravelQuery(s: SparkSession, sfDir: String): DataFrame =
-    withStreamedDaypartsFull(s, sfDir) { (_, index, dataDir, schema) =>
+    withStreamedDaypartsFull(s, sfDir, sumCols = Nil) { (_, index, dataDir, schema) =>
       IndexedSink.readAsOf(s, dataDir, index, schema, maxBatchId = 1L,
           requiredCols = Seq("ts", "user_id"))
         .groupBy(to_date(col("ts")).as("day"))

@@ -23,7 +23,11 @@ class StreamedDaypartsSpec extends SparkSpec {
   }
 
   test("the sink-maintained catalog serves the day-of-week rollup with zero data jobs") {
-    graft.streaming.EventStreams.withStreamedDayparts(spark, sf("sf0.001")) { (df, index) =>
+    // sum + HLL together: this spec is where the multi-ledger-through-
+    // one-sink composition stays pinned now that each driver gate
+    // maintains only the ledger its query consumes (r16)
+    graft.streaming.EventStreams.withStreamedDayparts(spark, sf("sf0.001"),
+      sumCols = Seq("user_id"), hllCols = Seq("user_id")) { (df, index) =>
       def roll = df.groupBy(dayofweek(col("ts")).as("dow"))
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("su"),
           min(col("ts")).as("mnts"), max(col("ts")).as("mxts"))
