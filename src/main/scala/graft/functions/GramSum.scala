@@ -23,10 +23,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * partial/merge contract is element-wise addition, so the exchange
   * still carries one O(d²) buffer per task.
   *
-  * Overflow posture: ANSI-faithful — cell sums accumulate with
-  * `Math.addExact` and throw on Long overflow exactly as the SUM
-  * aggregate the pipeline used would (the suite's quantized grid keeps
-  * real values far below the edge).
+  * Overflow posture: fail-closed — every product and cell sum uses the
+  * checked `Math.multiplyExact` / `Math.addExact` and throws on Long
+  * overflow. Under the session's ANSI mode (the Spark 4 default this
+  * suite runs with) that matches the replaced multiply+SUM pipeline
+  * exactly; in a non-ANSI session the replaced SUM would wrap silently,
+  * so this kernel is strictly STRICTER there — an overflow that would
+  * have produced a silently wrong gram cell becomes an error (the
+  * suite's quantized grid keeps real values far below the edge).
   */
 case class GramSum(
     child: Expression,
@@ -68,8 +72,8 @@ case class GramSum(
           var j = i
           while (j < n) {
             if (!arr.isNullAt(j))
-              buf(idx + (j - i)) =
-                Math.addExact(buf(idx + (j - i)), xi * arr.getLong(j))
+              buf(idx + (j - i)) = Math.addExact(
+                buf(idx + (j - i)), Math.multiplyExact(xi, arr.getLong(j)))
             j += 1
           }
           idx += dim - i

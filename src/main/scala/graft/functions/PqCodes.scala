@@ -48,11 +48,15 @@ object PqCodes {
           var d = 0
           val cb = (mi * k + c) * subDim
           while (d < subDim) {
-            val diff = v.getLong(base + d) - books(cb + d)
-            dist += diff * diff
+            // checked arithmetic end to end: the replaced zip_with/aggregate
+            // expressions ran under the session's ANSI mode (Spark 4
+            // default: throw on Long overflow) — a silent wrap here would
+            // diverge from them exactly at the magnitudes where it matters
+            val diff = Math.subtractExact(v.getLong(base + d), books(cb + d))
+            dist = Math.addExact(dist, Math.multiplyExact(diff, diff))
             d += 1
           }
-          val keyed = dist * k + c
+          val keyed = Math.addExact(Math.multiplyExact(dist, k.toLong), c.toLong)
           if (keyed < best) best = keyed
           c += 1
         }

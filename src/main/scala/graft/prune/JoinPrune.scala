@@ -128,23 +128,21 @@ object JoinPrune {
       // in-catalog bloom probes for IN-lists — reuse it wholesale. Its
       // NULL-stats-keep semantics are those of a general predicate; a
       // semi-join on `=` additionally knows an all-NULL group matches
-      // nothing, so one O(survivors) stats fetch drops those too.
+      // nothing — the conjoined IsNotNull rewrites to exactly that
+      // (`null_count < row_count`, keep-on-unknown), so ONE catalog round
+      // trip answers what r15/r16 paid a walk PLUS an O(survivors) stats
+      // fetch for (the driver-observed serial cost of this family).
+      // Keys are SORTED (storage-space order): the key set reaches this
+      // point via `.distinct().collect()`, whose row order varies run to
+      // run — identical key sets would otherwise render different catalog
+      // SQL texts and defeat the store's statement/plan cache on every
+      // repeated probe.
+      implicit val o: Ordering[Any] = ord.get
+      val sortedKeys = keys.distinct.sortBy(encodeKey(dt, _).get)
       val pred = graft.sources.RowGroupSkipScan.resolvePredicate(
-        spark, dataSchema, col(colName).isin(keys: _*))
-      val walked = index.getFiles(pred)
-      val pruned =
-        index.rowGroupStatsFor(colName, walked.map(_.fileName).toSet) match {
-          case None => walked
-          case Some(stats) =>
-            val allNull = stats.filter(s => s.nullCount.contains(s.rowCount))
-              .map(s => (s.fileName, s.rowGroup)).toSet
-            walked.flatMap { p =>
-              val keep = p.scanRowGroups
-                .filterNot(rg => allNull.contains((p.fileName, rg)))
-              if (keep.isEmpty) None else Some(p.copy(scanRowGroups = keep))
-            }
-        }
-      return decision(pruned, "in-probe")
+        spark, dataSchema,
+        col(colName).isin(sortedKeys: _*) && col(colName).isNotNull)
+      return decision(index.getFiles(pred), "in-probe")
     }
 
     implicit val o: Ordering[Any] = ord.get

@@ -72,22 +72,22 @@ object RowGroupSkipScan {
       if (requiredCols.isEmpty) dataSchema
       else StructType(dataSchema.filter(f => requiredCols.contains(f.name)))
     // row-based reader: this path's vectorized output (ColumnarBatch)
-    // cannot pass through internalCreateDataFrame
-    val prevVec = spark.conf.get("spark.sql.parquet.enableVectorizedReader", "true")
-    val reader =
-      try {
-        spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
-        new ParquetFileFormat().buildReaderWithPartitionValues(
-          sparkSession = cs,
-          dataSchema = dataSchema,
-          partitionSchema = new StructType(),
-          requiredSchema = required,
-          filters = pushedFilters,
-          options = Map(org.apache.spark.sql.execution.datasources.FileFormat
-            .OPTION_RETURNING_BATCH -> "false"),
-          hadoopConf = new org.apache.hadoop.conf.Configuration(
-            spark.sparkContext.hadoopConfiguration))
-      } finally spark.conf.set("spark.sql.parquet.enableVectorizedReader", prevVec)
+    // cannot pass through internalCreateDataFrame. The conf override is
+    // scoped to a CLONED session (r17, ADVICE): flipping the shared
+    // session's conf — even try/finally-restored — let a query planned
+    // concurrently on another thread observe the flipped value.
+    val confSession = GraftSqlShim.cloneSession(spark)
+    confSession.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    val reader = new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = confSession,
+      dataSchema = dataSchema,
+      partitionSchema = new StructType(),
+      requiredSchema = required,
+      filters = pushedFilters,
+      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration))
     val partitions = graft.plans.RowGroupScan.filePartitions(dir, plans, mergeRuns)
     val rdd = new FileScanRDD(cs, reader, partitions, required)
     GraftSqlShim.internalCreateDataFrame(spark, rdd, required)

@@ -260,18 +260,15 @@ object DedupMaintenance {
       scala.concurrent.Future {
         compactStore(spark, root, hconf, fold, partitionCols)
       }
-    try
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(Seq(
-          compact(pdRoot(artifactDir), df =>
-            df.groupBy("a", "b").agg(sum(col("dc")).as("dc"))
-              .where(col("dc") =!= 0)),
-          compact(shRoot(artifactDir), identity),
-          compact(nsRoot(artifactDir), identity),
-          // the band store folds too, preserving its bucket partitioning
-          // so the fold keeps pruning on later batches' candidate joins
-          compact(bandsRoot(artifactDir), identity, Seq("bucket")))),
-        scala.concurrent.duration.Duration.Inf)
+    try Awaits.all(Seq(
+        compact(pdRoot(artifactDir), df =>
+          df.groupBy("a", "b").agg(sum(col("dc")).as("dc"))
+            .where(col("dc") =!= 0)),
+        compact(shRoot(artifactDir), identity),
+        compact(nsRoot(artifactDir), identity),
+        // the band store folds too, preserving its bucket partitioning
+        // so the fold keeps pruning on later batches' candidate joins
+        compact(bandsRoot(artifactDir), identity, Seq("bucket"))))
     finally pool.shutdown()
     ()
   }
@@ -342,10 +339,7 @@ object DedupMaintenance {
         scala.concurrent.Future {
           writeDeltas(spark, sh, priorDirs, cap, artifactDir, batchId)
         })
-      try
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(writes()),
-          scala.concurrent.duration.Duration.Inf)
+      try Awaits.all(writes())
       finally pool.shutdown()
     } finally sh.unpersist()
     ()

@@ -199,11 +199,11 @@ object IndexedSink {
         .newFixedThreadPool(1 + artifactWork.size)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(
-            (catalogWork +: artifactWork).map(w => scala.concurrent.Future(w()))),
-          scala.concurrent.duration.Duration.Inf)
+      // await ALL before rethrowing (Awaits.all): a fail-fast await here
+      // left sibling commit jobs writing b<batchId> dirs while the batch
+      // failed — a replay would then race the orphaned writers
+      try Awaits.all(
+        (catalogWork +: artifactWork).map(w => scala.concurrent.Future(w())))
       finally pool.shutdown()
     }
     // scheduled LSM compaction: every N batches, fold all artifact dirs

@@ -46,21 +46,18 @@ object SearchMaintenance {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(Seq(
-          scala.concurrent.Future {
-            docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-              .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-              .write.mode("overwrite")
-              .parquet(new Path(postRoot(artifactDir), s"b$batchId").toString)
-          },
-          scala.concurrent.Future {
-            docs.agg(count(lit(1)).as("n"))
-              .write.mode("overwrite")
-              .parquet(new Path(nRoot(artifactDir), s"b$batchId").toString)
-          })),
-        scala.concurrent.duration.Duration.Inf)
+    try Awaits.all(Seq(
+        scala.concurrent.Future {
+          docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+            .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+            .write.mode("overwrite")
+            .parquet(new Path(postRoot(artifactDir), s"b$batchId").toString)
+        },
+        scala.concurrent.Future {
+          docs.agg(count(lit(1)).as("n"))
+            .write.mode("overwrite")
+            .parquet(new Path(nRoot(artifactDir), s"b$batchId").toString)
+        }))
     finally pool.shutdown()
     ()
   }
@@ -93,15 +90,12 @@ object SearchMaintenance {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(Seq(
-          scala.concurrent.Future(DedupMaintenance.compactStore(
-            spark, postRoot(artifactDir), hconf, identity)),
-          scala.concurrent.Future(DedupMaintenance.compactStore(
-            spark, nRoot(artifactDir), hconf,
-            df => df.agg(sum(col("n")).as("n")))))),
-        scala.concurrent.duration.Duration.Inf)
+    try Awaits.all(Seq(
+        scala.concurrent.Future(DedupMaintenance.compactStore(
+          spark, postRoot(artifactDir), hconf, identity)),
+        scala.concurrent.Future(DedupMaintenance.compactStore(
+          spark, nRoot(artifactDir), hconf,
+          df => df.agg(sum(col("n")).as("n"))))))
     finally pool.shutdown()
     ()
   }

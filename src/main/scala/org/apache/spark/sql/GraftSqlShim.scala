@@ -31,6 +31,13 @@ object GraftSqlShim {
   def expression(c: Column): catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** A clone of the session sharing its SparkContext with a COPY of its
+    * SQL conf/state — a scoped conf override can be applied to the clone
+    * without mutating (or racing) the shared session
+    * (`cloneSession` is `private[sql]`). */
+  def cloneSession(spark: SparkSession): classic.SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** Catalyst predicate → data-source `Filter`, when translatable
     * (`DataSourceStrategy.translateFilter` is `protected[sql]`). */
   def translateFilter(

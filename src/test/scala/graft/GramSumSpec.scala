@@ -42,6 +42,31 @@ class GramSumSpec extends SparkSpec {
       assert(flat(cellIndex(i, j, d)) == want((i, j)), s"cell ($i,$j)")
   }
 
+  test("overflow fails loudly at adversarial magnitudes (r17: product AND sum)") {
+    import spark.implicits._
+    // product overflow: 3.1e9 · 3.1e9 ≈ 9.6e18 > Long.MaxValue — the r16
+    // kernel wrapped this silently (only the ADD was checked); r17 checks
+    // the multiply too (Math.multiplyExact), matching the fail-closed
+    // posture of the replaced ANSI-mode multiply+SUM pipeline
+    val big = 3100000000L
+    val prodDf = Seq(Seq(big, 0L)).toDF("v")
+    val e1 = intercept[Exception] { gramOf(prodDf, 2) }
+    assert(exceptionChain(e1).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in the cause chain, got $e1")
+    // sum overflow: each product ≈ 8.8e18 fits a long, two of them do not
+    val nearMax = 2970000000L // nearMax² ≈ 8.82e18 < Long.MaxValue
+    val sumDf = Seq(Seq(nearMax, 0L), Seq(nearMax, 0L)).toDF("v")
+    val e2 = intercept[Exception] { gramOf(sumDf, 2) }
+    assert(exceptionChain(e2).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in the cause chain, got $e2")
+    // the same magnitudes BELOW the edge still compute exactly
+    val okDf = Seq(Seq(nearMax, 0L)).toDF("v")
+    assert(gramOf(okDf, 2)(0) == nearMax * nearMax)
+  }
+
+  private def exceptionChain(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
   test("emb3_gram serves the identical result through the new plan") {
     val got = SparkEntry.queries("emb3_gram")(spark, sf("sf0.001"))
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap

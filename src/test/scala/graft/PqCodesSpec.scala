@@ -24,6 +24,27 @@ class PqCodesSpec extends SparkSpec {
     assert(a == rows(expr))
   }
 
+  test("overflow in the distance accumulation fails loudly (r17)") {
+    import spark.implicits._
+    // diff ≈ 3.1e9 −(−3.1e9) = 6.2e9, diff² ≈ 3.8e19 > Long.MaxValue: the
+    // r16 kernel wrapped this silently where the replaced ANSI-mode
+    // zip_with/aggregate chain threw; r17's checked multiply restores the
+    // fail-closed posture (subtract/multiply/add all *Exact)
+    val books = Seq(Seq(Seq(-3100000000L, 0L))) // m=1, k=1, subDim=2
+    val enc = org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftSqlShim.expression(col("v")), books))
+    val df = Seq(Seq(3100000000L, 0L)).toDF("v")
+    val e = intercept[Exception] { df.select(enc).collect() }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10).toSeq
+    assert(chain.exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in the cause chain, got $e")
+    // the same shape below the edge still encodes (code 0 of 1)
+    val ok = Seq(Seq(100L, 0L)).toDF("v")
+    assert(ok.select(enc).collect()(0).getSeq[Long](0) == Seq(0L))
+  }
+
   test("null element and short vector yield NULL codes like the old form") {
     import spark.implicits._
     val cbs = AnnSearch.fitPqCodebooks(spark, sf("sf0.01"))
