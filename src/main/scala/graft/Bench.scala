@@ -13,9 +13,9 @@ object Bench {
     * cannot elide the loop.
     */
   @volatile private var calSink: Long = 0L
-  private def mixLoop(seed: Long): Long = {
+  private def mixLoop(seed: Long, steps: Int = 100000000): Long = {
     var x = seed; var i = 0
-    while (i < 100000000) {
+    while (i < steps) {
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       i += 1
     }
@@ -24,6 +24,23 @@ object Bench {
   private def calibrate(): Double = {
     val t0 = System.nanoTime()
     calSink = mixLoop(0x9e3779b97f4a7c15L)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Per-query contention micro-probe (r17): the same fixed-work loop at
+    * 1/25 the length (~10 ms healthy), run immediately BEFORE each timed
+    * batch-query run. The r16 adjudication showed a mid-run starvation
+    * window can fabricate a 10x phantom regression on individual rows
+    * (q17_rollup 0.29→4.93 s) while the endpoint cal/calp probes stay
+    * healthy — with a probe PER TIMED RUN, a contaminated window is
+    * attributable to specific rows from the JSON alone: `calq` carries
+    * the min/max over all per-run probes and `calq_flagged` lists the
+    * queries whose MEDIAN probe ran ≥2.5× the run's floor (i.e. the
+    * reported median timing itself is contention-suspect). Additions
+    * only — every pre-existing JSON field is unchanged. */
+  private def microCal(): Double = {
+    val t0 = System.nanoTime()
+    calSink = mixLoop(0xd1b54a32d192ed03L, steps = 4000000)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -121,6 +138,9 @@ object Bench {
     // A query that throws reports -1 and is listed in "failures" instead of
     // silently contributing a near-zero timing.
     val stProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // per-(query, run) CPU micro-probes (r17) — see microCal
+    val qProbes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    calSink = mixLoop(0xd1b54a32d192ed03L, steps = 4000000) // JIT the probe length
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val isStream = name.startsWith("st")
       val nRuns = if (isStream) 2 else 3
@@ -128,8 +148,10 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
+      val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
       val runs = (1 to nRuns).map { _ =>
         if (isStream) stProbes += calibrateIo(files = 8)
+        else probes += microCal()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case e: Throwable =>
@@ -138,6 +160,7 @@ object Bench {
         spark.catalog.clearCache() // per-query caches must not leak across timings
         (dt, ok)
       }
+      if (probes.nonEmpty) qProbes(name) = probes.toSeq
       val timing =
         if (isStream) runs.map(_._1).min
         else runs.map(_._1).sorted.apply(runs.size / 2)
@@ -164,6 +187,22 @@ object Bench {
         s"[bench] stio ${stProbes.map(fmt3).mkString(" ")} s")
     val stioMin = if (stProbes.isEmpty) 0.0 else stProbes.min
     val stioMax = if (stProbes.isEmpty) 0.0 else stProbes.max
+    // per-query CPU probe summary (r17): floor = the fastest probe seen
+    // anywhere in the run (the machine's uncontended speed for this fixed
+    // work); a query whose MEDIAN probe is ≥2.5× that floor had most of
+    // its timed runs inside a contention window — its reported median is
+    // an upper bound, not a code measurement
+    val allQ = qProbes.values.flatten.toSeq
+    val calqMin = if (allQ.isEmpty) 0.0 else allQ.min
+    val calqMax = if (allQ.isEmpty) 0.0 else allQ.max
+    val calqFlagged = qProbes.collect { case (n, ps)
+      if calqMin > 0 &&
+        ps.sorted.apply(ps.size / 2) >= 2.5 * calqMin => n }.toSeq.sorted
+    qProbes.collect { case (n, ps) if calqFlagged.contains(n) =>
+      System.err.println(
+        s"[bench] calq flagged $n: ${ps.map(fmt3).mkString(" ")} s " +
+          s"(floor ${fmt3(calqMin)})")
+    }
     // The harness capturing this output keeps only the last ~2000 bytes of
     // stdout, and the build tool appends a ~75-byte success line after us —
     // so the whole JSON line must fit in ~1900 bytes or its head is cut and
@@ -180,7 +219,14 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cal":[${fmt(calStart)},${fmt(calEnd)}],""" +
         s""""calp":[${fmt(calpStart)},${fmt(calpEnd)}],""" +
         s""""calio":[${fmt(calioStart)},${fmt(calioEnd)}],""" +
-        s""""stio":[${fmt(stioMin)},${fmt(stioMax)}],"cpus":$cpus,""" +
+        s""""stio":[${fmt(stioMin)},${fmt(stioMax)}],""" +
+        s""""calq":[${fmt3(calqMin)},${fmt3(calqMax)}],""" +
+        // render cap: a heavily contaminated run could flag dozens of rows
+        // and squeeze per-query entries out of the 1880-byte line — list
+        // the first 16 (alphabetical) and carry the true count separately
+        s""""calq_flagged":${calqFlagged.take(16).map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""calq_flagged_n":${calqFlagged.size},""" +
+        s""""cpus":$cpus,""" +
         s""""queries":$qs,"failures":${failures.mkString("[", ",", "]")}$omit,"sf":"$sfDir"}"""
     }
     // if the full map overflows, drop the single fastest (noise-level)

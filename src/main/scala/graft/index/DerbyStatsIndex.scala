@@ -1415,6 +1415,66 @@ object DerbyStatsIndex {
     } catch { case _: java.sql.SQLException => () }
   }
 
+  // ---- fresh-catalog template (r17 optimization) ----------------------------
+  // A fresh embedded catalog pays ~0.5–0.7 s of Derby DDL + system-table
+  // writes per create (measured; the engine boot itself is amortized per
+  // JVM). The per-run streaming gates create one catalog per run, so the
+  // DDL cost lands inside every timed run. The DDL is a pure function of
+  // (schema, bloomCols, plannerSideBloomProbe), so it is paid ONCE per
+  // JVM into a cleanly-shut-down TEMPLATE database and every subsequent
+  // fresh catalog is a file-level copy of it (~ms). This precomputes
+  // SCHEMA only — the template holds zero data rows, so no result or
+  // statistic is carried across runs; every catalog's content still comes
+  // entirely from the run's own ingest.
+  private val templates = scala.collection.mutable.HashMap.empty[String, String]
+
+  /** A fresh, EMPTY, fully-initialized catalog at `dbPath` (equivalent to
+    * `new DerbyStatsIndex(...)` + `initialize(schema)`), served from the
+    * per-JVM template. `dbPath` must not exist yet. */
+  def freshInitialized(dbPath: String, schema: StructType,
+      bloomCols: Set[String] = Set.empty,
+      plannerSideBloomProbe: Boolean = false,
+      maxPlannerProbeRowGroups: Int = 16384): DerbyStatsIndex = {
+    val key = schema.json + "|" + bloomCols.toSeq.sorted.mkString(",") +
+      "|" + plannerSideBloomProbe
+    val tmpl = templates.synchronized {
+      templates.getOrElseUpdate(key, {
+        val t = java.nio.file.Files.createTempDirectory("graft-derby-tmpl")
+          .resolve("db").toString
+        val ix = new DerbyStatsIndex(t, schema, bloomCols, plannerSideBloomProbe)
+        ix.initialize(schema)
+        ix.close()
+        shutdownDatabase(t) // a booted source dir must not be copied live
+        t
+      })
+    }
+    copyTree(java.nio.file.Paths.get(tmpl), java.nio.file.Paths.get(dbPath))
+    new DerbyStatsIndex(dbPath, schema, bloomCols, plannerSideBloomProbe,
+      maxPlannerProbeRowGroups)
+  }
+
+  /** Recursive file copy of a cleanly-shut-down Derby database directory.
+    * Lock files are skipped defensively (a clean shutdown removes them;
+    * a copied stale lock would block the boot of the copy). */
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    Files.walkFileTree(src, new SimpleFileVisitor[Path] {
+      override def preVisitDirectory(d: Path,
+          a: attribute.BasicFileAttributes): FileVisitResult = {
+        Files.createDirectories(dst.resolve(src.relativize(d)))
+        FileVisitResult.CONTINUE
+      }
+      override def visitFile(f: Path,
+          a: attribute.BasicFileAttributes): FileVisitResult = {
+        if (!f.getFileName.toString.endsWith(".lck"))
+          Files.copy(f, dst.resolve(src.relativize(f)),
+            StandardCopyOption.REPLACE_EXISTING)
+        FileVisitResult.CONTINUE
+      }
+    })
+    ()
+  }
+
   /** Width of the string min/max hex shadow columns: up to 3 UTF-8 bytes
     * per UTF-16 code unit of a MaxStringLen-truncated value (surrogate
     * pairs average 2 bytes/unit), ×2 hex chars per byte, rounded up. */

@@ -92,6 +92,21 @@ object AnnSearch {
     }.toIndexedSeq: _*)
   }
 
+  /** Top-`n` cell ids over the quantized `v`/`nn` columns — the fused
+    * codegen face (r17, [[graft.functions.CellTopIds]]) of
+    * [[cellScoreArr]]'s two consumers: `element_at(_, 1)` is the argmax
+    * cell (was `-array_max(scoreArr).getField("i")`), the full array is
+    * the probe list (was `slice(reverse(array_sort(scoreArr)), 1, n)`).
+    * One K·dim pass per row, no K-struct array materialization, no sort;
+    * cellScoreArr stays as the reference implementation (CellTopSpec
+    * pins row identity on the real fixture and adversarial inputs). */
+  private[graft] def cellTopIds(cents: Array[Array[Long]], n: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.CellTopIds(
+        org.apache.spark.sql.GraftSqlShim.expression(col("v")),
+        org.apache.spark.sql.GraftSqlShim.expression(col("nn")),
+        cents.map(_.toSeq).toSeq, n))
+
   // persisted: the quantized corpus feeds several plan branches (bucket
   // keys per table, query side, rerank side) — materialize once
   private[graft] def quantized(s: SparkSession, dir: String): DataFrame =
@@ -203,13 +218,12 @@ object AnnSearch {
         val q = quantized(s, dir)
         val cents = fitQuantizedCentroids(s, dir)
         ann3Oracle = Some(ann3Sql(cents))
-        val scoreArr = cellScoreArr(s, cents)
-        val corpus = q.withColumn("cell", -array_max(scoreArr).getField("i"))
+        // r17: fused assignment/probing kernel (see cellTopIds)
+        val corpus = q.withColumn("cell", element_at(cellTopIds(cents, 1), 1))
         // queries probe the IvfProbes nearest cells
-        val probes = slice(reverse(array_sort(scoreArr)), 1, IvfProbes)
         val probed = q.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"),
-            explode(transform(probes, p => p.getField("i") * -1)).as("cell"))
+            explode(cellTopIds(cents, IvfProbes)).as("cell"))
         val cands = corpus.join(broadcast(probed), "cell")
           .where(col("vec_id") =!= col("q_id"))
           .select("q_id", "vec_id").distinct()
@@ -317,10 +331,10 @@ object AnnSearch {
         val cents = fitQuantizedCentroids(s, dir)
         val cbs = fitPqCodebooks(s, dir)
         ann5Oracle = Some(ann5Sql(cents, cbs))
-        val scoreArr = cellScoreArr(s, cents)
         // corpus: one coarse cell + M codes per row; nd (decoded norm²)
         // from the plan-time per-code norm table — no decoded vector
-        val enc = q.withColumn("cell", -array_max(scoreArr).getField("i"))
+        // (r17: fused assignment kernel, see cellTopIds)
+        val enc = q.withColumn("cell", element_at(cellTopIds(cents, 1), 1))
           .select(col("*") +: pqCodeCols(cbs): _*)
         val normTab: Int => Seq[Long] =
           m => cbs(m).map(cv => cv.map(x => x * x).sum).toSeq
@@ -330,10 +344,9 @@ object AnnSearch {
         val dec = enc.withColumn("nd", nd)
           .select(("vec_id" +: "cell" +: "nd" +: (0 until PqM).map(m => s"c$m"))
             .map(col): _*)
-        val probes = slice(reverse(array_sort(scoreArr)), 1, IvfProbes)
         val probed = q.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"),
-            explode(transform(probes, p => p.getField("i") * -1)).as("cell"))
+            explode(cellTopIds(cents, IvfProbes)).as("cell"))
         // per-query ADC table: tab[m][c] = <query subvector m, codebook[m][c]>
         val tab = array((0 until PqM).map { m =>
           array((0 until PqK).map { c =>
@@ -550,18 +563,17 @@ object AnnSearch {
         val q = quantized(s, dir)
         val cents = fitQuantizedCentroids(s, dir)
         Dedup.emb5Oracle = Some(Dedup.emb5Sql(cents))
-        val scoreArr = cellScoreArr(s, cents)
+        // r17: fused assignment/probing kernel (see cellTopIds)
         val assigned = q.withColumn("cell",
-          -array_max(scoreArr).getField("i"))
+          element_at(cellTopIds(cents, 1), 1))
         val blocks = Dedup.semanticBlocks(s, assigned)
         // source side: probe the top-KnnProbes cells; label assignment
         // mirrors semanticBlocks per probed cell (cold cell → its one
         // block; hot cell → the prober's own band buckets). Sources are
         // never capped — the cap bounds the CORPUS block size, which is
         // what bounds the join task.
-        val probes = slice(reverse(array_sort(scoreArr)), 1, KnnProbes)
         val probed = q.select(col("vec_id"), col("v"), col("nn"),
-          explode(transform(probes, p => p.getField("i") * -1)).as("cell"))
+          explode(cellTopIds(cents, KnnProbes)).as("cell"))
         val cellCnt = assigned.groupBy("cell").agg(count(lit(1)).as("cnt"))
         val hotBands = array((0 until LshTables).map(t =>
           struct(lit(t).as("band"), bucketKey(s, t, col("v")).as("sub"))): _*)

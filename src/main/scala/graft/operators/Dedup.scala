@@ -640,8 +640,9 @@ object Dedup {
         val q = AnnSearch.quantized(s, dir)
         val cents = AnnSearch.fitQuantizedCentroids(s, dir)
         dd7Oracle = Some(dd7Sql(cents))
+        // r17: fused assignment kernel (AnnSearch.cellTopIds)
         val assigned = q.withColumn("cell",
-          -array_max(AnnSearch.cellScoreArr(s, cents)).getField("i"))
+          element_at(AnnSearch.cellTopIds(cents, 1), 1))
         semanticPairs(s, assigned)
       },
       None,

@@ -352,17 +352,32 @@ object DedupMaintenance {
   private def writeDeltas(spark: org.apache.spark.sql.SparkSession,
       sh: DataFrame, priorDirs: Seq[Path], cap: Int,
       artifactDir: String, batchId: Long): Unit = {
-      val batchBuckets = sh.groupBy("s")
-        .agg(sort_array(collect_set(col("doc_id"))).as("bs"))
-      val emptyOs = array().cast("array<bigint>")
-      val buckets = (if (priorDirs.isEmpty) batchBuckets.withColumn("os", emptyOs)
-        else {
-          val prior = spark.read.parquet(priorDirs.map(_.toString): _*)
+      // r17 (guide §2.4 — remove shuffles outright): ONE shuffle builds
+      // both posting views. The r16 shape aggregated the batch side and
+      // the (key-restricted) prior side in separate groupBy(s) exchanges
+      // and joined them; here the prior rows — still semi-joined by the
+      // batch's broadcast shingle keys, so the store is scanned, never
+      // shuffled — are TAGGED and unioned with the batch rows, and one
+      // groupBy(s) collects bs (batch docs) and os (prior docs) together
+      // (collect_set skips the NULLs the other tag contributes). Output
+      // row-identical: every group has a non-empty bs by construction
+      // (prior rows exist only for keys the semi-join kept, i.e. keys in
+      // the batch), os is the empty array exactly where the old left
+      // join found no prior bucket, and the retraction arithmetic below
+      // is untouched (StreamingDedupSpec pins cap-crossing retraction,
+      // incremental-equals-full, and replay).
+      val batchTagged = sh.select(col("s"), col("doc_id").as("nd"),
+        lit(null).cast("bigint").as("od"))
+      val tagged =
+        if (priorDirs.isEmpty) batchTagged
+        else batchTagged.unionAll(
+          spark.read.parquet(priorDirs.map(_.toString): _*)
             .join(broadcast(sh.select("s").distinct()), Seq("s"))
-            .groupBy("s").agg(sort_array(collect_set(col("doc_id"))).as("os"))
-          batchBuckets.join(prior, Seq("s"), "left")
-            .withColumn("os", coalesce(col("os"), emptyOs))
-        })
+            .select(col("s"), lit(null).cast("bigint").as("nd"),
+              col("doc_id").as("od")))
+      val buckets = tagged.groupBy("s").agg(
+        sort_array(collect_set(col("nd"))).as("bs"),
+        sort_array(collect_set(col("od"))).as("os"))
       def ordered(x: Column, y: Column) =
         struct(least(x, y).as("a"), greatest(x, y).as("b"))
       def combos(arr: Column) = flatten(transform(arr, (x, i) =>

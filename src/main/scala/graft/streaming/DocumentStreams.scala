@@ -128,8 +128,10 @@ object DocumentStreams {
     val docsSchema = s.read.parquet(dir).schema
     val idxSchema = org.apache.spark.sql.types.StructType(
       docsSchema.filter(_.name == "doc_id"))
-    val index = new graft.index.DerbyStatsIndex(s"$base/db", idxSchema)
-    index.initialize(idxSchema)
+    // r17: template-copied fresh catalog (see EventStreams — schema-only,
+    // per-JVM DDL amortization; content still from this run's ingest)
+    val index = graft.index.DerbyStatsIndex.freshInitialized(
+      s"$base/db", idxSchema)
     val out =
       try {
         val src = s.readStream.schema(docsSchema)
@@ -168,8 +170,9 @@ object DocumentStreams {
     val docsSchema = s.read.parquet(dir).schema
     val idxSchema = org.apache.spark.sql.types.StructType(
       docsSchema.filter(_.name == "doc_id"))
-    val index = new graft.index.DerbyStatsIndex(s"$base/db", idxSchema)
-    index.initialize(idxSchema)
+    // r17: template-copied fresh catalog (see streamComponentsQuery)
+    val index = graft.index.DerbyStatsIndex.freshInitialized(
+      s"$base/db", idxSchema)
     val out =
       try {
         val src = s.readStream.schema(docsSchema)

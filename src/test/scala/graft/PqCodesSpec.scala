@@ -40,9 +40,14 @@ class PqCodesSpec extends SparkSpec {
       .takeWhile(_ != null).take(10).toSeq
     assert(chain.exists(_.isInstanceOf[ArithmeticException]),
       s"expected ArithmeticException in the cause chain, got $e")
-    // the same shape below the edge still encodes (code 0 of 1)
+    // the same shape below the edge still encodes (code 0 of 1): a small
+    // codebook so diff² stays representable
+    val encOk = org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftSqlShim.expression(col("v")),
+        Seq(Seq(Seq(-100L, 0L)))))
     val ok = Seq(Seq(100L, 0L)).toDF("v")
-    assert(ok.select(enc).collect()(0).getSeq[Long](0) == Seq(0L))
+    assert(ok.select(encOk).collect()(0).getSeq[Long](0) == Seq(0L))
   }
 
   test("null element and short vector yield NULL codes like the old form") {
