@@ -155,9 +155,15 @@ object AnnSearch {
       "ann2_topk_lsh",
       (s, dir) => {
         val q = quantized(s, dir)
-        val keyed = (0 until LshTables).map { t =>
-          q.select(col("vec_id"), lit(t).as("tbl"), bucketKey(s, t, col("v")).as("bkey"))
-        }.reduce(_ unionAll _)
+        // r17: all LshTables bucket keys in ONE pass over the cached
+        // corpus (explode of a per-row struct array) — the r16 shape
+        // unioned 4 separate scans of the same blocks; row multiset
+        // identical (order is irrelevant below: candidates are
+        // distinct-ed, ranking is per q_id)
+        val keyed = q.select(col("vec_id"), explode(array((0 until LshTables).map { t =>
+            struct(lit(t).as("tbl"), bucketKey(s, t, col("v")).as("bkey"))
+          }: _*)).as("tb"))
+          .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkey").as("bkey"))
         val qKeys = keyed.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("tbl"), col("bkey"))
         val cands = keyed.join(broadcast(qKeys), Seq("tbl", "bkey"))

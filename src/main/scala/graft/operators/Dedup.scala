@@ -48,15 +48,26 @@ object Dedup {
     val w = col("w")
     def shingle(i: Column): Column =
       concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))
-    def piece(i: Column): Column =
-      if (hashed) conv(substring(md5(shingle(i)), 1, 15), 16, 10).cast("long")
-      else shingle(i)
+    // r17: the hashed face goes through the fused kernel — one UTF-8 pass
+    // and one digest INSTANCE per row instead of a digest + 32-char hex +
+    // substring + base-16 parse per shingle (ShingleHashesSpec pins row
+    // identity with the expression chain, both distinct modes)
+    val pieces =
+      if (hashed) shingleHashes(w, nibbles = 15, distinctOnHash = true)
+      else array_distinct(transform(sequence(lit(0), size(w) - 3), shingle _))
     docs
       .select(col("doc_id"), toks(col("text")).as("w"))
       .filter(size(w) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(w) - 3), piece _))).as("s"))
+      .select(col("doc_id"), explode(pieces).as("s"))
   }
+
+  /** Fused distinct-shingle md5-prefix hashes of the token array `w` —
+    * [[graft.functions.ShingleHashesExpr]] (r17). */
+  private def shingleHashes(w: Column, nibbles: Int,
+      distinctOnHash: Boolean): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.ShingleHashesExpr(
+        org.apache.spark.sql.GraftSqlShim.expression(w), nibbles, distinctOnHash))
 
   private[graft] val shingleSql =
     """words AS (SELECT doc_id, string_split(text, ' ') w FROM documents
@@ -147,15 +158,13 @@ object Dedup {
     * [[bandKeys]]. */
   private[graft] def bandKeysMapOnly(docs: DataFrame): DataFrame = {
     val w = col("w")
-    def shingle(i: Column): Column =
-      concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))
+    // r17: fused shingle hashing (see shinglesOf) — distinct on the
+    // shingle STRING like the array_distinct-before-transform it replaces
     val hashed = docs
       .select(col("doc_id"), toks(col("text")).as("w"))
       .filter(size(w) >= 3)
       .select(col("doc_id"),
-        transform(
-          array_distinct(transform(sequence(lit(0), size(w) - 3), shingle _)),
-          sv => conv(substring(md5(sv), 1, 10), 16, 10).cast("long")).as("bs"))
+        shingleHashes(w, nibbles = 10, distinctOnHash = false).as("bs"))
     val mh = (0 until MinhashCount).map { h =>
       array_min(transform(col("bs"),
         b => (lit(mhA(h)) * b + lit(mhB(h))).bitwiseAND(lit(MhMask)))).as(s"mh$h")
