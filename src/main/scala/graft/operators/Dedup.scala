@@ -268,9 +268,68 @@ object Dedup {
     * 100 TB are far worse than a failed job. With pointer jumping the
     * default guard covers diameters past 2^20 — unreachable for any real
     * near-dup graph — so the throw is a tripwire, not a limit. */
+  /** Edge bound under which [[connectedComponents]] takes the DRIVER
+    * fast path (r17): collect the pair set and run a min-root union-find
+    * instead of the distributed propagation loop. Each distributed round
+    * costs several fixed-overhead Spark jobs (join + aggregate + self-join
+    * stages; ~7 jobs/round under AQE) regardless of how tiny the labels
+    * are — and the CC inputs on the hot paths ARE tiny by construction
+    * (dd6/dd13's near-dup pair graphs, [[graft.streaming.DedupMaintenance
+    * .mergeLabels]]'s O(batch + affected-components) slice), while the
+    * corpus itself never enters CC. The bound is the same kind of
+    * size-gated driver shortcut as Spark's own broadcast threshold: 2^20
+    * edges ≈ 16 MB collected (well under any driver/maxResultSize
+    * setting); anything larger keeps the distributed loop. Identical
+    * output by construction — union-by-min-root makes every tree's root
+    * the min vertex of its component, exactly the min-label fixpoint the
+    * loop converges to (CcDriverSpec pins equality on adversarial
+    * graphs; the dd6/dd13/st6 oracles pin it end-to-end). */
+  private[graft] val DriverCcMaxEdges = 1L << 20
+
   private[graft] def connectedComponents(
-      pairs0: DataFrame, maxRounds: Int = 25): DataFrame =
-    connectedComponentsWithRounds(pairs0, maxRounds)._1
+      pairs0: DataFrame, maxRounds: Int = 25,
+      driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    if (pairs0.schema("a").dataType != LongType ||
+        pairs0.schema("b").dataType != LongType)
+      return connectedComponentsWithRounds(pairs0, maxRounds)._1
+    // same first materialization as the loop path; the count reads the
+    // checkpointed blocks
+    val pairs = pairs0.localCheckpoint()
+    if (pairs.count() > driverMaxEdges)
+      connectedComponentsWithRounds(pairs, maxRounds)._1
+    else driverCc(pairs)
+  }
+
+  /** Driver-side min-root union-find over a BOUNDED collected pair set —
+    * see [[DriverCcMaxEdges]]. Output schema/content identical to the
+    * distributed loop: one (v, l) row per distinct endpoint, l = the min
+    * vertex id reachable from v. */
+  private def driverCc(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    pairs.select(col("a"), col("b")).collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      // union by MIN root: the invariant "a root is the min vertex of its
+      // tree" is preserved, so final roots are the component minima
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    import scala.jdk.CollectionConverters._
+    val labels = parent.keySet().asScala.toSeq.map(v => (v, find(v)))
+    import spark.implicits._
+    labels.toDF("v", "l")
+  }
 
   /** As [[connectedComponents]], also returning the rounds used —
     * DedupBoundsSpec pins the O(log diameter) bound with it. */

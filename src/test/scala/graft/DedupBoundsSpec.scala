@@ -73,8 +73,12 @@ class DedupBoundsSpec extends SparkSpec {
   test("connected components: non-convergence throws, never returns truncated labels") {
     import spark.implicits._
     val pairs = (80L until 100L).map(i => (i + 1, i)).toDF("a", "b")
+    // force the DISTRIBUTED loop (driverMaxEdges = 0): the r17 driver
+    // fast path always converges — this tripwire pins the loop's
+    // truncation guard, which still protects every over-bound input
     val e = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(pairs, maxRounds = 1).collect()
+      Dedup.connectedComponents(pairs, maxRounds = 1, driverMaxEdges = 0L)
+        .collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
